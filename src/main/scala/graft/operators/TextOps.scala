@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Map-side text operators from the reference's mapper library
+  * (reference: src/mapred/org/apache/hadoop/mapred/lib/RegexMapper.java:46,
+  * TokenCountMapper.java:41, InverseMapper.java:37,
+  * FieldSelectionMapReduce.java:47-264), re-expressed as DataFrame
+  * combinators. Everything here stays inside whole-stage codegen
+  * (built-in functions only, no UDFs), so the pattern scan and the
+  * partial aggregation fuse into a single stage before the shuffle.
+  */
+object TextOps {
+
+  /** Grep pipeline (reference: src/examples/org/apache/hadoop/examples/
+    * Grep.java:57-84): scan -> regex extract (flatMap) -> partial+final
+    * count -> global sort by count desc -> emitted. The reference runs
+    * two MR jobs (count, then 1-reducer sort); here the sort is a
+    * range-partitioned `orderBy` — scalable, no single-reducer funnel.
+    *
+    * @param text  column holding the line/document text
+    * @param pattern Java regex; every match (group 0) is counted
+    */
+  def grep(df: DataFrame, text: Column, pattern: String): DataFrame =
+    df.select(explode(regexp_extract_all(text, lit(pattern), lit(0))).as("match"))
+      .groupBy(col("match"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("match").asc)
+
+  /** WordCount (reference: lib/TokenCountMapper.java:41 +
+    * lib/LongSumReducer.java:39): whitespace tokenize -> (token, 1) ->
+    * sum. Map-side partial aggregation is automatic (HashAggregate
+    * partial/final around the shuffle).
+    */
+  def wordCount(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** InverseMapper (reference: lib/InverseMapper.java:37): (k,v)->(v,k). */
+  def inverse(df: DataFrame, key: String, value: String): DataFrame =
+    df.select(col(value).as(key + "_inv_v"), col(key).as(value + "_inv_k"))
+
+  /** Field-selection spec parser (reference:
+    * lib/FieldSelectionMapReduce.java:47-137). A spec like
+    * `"4,3,0-2,6-"` is a list of single indices and ranges; an
+    * open-ended range `n-` means "field n through the last field".
+    * Returns the 0-based field indices, with `-1` marking an
+    * open-ended tail start (expanded at plan build time).
+    */
+  private[graft] def parseFieldSpec(spec: String): Seq[(Int, Option[Int])] =
+    spec.split(",").filter(_.nonEmpty).toSeq.map { tok =>
+      if (tok.endsWith("-")) (tok.dropRight(1).toInt, None)
+      else if (tok.contains("-")) {
+        val Array(a, b) = tok.split("-", 2)
+        (a.toInt, Some(b.toInt))
+      } else (tok.toInt, Some(tok.toInt))
+    }
+
+  /** FieldSelection (reference: lib/FieldSelectionMapReduce.java:138-198):
+    * split `value` on `sep`, project the fields named by `spec`
+    * (cut(1)-style; ranges inclusive). `maxFields` bounds open-ended
+    * ranges — the reference expands them to the record's own width;
+    * at scale a fixed schema width is required for a columnar plan,
+    * so callers pass the corpus width.
+    *
+    * Output columns are `f0..fK` in spec order.
+    */
+  def fieldSelection(df: DataFrame, value: Column, spec: String,
+                     sep: String = "\t", maxFields: Int = 16): DataFrame = {
+    val parts = split(value, java.util.regex.Pattern.quote(sep))
+    val idxs: Seq[Int] = parseFieldSpec(spec).flatMap {
+      case (a, Some(b)) => a to b
+      case (a, None)    => a until maxFields
+    }
+    val cols = idxs.zipWithIndex.map { case (fi, i) => parts.getItem(fi).as(s"f$i") }
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local parity checker mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  where <outDir> is what graft.Verify wrote (per-query parquet dirs +
+  oracle_sql.json).
+
+Compares each Spark result with the DuckDB result of the oracle SQL:
+columns sorted by name, rows sorted, values stringified (floats via
+repr of round(x, 9) to surface sub-rounding drift early).
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_of(rows, names):
+    names_sorted = sorted(names)
+    out = []
+    for r in rows:
+        d = dict(zip(names, r))
+        out.append(tuple(norm(d[n]) for n in names_sorted))
+    return names_sorted, sorted(out)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result at {res_dir}")
+            n_fail += 1
+            continue
+        tbl = pq.read_table(files[0] if len(files) == 1 else res_dir)
+        spark_names = tbl.column_names
+        spark_rows = [tuple(d.values()) for d in tbl.to_pylist()]
+        try:
+            cur = con.execute(sql)
+            duck_names = [c[0] for c in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sn, srows = table_of(spark_rows, spark_names)
+        dn, drows = table_of(duck_rows, duck_names)
+        if sn != dn:
+            print(f"FAIL {name}: columns differ spark={sn} duck={dn}")
+            n_fail += 1
+        elif srows != drows:
+            print(f"FAIL {name}: {len(srows)} vs {len(drows)} rows")
+            diffs = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            extra_s = [r for r in srows if r not in set(drows)][:3]
+            extra_d = [r for r in drows if r not in set(srows)][:3]
+            for a, b in diffs:
+                print(f"   spark={a}\n   duck ={b}")
+            if extra_s: print(f"   only-spark: {extra_s}")
+            if extra_d: print(f"   only-duck : {extra_d}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
