@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 
@@ -10,14 +10,39 @@ import graft.operators._
   * Parity rules used throughout (so Spark and the DuckDB oracle
   * hash-match bit-for-bit):
   *  - money/quantity sums go through DECIMAL(18,2) (exact, order-independent)
-  *  - averages are computed from exact decimal sums, divided as doubles,
-  *    then rounded — identical operand bits in both engines
-  *  - every output column is explicitly aliased identically in both
+  *  - averages/stddevs are derived from exact integer/decimal sums and
+  *    only then divided as doubles and rounded — identical operand
+  *    bits in both engines regardless of partitioning
+  *  - raw column values (incl. doubles) pass through untouched — both
+  *    engines read the same parquet bits
+  *  - every output column is aliased identically in Spark and SQL
   */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
+
+  /** Tab-separated KV corpus built from lineitem (FIXTURES.md §2):
+    * fields 0..5 = orderkey, partkey, suppkey, linenumber, returnflag,
+    * shipdate(date).
+    */
+  private def kvCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_returnflag"),
+      col("l_shipdate").cast("date").as("l_shipdate_d"),
+      concat_ws("\t",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"),
+        col("l_shipdate").cast("date")).as("value"))
+
+  private val kvCorpusSql =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag,
+      |       CAST(l_shipdate AS DATE) AS l_shipdate_d,
+      |       concat_ws(chr(9), l_orderkey, l_partkey, l_suppkey,
+      |                 l_linenumber, l_returnflag,
+      |                 CAST(l_shipdate AS DATE)) AS value
+      |FROM lineitem""".stripMargin
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0):
     * the Grep pipeline — the reference's own canonical example
@@ -36,7 +61,95 @@ object SparkEntry {
     "q_wordcount" -> ((s, dir) =>
       TextOps.wordCount(t(s, dir, "documents"), col("text"))),
 
-    // ---- §2.4 aggregation (TPC-H Q1 shape over the aggregate lib) ---
+    "q_field_selection" -> ((s, dir) =>
+      TextOps.fieldSelection(kvCorpus(s, dir), col("value"),
+        spec = "4,2,0-1,5-", maxFields = 6)),
+
+    // ---- §2.1 scan-time filters (SequenceFileInputFilter) -----------
+    "q_regex_filter" -> ((s, dir) =>
+      Filters.regexFilter(t(s, dir, "part"), col("p_name"), "^s.*dget")
+        .select(col("p_partkey"), col("p_name"))),
+
+    "q_percent_filter" -> ((s, dir) =>
+      Filters.percentFilter(t(s, dir, "orders"), col("o_orderkey"), 10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "q_md5_filter" -> ((s, dir) =>
+      Filters.md5Filter(t(s, dir, "orders"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"))),
+
+    // ---- §2.5 sorts / top-k / secondary sort ------------------------
+    "q_topk" -> ((s, dir) =>
+      Sorting.topK(t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        100, col("o_totalprice").desc, col("o_orderkey").asc)),
+
+    "q_secondary_sort" -> ((s, dir) =>
+      Sorting.secondarySortRanked(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        group = Seq(col("l_orderkey")), order = Seq(col("l_linenumber")))),
+
+    "q_keyfield_sort" -> ((s, dir) =>
+      Sorting.keyFieldSort(kvCorpus(s, dir).select(col("value")),
+          col("value"), "-k5,5r -k1,1n -k4,4n")
+        .limit(100)),
+
+    // ---- §2.3 joins -------------------------------------------------
+    "q_join_inner" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+      Joins.innerJoin(Seq(c, o), "custkey")
+    }),
+
+    "q_join_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Joins.outerJoin(Seq(c, o), "custkey")
+    }),
+
+    "q_join_override" -> ((s, dir) => {
+      val base = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice").as("price"))
+      val ovr = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(min(col("l_extendedprice")).as("price"))
+      Joins.overrideJoin(Seq(base, ovr), "p_partkey",
+        Seq(Seq("price"), Seq("price")))
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      Joins.semiJoin(c, o, "custkey")
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      Joins.antiJoin(c, o, "custkey")
+    }),
+
+    "q_data_join" -> ((s, dir) =>
+      Joins.dataJoin(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "c_custkey", "o_custkey")),
+
+    // ---- §2.4 aggregation -------------------------------------------
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -50,6 +163,28 @@ object SparkEntry {
           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
                 count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))),
+
+    "q_agg_lib" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          AggregateLib.longValueSum(col("l_linenumber")).as("long_sum"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sum"),
+          AggregateLib.longValueMax(col("l_partkey")).as("long_max"),
+          AggregateLib.longValueMin(col("l_partkey")).as("long_min"),
+          AggregateLib.stringValueMax(col("l_linestatus")).as("str_max"),
+          AggregateLib.stringValueMin(col("l_linestatus")).as("str_min"))),
+
+    "q_uniq_capped" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          AggregateLib.uniqValueCount(col("l_partkey"), 50).as("uniq_50"),
+          AggregateLib.uniqValueCount(col("l_partkey"), 1000000).as("uniq_all"))),
+
+    "q_histogram" -> ((s, dir) =>
+      AggregateLib.valueHistogram(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_quantity"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -66,6 +201,75 @@ object SparkEntry {
         |WHERE length(w) > 0
         |GROUP BY 1""".stripMargin,
 
+    "q_field_selection" ->
+      """SELECT CAST(l_returnflag AS VARCHAR) AS f0,
+        |       CAST(l_suppkey AS VARCHAR) AS f1,
+        |       CAST(l_orderkey AS VARCHAR) AS f2,
+        |       CAST(l_partkey AS VARCHAR) AS f3,
+        |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS f4
+        |FROM lineitem""".stripMargin,
+
+    "q_regex_filter" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^s.*dget')""".stripMargin,
+
+    "q_percent_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 = 0""".stripMargin,
+
+    "q_md5_filter" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_secondary_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(rank() OVER (PARTITION BY l_orderkey
+        |                         ORDER BY l_linenumber) AS INT) AS rn
+        |FROM lineitem""".stripMargin,
+
+    "q_keyfield_sort" ->
+      s"""WITH kv AS ($kvCorpusSql)
+         |SELECT value FROM kv
+         |ORDER BY l_returnflag DESC, l_orderkey ASC, l_linenumber ASC
+         |LIMIT 100""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT c_custkey AS custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer
+        |           WHERE c_custkey % 3 <> 0),
+        |     o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+        |           FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1)
+        |SELECT custkey, c_name, n_orders
+        |FROM c FULL OUTER JOIN o USING (custkey)""".stripMargin,
+
+    "q_join_override" ->
+      """WITH b AS (SELECT p_partkey, p_retailprice AS price FROM part),
+        |     o AS (SELECT l_partkey AS p_partkey, min(l_extendedprice) AS price
+        |           FROM lineitem GROUP BY 1)
+        |SELECT p_partkey, coalesce(o.price, b.price) AS price
+        |FROM b FULL OUTER JOIN o USING (p_partkey)""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey AS custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey AS custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_data_join" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_custkey, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -77,5 +281,37 @@ object SparkEntry {
         |        / count(*), 4) AS avg_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_lib" ->
+      """SELECT l_returnflag,
+        |  sum(CAST(l_linenumber AS BIGINT)) AS long_sum,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |  max(CAST(l_partkey AS BIGINT)) AS long_max,
+        |  min(CAST(l_partkey AS BIGINT)) AS long_min,
+        |  max(l_linestatus) AS str_max,
+        |  min(l_linestatus) AS str_min
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_uniq_capped" ->
+      """SELECT l_returnflag,
+        |  least(count(DISTINCT l_partkey), 50) AS uniq_50,
+        |  least(count(DISTINCT l_partkey), 1000000) AS uniq_all
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """WITH freq AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS VARCHAR) AS v,
+        |         count(*) AS freq
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  count(*) AS n_values,
+        |  min(freq) AS min_freq,
+        |  median(freq) AS median_freq,
+        |  max(freq) AS max_freq,
+        |  round(CAST(sum(freq) AS DOUBLE) / count(*), 4) AS avg_freq,
+        |  round(sqrt(CAST(sum(freq * freq) AS DOUBLE) / count(*)
+        |        - power(CAST(sum(freq) AS DOUBLE) / count(*), 2)), 4)
+        |    AS stddev_freq
+        |FROM freq GROUP BY l_returnflag""".stripMargin,
   )
 }

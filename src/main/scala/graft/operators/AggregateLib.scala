@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** The reference's declarative aggregate library (reference:
+  * src/mapred/org/apache/hadoop/mapred/lib/aggregate/ —
+  * LongValueSum.java, DoubleValueSum.java, LongValueMax/Min.java,
+  * StringValueMax/Min.java, UniqValueCount.java:36-91,
+  * ValueHistogram.java:78-133,
+  * ValueAggregatorBaseDescriptor.java:33-137).
+  *
+  * Mappers there emit `"type:id" -> value` descriptors and a shared
+  * combiner/reducer family folds them; partial aggregation (the
+  * combiner) is the core trick. In Spark every one of these is a
+  * `groupBy(...).agg(...)` with automatic partial/final split, so the
+  * simple members are thin aliases; the two with bespoke semantics —
+  * capped distinct count and the histogram report — get a real
+  * `Aggregator` and a composed pipeline respectively.
+  */
+object AggregateLib {
+
+  // -- the simple family: direct built-in mappings -------------------
+  def longValueSum(c: Column): Column = sum(c.cast("long"))
+  def doubleValueSum(c: Column): Column = sum(c.cast("double"))
+  def longValueMax(c: Column): Column = max(c.cast("long"))
+  def longValueMin(c: Column): Column = min(c.cast("long"))
+  def stringValueMax(c: Column): Column = max(c.cast("string"))
+  def stringValueMin(c: Column): Column = min(c.cast("string"))
+
+  /** Exact capped distinct count, `UniqValueCount(maxNumItems)`
+    * semantics (reference: UniqValueCount.java:36-91): the buffer is
+    * a set that stops growing at the cap, the report is its size —
+    * i.e. `min(countDistinct, cap)`, but computed with bounded state
+    * like the reference (each partial buffer ≤ cap entries, so
+    * executor memory is bounded no matter the key's cardinality —
+    * that's what makes it safe at 100 TB, unlike a raw
+    * `collect_set`).
+    */
+  final class UniqValueCount(cap: Int)
+      extends Aggregator[String, mutable.HashSet[String], Long] {
+    def zero: mutable.HashSet[String] = mutable.HashSet.empty
+    def reduce(b: mutable.HashSet[String], a: String): mutable.HashSet[String] = {
+      if (b.size < cap && a != null) b += a
+      b
+    }
+    def merge(b1: mutable.HashSet[String], b2: mutable.HashSet[String]): mutable.HashSet[String] = {
+      val it = b2.iterator
+      while (b1.size < cap && it.hasNext) b1 += it.next()
+      b1
+    }
+    def finish(b: mutable.HashSet[String]): Long = b.size.toLong
+    def bufferEncoder: Encoder[mutable.HashSet[String]] =
+      Encoders.kryo[mutable.HashSet[String]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column form of [[UniqValueCount]] for untyped `agg(...)`. */
+  def uniqValueCount(c: Column, cap: Int): Column =
+    udaf(new UniqValueCount(cap), Encoders.STRING)(c.cast("string"))
+
+  /** ValueHistogram (reference: ValueHistogram.java:78-133): per group
+    * key, build the value→frequency table, then report
+    * (#distinct values, min/median/max/mean/stddev of the
+    * frequencies). Two cascaded hash aggregations — both get map-side
+    * partial aggregation; no collect, no per-group buffering.
+    *
+    * All stats derive from exact integer sums (population stddev via
+    * sum of squares), so the report is bit-reproducible across
+    * engines and partitionings.
+    */
+  def valueHistogram(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    val freq = df.groupBy(groupCols :+ value.cast("string").as("__v"): _*)
+      .agg(count(lit(1)).as("__freq"))
+    freq.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n_values"),
+      min(col("__freq")).as("min_freq"),
+      median(col("__freq")).as("median_freq"),
+      max(col("__freq")).as("max_freq"),
+      round(sum(col("__freq")).cast("double") / count(lit(1)), 4).as("avg_freq"),
+      round(sqrt(
+        sum(col("__freq") * col("__freq")).cast("double") / count(lit(1)) -
+        pow(sum(col("__freq")).cast("double") / count(lit(1)), 2)), 4)
+        .as("stddev_freq"))
+  }
+}

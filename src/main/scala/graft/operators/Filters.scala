@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scan-time row filters from the reference's
+  * `SequenceFileInputFilter` (reference: src/mapred/org/apache/hadoop/
+  * mapred/SequenceFileInputFilter.java:103 RegexFilter, :148
+  * PercentFilter, :198 MD5Filter).
+  *
+  * All three are plain `filter()` calls so Catalyst pushes them into
+  * the parquet scan where the pushdown rules allow (regex stays as a
+  * post-scan filter but still runs before any shuffle; the modulo
+  * filters prune at the scan for stats-friendly layouts).
+  */
+object Filters {
+
+  /** RegexFilter: keep records whose key matches (find semantics). */
+  def regexFilter(df: DataFrame, key: Column, pattern: String): DataFrame =
+    df.filter(key.rlike(pattern))
+
+  /** PercentFilter: keep records where hash(key) % f == 0. The
+    * reference uses Java `hashCode()`; for integral keys that is the
+    * value itself, which keeps the predicate engine-portable.
+    */
+  def percentFilter(df: DataFrame, key: Column, frequency: Int): DataFrame =
+    df.filter(pmod(key.cast("long"), lit(frequency.toLong)) === 0)
+
+  /** MD5Filter: keep records whose MD5 falls in a 16^-nibbles slice —
+    * deterministic content-hash sampling (reference samples
+    * `MD5(key) % f == 0`; we take the leading hex nibbles, same
+    * uniform-slice effect, portable across engines).
+    */
+  def md5Filter(df: DataFrame, key: Column, nibbles: Int = 1): DataFrame =
+    df.filter(substring(md5(key.cast("string")), 1, nibbles) ===
+      lit("0" * nibbles))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Join family.
+  *
+  * The reference has two join stacks:
+  *  - map-side merge join of pre-sorted copartitioned inputs with a
+  *    composable expression DSL `inner/outer/override` (reference:
+  *    src/mapred/org/apache/hadoop/mapred/join/CompositeInputFormat.java:62-176,
+  *    InnerJoinRecordReader.java:41, OuterJoinRecordReader.java:41,
+  *    OverrideRecordReader.java:93);
+  *  - reduce-side tagged join with per-group cross product (reference:
+  *    src/contrib/data_join/.../DataJoinMapperBase.java,
+  *    DataJoinReducerBase.java:92-214).
+  *
+  * Here both collapse onto Catalyst joins: `JoinSelection` picks
+  * broadcast-hash for small sides (use `broadcast()` to force),
+  * sort-merge otherwise, and AQE re-plans skew at runtime. The
+  * "pre-sorted copartitioned" fast path is bucketed tables — writing
+  * both sides with `bucketBy(n, key).sortBy(key)` makes the SMJ
+  * shuffle-free, the direct analog of CompositeInputFormat's contract.
+  */
+object Joins {
+
+  /** N-way inner join on a shared key (DSL `inner(a, b, ...)`): emit
+    * combined row iff *all* sources have the key.
+    */
+  def innerJoin(dfs: Seq[DataFrame], key: String): DataFrame =
+    dfs.reduce(_.join(_, Seq(key), "inner"))
+
+  /** N-way full-outer join (DSL `outer(a, b, ...)`): emit iff *any*
+    * source has the key; absent slots are null — Spark's outer-join
+    * null is exactly TupleWritable's unwritten-slot bitmask.
+    */
+  def outerJoin(dfs: Seq[DataFrame], key: String): DataFrame =
+    dfs.reduce(_.join(_, Seq(key), "full_outer"))
+
+  /** Override join (DSL `override(a, b, ...)`): per key, the value
+    * columns come from the *rightmost* source that has the key.
+    * Implemented as a fold of full-outer joins with rightmost-wins
+    * `coalesce` per value column; each input must be unique per key
+    * (the reference reads one record per source per key too).
+    *
+    * @param valueCols per-source value column names, positionally
+    *        aligned: output column i is named `valueCols.head(i)`.
+    */
+  def overrideJoin(dfs: Seq[DataFrame], key: String,
+                   valueCols: Seq[Seq[String]]): DataFrame = {
+    require(dfs.nonEmpty && dfs.size == valueCols.size)
+    val outNames = valueCols.head
+    val normalized = dfs.zip(valueCols).map { case (df, vcs) =>
+      df.select(col(key) +: vcs.zip(outNames).map { case (c, o) => col(c).as(o) }: _*)
+    }
+    normalized.reduce { (acc, next) =>
+      val joined = acc.alias("l").join(next.alias("r"), Seq(key), "full_outer")
+      joined.select(
+        col(key) +:
+        outNames.map(c => coalesce(col(s"r.$c"), col(s"l.$c")).as(c)): _*)
+    }
+  }
+
+  /** Semi/anti joins — not named operators in the reference (hand-
+    * rolled in reducers); first-class here. Broadcast the filter side
+    * when it is small.
+    */
+  def semiJoin(df: DataFrame, filterDf: DataFrame, key: String): DataFrame =
+    df.join(filterDf, Seq(key), "left_semi")
+
+  def antiJoin(df: DataFrame, filterDf: DataFrame, key: String): DataFrame =
+    df.join(filterDf, Seq(key), "left_anti")
+
+  /** Reduce-side tagged join, faithfully: group both inputs by key,
+    * buffer each side's records per group, emit the cross product —
+    * `DataJoinReducerBase.joinAndCollect` as a `cogroup`. This is the
+    * escape hatch for join logic Catalyst can't express (arbitrary
+    * per-group code); for plain equi-joins prefer `innerJoin`, which
+    * gets broadcast/SMJ/AQE instead of buffering groups in memory.
+    *
+    * Memory: like the reference, one group's records per side must fit
+    * in an executor's heap. The shuffle is a single hash exchange per
+    * side on the key.
+    */
+  def dataJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String): DataFrame = {
+    val outSchema = StructType(left.schema.fields ++ right.schema.fields)
+    val lIdx = left.schema.fieldIndex(leftKey)
+    val rIdx = right.schema.fieldIndex(rightKey)
+    val keyedableL = left.groupByKey((r: Row) => String.valueOf(r.get(lIdx)))(Encoders.STRING)
+    val keyedR = right.groupByKey((r: Row) => String.valueOf(r.get(rIdx)))(Encoders.STRING)
+    val out = keyedableL.cogroup(keyedR) { (_, ls, rs) =>
+      // buffer the (usually smaller) right side once, stream the left
+      val rBuf = rs.toArray
+      if (rBuf.isEmpty) Iterator.empty
+      else ls.flatMap(l => rBuf.iterator.map(r => Row.merge(l, r)))
+    }(Encoders.row(outSchema))
+    out.toDF()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort family (reference: total-order sort via sampled pivots,
+  * src/mapred/org/apache/hadoop/mapred/lib/TotalOrderPartitioner.java:98
+  * + lib/InputSampler.java:314; secondary sort via grouping
+  * comparator, src/examples/.../SecondarySort.java:140-230; unix-sort
+  * key specs, lib/KeyFieldBasedComparator.java:33-120; top-k as
+  * 1-reducer sort, src/examples/.../Grep.java:76-84).
+  */
+object Sorting {
+
+  /** Total-order sort. Spark's `orderBy` plans a RangePartitioning
+    * exchange that samples the data and routes by pivot binary search
+    * — exactly the InputSampler + TotalOrderPartitioner pipeline, but
+    * automatic and re-sampled per job. Output files are globally
+    * ordered across partitions (partition i < partition i+1).
+    */
+  def totalOrderSort(df: DataFrame, keys: Column*): DataFrame =
+    df.orderBy(keys: _*)
+
+  /** Secondary sort: partition by `group`, order by `order` *within*
+    * the group's partition, never a global sort (reference: grouping
+    * comparator gives the reducer a per-prefix sorted iterator).
+    * Scales: only a hash shuffle on the group keys.
+    */
+  def secondarySort(df: DataFrame, group: Seq[Column], order: Seq[Column]): DataFrame =
+    df.repartition(group: _*).sortWithinPartitions(group ++ order: _*)
+
+  /** Secondary sort with an explicit in-group sequence number — the
+    * observable form of the reducer's sorted iterator. Window over
+    * (group, order) = one shuffle, per-group state only. `rank()`
+    * rather than `row_number()`: rank is deterministic under ties in
+    * the order keys (row_number would be partition-order dependent).
+    */
+  def secondarySortRanked(df: DataFrame, group: Seq[Column], order: Seq[Column],
+                          rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn(rankCol, rank().over(w))
+  }
+
+  /** Top-k: `orderBy(...).limit(k)` plans TakeOrderedAndProject — a
+    * per-partition bounded heap + single merge of k·P rows, no global
+    * sort, no single-reducer funnel (the reference needed a second
+    * 1-reducer MR job).
+    */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** One `-k` spec of the unix-sort DSL: field (1-based), numeric?,
+    * reverse? (reference: KeyFieldBasedComparator/KeyFieldHelper).
+    */
+  final case class KeyFieldSpec(field: Int, numeric: Boolean, reverse: Boolean)
+
+  /** Parse `"-k2,2nr -k1,1"` → specs. Only the single-field form
+    * (`-kF,F[n][r]`) is supported — the reference's char-offset
+    * sub-specs are out of scope.
+    */
+  private[graft] def parseKeyFieldSpecs(spec: String): Seq[KeyFieldSpec] =
+    spec.trim.split("\\s+").filter(_.nonEmpty).toSeq.map { tok =>
+      val body = tok.stripPrefix("-k")
+      val m = "^(\\d+)(?:,(\\d+))?([nr]*)$".r
+      body match {
+        case m(f, _, opts) =>
+          KeyFieldSpec(f.toInt, opts.contains('n'), opts.contains('r'))
+        case _ => throw new IllegalArgumentException(s"bad key spec: $tok")
+      }
+    }
+
+  /** Apply a unix-sort key spec to a line-oriented DataFrame: split
+    * `value` on `sep`, sort by the spec'd fields (numeric casts where
+    * `n`), descending where `r`.
+    */
+  def keyFieldSort(df: DataFrame, value: Column, spec: String,
+                   sep: String = "\t"): DataFrame = {
+    val parts = split(value, java.util.regex.Pattern.quote(sep))
+    val keys = parseKeyFieldSpecs(spec).map { s =>
+      val f = parts.getItem(s.field - 1)
+      val typed = if (s.numeric) f.cast("double") else f
+      if (s.reverse) typed.desc else typed.asc
+    }
+    df.orderBy(keys: _*)
+  }
+}
