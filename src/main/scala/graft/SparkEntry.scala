@@ -149,6 +149,29 @@ object SparkEntry {
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
         "c_custkey", "o_custkey")),
 
+    // ---- §2.1 multi-input / KV-text sources -------------------------
+    "q_multi_inputs" -> ((s, dir) =>
+      sources.MultiIO.multipleInputs(Seq(
+        t(s, dir, "customer") -> ((df: DataFrame) => df.select(
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          lit("C").as("src"))),
+        t(s, dir, "supplier") -> ((df: DataFrame) => df.select(
+          col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          lit("S").as("src")))))),
+
+    "q_kv_text" -> ((s, dir) =>
+      sources.MultiIO.keyValueText(kvCorpus(s, dir).select(col("value")),
+        col("value"))),
+
+    // ---- §2.2 external-process pipe + chain -------------------------
+    "q_pipe" -> ((s, dir) =>
+      Pipe.pipe(t(s, dir, "documents"), "tr a-z A-Z", col("text"))),
+
+    "q_chain" -> ((s, dir) =>
+      Pipe.chain(t(s, dir, "documents"),
+        df => df.filter(col("lang") === "en"),
+        df => TextOps.wordCount(df, col("text")))),
+
     // ---- §2.4 aggregation -------------------------------------------
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -185,6 +208,99 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) =>
       AggregateLib.valueHistogram(t(s, dir, "lineitem"),
         Seq(col("l_returnflag")), col("l_quantity"))),
+
+    // ---- §0.1 dynamic-replication policy (batch form) ---------------
+    "q_ewma" -> ((s, dir) =>
+      streaming.Heat.ewmaBatch(t(s, dir, "events"),
+        col("user_id"), Seq(col("ts"), col("event_id")),
+        col("value"), alpha = 0.5)),
+
+    "q_replication_plan" -> ((s, dir) =>
+      streaming.Heat.replicationPlan(
+        streaming.Heat.ewmaBatch(t(s, dir, "events"),
+          col("user_id"), Seq(col("ts"), col("event_id")),
+          col("value"), alpha = 0.5),
+        col("user_id"), col("ewma"))),
+
+    // ---- §2.2 skip-bad-records (try + quarantine) -------------------
+    "q_skip_bad" -> ((s, dir) =>
+      Resilient.applied(t(s, dir, "orders"),
+        expr("try_cast(substr(md5(cast(o_orderkey as string)), 1, 1) AS INT)"),
+        "d").select(col("o_orderkey"), col("d"))),
+
+    "q_skip_bad_quarantine" -> ((s, dir) =>
+      Resilient.quarantine(t(s, dir, "orders"),
+        expr("try_cast(substr(md5(cast(o_orderkey as string)), 1, 1) AS INT)"))
+        .select(col("o_orderkey"), col("o_custkey"))),
+
+    // ---- §1/§2.1 metadata catalog + FsShell analytics ---------------
+    "q_meta_du" -> ((s, dir) =>
+      meta.Catalog.du(
+        meta.Catalog.fromDocuments(t(s, dir, "documents")), "/corpus")),
+
+    "q_meta_count" -> ((s, dir) =>
+      meta.Catalog.countSummary(
+        meta.Catalog.fromDocuments(t(s, dir, "documents")), "/corpus")),
+
+    // ---- L4: dedup --------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      functions.Dedup.exactDupClasses(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
+
+    // xxhash64-based — no DuckDB equivalent; driver rows-only check
+    "q_minhash_lsh" -> ((s, dir) =>
+      functions.Dedup.minhashNearDups(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleN = 3, numHashes = 32,
+        bands = 16, threshold = 0.5)),
+
+    "q_simhash" -> ((s, dir) =>
+      functions.Dedup.simhashNearDups(t(s, dir, "documents"),
+        col("doc_id"), col("text"), maxHamming = 12)),
+
+    // ---- L4: similarity search --------------------------------------
+    "q_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        k = 10)
+    }),
+
+    // hyperplane-hash buckets — xxhash64-based; driver rows-only check
+    "q_embed_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.lshTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, bits = 4)
+    }),
+
+    // ---- L4: text analysis ------------------------------------------
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextAnalysis.qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("m.n_chars"), col("m.n_tokens"),
+          col("m.chars_per_token"), col("m.punct_ratio"),
+          col("m.stopword_ratio"))),
+
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        functions.TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    "q_corpus_stats" -> ((s, dir) =>
+      functions.TextAnalysis.corpusStats(t(s, dir, "documents"),
+        col("lang"), col("text"))),
+
+    // ---- L4: multimodal plumbing (stub decode, real dataflow) -------
+    "q_multimodal_meta" -> ((s, dir) =>
+      functions.Multimodal.decodeMeta(
+        functions.Multimodal.asMedia(t(s, dir, "documents"),
+          "doc_id", "text")).toDF()),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -270,6 +386,26 @@ object SparkEntry {
       """SELECT c_custkey, c_name, o_orderkey, o_custkey, o_totalprice
         |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
 
+    "q_multi_inputs" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'C' AS src FROM customer
+        |UNION ALL
+        |SELECT s_name, s_acctbal, 'S' FROM supplier""".stripMargin,
+
+    "q_kv_text" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key,
+        |       concat_ws(chr(9), l_partkey, l_suppkey, l_linenumber,
+        |                 l_returnflag, CAST(l_shipdate AS DATE)) AS value
+        |FROM lineitem""".stripMargin,
+
+    "q_pipe" -> "SELECT upper(text) AS value FROM documents",
+
+    "q_chain" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |      FROM documents WHERE lang = 'en')
+        |WHERE length(w) > 0
+        |GROUP BY 1""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -297,6 +433,172 @@ object SparkEntry {
         |  least(count(DISTINCT l_partkey), 50) AS uniq_50,
         |  least(count(DISTINCT l_partkey), 1000000) AS uniq_all
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_ewma" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(CASE WHEN rn = 1 THEN value * power(0.5, n - 1)
+        |                 ELSE 0.5 * value * power(0.5, n - rn) END), 4)
+        |    AS ewma
+        |FROM w GROUP BY user_id""".stripMargin,
+
+    "q_replication_plan" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id,
+        |    round(sum(CASE WHEN rn = 1 THEN value * power(0.5, n - 1)
+        |                   ELSE 0.5 * value * power(0.5, n - rn) END), 4)
+        |      AS ewma
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, ewma,
+        |  CAST(7 - ntile(4) OVER (ORDER BY ewma DESC, user_id ASC) AS INT)
+        |    AS target_rep
+        |FROM h""".stripMargin,
+
+    "q_skip_bad" ->
+      """SELECT o_orderkey,
+        |       TRY_CAST(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS INT)
+        |         AS d
+        |FROM orders
+        |WHERE TRY_CAST(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS INT)
+        |      IS NOT NULL""".stripMargin,
+
+    "q_skip_bad_quarantine" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE TRY_CAST(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS INT)
+        |      IS NULL""".stripMargin,
+
+    "q_meta_du" ->
+      """SELECT concat('/corpus/', source) AS child,
+        |       sum(CAST(n_chars AS BIGINT)) AS length,
+        |       count(*) AS n_files
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_meta_count" ->
+      """SELECT CAST(0 AS BIGINT) AS dir_count,
+        |       count(*) AS file_count,
+        |       sum(CAST(n_chars AS BIGINT)) AS content_size
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
+        |keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+        |pr AS (SELECT i.* FROM inv i JOIN keep USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH c AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 3),
+        |s AS (SELECT query_id, vec_id,
+        |        round(list_dot_product(cv, qv) /
+        |              sqrt(list_dot_product(cv, cv) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM c CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
+        |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+    "q_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / greatest(len(tk), 1), 4)
+        |    AS chars_per_token,
+        |  round(CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+        |        AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(tk, x -> list_contains(
+        |          ['the','a','and','of','to','in','is','it'], x)))
+        |        AS DOUBLE) / greatest(len(tk), 1), 4) AS stopword_ratio
+        |FROM t""".stripMargin,
+
+    "q_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','a','and','of','to','in','is','it'], x))) AS s_en,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['der','die','das','und','zu','ist','ein'], x))) AS s_de,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['el','la','de','que','y','en','un','es'], x))) AS s_es,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['le','la','de','et','un','est','que'], x))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> length(x) > 0)) AS ntok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(CAST(ntok AS BIGINT)) AS n_tokens,
+        |       sum(CAST(length(text) AS BIGINT)) AS n_chars,
+        |       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
+        |         AS avg_chars
+        |FROM t GROUP BY lang""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       md5(text) AS digest,
+        |       CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+        |       CAST(64 + (octet_length(encode(text)) * 31) % 433 AS INT) AS height
+        |FROM documents""".stripMargin,
 
     "q_histogram" ->
       """WITH freq AS (

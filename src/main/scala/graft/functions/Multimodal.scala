@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, and batch decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The Spark-side contract is real and tested — schema, partition
+  * shape, per-partition batch processing (the Scala analog of
+  * `mapInPandas`: one decoder instantiation per partition, records
+  * streamed through it). The actual media decoding is STUBBED with a
+  * deterministic fake (this container has no image/audio codecs);
+  * swap `decodeStub` for a real codec binding at deployment.
+  *
+  * Scale notes: media bytes never pass through a shuffle — decode is
+  * a narrow map; only the (small) extracted features/metadata flow
+  * into joins/aggregations. Partition sizing for ~MB-scale blobs is
+  * the file-source's `maxPartitionBytes` job, not the operator's.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, bytes: Array[Byte])
+  final case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+                             digest: String, width: Int, height: Int)
+  final case class Frame(doc_id: Long, frame_idx: Int, bytes: Array[Byte])
+
+  /** Wrap a text/binary column as a media table (for testing the
+    * plumbing against the `documents` corpus).
+    */
+  def asMedia(df: DataFrame, id: String, payload: String,
+              mediaType: String = "image/fake"): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(id).cast("long").as("doc_id"),
+        lit(mediaType).as("media_type"),
+        col(payload).cast("binary").as("bytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: deterministic fake "decode" — real deployments
+    * replace this with an actual codec (e.g. javacv). Produces stable
+    * pseudo-dimensions from the byte length and an MD5 digest.
+    */
+  private[graft] def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = md.map("%02x".format(_)).mkString
+    (64 + (bytes.length % 577), 64 + ((bytes.length * 31) % 433), hex)
+  }
+
+  /** Batch decode → metadata: one decoder per partition, rows
+    * streamed through (mapPartitions = the mapInPandas batch shape).
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (codec contexts are
+      // expensive; never per-record)
+      rows.map { r =>
+        val (w, h, digest) = decodeStub(r.bytes)
+        MediaMeta(r.doc_id, r.media_type, r.bytes.length.toLong, digest, w, h)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: emit every `stride`-th
+    * fixed-size slice as a frame record (stub slicing; the partition/
+    * batch shape is what a real ffmpeg binding would use).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
+                   stride: Int): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.flatMap { r =>
+      r.bytes.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (chunk, i) => Frame(r.doc_id, i, chunk) }
+    }
+  }
+
+  /** Feature extraction stub: fixed-width deterministic "embedding"
+    * from the bytes (replace with a model runtime at deployment).
+    * Output shape matches the `embeddings` table contract.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val feats = Array.tabulate(dim) { i =>
+        val h = scala.util.hashing.MurmurHash3.bytesHash(r.bytes, i)
+        (h % 1000) / 1000.0f
+      }
+      (r.doc_id, feats)
+    }.toDF("doc_id", "embedding")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: the exact baseline. Queries are
+  *    broadcast (they are small by construction); scoring is a
+  *    map-side zip_with/aggregate against every corpus vector; the
+  *    only shuffle is the per-query top-k (rank bounded by k).
+  *  - LSH-bucketed ANN: random-hyperplane signatures bucket the
+  *    corpus once (a write-time artifact at scale); queries probe
+  *    only their own bucket — corpus scan count drops by ~2^bits.
+  *
+  * All arithmetic is double-accumulated regardless of the stored
+  * float32 — deterministic across engines and partitionings.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float/double> columns, double
+    * accumulation, left-to-right (deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k most
+    * similar corpus vectors. `queries` must be small (it is crossed
+    * with the corpus) — it is broadcast explicitly. Ranking is on the
+    * *rounded* score with id tie-break, so results are stable under
+    * float noise and engine differences.
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col("cv"), col("qv")), 4))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Random-hyperplane LSH signature: bit j = sign of dot(v, h_j),
+    * where h_j's components are deterministic ±1 derived from
+    * xxhash64(j, dim_index) parity — reproducible across runs and
+    * engines with no stored model.
+    */
+  def hyperplaneSig(vec: Column, bits: Int): Column = {
+    val planes = sequence(lit(0), lit(bits - 1))
+    aggregate(
+      zip_with(planes, sequence(lit(0), lit(bits - 1)), (b, pos) => {
+        val dotv = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+            x.cast("double") *
+            when(xxhash64(b, i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, v) => acc + v)
+        when(dotv > 0, call_function("shiftleft", lit(1L), pos)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** ANN via hyperplane buckets: corpus bucketed by signature; each
+    * query scans only its bucket, then exact top-k within it. At
+    * scale, write the corpus partitioned/bucketed by `sig` once and
+    * this becomes a bucket-pruned scan per query batch.
+    */
+  def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("cv"),
+      hyperplaneSig(corpusVec, bits).as("sig"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
+      hyperplaneSig(queryVec, bits).as("sig"))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .withColumn("cos", round(cosine(col("cv"), col("qv")), 4))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over LSH buckets: pairs in
+    * the same bucket with cosine above threshold (the embedding
+    * variant of [[Dedup.minhashNearDups]]).
+    */
+  def embeddingNearDups(corpus: DataFrame, id: Column, vec: Column,
+                        threshold: Double, bits: Int = 8): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), vec.as("v"),
+      hyperplaneSig(vec, bits).as("sig"))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+}

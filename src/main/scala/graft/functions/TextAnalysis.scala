@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All of these are per-row, shuffle-free, codegen-friendly column
+  * expressions (no UDFs in the hot path) — at 100 TB they run at
+  * scan speed and fuse into the reading stage.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the BPE-ish regex variant splits on
+    * non-alphanumerics; both stay inside codegen).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def bpeishTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
+
+  /** Token count per document. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A small, fixed stopword profile per language — public knowledge
+    * lists, used both for quality's stopword-ratio and for langId.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que"))
+
+  /** Quality metrics (length / punctuation / stopword ratios) — the
+    * standard cheap pre-filters of LLM data pipelines. Emits one
+    * struct column so callers can threshold on any field.
+    */
+  def qualityMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val nChars = length(text)
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    val stopSet = stopwords("en")
+    val nStop = size(filter(toks, t => t.isin(stopSet: _*)))
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(nChars.cast("double") / greatest(nToks, lit(1)), 4).as("chars_per_token"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 4).as("punct_ratio"),
+      round(nStop.cast("double") / greatest(nToks, lit(1)), 4).as("stopword_ratio"))
+  }
+
+  /** N-gram-profile language ID: score each candidate language by its
+    * stopword hit-rate over the token stream, pick the argmax
+    * (deterministic tie-break on language code). Pure column
+    * expressions — the per-language scores are a handful of
+    * `size(filter(...))` passes over the token array.
+    */
+  def langId(text: Column, langs: Seq[String] = Seq("en", "de", "es", "fr")): Column = {
+    val toks = bpeishTokens(text)
+    // build (score, lang) structs, pick max by (score, lang desc) —
+    // array_max on structs compares fields in order
+    val scored = array(langs.map { l =>
+      struct(
+        size(filter(toks, t => t.isin(stopwords(l): _*))).as("score"),
+        lit(l).as("lang"))
+    }: _*)
+    array_max(scored).getField("lang")
+  }
+
+  /** Content fingerprint: MD5 of whitespace-normalized lowercase text
+    * — the exact-dedup key. (A polynomial rolling hash is provided in
+    * [[Dedup.simhash64]]'s helper for shingling; MD5 here keeps the
+    * fingerprint portable across engines.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Per-language corpus stats — the report a pipeline operator runs
+    * before/after filtering.
+    */
+  def corpusStats(df: DataFrame, lang: Column, text: Column): DataFrame =
+    df.groupBy(lang.as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(text).cast("long")).as("n_tokens"),
+        sum(length(text).cast("long")).as("n_chars"),
+        round(sum(length(text)).cast("double") / count(lit(1)), 4).as("avg_chars"))
+}

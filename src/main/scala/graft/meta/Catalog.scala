@@ -1,0 +1,81 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The filesystem-metadata surface as Datasets (SURVEY §1): the
+  * namespace (`INodeFile`/`INodeDirectory`, reference:
+  * src/hdfs/.../namenode/INode.java:99-311) becomes a `files`
+  * DataFrame; FsShell analytics (`ls/du/dus/count`, reference:
+  * src/core/org/apache/hadoop/fs/FsShell.java:1282-1425) become
+  * aggregations over it.
+  *
+  * At 100 TB the namespace itself is big data (billions of inodes) —
+  * every operation here is a distributed transform, never a driver
+  * walk; `du`-style rollups are one shuffle on the parent prefix.
+  */
+object Catalog {
+
+  val fileSchema: StructType = StructType.fromDDL(
+    "path STRING, is_dir BOOLEAN, len BIGINT, replication INT, " +
+    "block_size BIGINT, mtime TIMESTAMP, atime TIMESTAMP, " +
+    "owner STRING, perm STRING")
+
+  /** Parent directory of a path column (both '/' rooted). */
+  def parent(path: Column): Column =
+    when(path === "/", lit(null).cast("string"))
+      .otherwise(regexp_replace(path, "/[^/]+$", ""))
+
+  /** Path depth (number of components). */
+  def depth(path: Column): Column =
+    size(filter(split(path, "/"), p => length(p) > 0))
+
+  /** `ls <dir>`: direct children of a directory. */
+  def ls(files: DataFrame, dir: String): DataFrame =
+    files.filter(parent(col("path")) === (if (dir == "/") "" else dir))
+      .orderBy(col("path"))
+
+  /** `du <dir>` (per direct child, recursive sizes): one aggregation
+    * keyed by the child prefix.
+    */
+  def du(files: DataFrame, dir: String): DataFrame = {
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    val rest = expr(s"substring(path, ${prefix.length + 1})")
+    files
+      .filter(col("path").startsWith(prefix) && !col("is_dir"))
+      .withColumn("child",
+        concat(lit(prefix), split(rest, "/").getItem(0)))
+      .groupBy(col("child"))
+      .agg(sum(col("len")).as("length"), count(lit(1)).as("n_files"))
+      .orderBy(col("child"))
+  }
+
+  /** `count <dir>`: (dirs, files, bytes) under a prefix. */
+  def countSummary(files: DataFrame, dir: String): DataFrame = {
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    files.filter(col("path") === dir || col("path").startsWith(prefix))
+      .agg(
+        sum(when(col("is_dir"), 1L).otherwise(0L)).as("dir_count"),
+        sum(when(col("is_dir"), 0L).otherwise(1L)).as("file_count"),
+        sum(when(col("is_dir"), 0L).otherwise(col("len"))).as("content_size"))
+  }
+
+  /** Replication-weighted usage — the capacity input of the policy
+    * sweep (`FSNamesystem.getCapacityUsed` analog).
+    */
+  def usedBytes(files: DataFrame): DataFrame =
+    files.filter(!col("is_dir"))
+      .agg(sum(col("len") * col("replication")).as("used_bytes"))
+
+  /** A synthetic namespace over the documents corpus (for tests and
+    * driver queries: each doc = a file under /corpus/<source>/).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("/corpus/"), col("source"), lit("/doc_"), col("doc_id"))
+        .as("path"),
+      lit(false).as("is_dir"),
+      col("n_chars").cast("long").as("len"),
+      lit(3).as("replication"))
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.QueryExecution
+
+import scala.collection.concurrent.TrieMap
+
+/** Job counters (reference: src/mapred/org/apache/hadoop/mapred/
+  * Counters.java:53,135,370 — named counters aggregated from tasks,
+  * the engine's only global-aggregate side channel).
+  *
+  * Spark-native form: `Dataset.observe` metrics — aggregated on the
+  * fly during the job with no extra pass, delivered via listener.
+  * Use for row counts / quarantine counts / bytes tallies alongside
+  * the main result, exactly what MR counters were for.
+  */
+object Counters {
+
+  private val results = TrieMap.empty[String, Row]
+
+  /** Attach named observed metrics to a DataFrame. Metrics surface in
+    * [[lastObserved]] after an action completes.
+    */
+  def observed(df: DataFrame, name: String, metrics: (String, Column)*): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.listenerManager != null && !registered.contains(spark)) {
+      registered.synchronized {
+        if (!registered.contains(spark)) {
+          spark.listenerManager.register(listener)
+          registered += spark
+        }
+      }
+    }
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    df.observe(name, cols.head, cols.tail: _*)
+  }
+
+  private val registered = scala.collection.mutable.Set.empty[org.apache.spark.sql.SparkSession]
+
+  private val listener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) => results(name) = row }
+    override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+  }
+
+  /** The most recent observed metrics row for `name`, if any action
+    * has completed. (Listener delivery is asynchronous — tests call
+    * `spark.sparkContext.listenerBus.waitUntilEmpty()` equivalent via
+    * polling.)
+    */
+  def lastObserved(name: String): Option[Row] = results.get(name)
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Heterogeneous-source input and multi-sink output (reference:
+  * src/mapred/org/apache/hadoop/mapred/lib/MultipleInputs.java:131 +
+  * DelegatingInputFormat.java:127 — per-path InputFormat+Mapper into
+  * one job; lib/MultipleOutputs.java:70-286 — named side outputs;
+  * lib/MultipleOutputFormat.java — key-derived output partitioning;
+  * KeyValueTextInputFormat.java:47 — first-separator KV lines).
+  */
+object MultiIO {
+
+  /** MultipleInputs: each source gets its own per-source transform
+    * (the per-path Mapper), then all are unioned by column name.
+    * Sources must produce union-compatible schemas; each branch keeps
+    * its own pushdown/pruning since the union is planned per-leaf.
+    */
+  def multipleInputs(sources: Seq[(DataFrame, DataFrame => DataFrame)]): DataFrame =
+    sources.map { case (df, f) => f(df) }.reduce(_.unionByName(_))
+
+  /** KeyValueTextInputFormat: split each line into (key, value) on the
+    * first separator; lines without the separator become (line, "").
+    */
+  def keyValueText(lines: DataFrame, text: Column, sep: String = "\t"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    val parts = split(text, q, 2)
+    // get() (not getItem) — null-safe under ANSI mode for 1-element splits
+    lines.select(
+      parts.getItem(0).as("key"),
+      coalesce(get(parts, lit(1)), lit("")).as("value"))
+  }
+
+  /** MultipleOutputFormat: output path derived from a column —
+    * directly Spark's partitioned write. Hive-style `col=value`
+    * directories replace the reference's generateFileNameForKeyValue.
+    */
+  def partitionedWrite(df: DataFrame, path: String, byCols: Seq[String],
+                       format: String = "parquet"): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(byCols: _*)
+      .format(format).save(path)
+
+  /** MultipleOutputs: N named side outputs from one pass. The input is
+    * cached once so each sink's filter/projection doesn't recompute
+    * the upstream job (the reference writes all sinks in one reduce
+    * pass; one cache + N cheap scans is the Spark idiom).
+    */
+  def multipleOutputs(df: DataFrame,
+                      sinks: Map[String, (DataFrame => DataFrame, String)]): Unit = {
+    val cached = df.persist()
+    try sinks.foreach { case (_, (f, path)) =>
+      f(cached).write.mode(SaveMode.Overwrite).parquet(path)
+    } finally cached.unpersist()
+  }
+
+  /** SequenceFile compat: read a (Text,Text) SequenceFile as a
+    * 2-column DataFrame (reference: SequenceFileInputFormat.java:57 /
+    * SequenceFileAsTextInputFormat). The engine's *native* container
+    * is Parquet (columnar, compressed, splittable, stats) — this
+    * exists for ingesting legacy data.
+    */
+  def readSequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.Text
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile(path, classOf[Text], classOf[Text])
+      .map { case (k, v) => (k.toString, v.toString) }
+      .toDF("key", "value")
+  }
+
+  /** SequenceFile sink (reference: SequenceFileOutputFormat). */
+  def writeSequenceFile(df: DataFrame, keyCol: String, valueCol: String,
+                        path: String): Unit =
+    df.select(col(keyCol).cast("string"), col(valueCol).cast("string"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .saveAsSequenceFile(path)
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming form of the policy loop (SURVEY §0.1): the
+  * reference runs it synchronously inside the NameNode on every file
+  * open; here the access events are a stream and per-file EWMA state
+  * lives in `flatMapGroupsWithState`.
+  *
+  * Scale shape: state is one (ewma, lastUpdate) pair per file key —
+  * bounded, partitioned by key across executors, checkpointed by the
+  * state store. The capacity sweep (a namespace-wide decision) is
+  * batch work over the emitted heat snapshot (`Heat.replicationPlan`
+  * per micro-batch via foreachBatch), mirroring how the reference
+  * separates the per-access update from the monitor's sweep.
+  */
+object HeatStream {
+
+  final case class Access(path: String, tsMs: Long)
+  final case class HeatRecord(path: String, ewma: Double, lastUpdateMs: Long)
+
+  /** Per-key EWMA updates with the reference's atime throttle.
+    * Emits the post-batch heat per touched key (Update-mode style).
+    */
+  def heatUpdates(events: Dataset[Access],
+                  cfg: ReplicationPolicy.Config = ReplicationPolicy.Config())
+      : Dataset[HeatRecord] = {
+    implicit val heatEnc = Encoders.product[HeatRecord]
+    implicit val strEnc = Encoders.STRING
+    events.groupByKey(_.path)
+      .flatMapGroupsWithState[HeatRecord, HeatRecord](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (path: String, batch: Iterator[Access], state: GroupState[HeatRecord]) =>
+          val prev = state.getOption.getOrElse(HeatRecord(path, 0.0, 0L))
+          // within a micro-batch, apply accesses oldest-first
+          var fs = ReplicationPolicy.FileState(
+            path, blocks = 2, sizeBytes = 0L, rep = cfg.minRep,
+            ewma = prev.ewma, lastUpdateMs = prev.lastUpdateMs)
+          batch.toSeq.sortBy(_.tsMs).foreach { e =>
+            fs = ReplicationPolicy.access(fs, e.tsMs, cfg)._1
+          }
+          val next = HeatRecord(path, fs.ewma, fs.lastUpdateMs)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** End-to-end streaming policy: heat updates -> per-micro-batch
+    * replication plan appended to `planSink` (an in-memory or table
+    * sink path owned by the caller's actuator).
+    */
+  def run(spark: SparkSession, events: Dataset[Access], queryName: String,
+          cfg: ReplicationPolicy.Config = ReplicationPolicy.Config()) = {
+    import org.apache.spark.sql.functions.col
+    heatUpdates(events, cfg).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[HeatRecord], _: Long) =>
+        // quantile re-tier of the touched files this micro-batch
+        Heat.replicationPlan(batch.toDF(), col("path"), col("ewma"),
+          cfg.minRep, cfg.maxRep)
+          .createOrReplaceTempView(s"${queryName}_plan")
+        ()
+      }
+      .queryName(queryName)
+      .start()
+  }
+}

@@ -1,0 +1,147 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+  import TextAnalysis._
+
+  test("tokenCount ignores extra whitespace") {
+    val df = Seq("a  b   c", "").toDF("text")
+    val got = df.select(tokenCount($"text")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 0))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog in the house",
+      "der hund und die katze ist ein tier",
+      "el perro y la casa es un gato").toDF("text")
+    val got = df.select(langId($"text")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "es"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+    val r = df.select(fingerprint($"x").as("fx"), fingerprint($"y").as("fy"))
+      .collect().head
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("qualityMetrics ratios") {
+    val df = Seq("the cat!!").toDF("text")
+    val m = df.select(qualityMetrics($"text").as("m")).select("m.*").collect().head
+    assert(m.getAs[Int]("n_chars") == 9)
+    assert(m.getAs[Int]("n_tokens") == 2)
+    assert(m.getAs[Double]("punct_ratio") == 0.2222)   // 2 of 9
+    assert(m.getAs[Double]("stopword_ratio") == 0.5)   // "the"
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+  import Dedup._
+
+  test("shingles produce distinct word n-grams; short docs collapse") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val got = df.select(shingles($"text", 3)).collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set("x y"))
+  }
+
+  test("exactDedup keeps exactly one row per duplicate class, min id") {
+    val df = Seq((3L, "dup text"), (1L, "dup  TEXT"), (2L, "unique")).toDF("id", "text")
+    val got = exactDedup(df, $"id", $"text").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("minhashNearDups finds a seeded near-duplicate pair") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 28).map(i => s"w$i") ++ Seq("zz", "qq")).mkString(" ")
+    val far = (100 to 130).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = minhashNearDups(df, $"id", $"text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs matches hand-computed jaccard") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t")).toDF("id", "text")
+    // shingles(3): doc1 {abc,bcd,cde}, doc2 {abc,bcd,cdx}: inter 2, union 4 -> 0.5
+    val got = ngramJaccardPairs(df, $"id", $"text", threshold = 0.5).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(0), got.head.getLong(1), got.head.getDouble(2)) == (1L, 2L, 0.5))
+  }
+
+  test("simhash of identical docs is identical; near docs within hamming") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sigs = df.select(simhash64($"text")).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    val pairs = simhashNearDups(df, $"id", $"text", maxHamming = 0).collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+  import Similarity._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(round(cosine($"a", $"b"), 6), round(cosine($"a", $"c"), 6))
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK ranks the nearest corpus vectors per query") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))).toDF("id", "v")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val got = bruteForceTopK(corpus, $"id", $"v", q, $"id", $"v", k = 2)
+      .orderBy($"rnk").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("lshTopK returns a subset of brute-force results (same bucket)") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
+    }
+    val corpus = vecs.toDF("id", "v")
+    val q = vecs.take(2).toDF("id", "v")
+    val ann = lshTopK(corpus, $"id", $"v", q, $"id", $"v", k = 3, bits = 2)
+    assert(ann.count() > 0)
+    assert(ann.collect().forall(_.getInt(3) <= 3))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("decodeMeta emits deterministic stub metadata per row") {
+    val docs = graft.Graft.table(spark, sf, "documents").limit(10)
+    val meta = decodeMeta(asMedia(docs, "doc_id", "text")).collect()
+    assert(meta.length == 10)
+    assert(meta.forall(m => m.width >= 64 && m.height >= 64 && m.digest.length == 32))
+    // determinism
+    val again = decodeMeta(asMedia(docs, "doc_id", "text")).collect()
+    assert(meta.map(_.digest).toSeq == again.map(_.digest).toSeq)
+  }
+
+  test("sampleFrames strides fixed-size chunks") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val media = Seq(MediaRow(1L, "video/fake", Array.fill[Byte](100)(7))).toDS()
+    val frames = sampleFrames(media, frameBytes = 10, stride = 2).collect()
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8))
+  }
+
+  test("extractFeatures emits fixed-dim deterministic vectors") {
+    val docs = graft.Graft.table(spark, sf, "documents").limit(5)
+    val f = extractFeatures(asMedia(docs, "doc_id", "text"), dim = 8).collect()
+    assert(f.forall(_.getSeq[Float](1).length == 8))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.meta
+
+import graft.SparkSpec
+import graft.operators.{Counters, Resilient}
+import org.apache.spark.sql.functions._
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ns = Seq(
+    ("/a", true, 0L, 3), ("/a/f1", false, 100L, 3),
+    ("/a/f2", false, 50L, 4), ("/a/sub", true, 0L, 3),
+    ("/a/sub/f3", false, 25L, 3), ("/b", true, 0L, 3),
+    ("/b/f4", false, 10L, 6)
+  ).toDF("path", "is_dir", "len", "replication")
+
+  test("parent/depth decompose paths") {
+    val r = ns.select(Catalog.parent($"path"), Catalog.depth($"path"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(r.contains(("", 1)))        // /a -> parent "" (root), depth 1
+    assert(r.contains(("/a/sub", 3)))  // /a/sub/f3
+  }
+
+  test("ls lists direct children only") {
+    val got = Catalog.ls(ns, "/a").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/a/f1", "/a/f2", "/a/sub"))
+  }
+
+  test("du aggregates recursive sizes per direct child") {
+    val got = Catalog.du(ns, "/a").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("/a/f1") == ((100L, 1L)))
+    assert(got("/a/sub") == ((25L, 1L)))
+  }
+
+  test("countSummary counts dirs/files/bytes under prefix") {
+    val r = Catalog.countSummary(ns, "/a").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 3L, 175L))
+  }
+
+  test("usedBytes is replication-weighted") {
+    val r = Catalog.usedBytes(ns).collect().head.getLong(0)
+    assert(r == 100 * 3 + 50 * 4 + 25 * 3 + 10 * 6)
+  }
+}
+
+class ResilientSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trySplit routes failures to quarantine, keeps good rows") {
+    val df = Seq("1", "2", "x", "4").toDF("s")
+    val (good, bad) = Resilient.trySplit(df, expr("try_cast(s AS INT)"), "n")
+    assert(good.select("n").collect().map(_.getInt(0)).toSet == Set(1, 2, 4))
+    assert(bad.collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+}
+
+class CountersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("observed metrics aggregate during the job") {
+    val df = Seq(1, 2, 3, 4).toDF("n")
+    val obs = Counters.observed(df, "counters_test",
+      "rows" -> count(lit(1)), "total" -> sum($"n"))
+    obs.collect()
+    // listener delivery is async; poll briefly
+    var r: Option[org.apache.spark.sql.Row] = None
+    val deadline = System.currentTimeMillis() + 10000
+    while (r.isEmpty && System.currentTimeMillis() < deadline) {
+      r = Counters.lastObserved("counters_test")
+      if (r.isEmpty) Thread.sleep(100)
+    }
+    assert(r.isDefined)
+    assert(r.get.getLong(0) == 4L && r.get.getLong(1) == 10L)
+  }
+}

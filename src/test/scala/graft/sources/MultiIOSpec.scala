@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Pipe
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MultiIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyValueText splits on first separator; missing sep -> empty value") {
+    val df = Seq("k1\tv1\tv2", "solo").toDF("line")
+    val got = MultiIO.keyValueText(df, col("line")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("k1" -> "v1\tv2", "solo" -> ""))
+  }
+
+  test("multipleInputs unions per-source transforms by name") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq(("y", 2)).toDF("v", "id")
+    val got = MultiIO.multipleInputs(Seq(
+      a -> identity[org.apache.spark.sql.DataFrame] _,
+      b -> identity[org.apache.spark.sql.DataFrame] _)).collect()
+    assert(got.length == 2)
+  }
+
+  test("sequence file round-trips (legacy-format compat)") {
+    val dir = Files.createTempDirectory("graft-seq").toString + "/sf"
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    MultiIO.writeSequenceFile(df, "key", "value", dir)
+    val back = MultiIO.readSequenceFile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("multipleOutputs writes each named sink once") {
+    val base = Files.createTempDirectory("graft-mo").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
+    MultiIO.multipleOutputs(df, Map(
+      "as" -> ((d: org.apache.spark.sql.DataFrame) => d.filter($"tag" === "a"), s"$base/as"),
+      "bs" -> ((d: org.apache.spark.sql.DataFrame) => d.filter($"tag" === "b"), s"$base/bs")))
+    assert(spark.read.parquet(s"$base/as").count() == 2)
+    assert(spark.read.parquet(s"$base/bs").count() == 1)
+  }
+
+  test("partitionedWrite lays out key-derived directories") {
+    val base = Files.createTempDirectory("graft-pw").toString + "/out"
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "tag")
+    MultiIO.partitionedWrite(df, base, Seq("tag"))
+    assert(new java.io.File(s"$base/tag=a").exists())
+    assert(spark.read.parquet(base).count() == 2)
+  }
+}
+
+class PipeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipe through cat is identity on lines") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val got = Pipe.pipe(df, "cat", col("k"), col("v")).as[String].collect().toSet
+    assert(got == Set("a\t1", "b\t2"))
+  }
+
+  test("pipeKV reparses first-tab output") {
+    val df = Seq(("a", 1)).toDF("k", "v")
+    val got = Pipe.pipeKV(df, "cat", col("k"), col("v")).collect().head
+    assert((got.getString(0), got.getString(1)) == ("a", "1"))
+  }
+
+  test("chain composes without materialization") {
+    val df = Seq(1, 2, 3, 4).toDF("n")
+    val got = Pipe.chain(df,
+      d => d.filter($"n" % 2 === 0),
+      d => d.withColumn("sq", $"n" * $"n"))
+    assert(got.collect().map(_.getInt(1)).toSet == Set(4, 16))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import ReplicationPolicy._
+
+/** Property-style tests (seeded random trajectories) for the tier
+  * state machine — the reference ships zero tests for its
+  * DynamicReplicationMonitor (SURVEY §5.6); these pin the semantics.
+  */
+class ReplicationPolicySpec extends AnyFunSuite {
+
+  private val cfg = Config()
+
+  private def mkState(nFiles: Int, capacity: Long = Long.MaxValue / 4): State = {
+    val st = new State(cfg, capacity)
+    (0 until nFiles).foreach(i => st.addFile(s"/f$i", blocks = 2, sizeBytes = 100))
+    st
+  }
+
+  test("EWMA recurrence matches the closed form") {
+    val xs = Seq(10.0, 20.0, 40.0, 10.0)
+    val rec = xs.tail.foldLeft(xs.head)((acc, x) => 0.5 * acc + 0.5 * x)
+    assert(math.abs(ewmaOf(xs, 0.5) - rec) < 1e-12)
+  }
+
+  test("atime throttle skips updates within the precision window") {
+    val f = FileState("/f", 2, 100, 3, 0.0, 1000L)
+    val (_, applied) = access(f, 1000L + cfg.atimePrecisionMs - 1, cfg)
+    assert(!applied)
+    val (f2, applied2) = access(f, 1000L + cfg.atimePrecisionMs, cfg)
+    assert(applied2 && f2.ewma > 0)
+  }
+
+  test("replication always stays within [minRep, maxRep]") {
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val st = mkState(20)
+      var now = 100000L
+      (1 to 200).foreach { _ =>
+        now += 1 + rnd.nextInt(1000000)
+        st.recordAccess(s"/f${rnd.nextInt(20)}", now)
+      }
+      assert(st.files.values.forall(f =>
+        f.rep >= cfg.minRep && f.rep <= cfg.maxRep), s"seed $seed")
+    }
+  }
+
+  test("single-block files are never promoted") {
+    val st = mkState(5)
+    st.addFile("/single", blocks = 1, sizeBytes = 100)
+    (1 to 10).foreach(i => st.recordAccess("/single", i * 60000L))
+    assert(st.files("/single").rep == cfg.minRep)
+  }
+
+  test("a repeatedly-accessed multi-block file is promoted") {
+    val st = mkState(3)
+    (1 to 5).foreach(i => st.recordAccess("/f0", i * 60000L))
+    assert(st.files("/f0").rep > cfg.minRep)
+  }
+
+  test("capacity breach demotes the coldest half of each bucket") {
+    val st = mkState(8, capacity = 100L * 8 * 4)  // tight capacity
+    // heat everything into higher tiers
+    var now = 0L
+    (1 to 6).foreach { round =>
+      (0 until 8).foreach { i =>
+        now += 60000L
+        st.recordAccess(s"/f$i", now)
+      }
+    }
+    val before = st.files.values.map(_.rep).toSeq
+    st.demoteSweep()
+    val after = st.files.values.map(_.rep).toSeq
+    ((cfg.minRep + 1) to cfg.maxRep).foreach { level =>
+      val n = before.count(_ == level)
+      val demoted = before.zip(after).count { case (b, a) => b == level && a == level - 1 }
+      assert(demoted == n / 2, s"level $level: expected ${n / 2} demotions, got $demoted")
+    }
+  }
+
+  test("delete removes the file from the namespace and its tier set") {
+    val st = mkState(3)
+    (1 to 5).foreach(i => st.recordAccess("/f1", i * 60000L))
+    st.deleteFile("/f1")
+    assert(!st.files.contains("/f1"))
+    assert(st.plan().forall(_._1 != "/f1"))
+  }
+
+  test("plan only lists files off the default tier") {
+    val st = mkState(4)
+    (1 to 5).foreach(i => st.recordAccess("/f2", i * 60000L))
+    val plan = st.plan()
+    assert(plan.nonEmpty && plan.forall(_._2 != cfg.minRep))
+  }
+}
+
+class HeatStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import HeatStream._
+
+  test("streaming EWMA matches the pure state machine across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Access]
+    val q = heatUpdates(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("heat_test").start()
+    try {
+      // two micro-batches; second one inside the 30s throttle window
+      input.addData(Access("/a", 100000L), Access("/a", 200000L), Access("/b", 100000L))
+      q.processAllAvailable()
+      input.addData(Access("/a", 210000L))  // < 30s after 200000 -> throttled
+      q.processAllAvailable()
+      val got = spark.table("heat_test").as[HeatRecord].collect()
+        .groupBy(_.path).map { case (p, rs) => p -> rs.maxBy(_.lastUpdateMs) }
+
+      // oracle: pure state machine
+      var fa = ReplicationPolicy.FileState("/a", 2, 0, 3, 0.0, 0L)
+      Seq(100000L, 200000L, 210000L).foreach { t =>
+        fa = ReplicationPolicy.access(fa, t, ReplicationPolicy.Config())._1
+      }
+      assert(got("/a").ewma == fa.ewma)
+      assert(got("/a").lastUpdateMs == 200000L) // throttle held
+      assert(got("/b").ewma == 100000.0)
+    } finally q.stop()
+  }
+}
