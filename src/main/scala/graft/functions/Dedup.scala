@@ -49,16 +49,33 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Spread a skinny-but-compute-heavy input across the cluster: a
+    * small parquet scan arrives in few partitions; hash-repartition
+    * on the id so (a) the per-row shingle/hash work parallelizes and
+    * (b) the downstream groupBy(id) needs no second exchange.
+    */
+  private def spread(df: DataFrame, id: Column): DataFrame =
+    df.repartition(id)
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min of `xxhash64(seed, shingle)` over the doc's shingles.
     * One row per doc, signature = fixed-width array<long>.
+    *
+    * Shape: explode shingles once, then `numHashes` codegen'd `min`
+    * aggregates with map-side partial aggregation — NOT a nested
+    * higher-order expression (interpreted HOFs re-evaluate the
+    * shingle pipeline per seed; the agg form evaluates it once per
+    * row and combines before the shuffle).
     */
   def minhashSignature(df: DataFrame, id: Column, text: Column,
                        shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(text, shingleN)
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
-    df.select(id.as("doc_id"), sig.as("sig"))
+    val inv = spread(df, id)
+      .select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    inv.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of
@@ -90,7 +107,7 @@ object Dedup {
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.7): DataFrame = {
-    val docs = df.select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
+    val docs = spread(df, id).select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
     val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes), bands)
     val a = docs.alias("da")
     val b = docs.alias("db")
@@ -113,12 +130,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 1000): DataFrame = {
-    val docs = df.select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
+    val docs = spread(df, id).select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val keep = inv.groupBy(col("s")).agg(count(lit(1)).as("df_cnt"))
+    // document-frequency prune as a window count: one exchange on the
+    // shingle, and the self-join below sees the *same* exchange on
+    // both sides (ReusedExchange) — the inverted index is built once
+    val pruned = inv
+      .withColumn("df_cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df_cnt") <= maxDf)
-    val pruned = inv.join(keep, Seq("s"), "left_semi")
+      .drop("df_cnt")
     val a = pruned.alias("a")
     val b = pruned.alias("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -132,8 +153,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: per bit, sum +1/-1 of each token
-    * hash's bit, take the sign. Pure column expressions: 64 bit-sums
-    * via transform over a literal 0..63 sequence, then bit-assembly.
+    * hash's bit, take the sign. Column-expression form — fine for
+    * ad-hoc use on a few rows; bulk pipelines should use
+    * [[simhashSignatures]] (explode+agg, codegen'd).
     */
   def simhash64(text: Column): Column = {
     val toks = TextAnalysis.bpeishTokens(text)
@@ -150,13 +172,35 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Bulk SimHash: one row per doc. Explode tokens, hash once, then
+    * 64 codegen'd bit-sums with map-side partial aggregation, then
+    * assemble the sign bits. Same result as [[simhash64]], built for
+    * corpus scale (the HOF form re-parses the text per bit).
+    */
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = spread(df, id)
+      .select(id.as("doc_id"),
+        explode(TextAnalysis.bpeishTokens(text)).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"b$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
   /** SimHash near-dup candidates: block on 4 x 16-bit chunks (two
     * near-identical docs differ in few bits, so some chunk collides),
     * then exact Hamming rerank within blocks.
     */
   def simhashNearDups(df: DataFrame, id: Column, text: Column,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(id.as("doc_id"), simhash64(text).as("sig"))
+    val sigs = simhashSignatures(df, id, text)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))
