@@ -209,6 +209,28 @@ object SparkEntry {
       AggregateLib.valueHistogram(t(s, dir, "lineitem"),
         Seq(col("l_returnflag")), col("l_quantity"))),
 
+    // ---- §2.6 window functions (superset of secondary sort) ---------
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("v"),
+        sum(col("value").cast("decimal(18,2)")).over(w).as("running_sum"),
+        lag(col("event_id"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+          .as("prev_event"))
+    }),
+
+    // ---- §2.4 grouping sets (free superset: rollup) -----------------
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+             count(lit(1)).as("cnt"))),
+
     // ---- §0.1 dynamic-replication policy (batch form) ---------------
     "q_ewma" -> ((s, dir) =>
       streaming.Heat.ewmaBatch(t(s, dir, "events"),
@@ -433,6 +455,23 @@ object SparkEntry {
         |  least(count(DISTINCT l_partkey), 50) AS uniq_50,
         |  least(count(DISTINCT l_partkey), 1000000) AS uniq_all
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(value AS DECIMAL(18,2)) AS v,
+        |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+        |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_event
+        |FROM events""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_ewma" ->
       """WITH w AS (

@@ -50,6 +50,48 @@ object Sorting {
   def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
     df.orderBy(keys: _*).limit(k)
 
+  /** SortValidator / TeraValidate as a distributed check (reference:
+    * src/test/org/apache/hadoop/mapred/SortValidator.java,
+    * src/examples/.../terasort/TeraValidate.java): verifies (a) each
+    * partition of `sorted` is internally ordered and (b) partition
+    * boundaries are ordered — together: globally sorted. Runs as one
+    * pass with O(partitions) driver state, no collect of data rows.
+    *
+    * @return (isGloballySorted, rowCount)
+    */
+  def validateSorted(sorted: DataFrame, keys: Seq[String]): (Boolean, Long) = {
+    val idx = keys.map(sorted.schema.fieldIndex)
+    // type-aware ascending compare; nulls first (Spark's default)
+    def cmpKey(a: Seq[Any], b: Seq[Any]): Int =
+      a.lazyZip(b).collectFirst {
+        case (x, y) if x == null && y != null => -1
+        case (x, y) if x != null && y == null => 1
+        case (x, y) if x != null && y != null &&
+            x.asInstanceOf[Comparable[Any]].compareTo(y) != 0 =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }.getOrElse(0)
+    val perPartition = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var ok = true
+      var first: Option[Seq[Any]] = None
+      var last: Option[Seq[Any]] = None
+      var n = 0L
+      it.foreach { r =>
+        val k = idx.map(r.get)
+        if (first.isEmpty) first = Some(k)
+        if (last.exists(l => cmpKey(l, k) > 0)) ok = false
+        last = Some(k)
+        n += 1
+      }
+      Iterator.single((pid, ok, first, last, n))
+    }.collect().sortBy(_._1)
+    val withinOk = perPartition.forall(_._2)
+    val bounds = perPartition.flatMap(p => p._3.zip(p._4))
+    val acrossOk = bounds.zip(bounds.drop(1)).forall { case ((_, lastA), (firstB, _)) =>
+      cmpKey(lastA, firstB) <= 0
+    }
+    (withinOk && acrossOk, perPartition.map(_._5).sum)
+  }
+
   /** One `-k` spec of the unix-sort DSL: field (1-based), numeric?,
     * reverse? (reference: KeyFieldBasedComparator/KeyFieldHelper).
     */

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join plans with no shuffle exchange (map-side join contract)") {
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (500 to 1500).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    Bucketing.writeBucketed(left, "bk_left", "k", 4)
+    Bucketing.writeBucketed(right, "bk_right", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "bk_left", "bk_right", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 501)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin result equals plain join (row multiplicity preserved)") {
+    // skewed probe: key 1 dominates
+    val probe = ((1 to 500).map(_ => (1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))
+      .toDF("k", "pv")
+    val build = Seq((1L, "B1"), (2L, "B2"), (4L, "B4")).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k")).groupBy($"k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Skew.saltedJoin(probe, build, "k", salts = 8).groupBy($"k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == plain && plain(1L) == 500L)
+  }
+
+  test("saltedJoin outer semantics preserved") {
+    val probe = Seq((1L, "x"), (9L, "y")).toDF("k", "pv")
+    val build = Seq((1L, "B")).toDF("k", "bv")
+    val got = Skew.saltedJoin(probe, build, "k", salts = 4, joinType = "left")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("bv"))).toSet
+    assert(got == Set((1L, "B"), (9L, null)))
+  }
+}
+
+class SortValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("validateSorted accepts a range-partitioned global sort") {
+    val li = graft.Graft.table(spark, sf, "lineitem")
+    val sorted = Sorting.totalOrderSort(li.repartition(8),
+      col("l_orderkey").asc, col("l_linenumber").asc)
+    val (ok, n) = Sorting.validateSorted(sorted, Seq("l_orderkey", "l_linenumber"))
+    assert(ok && n == li.count())
+  }
+
+  test("validateSorted rejects unsorted and numerically-misordered data") {
+    val unsorted = Seq(5L, 1L, 3L).toDF("k")
+    assert(!Sorting.validateSorted(unsorted.coalesce(1), Seq("k"))._1)
+    // 2 < 10 numerically but "10" < "2" lexicographically — must be
+    // judged numerically for a bigint column
+    val numeric = Seq(2L, 10L).toDF("k").coalesce(1)
+    assert(Sorting.validateSorted(numeric, Seq("k"))._1)
+  }
+}
