@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float/double> columns, double
-    * accumulation, left-to-right (deterministic).
+  /** Cosine similarity — native codegen'd expression (one fused
+    * primitive loop; see [[graft.plans.CosineSim]]). Bit-equal to
+    * [[cosineComposable]].
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSim(a, b)
+
+  /** The same cosine as composable built-ins (`zip_with`+`aggregate`,
+    * double accumulation, left-to-right) — kept as the portable
+    * reference implementation and parity witness for the native form.
+    */
+  def cosineComposable(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

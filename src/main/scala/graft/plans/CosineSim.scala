@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two `array<float>` columns.
+  *
+  * The composable form (`zip_with` + `aggregate`, see
+  * [[graft.functions.Similarity.cosine]]) is interpreted per element
+  * with boxed lambda dispatch; this expression is one fused primitive
+  * loop inside whole-stage codegen — the per-(row, query) kernel of
+  * brute-force similarity search, which at 100 TB dominates the scan.
+  *
+  * Accumulation is double, left-to-right, identical to the composable
+  * form — results are bit-equal, so the two are interchangeable under
+  * the correctness oracle.
+  *
+  * (The reference has no expression engine at all — scalar compute
+  * lives in user map functions, SURVEY §2.8; this is the Spark-native
+  * extension point for it: a Catalyst Expression, not a UDF.)
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<float> (the embeddings contract);
+  // no implicit-cast machinery — AbstractDataType is private[sql]
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Column form. */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

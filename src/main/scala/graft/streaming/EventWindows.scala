@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation over a (possibly streaming) event
+  * frame — the streaming surface beyond the policy loop (SURVEY
+  * §2.9: the reference has no stream processing; this is the
+  * additive capability).
+  *
+  * Works identically on batch and streaming inputs (same plan
+  * algebra); on a stream the watermark bounds state: windows older
+  * than (max event time - watermark) are finalized and evicted —
+  * state per key is O(active windows), not O(history).
+  */
+object EventWindows {
+
+  /** Tumbling-window counts/sums per group. `ts` must be a timestamp
+    * column; `watermark` e.g. "10 minutes"; `windowLen` e.g.
+    * "5 minutes".
+    */
+  def tumbling(events: DataFrame, ts: Column, tsName: String,
+               group: Column, watermark: String, windowLen: String,
+               value: Column): DataFrame =
+    events
+      .withWatermark(tsName, watermark)
+      .groupBy(window(ts, windowLen), group)
+      .agg(count(lit(1)).as("n"), sum(value).as("total"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        group, col("n"), col("total"))
+}

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.{Graft, SparkSpec}
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+class CosineSimSpec extends SparkSpec {
+
+  test("native CosineSim is bit-equal to the composable form on real embeddings") {
+    val e = Graft.table(spark, sf, "embeddings").limit(200)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")).collect().head.getSeq[Float](0)
+    val qlit = lit(q.toArray)
+    val both = e.select(
+      Similarity.cosine(col("embedding"), qlit).as("native"),
+      Similarity.cosineComposable(col("embedding"), qlit).as("composable"))
+    val rows = both.collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
+  test("native CosineSim participates in codegen (no fallback errors) and nulls propagate") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (None, Some(Seq(1.0f, 0.0f)))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).isNullAt(0))
+  }
+}
+
+class EventWindowsSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.EventWindows
+
+  case class Ev(ts: java.sql.Timestamp, kind: String, v: Double)
+
+  test("streaming tumbling windows with watermark aggregate by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val out = EventWindows.tumbling(input.toDF(), col("ts"), "ts",
+      col("kind"), "10 seconds", "1 minute", col("v"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("win_test").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        Ev(ts("2024-01-01 00:00:10"), "a", 1.0),
+        Ev(ts("2024-01-01 00:00:50"), "a", 2.0),
+        Ev(ts("2024-01-01 00:01:10"), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select(col("w_start").cast("string"), col("kind"), col("n"), col("total"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00", "a", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 00:01:00", "b", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
