@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: stage-by-stage timing of the near-dup pipelines. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.session(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-profile")
+    val docs = Graft.table(spark, sfDir, "documents")
+    docs.limit(5).count() // warm
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    import graft.functions.Dedup
+    time("shingles explode")(docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("s")).count())
+    val sig = Dedup.minhashSignature(docs, col("doc_id"), col("text"))
+    time("minhash signatures")(sig.count())
+    val cands = Dedup.lshCandidates(sig, bands = 16)
+    time("lsh candidates")(cands.count())
+    time("minhash full")(Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+      bands = 16, threshold = 0.5).count())
+    time("ngram jaccard full")(Dedup.ngramJaccardPairs(docs, col("doc_id"),
+      col("text"), 3, 0.5).count())
+    time("simhash sigs")(Dedup.simhashSignatures(docs, col("doc_id"), col("text")).count())
+    time("simhash full")(Dedup.simhashNearDups(docs, col("doc_id"), col("text"), 12).count())
+    spark.stop()
+  }
+}

@@ -21,15 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a document, distinct. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of a document, with duplicates (cheap form:
+    * element_at concatenation, no per-shingle array slice). Use when
+    * the consumer is duplicate-insensitive (min-hash) or dedupes
+    * post-explode (Jaccard inverted index).
+    */
+  def shinglesRaw(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks))))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    .otherwise(array(concat_ws(" ", toks)))
   }
+
+  /** Word n-gram shingles of a document, distinct (set semantics, for
+    * per-doc arrays fed to `array_intersect` reranking).
+    */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesRaw(text, n))
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * Returns (fingerprint, keep_id, dup_cnt) — the keep/kill decision
@@ -69,8 +78,10 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, id: Column, text: Column,
                        shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
+    // raw (duplicated) shingles: min() is duplicate-insensitive, so
+    // the O(n^2) interpreted array_distinct is pure waste here
     val inv = spread(df, id)
-      .select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
+      .select(id.as("doc_id"), explode(shinglesRaw(text, shingleN)).as("s"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     inv.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -85,12 +96,16 @@ object Dedup {
     */
   def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
     val rowsPerBand = floor(size(col("sig")) / bands).cast("int")
+    // persist the small banded index: the self-join would otherwise
+    // recompute the full signature pipeline for both sides (exchange
+    // reuse does not fire across the differently-aliased subtrees)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
             transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
               x => x.cast("string")))))))
       .toDF("doc_id", "band", "bucket")
+      .persist()
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -130,16 +145,22 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 1000): DataFrame = {
-    val docs = spread(df, id).select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    // document-frequency prune as a window count: one exchange on the
-    // shingle, and the self-join below sees the *same* exchange on
-    // both sides (ReusedExchange) — the inverted index is built once
+    // raw shingles exploded, then a distributed distinct — cheaper
+    // than per-row interpreted array_distinct; n_sh (distinct shingle
+    // count per doc) via window on the dedup'd index
+    val inv = spread(df, id)
+      .select(id.as("doc_id"), explode(shinglesRaw(text, shingleN)).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+    // document-frequency prune as a window count; persist the pruned
+    // index so the self-join reads it once instead of recomputing the
+    // shingle pipeline per side
     val pruned = inv
       .withColumn("df_cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df_cnt") <= maxDf)
       .drop("df_cnt")
+      .persist()
     val a = pruned.alias("a")
     val b = pruned.alias("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
