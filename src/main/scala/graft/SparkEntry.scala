@@ -65,6 +65,11 @@ object SparkEntry {
       TextOps.fieldSelection(kvCorpus(s, dir), col("value"),
         spec = "4,2,0-1,5-", maxFields = 6)),
 
+    "q_inverse" -> ((s, dir) =>
+      TextOps.inverse(
+        t(s, dir, "nation").select(col("n_name"), col("n_nationkey")),
+        "n_name", "n_nationkey")),
+
     // ---- §2.1 scan-time filters (SequenceFileInputFilter) -----------
     "q_regex_filter" -> ((s, dir) =>
       Filters.regexFilter(t(s, dir, "part"), col("p_name"), "^s.*dget")
@@ -346,6 +351,9 @@ object SparkEntry {
         |       CAST(l_partkey AS VARCHAR) AS f3,
         |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS f4
         |FROM lineitem""".stripMargin,
+
+    "q_inverse" ->
+      """SELECT n_nationkey AS key, n_name AS value FROM nation""".stripMargin,
 
     "q_regex_filter" ->
       """SELECT p_partkey, p_name FROM part

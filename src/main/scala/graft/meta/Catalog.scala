@@ -68,6 +68,16 @@ object Catalog {
     files.filter(!col("is_dir"))
       .agg(sum(col("len") * col("replication")).as("used_bytes"))
 
+  /** `setrep <rep> <path-prefix>` (reference: FsShell setrep →
+    * setReplication): a pure transform producing the updated
+    * namespace; pair with [[usedBytes]] to preview capacity impact
+    * before an actuator applies it.
+    */
+  def setRep(files: DataFrame, pathPrefix: String, rep: Int): DataFrame =
+    files.withColumn("replication",
+      when(col("path").startsWith(pathPrefix) && !col("is_dir"), lit(rep))
+        .otherwise(col("replication")))
+
   /** A synthetic namespace over the documents corpus (for tests and
     * driver queries: each doc = a file under /corpus/<source>/).
     */

@@ -62,6 +62,25 @@ object AggregateLib {
   def uniqValueCount(c: Column, cap: Int): Column =
     udaf(new UniqValueCount(cap), Encoders.STRING)(c.cast("string"))
 
+  /** Sketch-path variant for 100 TB cardinalities: HyperLogLog++ with
+    * the same cap contract applied to the estimate. State is O(1)
+    * regardless of cardinality (vs the exact form's O(cap) set);
+    * trade: ±rsd relative error. Use when the caller needs "did we
+    * exceed N distinct" rather than the exact count.
+    */
+  def uniqValueCountApprox(c: Column, cap: Int, rsd: Double = 0.02): Column =
+    least(approx_count_distinct(c, rsd), lit(cap.toLong))
+
+  /** Register the aggregate-library plugin surface (reference:
+    * UserDefinedValueAggregatorDescriptor.java:115 — class-name-loaded
+    * user aggregators): the Aggregator becomes callable from SQL text.
+    */
+  def registerSqlAggregates(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("uniq_value_count_50",
+      udaf(new UniqValueCount(50), Encoders.STRING))
+    ()
+  }
+
   /** ValueHistogram (reference: ValueHistogram.java:78-133): per group
     * key, build the value→frequency table, then report
     * (#distinct values, min/median/max/mean/stddev of the

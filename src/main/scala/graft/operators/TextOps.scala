@@ -41,7 +41,7 @@ object TextOps {
 
   /** InverseMapper (reference: lib/InverseMapper.java:37): (k,v)->(v,k). */
   def inverse(df: DataFrame, key: String, value: String): DataFrame =
-    df.select(col(value).as(key + "_inv_v"), col(key).as(value + "_inv_k"))
+    df.select(col(value).as("key"), col(key).as("value"))
 
   /** Field-selection spec parser (reference:
     * lib/FieldSelectionMapReduce.java:47-137). A spec like

@@ -42,6 +42,16 @@ class CatalogSpec extends SparkSpec {
     val r = Catalog.usedBytes(ns).collect().head.getLong(0)
     assert(r == 100 * 3 + 50 * 4 + 25 * 3 + 10 * 6)
   }
+
+  test("setRep retargets files under a prefix, preview via usedBytes") {
+    val updated = Catalog.setRep(ns, "/a", 6)
+    val reps = updated.collect()
+      .map(r => (r.getString(0), r.getInt(3))).toMap
+    assert(reps("/a/f1") == 6 && reps("/a/sub/f3") == 6)
+    assert(reps("/b/f4") == 6 && reps("/a") == 3) // dirs untouched, /b unchanged was 6
+    assert(Catalog.usedBytes(updated).collect().head.getLong(0) ==
+      100 * 6 + 50 * 6 + 25 * 6 + 10 * 6)
+  }
 }
 
 class ResilientSpec extends SparkSpec {

@@ -121,6 +121,25 @@ class AggregateLibSpec extends SparkSpec {
     assert(got.getLong(1) == 10 && got.getLong(2) == 30)
   }
 
+  test("uniqValueCountApprox bounds the HLL estimate by the cap") {
+    val df = (1 to 1000).map(i => ("g", i)).toDF("g", "v")
+    val r = df.groupBy($"g").agg(
+      uniqValueCountApprox($"v", 50).as("capped"),
+      uniqValueCountApprox($"v", 100000).as("est")).collect().head
+    assert(r.getLong(1) == 50)
+    assert(math.abs(r.getLong(2) - 1000) < 100) // ~2% rsd
+  }
+
+  test("aggregator plugin registers for SQL text (descriptor surface)") {
+    registerSqlAggregates(spark)
+    val df = (1 to 80).map(i => ("g", (i % 60).toString)).toDF("g", "v")
+    df.createOrReplaceTempView("plugin_in")
+    val r = spark.sql(
+      "SELECT uniq_value_count_50(v) AS u FROM plugin_in GROUP BY g")
+      .collect().head
+    assert(r.getLong(0) == 50)
+  }
+
   test("valueHistogram reports exact frequency stats") {
     // values: a x3, b x1 -> freqs {3,1}: n=2 min=1 max=3 median=2 avg=2 sd=1
     val df = Seq("a", "a", "a", "b").map(("g", _)).toDF("g", "v")
