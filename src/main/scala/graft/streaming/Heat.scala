@@ -49,4 +49,24 @@ object Heat {
       .withColumn("target_rep", lit(maxRep + 1) - col("__tile"))
       .drop("__tile")
   }
+
+  /** Scalable tiering: the global-window `ntile` above is exact but
+    * single-partition (fine for heat tables up to ~10^7 files); this
+    * variant computes approximate quantile cutoffs in one distributed
+    * aggregation and assigns tiers by comparison — no global sort,
+    * no single partition, at the cost of quantile-sketch error on
+    * tier boundaries.
+    */
+  def replicationPlanByThreshold(heat: DataFrame, key: Column, heatCol: Column,
+                                 minRep: Int = 3, maxRep: Int = 6): DataFrame = {
+    val tiers = maxRep - minRep + 1
+    val probs = (1 until tiers).map(i => i.toDouble / tiers)
+    val cuts = heat.agg(
+      percentile_approx(heatCol, lit(probs.toArray), lit(10000)).as("cuts"))
+    // tier = count of cutoffs strictly below this heat -> minRep+tier
+    heat.crossJoin(broadcast(cuts))
+      .withColumn("target_rep",
+        (lit(minRep) + size(filter(col("cuts"), c => c < heatCol))).cast("int"))
+      .drop("cuts")
+  }
 }

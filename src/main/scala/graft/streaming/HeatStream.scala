@@ -56,10 +56,16 @@ object HeatStream {
     heatUpdates(events, cfg).writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[HeatRecord], _: Long) =>
-        // quantile re-tier of the touched files this micro-batch
-        Heat.replicationPlan(batch.toDF(), col("path"), col("ewma"),
-          cfg.minRep, cfg.maxRep)
-          .createOrReplaceTempView(s"${queryName}_plan")
+        // quantile re-tier of the touched files this micro-batch.
+        // cache+count materializes every partition — foreachBatch
+        // must consume the whole batch or the state store commit
+        // validation fails (and the actuator would see partial plans)
+        val plan = Heat.replicationPlan(batch.toDF(), col("path"), col("ewma"),
+          cfg.minRep, cfg.maxRep).cache()
+        plan.count()
+        // global view: foreachBatch runs on a cloned session, so a
+        // plain temp view would be invisible to the caller's session
+        plan.createOrReplaceGlobalTempView(s"${queryName}_plan")
         ()
       }
       .queryName(queryName)
