@@ -148,6 +148,16 @@ object SparkEntry {
       Joins.antiJoin(c, o, "custkey")
     }),
 
+    "q_composite_dsl" -> ((s, dir) => {
+      val tables = Map(
+        "cust" -> t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "ords" -> t(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders")),
+        "vip" -> t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey")).distinct().withColumn("vip", lit(1)))
+      Joins.compositeJoin("outer(inner(tbl(cust), tbl(ords)), tbl(vip))", tables)
+    }),
+
     "q_data_join" -> ((s, dir) =>
       Joins.dataJoin(
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
@@ -411,6 +421,17 @@ object SparkEntry {
       """SELECT c_custkey AS custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_composite_dsl" ->
+      """WITH io AS (
+        |  SELECT c_custkey, c_name, n_orders
+        |  FROM customer
+        |  JOIN (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+        |        FROM orders GROUP BY 1) USING (c_custkey)),
+        |vip AS (SELECT DISTINCT o_custkey AS c_custkey, 1 AS vip
+        |        FROM orders WHERE o_totalprice > 400000)
+        |SELECT c_custkey, c_name, n_orders, vip
+        |FROM io FULL OUTER JOIN vip USING (c_custkey)""".stripMargin,
 
     "q_data_join" ->
       """SELECT c_custkey, c_name, o_orderkey, o_custkey, o_totalprice

@@ -72,6 +72,72 @@ object Joins {
   def antiJoin(df: DataFrame, filterDf: DataFrame, key: String): DataFrame =
     df.join(filterDf, Seq(key), "left_anti")
 
+  /** The composable join-expression DSL (reference:
+    * join/CompositeInputFormat.java:62-86 + the shift-reduce parser
+    * join/Parser.java:46-65): `inner(a, b, ...)`, `outer(a, b, ...)`,
+    * `override(a, b, ...)`, `tbl(name)`, arbitrarily nested — e.g.
+    * `"outer(inner(tbl(a), tbl(b)), tbl(c))"`.
+    *
+    * `resolve` maps a table name to a DataFrame whose first column is
+    * the shared join key (the reference's "same key class" contract);
+    * `override` uses the remaining columns positionally.
+    */
+  sealed trait JoinExpr
+  final case class Tbl(name: String) extends JoinExpr
+  final case class Composite(op: String, children: Seq[JoinExpr]) extends JoinExpr
+
+  private[graft] def parseJoinExpr(s: String): JoinExpr = {
+    val (e, rest) = parseOne(s.replaceAll("\\s+", ""))
+    require(rest.isEmpty, s"trailing input: '$rest'")
+    e
+  }
+
+  private def parseOne(s: String): (JoinExpr, String) = {
+    val m = "^([a-zA-Z_][a-zA-Z0-9_]*)\\((.*)$".r
+    s match {
+      case m("tbl", rest) =>
+        val end = rest.indexOf(')')
+        require(end > 0, s"bad tbl ref near '$rest'")
+        (Tbl(rest.substring(0, end)), rest.substring(end + 1))
+      case m(op, rest0) if Set("inner", "outer", "override")(op) =>
+        var rest = rest0
+        val kids = Seq.newBuilder[JoinExpr]
+        var done = false
+        while (!done) {
+          val (kid, r) = parseOne(rest)
+          kids += kid
+          if (r.startsWith(",")) rest = r.substring(1)
+          else if (r.startsWith(")")) { rest = r.substring(1); done = true }
+          else throw new IllegalArgumentException(s"expected , or ) near '$r'")
+        }
+        (Composite(op, kids.result()), rest)
+      case _ => throw new IllegalArgumentException(s"cannot parse '$s'")
+    }
+  }
+
+  /** Evaluate a join expression against a table resolver. The key is
+    * the first column of every resolved table (renamed to the first
+    * table's key name).
+    */
+  def compositeJoin(expr: String, resolve: String => DataFrame): DataFrame = {
+    def eval(e: JoinExpr): DataFrame = e match {
+      case Tbl(name) => resolve(name)
+      case Composite(op, kids) =>
+        val dfs = kids.map(eval)
+        val key = dfs.head.columns.head
+        val aligned = dfs.map { df =>
+          df.withColumnRenamed(df.columns.head, key)
+        }
+        op match {
+          case "inner" => innerJoin(aligned, key)
+          case "outer" => outerJoin(aligned, key)
+          case "override" =>
+            overrideJoin(aligned, key, aligned.map(_.columns.drop(1).toSeq))
+        }
+    }
+    eval(parseJoinExpr(expr))
+  }
+
   /** Reduce-side tagged join, faithfully: group both inputs by key,
     * buffer each side's records per group, emit the cross product —
     * `DataJoinReducerBase.joinAndCollect` as a `cogroup`. This is the

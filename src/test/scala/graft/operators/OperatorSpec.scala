@@ -100,6 +100,33 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a1"), (2, "b2"), (3, "b3")))
   }
 
+  test("join-expression DSL parses nested composites") {
+    val e = parseJoinExpr("outer(inner(tbl(a), tbl(b)), tbl(c))")
+    assert(e == Composite("outer",
+      Seq(Composite("inner", Seq(Tbl("a"), Tbl("b"))), Tbl("c"))))
+  }
+
+  test("compositeJoin evaluates nested inner/outer over resolved tables") {
+    val tables = Map(
+      "a" -> Seq((1, "a1"), (2, "a2")).toDF("k", "av"),
+      "b" -> Seq((2, "b2"), (3, "b3")).toDF("j", "bv"),
+      "c" -> Seq((2, "c2"), (9, "c9")).toDF("k", "cv"))
+    val got = compositeJoin("outer(inner(tbl(a), tbl(b)), tbl(c))", tables)
+      .collect().map(r => (r.getInt(0), r.getAs[String]("av"),
+        r.getAs[String]("bv"), r.getAs[String]("cv"))).sortBy(_._1)
+    // inner(a,b) = {2}; outer with c adds 9
+    assert(got.toSeq == Seq((2, "a2", "b2", "c2"), (9, null, null, "c9")))
+  }
+
+  test("compositeJoin override takes rightmost value per key") {
+    val tables = Map(
+      "x" -> Seq((1, "x1"), (2, "x2")).toDF("k", "v"),
+      "y" -> Seq((2, "y2")).toDF("k", "v"))
+    val got = compositeJoin("override(tbl(x), tbl(y))", tables)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "x1"), (2, "y2")))
+  }
+
   test("dataJoin equals the Catalyst inner join (cross product per key)") {
     val left = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "lv")
     val right = Seq((1, 10), (1, 20), (3, 30)).toDF("j", "rv")
