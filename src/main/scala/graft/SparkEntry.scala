@@ -224,6 +224,15 @@ object SparkEntry {
       AggregateLib.valueHistogram(t(s, dir, "lineitem"),
         Seq(col("l_returnflag")), col("l_quantity"))),
 
+    // ---- §2.8 / record codecs: JSON record parsing ------------------
+    "q_json_record" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("value"),
+          sources.Records.fromJson(col("props"), "k INT").getField("k").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+
     // ---- §2.6 window functions (superset of secondary sort) ---------
     "q_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -484,6 +493,12 @@ object SparkEntry {
         |  least(count(DISTINCT l_partkey), 50) AS uniq_50,
         |  least(count(DISTINCT l_partkey), 1000000) AS uniq_all
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_json_record" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+        |       count(*) AS cnt,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_window_running" ->
       """SELECT user_id, event_id,
