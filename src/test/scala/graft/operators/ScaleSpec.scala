@@ -59,6 +59,23 @@ class SortValidatorSpec extends SparkSpec {
     assert(ok && n == li.count())
   }
 
+  test("terasort pipeline: generate -> total-order sort -> validate (TeraValidate)") {
+    import spark.implicits._
+    // TeraGen-shaped records: 10-byte key + rowid + filler
+    // (reference: terasort/TeraGen.java:50-53)
+    val rows = spark.range(100000).select(
+      substring(md5($"id".cast("string")), 1, 10).as("key"),
+      $"id".as("rowid"),
+      substring(md5(($"id" + 1).cast("string")), 1, 10).as("filler"))
+    val sorted = Sorting.totalOrderSort(rows.repartition(8), col("key").asc,
+      col("rowid").asc)
+    val (ok, n) = Sorting.validateSorted(sorted, Seq("key", "rowid"))
+    assert(ok && n == 100000)
+    // permutation check: sorted output is the same multiset
+    assert(sorted.agg(sum($"rowid")).collect().head.getLong(0) ==
+      rows.agg(sum($"rowid")).collect().head.getLong(0))
+  }
+
   test("validateSorted rejects unsorted and numerically-misordered data") {
     val unsorted = Seq(5L, 1L, 3L).toDF("k")
     assert(!Sorting.validateSorted(unsorted.coalesce(1), Seq("k"))._1)

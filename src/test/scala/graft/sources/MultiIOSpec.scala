@@ -33,6 +33,14 @@ class MultiIOSpec extends SparkSpec {
     assert(back == Set("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("custom record delimiter read (StreamInputFormat analog)") {
+    val f = Files.createTempDirectory("graft-lineSep").resolve("recs.txt")
+    Files.writeString(f, "rec1;rec2;rec3")
+    val got = spark.read.option("lineSep", ";").textFile(f.toString)
+      .collect().toSeq
+    assert(got == Seq("rec1", "rec2", "rec3"))
+  }
+
   test("multipleOutputs writes each named sink once") {
     val base = Files.createTempDirectory("graft-mo").toString
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
