@@ -19,6 +19,21 @@ object Profile {
     }
 
     import graft.functions.Dedup
+
+    // --scale10: 10x the corpus (salted ids) to spot-check that the
+    // near-dup pipelines scale ~linearly, not quadratically
+    if (args.contains("--scale10")) {
+      val docs10 = (0 until 10).map { i =>
+        docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text"))
+      }.reduce(_.unionByName(_))
+      time("minhash full 10x")(Dedup.minhashNearDups(docs10, col("doc_id"),
+        col("text"), bands = 16, threshold = 0.5).count())
+      time("ngram jaccard 10x")(Dedup.ngramJaccardPairs(docs10, col("doc_id"),
+        col("text"), 3, 0.5).count())
+      spark.stop()
+      return
+    }
+
     time("shingles explode")(docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 3)).as("s")).count())
     val sig = Dedup.minhashSignature(docs, col("doc_id"), col("text"))
