@@ -30,4 +30,18 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String, joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Point lookup (reference: MapFileOutputFormat.getEntry:102 —
+    * route the key to one partition's index): an equality filter on
+    * the bucket key scans ONE bucket (`SelectedBucketsCount: 1 out
+    * of n` in the plan), the reader-side analog of the reference's
+    * partitioner-routed index lookup.
+    */
+  def lookup(spark: SparkSession, table: String, key: String, value: Any): DataFrame = {
+    // filter-only plans need bucketed scan forced on, or the planner
+    // falls back to a full (all-buckets) scan
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.table(table)
+      .filter(org.apache.spark.sql.functions.col(key) === value)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.sources.Bucketing
+import graft.sources.{Bucketing, MultiIO}
 import org.apache.spark.sql.functions._
 
 class BucketingSpec extends SparkSpec {
@@ -21,6 +21,43 @@ class BucketingSpec extends SparkSpec {
         s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() == 501)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
+
+class LookupAndPruningSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("bucketed point lookup scans one bucket (MapFile getEntry analog)") {
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(df, "bk_lookup", "k", 8)
+    val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      // auto-bucketed-scan turns OFF bucketed reading for filter-only
+      // plans, which also disables bucket pruning — force it on for
+      // the point-lookup path
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val q = Bucketing.lookup(spark, "bk_lookup", "k", 42L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("v42"))
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
+  test("partitioned write enables partition pruning on read") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pp").toString + "/t"
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
+    MultiIO.partitionedWrite(df, base, Seq("tag"))
+    val q = spark.read.parquet(base).filter($"tag" === "a")
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filter, not a data filter: pruned at planning
+    assert(scan.contains("PartitionFilters") && scan.contains("tag"), scan)
+    assert(q.count() == 2)
+  }
+
+  test("noop sink discards output (NullOutputFormat)") {
+    Seq(1, 2, 3).toDF("n").write.mode("overwrite").format("noop").save()
   }
 }
 
