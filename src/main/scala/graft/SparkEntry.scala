@@ -316,6 +316,23 @@ object SparkEntry {
         k = 10)
     }),
 
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.bruteForcePairs(e, col("vec_id"), col("embedding"),
+        threshold = 0.4)
+    }),
+
+    // IVF probe — deterministic but centroid-math not SQL-portable;
+    // driver rows-only check
+    "q_embed_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (indexed, cents) = functions.Ivf.index(e, col("vec_id"),
+        col("embedding"), k = 16, iters = 1)
+      functions.Ivf.topK(indexed, cents,
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 4)
+    }),
+
     // hyperplane-hash buckets — xxhash64-based; driver rows-only check
     "q_embed_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -619,6 +636,19 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
         |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH c AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.cv, b.cv) /
+        |             sqrt(list_dot_product(a.cv, a.cv) *
+        |                  list_dot_product(b.cv, b.cv)), 4) AS cos
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.cv, b.cv) /
+        |            sqrt(list_dot_product(a.cv, a.cv) *
+        |                 list_dot_product(b.cv, b.cv)), 4) >= 0.4""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (

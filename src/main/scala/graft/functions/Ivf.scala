@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the
+  * centroid-partitioned scale path for similarity search: cluster
+  * the corpus once (index build), then probe only the `nprobe`
+  * clusters nearest each query.
+  *
+  * Deterministic by construction: centroid seeds are the lowest-id
+  * vectors, Lloyd refinement is a fixed number of DataFrame
+  * iterations, ties broken on cluster id — same index every run,
+  * no RNG, no stored model beyond the (small) centroid table.
+  *
+  * Scale shape: assignment is a broadcast of k centroids against a
+  * map-side [[Similarity.cosine]] scan; the only corpus shuffle is
+  * the element-wise centroid recomputation (posexplode + avg, one
+  * hash exchange per iteration). At production scale the assigned
+  * corpus is written partitioned by `cluster`, making a probe a
+  * partition-pruned scan — same contract as `Bucketing.lookup`.
+  */
+object Ivf {
+
+  /** Centroids as a small DataFrame (cluster, cv: array<double>). */
+  private def centroidDf(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.toDF("cluster", "cv")
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine, ties →
+    * higher cluster id — deterministic).
+    */
+  private def assign(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"),
+        max(struct(col("cos"), col("cluster"))).getField("cluster").as("cluster"))
+
+  /** Build the IVF index: returns the corpus tagged with `cluster`
+    * plus the centroid table. `k` centroids, `iters` Lloyd rounds.
+    */
+  def index(corpus: DataFrame, id: Column, vec: Column, k: Int,
+            iters: Int = 2): (DataFrame, DataFrame) = {
+    val c = corpus.select(id.as("vec_id"),
+      transform(vec, x => x.cast("double")).as("v"))
+    // deterministic seeds: the k lowest-id vectors
+    var cents = c.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    var centsDf = centroidDf(c, cents)
+    (1 to iters).foreach { _ =>
+      // element-wise mean per cluster: one exchange on (cluster, pos)
+      val updated = assign(c, centsDf)
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), x => x.getField("m")).as("cv"))
+      // k rows — safe to bring to the driver between iterations
+      cents = updated.collect().map(r =>
+        (r.getInt(0), r.getSeq[Double](1))).toSeq
+      centsDf = centroidDf(c, cents)
+    }
+    (assign(c, centsDf), centsDf)
+  }
+
+  /** Probe: top-k per query scanning only the `nprobe` nearest
+    * clusters per query.
+    */
+  def topK(indexed: DataFrame, centroids: DataFrame,
+           queries: DataFrame, queryId: Column, queryVec: Column,
+           k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"),
+      transform(queryVec, x => x.cast("double")).as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("qv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+}

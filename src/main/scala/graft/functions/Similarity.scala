@@ -101,6 +101,23 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: all pairs above the
+    * threshold — the O(n²) exact baseline (oracle-checkable). At
+    * corpus scale use [[embeddingNearDups]] (LSH-blocked) or the IVF
+    * path; this exists to measure their recall and to handle
+    * dim-table-sized inputs exactly.
+    */
+  def bruteForcePairs(corpus: DataFrame, id: Column, vec: Column,
+                      threshold: Double): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), vec.as("v"))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over LSH buckets: pairs in
     * the same bucket with cosine above threshold (the embedding
     * variant of [[Dedup.minhashNearDups]]).

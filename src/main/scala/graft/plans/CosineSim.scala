@@ -31,15 +31,21 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // element accessor must match the stored type: reading a double
+  // array with getFloat returns garbage bytes, not a cast
+  private def elemIsDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val aD = elemIsDouble(left); val bD = elemIsDouble(right)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -55,12 +61,16 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val getA = if (elemIsDouble(left)) s"$a.getDouble($i)"
+                 else s"(double) $a.getFloat($i)"
+      val getB = if (elemIsDouble(right)) s"$b.getDouble($i)"
+                 else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = $getA;
+         |  double $y = $getB;
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);

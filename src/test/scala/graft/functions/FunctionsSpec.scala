@@ -118,6 +118,44 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IvfSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("IVF index is deterministic and probe recall beats the probed fraction") {
+    val e = graft.Graft.table(spark, sf, "embeddings").limit(300)
+    val (indexed, cents) = Ivf.index(e, col("vec_id"), col("embedding"),
+      k = 8, iters = 1)
+    // deterministic rebuild
+    val (indexed2, _) = Ivf.index(e, col("vec_id"), col("embedding"),
+      k = 8, iters = 1)
+    val a1 = indexed.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = indexed2.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = Ivf.topK(indexed, cents, q, col("vec_id"), col("embedding"),
+      k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
+  test("bruteForcePairs finds symmetric thresholded pairs once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val got = Similarity.bruteForcePairs(df, $"id", $"v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import Multimodal._
 
