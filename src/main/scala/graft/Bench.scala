@@ -17,6 +17,9 @@ object Bench {
     Graft.table(spark, sfDir, "lineitem").limit(10).count()
     spark.range(100).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries: operators that persist derived indexes
+      // (LSH banding, inverted indexes) must not distort successors
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
