@@ -33,6 +33,36 @@ class CosineSimSpec extends SparkSpec {
   }
 }
 
+class StreamDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.StreamDedup
+
+  case class Doc(ts: java.sql.Timestamp, fp: String, text: String)
+
+  test("streaming dedup drops repeats within the watermark window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[Doc]
+    val out = StreamDedup.withinWatermark(input.toDF(), "ts", "10 minutes",
+      Seq("fp"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      input.addData(
+        Doc(ts("2024-01-01 00:00:00"), "A", "first"),
+        Doc(ts("2024-01-01 00:01:00"), "A", "dup within watermark"),
+        Doc(ts("2024-01-01 00:02:00"), "B", "other"))
+      q.processAllAvailable()
+      input.addData(Doc(ts("2024-01-01 00:03:00"), "A", "still dup"))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select($"fp", $"text").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("A", "first"), ("B", "other")))
+    } finally q.stop()
+  }
+}
+
 class EventWindowsSpec extends SparkSpec {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import graft.streaming.EventWindows
