@@ -199,12 +199,17 @@ object Dedup {
     * corpus scale (the HOF form re-parses the text per bit).
     */
   def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // explode_outer: zero-token docs keep a row (null token) so they
+    // still get a signature (sig=0, matching simhash64 on empty)
     val tok = spread(df, id)
       .select(id.as("doc_id"),
-        explode(TextAnalysis.bpeishTokens(text)).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        explode_outer(TextAnalysis.bpeishTokens(text)).as("t"))
+      .select(col("doc_id"),
+        when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
     val aggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      sum(when(col("h").isNull, 0L)
+        .when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L))
         .as(s"b$b")
     }
     tok.groupBy(col("doc_id"))

@@ -25,12 +25,12 @@ object Counters {
     */
   def observed(df: DataFrame, name: String, metrics: (String, Column)*): DataFrame = {
     val spark = df.sparkSession
-    if (spark.listenerManager != null && !registered.contains(spark)) {
-      registered.synchronized {
-        if (!registered.contains(spark)) {
-          spark.listenerManager.register(listener)
-          registered += spark
-        }
+    // single lock: a mutable.Set read concurrent with += is unsafe,
+    // so even the fast-path check must be inside the synchronized
+    registered.synchronized {
+      if (!registered.contains(spark)) {
+        spark.listenerManager.register(listener)
+        registered += spark
       }
     }
     val cols = metrics.map { case (n, c) => c.as(n) }

@@ -51,15 +51,23 @@ object Joins {
                    valueCols: Seq[Seq[String]]): DataFrame = {
     require(dfs.nonEmpty && dfs.size == valueCols.size)
     val outNames = valueCols.head
+    // presence flag per source: "rightmost source that HAS the key"
+    // wins even when its value is null — a bare coalesce on the value
+    // would silently resurrect an overridden value
     val normalized = dfs.zip(valueCols).map { case (df, vcs) =>
-      df.select(col(key) +: vcs.zip(outNames).map { case (c, o) => col(c).as(o) }: _*)
+      df.select(col(key) +:
+        (vcs.zip(outNames).map { case (c, o) => col(c).as(o) } :+
+         lit(true).as("__has")): _*)
     }
-    normalized.reduce { (acc, next) =>
+    val folded = normalized.reduce { (acc, next) =>
       val joined = acc.alias("l").join(next.alias("r"), Seq(key), "full_outer")
+      val rHas = col("r.__has") === true
       joined.select(
-        col(key) +:
-        outNames.map(c => coalesce(col(s"r.$c"), col(s"l.$c")).as(c)): _*)
+        (col(key) +:
+         outNames.map(c => when(rHas, col(s"r.$c")).otherwise(col(s"l.$c")).as(c))) :+
+        lit(true).as("__has"): _*)
     }
+    folded.drop("__has")
   }
 
   /** Semi/anti joins — not named operators in the reference (hand-

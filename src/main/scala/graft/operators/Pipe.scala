@@ -25,8 +25,11 @@ object Pipe {
     val spark = df.sparkSession
     import spark.implicits._
     val selected = if (cols.isEmpty) df else df.select(cols: _*)
+    // concat_ws SKIPS nulls (shifting fields for the child); Hadoop
+    // Streaming emits an empty field — coalesce each column to ""
     val lines = selected.select(
-      concat_ws("\t", selected.columns.map(col).toIndexedSeq: _*).as("line"))
+      concat_ws("\t", selected.columns.toIndexedSeq
+        .map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("line"))
     lines.rdd.map(_.getString(0)).pipe(command).toDF("value")
   }
 

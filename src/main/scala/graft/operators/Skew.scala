@@ -26,6 +26,12 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit each unmatched build row once per
+    // salt replica — probe-side join types only
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(normalized),
+      s"saltedJoin preserves multiplicity only for probe-side join types, got $joinType")
     // deterministic salt: stable under retries/speculation (a random
     // salt would break exactly-once row semantics on task rerun)
     val salted = probe.withColumn("__salt",

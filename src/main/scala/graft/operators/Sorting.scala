@@ -106,7 +106,11 @@ object Sorting {
       val body = tok.stripPrefix("-k")
       val m = "^(\\d+)(?:,(\\d+))?([nr]*)$".r
       body match {
-        case m(f, _, opts) =>
+        case m(f, end, opts) =>
+          // multi-field ranges (-k2,4) would silently sort by field 2
+          // only — reject rather than misorder
+          require(end == null || end == f,
+            s"only single-field specs (-kF,F) supported, got: $tok")
           KeyFieldSpec(f.toInt, opts.contains('n'), opts.contains('r'))
         case _ => throw new IllegalArgumentException(s"bad key spec: $tok")
       }

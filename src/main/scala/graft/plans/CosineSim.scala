@@ -36,14 +36,21 @@ case class CosineSim(left: Expression, right: Expression)
   private def elemIsDouble(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    // composable-form parity: zip_with over mismatched lengths pads
+    // with null and the sum nulls out — so do we; same for null
+    // elements
+    if (a.numElements() != b.numElements()) return null
     val aD = elemIsDouble(left); val bD = elemIsDouble(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -66,14 +73,21 @@ case class CosineSim(left: Expression, right: Expression)
       val getB = if (elemIsDouble(right)) s"$b.getDouble($i)"
                  else s"(double) $b.getFloat($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $getA;
-         |  double $y = $getB;
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = $getA;
+         |    double $y = $getB;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 

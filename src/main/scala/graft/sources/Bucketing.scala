@@ -39,9 +39,18 @@ object Bucketing {
     */
   def lookup(spark: SparkSession, table: String, key: String, value: Any): DataFrame = {
     // filter-only plans need bucketed scan forced on, or the planner
-    // falls back to a full (all-buckets) scan
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    spark.table(table)
-      .filter(org.apache.spark.sql.functions.col(key) === value)
+    // falls back to a full (all-buckets) scan. Scope the conf change:
+    // force physical planning inside the window, then restore — the
+    // planned query keeps its bucket pruning, the session keeps its
+    // setting.
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val df = spark.table(table)
+        .filter(org.apache.spark.sql.functions.col(key) === value)
+      df.queryExecution.executedPlan // materialize the physical plan now
+      df
+    } finally spark.conf.set(conf, prev)
   }
 }

@@ -53,6 +53,9 @@ object HeatStream {
   def run(spark: SparkSession, events: Dataset[Access], queryName: String,
           cfg: ReplicationPolicy.Config = ReplicationPolicy.Config()) = {
     import org.apache.spark.sql.functions.col
+    // unpersist the previous micro-batch's plan — without this the
+    // cached blocks accumulate for the stream's whole lifetime
+    var prevPlan: Option[org.apache.spark.sql.DataFrame] = None
     heatUpdates(events, cfg).writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[HeatRecord], _: Long) =>
@@ -66,6 +69,8 @@ object HeatStream {
         // global view: foreachBatch runs on a cloned session, so a
         // plain temp view would be invisible to the caller's session
         plan.createOrReplaceGlobalTempView(s"${queryName}_plan")
+        prevPlan.foreach(_.unpersist())
+        prevPlan = Some(plan)
         ()
       }
       .queryName(queryName)

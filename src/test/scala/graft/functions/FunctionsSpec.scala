@@ -74,6 +74,14 @@ class DedupSpec extends SparkSpec {
     assert((got.head.getLong(0), got.head.getLong(1), got.head.getDouble(2)) == (1L, 2L, 0.5))
   }
 
+  test("simhashSignatures keeps zero-token docs with sig=0") {
+    val df = Seq((1L, "hello world"), (2L, "!!! ---")).toDF("id", "text")
+    val sigs = simhashSignatures(df, $"id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L))
+    assert(sigs(2L) == 0L)
+  }
+
   test("simhash of identical docs is identical; near docs within hamming") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")

@@ -45,6 +45,10 @@ class SortingSpec extends SparkSpec {
           KeyFieldSpec(1, numeric = false, reverse = false)))
   }
 
+  test("key field spec parser rejects multi-field ranges") {
+    intercept[IllegalArgumentException] { parseKeyFieldSpecs("-k2,4n") }
+  }
+
   test("keyFieldSort orders numerically and reversed per spec") {
     import spark.implicits._
     val df = Seq("b\t2", "a\t10", "c\t2").toDF("value")
@@ -90,6 +94,15 @@ class JoinsSpec extends SparkSpec {
       .map(x => (x.getInt(0), x.getAs[String]("lv"), x.getAs[String]("rv")))
       .sortBy(_._1)
     assert(got.toSeq == Seq((1, "a", null), (2, "b", "B"), (3, null, "C")))
+  }
+
+  test("overrideJoin: rightmost source wins even with a null value") {
+    val a = Seq((1, "a1")).toDF("k", "v")
+    val b = Seq((1, null.asInstanceOf[String])).toDF("k", "v")
+    val got = overrideJoin(Seq(a, b), "k", Seq(Seq("v"), Seq("v")))
+      .collect().map(x => (x.getInt(0), x.getAs[String]("v")))
+    // b HAS key 1 with value null -> null wins (no resurrection of a1)
+    assert(got.toSeq == Seq((1, null)))
   }
 
   test("overrideJoin: rightmost source wins per key") {

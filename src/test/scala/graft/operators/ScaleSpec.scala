@@ -76,6 +76,14 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain && plain(1L) == 500L)
   }
 
+  test("saltedJoin rejects build-side outer join types") {
+    val probe = Seq((1L, "x")).toDF("k", "pv")
+    val build = Seq((1L, "B")).toDF("k", "bv")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(probe, build, "k", salts = 4, joinType = "full_outer")
+    }
+  }
+
   test("saltedJoin outer semantics preserved") {
     val probe = Seq((1L, "x"), (9L, "y")).toDF("k", "pv")
     val build = Seq((1L, "B")).toDF("k", "bv")

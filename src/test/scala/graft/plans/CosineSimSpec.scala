@@ -31,6 +31,17 @@ class CosineSimSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
     assert(got(1).isNullAt(0))
   }
+
+  test("CosineSim nulls on length mismatch and double arrays score correctly") {
+    import spark.implicits._
+    val mismatched = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    assert(mismatched.select(Similarity.cosine($"a", $"b")).collect()
+      .head.isNullAt(0))
+    val doubles = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+    assert(math.abs(doubles.select(Similarity.cosine($"a", $"b"))
+      .collect().head.getDouble(0) - 1.0) < 1e-12)
+  }
 }
 
 class StreamDedupSpec extends SparkSpec {

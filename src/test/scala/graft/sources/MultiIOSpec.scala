@@ -63,6 +63,14 @@ class MultiIOSpec extends SparkSpec {
 class PipeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pipe emits empty fields for nulls (no field shifting)") {
+    val df = Seq((Some("a"), None: Option[String], Some("c")))
+      .toDF("x", "y", "z")
+    val got = Pipe.pipe(df, "cat", col("x"), col("y"), col("z"))
+      .collect().head.getString(0)
+    assert(got == "a\t\tc")
+  }
+
   test("pipe through cat is identity on lines") {
     val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val got = Pipe.pipe(df, "cat", col("k"), col("v")).as[String].collect().toSet
