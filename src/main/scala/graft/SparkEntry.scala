@@ -359,6 +359,18 @@ object SparkEntry {
       functions.TextAnalysis.corpusStats(t(s, dir, "documents"),
         col("lang"), col("text"))),
 
+    // ---- L4: the training-data pipeline end-to-end ------------------
+    // quality filter -> exact dedup (min-id survivor) -> per-lang stats
+    "q_pipeline" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("m", functions.TextAnalysis.qualityMetrics(col("text")))
+        .filter(col("m.n_tokens") >= 10)
+      val deduped = functions.Dedup.exactDedup(scored, col("doc_id"), col("text"))
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.n_tokens").cast("long")).as("n_tokens"))
+    }),
+
     // ---- L4: multimodal plumbing (stub decode, real dataflow) -------
     "q_multimodal_meta" -> ((s, dir) =>
       functions.Multimodal.decodeMeta(
@@ -704,6 +716,22 @@ object SparkEntry {
         |       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
         |         AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
+
+    "q_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> length(x) > 0)) AS nt
+        |  FROM documents),
+        |filtered AS (SELECT * FROM scored WHERE nt >= 10),
+        |deduped AS (
+        |  SELECT * FROM filtered
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(CAST(nt AS BIGINT)) AS n_tokens
+        |FROM deduped GROUP BY lang""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,

@@ -42,6 +42,55 @@ object Sorting {
     df.withColumn(rankCol, rank().over(w))
   }
 
+  /** The reducer-iterator contract at scale (reference:
+    * ReduceTask.ReduceValuesIterator, ReduceTask.java:227 — the
+    * reducer sees each group's values as a sorted stream, never a
+    * buffered list): partition by group, sort within partitions by
+    * (group, order), then stream consecutive same-key runs through
+    * `f` — per-group state is whatever `f` keeps, not the group.
+    *
+    * Use when `groupByKey.flatMapGroups` would buffer huge groups;
+    * this never materializes a group (Tungsten spills the sort).
+    *
+    * @param f (groupKey values, sorted row iterator) => output rows
+    */
+  def reduceSortedGroups[T: org.apache.spark.sql.Encoder](
+      df: DataFrame, group: Seq[Column], order: Seq[Column])(
+      f: (Seq[Any], Iterator[org.apache.spark.sql.Row]) => Iterator[T]):
+      org.apache.spark.sql.Dataset[T] = {
+    val sorted = secondarySort(df, group, order)
+    val groupIdx = group.map(c => sorted.schema.fieldIndex(
+      sorted.select(c).schema.head.name))
+    sorted.mapPartitions { rows =>
+      new Iterator[T] {
+        private val buf = rows.buffered
+        private var current: Iterator[T] = Iterator.empty
+        private def advance(): Unit = {
+          while (!current.hasNext && buf.headOption.isDefined) {
+            val key = groupIdx.map(buf.head.get)
+            // stream this run of equal keys lazily into f
+            val run = new Iterator[org.apache.spark.sql.Row] {
+              def hasNext: Boolean =
+                buf.headOption.exists(r => groupIdx.map(r.get) == key)
+              def next(): org.apache.spark.sql.Row = buf.next()
+            }
+            current = f(key, run)
+            // drain any rows f didn't consume so the next run starts clean
+            if (!current.hasNext) while (run.hasNext) run.next()
+            else {
+              // f may be lazy over `run`; force f's output fully before
+              // the next run by materializing it (bounded by f's output)
+              current = current.toVector.iterator
+              while (run.hasNext) run.next()
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); current.hasNext }
+        def next(): T = { advance(); current.next() }
+      }
+    }
+  }
+
   /** Top-k: `orderBy(...).limit(k)` plans TakeOrderedAndProject — a
     * per-partition bounded heap + single merge of k·P rows, no global
     * sort, no single-reducer funnel (the reference needed a second

@@ -57,6 +57,38 @@ class SortingSpec extends SparkSpec {
     assert(got == Seq("a\t10", "b\t2", "c\t2"))
   }
 
+  test("reduceSortedGroups streams sorted runs and matches groupBy") {
+    import spark.implicits._
+    val li = Graft.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val got = Sorting.reduceSortedGroups[(Long, Int, Int)](
+      li, Seq(col("l_orderkey")), Seq(col("l_linenumber"))) { (key, rows) =>
+        var n = 0; var last = Int.MinValue; var sortedOk = true
+        rows.foreach { r =>
+          val ln = r.getInt(1)
+          if (ln < last) sortedOk = false
+          last = ln; n += 1
+        }
+        assert(sortedOk)
+        Iterator.single((key.head.asInstanceOf[Long], n, last))
+      }.collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val expected = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("int").as("n"), max("l_linenumber").as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("reduceSortedGroups handles partial consumers without bleeding runs") {
+    import spark.implicits._
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 40)).toDF("k", "v")
+    val got = Sorting.reduceSortedGroups[(Int, Int)](
+      df, Seq(col("k")), Seq(col("v"))) { (key, rows) =>
+        // consume only the first row of each run
+        Iterator.single((key.head.asInstanceOf[Int], rows.next().getInt(1)))
+      }.collect().toMap
+    assert(got == Map(1 -> 10, 2 -> 40))
+  }
+
   test("totalOrderSort is globally ordered and a permutation of input") {
     val li = Graft.table(spark, sf, "lineitem")
     val sorted = totalOrderSort(li, col("l_orderkey").asc, col("l_linenumber").asc)
