@@ -445,9 +445,11 @@ object SparkEntry {
 
     "q_join_override" ->
       """WITH b AS (SELECT p_partkey, p_retailprice AS price FROM part),
-        |     o AS (SELECT l_partkey AS p_partkey, min(l_extendedprice) AS price
+        |     o AS (SELECT l_partkey AS p_partkey, min(l_extendedprice) AS price,
+        |                  TRUE AS o_has
         |           FROM lineitem GROUP BY 1)
-        |SELECT p_partkey, coalesce(o.price, b.price) AS price
+        |SELECT p_partkey,
+        |       CASE WHEN o_has THEN o.price ELSE b.price END AS price
         |FROM b FULL OUTER JOIN o USING (p_partkey)""".stripMargin,
 
     "q_join_semi" ->

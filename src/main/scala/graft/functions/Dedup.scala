@@ -226,7 +226,11 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, id: Column, text: Column,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, id, text)
+    // empty/punctuation-only docs all share sig=0 — pairing them is
+    // degenerate (k empty docs -> k²/2 hamming-0 pairs); exact dedup
+    // handles identical-empty duplicates, so exclude them here
+    val nonEmpty = df.filter(size(TextAnalysis.bpeishTokens(text)) > 0)
+    val sigs = simhashSignatures(nonEmpty, id, text)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))

@@ -47,42 +47,51 @@ object Sorting {
     * reducer sees each group's values as a sorted stream, never a
     * buffered list): partition by group, sort within partitions by
     * (group, order), then stream consecutive same-key runs through
-    * `f` — per-group state is whatever `f` keeps, not the group.
+    * `f` — per-group state is whatever `f` keeps; neither the group
+    * nor `f`'s output is ever buffered (Tungsten spills the sort).
     *
-    * Use when `groupByKey.flatMapGroups` would buffer huge groups;
-    * this never materializes a group (Tungsten spills the sort).
+    * Leftover run rows are skipped lazily only after `f`'s output for
+    * that group is exhausted, so lazy `f` outputs (e.g.
+    * `rows.map(...)`) stream correctly.
+    *
+    * `group` columns are plain names (must be unique in the schema —
+    * expression keys should be materialized with `withColumn` first).
     *
     * @param f (groupKey values, sorted row iterator) => output rows
     */
   def reduceSortedGroups[T: org.apache.spark.sql.Encoder](
-      df: DataFrame, group: Seq[Column], order: Seq[Column])(
+      df: DataFrame, group: Seq[String], order: Seq[Column])(
       f: (Seq[Any], Iterator[org.apache.spark.sql.Row]) => Iterator[T]):
       org.apache.spark.sql.Dataset[T] = {
-    val sorted = secondarySort(df, group, order)
-    val groupIdx = group.map(c => sorted.schema.fieldIndex(
-      sorted.select(c).schema.head.name))
+    group.foreach { n =>
+      require(df.schema.fields.count(_.name == n) == 1,
+        s"group column '$n' must appear exactly once in the schema")
+    }
+    val sorted = secondarySort(df, group.map(col), order)
+    val groupIdx = group.map(sorted.schema.fieldIndex)
     sorted.mapPartitions { rows =>
       new Iterator[T] {
         private val buf = rows.buffered
         private var current: Iterator[T] = Iterator.empty
+        private var lastKey: Seq[Any] = null
+        private def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
+          groupIdx.map(r.get)
         private def advance(): Unit = {
-          while (!current.hasNext && buf.headOption.isDefined) {
-            val key = groupIdx.map(buf.head.get)
-            // stream this run of equal keys lazily into f
+          while (!current.hasNext && {
+            // skip whatever the previous f left unconsumed — done
+            // lazily here so a lazy f output could still stream it
+            if (lastKey != null)
+              while (buf.headOption.exists(r => keyOf(r) == lastKey)) buf.next()
+            buf.headOption.isDefined
+          }) {
+            val key = keyOf(buf.head)
             val run = new Iterator[org.apache.spark.sql.Row] {
               def hasNext: Boolean =
-                buf.headOption.exists(r => groupIdx.map(r.get) == key)
+                buf.headOption.exists(r => keyOf(r) == key)
               def next(): org.apache.spark.sql.Row = buf.next()
             }
             current = f(key, run)
-            // drain any rows f didn't consume so the next run starts clean
-            if (!current.hasNext) while (run.hasNext) run.next()
-            else {
-              // f may be lazy over `run`; force f's output fully before
-              // the next run by materializing it (bounded by f's output)
-              current = current.toVector.iterator
-              while (run.hasNext) run.next()
-            }
+            lastKey = key
           }
         }
         def hasNext: Boolean = { advance(); current.hasNext }

@@ -39,18 +39,20 @@ object Bucketing {
     */
   def lookup(spark: SparkSession, table: String, key: String, value: Any): DataFrame = {
     // filter-only plans need bucketed scan forced on, or the planner
-    // falls back to a full (all-buckets) scan. Scope the conf change:
-    // force physical planning inside the window, then restore — the
-    // planned query keeps its bucket pruning, the session keeps its
-    // setting.
+    // falls back to a full (all-buckets) scan. A point lookup is
+    // small by definition, so execute it eagerly inside the scoped
+    // conf (derived actions on a lazily-returned plan would re-plan
+    // AFTER the conf is restored and lose the pruning) and hand back
+    // a local result.
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(conf)
     spark.conf.set(conf, "false")
     try {
       val df = spark.table(table)
         .filter(org.apache.spark.sql.functions.col(key) === value)
-      df.queryExecution.executedPlan // materialize the physical plan now
-      df
+      val rows = df.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
     } finally spark.conf.set(conf, prev)
   }
 }

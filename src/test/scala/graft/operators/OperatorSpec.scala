@@ -62,7 +62,7 @@ class SortingSpec extends SparkSpec {
     val li = Graft.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"))
     val got = Sorting.reduceSortedGroups[(Long, Int, Int)](
-      li, Seq(col("l_orderkey")), Seq(col("l_linenumber"))) { (key, rows) =>
+      li, Seq("l_orderkey"), Seq(col("l_linenumber"))) { (key, rows) =>
         var n = 0; var last = Int.MinValue; var sortedOk = true
         rows.foreach { r =>
           val ln = r.getInt(1)
@@ -82,7 +82,7 @@ class SortingSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (1, 30), (2, 40)).toDF("k", "v")
     val got = Sorting.reduceSortedGroups[(Int, Int)](
-      df, Seq(col("k")), Seq(col("v"))) { (key, rows) =>
+      df, Seq("k"), Seq(col("v"))) { (key, rows) =>
         // consume only the first row of each run
         Iterator.single((key.head.asInstanceOf[Int], rows.next().getInt(1)))
       }.collect().toMap

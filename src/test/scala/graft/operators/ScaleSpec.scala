@@ -37,12 +37,17 @@ class LookupAndPruningSpec extends SparkSpec {
       // plans, which also disables bucket pruning — force it on for
       // the point-lookup path
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val q = Bucketing.lookup(spark, "bk_lookup", "k", 42L)
-      val plan = q.queryExecution.executedPlan.toString
+      val raw = spark.table("bk_lookup").filter($"k" === 42L)
+      val plan = raw.queryExecution.executedPlan.toString
       assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
-      assert(q.collect().map(_.getString(1)).toSeq == Seq("v42"))
     } finally
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+    // lookup executes eagerly under the scoped conf and returns a
+    // local result — session conf untouched afterwards
+    val q = Bucketing.lookup(spark, "bk_lookup", "k", 42L)
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("v42"))
+    assert(spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled") == prev)
   }
 
   test("partitioned write enables partition pruning on read") {

@@ -59,8 +59,11 @@ class FileStreamSpec extends SparkSpec {
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in")
+    // watermark must exceed the fixture's full time span (~30 days,
+    // unordered): a shorter one would drop late rows if the replay
+    // ever splits into multiple micro-batches
     val agg = EventWindows.tumbling(stream, col("ts2"), "ts2",
-      col("event_type"), "1 hour", "1 day", col("value"))
+      col("event_type"), "60 days", "1 day", col("value"))
     val q = agg.writeStream.outputMode("update")
       .format("memory").queryName("fs_win").start()
     try {
