@@ -288,6 +288,11 @@ object SparkEntry {
       meta.Catalog.countSummary(
         meta.Catalog.fromDocuments(t(s, dir, "documents")), "/corpus")),
 
+    "q_meta_fsck" -> ((s, dir) =>
+      meta.Catalog.fsck(
+        meta.Catalog.fromDocuments(t(s, dir, "documents")),
+        blockSize = 256L)),
+
     // ---- L4: dedup --------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       functions.Dedup.exactDupClasses(t(s, dir, "documents"),
@@ -604,6 +609,17 @@ object SparkEntry {
         |       count(*) AS file_count,
         |       sum(CAST(n_chars AS BIGINT)) AS content_size
         |FROM documents""".stripMargin,
+
+    "q_meta_fsck" ->
+      """WITH blocks AS (
+        |  SELECT concat('/corpus/', source) AS dir,
+        |         CAST(ceil(CAST(n_chars AS DOUBLE) / 256) AS INT) AS nb
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT dir,
+        |       sum(CAST(nb AS BIGINT)) AS n_blocks,
+        |       CAST(0 AS BIGINT) AS under_replicated,
+        |       round(CAST(3 AS DOUBLE), 4) AS avg_replication
+        |FROM blocks GROUP BY dir""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -68,6 +68,36 @@ object Catalog {
     files.filter(!col("is_dir"))
       .agg(sum(col("len") * col("replication")).as("used_bytes"))
 
+  /** Block catalog: files → one row per 64 MiB-style block (reference:
+    * BlocksMap.java; file = ordered block list, SURVEY §1). The block
+    * table is derived, not stored — `sequence` + `explode` keeps it a
+    * narrow transform.
+    */
+  def blocksOf(files: DataFrame, blockSize: Long): DataFrame =
+    files.filter(!col("is_dir") && col("len") > 0)
+      .withColumn("n_blocks",
+        ceil(col("len").cast("double") / blockSize).cast("int"))
+      .select(col("path"), col("replication"),
+        posexplode(sequence(lit(0), col("n_blocks") - 1)))
+      .withColumnRenamed("pos", "block_idx")
+      .drop("col")
+      .withColumn("block_id", xxhash64(col("path"), col("block_idx")))
+
+  /** fsck-style report (reference: NamenodeFsck / FsShell fsck): block
+    * totals and replication health per top-level directory — one
+    * aggregation over the derived block table.
+    */
+  def fsck(files: DataFrame, blockSize: Long, minRep: Int = 3): DataFrame =
+    blocksOf(files, blockSize)
+      .withColumn("dir", regexp_extract(col("path"), "^(/[^/]+/[^/]+)", 1))
+      .groupBy(col("dir"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("replication") < minRep, 1L).otherwise(0L))
+          .as("under_replicated"),
+        round(sum(col("replication")).cast("double") / count(lit(1)), 4)
+          .as("avg_replication"))
+
   /** `setrep <rep> <path-prefix>` (reference: FsShell setrep →
     * setReplication): a pure transform producing the updated
     * namespace; pair with [[usedBytes]] to preview capacity impact

@@ -43,6 +43,27 @@ class CatalogSpec extends SparkSpec {
     assert(r == 100 * 3 + 50 * 4 + 25 * 3 + 10 * 6)
   }
 
+  test("blocksOf derives ceil(len/blockSize) blocks per file") {
+    val blocks = Catalog.blocksOf(ns, blockSize = 40)
+    val perFile = blocks.groupBy("path").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perFile == Map("/a/f1" -> 3, "/a/f2" -> 2, "/a/sub/f3" -> 1,
+      "/b/f4" -> 1))
+    // block ids unique
+    assert(blocks.select("block_id").distinct().count() == blocks.count())
+  }
+
+  test("fsck reports per-dir block totals and under-replication") {
+    val got = Catalog.fsck(ns, blockSize = 40, minRep = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // /a/f1 rep3 (3 blocks under), /a/f2 rep4 (2 ok) -> dir /a/f1? dir
+    // regex takes two components: /a/f1, /a/f2, /a/sub, /b/f4
+    assert(got("/a/f1") == ((3L, 3L, 3.0)))
+    assert(got("/a/f2") == ((2L, 0L, 4.0)))
+    assert(got("/b/f4") == ((1L, 0L, 6.0)))
+  }
+
   test("setRep retargets files under a prefix, preview via usedBytes") {
     val updated = Catalog.setRep(ns, "/a", 6)
     val reps = updated.collect()
