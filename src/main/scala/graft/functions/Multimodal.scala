@@ -63,6 +63,25 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic "resample" of the payload to a target
+    * byte budget (stride-sampled bytes — a real codec binding would
+    * decode, scale, re-encode). Keeps the batch shape: narrow map,
+    * bytes never shuffled.
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.map { r =>
+      if (r.bytes.length <= targetBytes) r
+      else {
+        val stride = math.max(1, r.bytes.length / targetBytes)
+        val out = r.bytes.indices.collect {
+          case i if i % stride == 0 => r.bytes(i)
+        }.take(targetBytes).toArray
+        r.copy(bytes = out)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: emit every `stride`-th
     * fixed-size slice as a frame record (stub slicing; the partition/
     * batch shape is what a real ffmpeg binding would use).

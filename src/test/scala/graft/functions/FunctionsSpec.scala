@@ -177,6 +177,18 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.map(_.digest).toSeq == again.map(_.digest).toSeq)
   }
 
+  test("resize caps payload bytes deterministically") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val media = Seq(MediaRow(1L, "image/fake", Array.tabulate[Byte](1000)(_.toByte)),
+      MediaRow(2L, "image/fake", Array.fill[Byte](10)(3))).toDS()
+    val out = resize(media, 100).collect().map(r => r.doc_id -> r.bytes).toMap
+    assert(out(1L).length <= 100 && out(1L).length > 50)
+    assert(out(2L).length == 10) // under budget untouched
+    val again = resize(media, 100).collect().map(r => r.doc_id -> r.bytes.toSeq).toMap
+    assert(again(1L) == out(1L).toSeq)
+  }
+
   test("sampleFrames strides fixed-size chunks") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
