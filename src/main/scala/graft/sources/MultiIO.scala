@@ -69,6 +69,15 @@ object MultiIO {
       .toDF("key", "value")
   }
 
+  /** TextOutputFormat: `key<sep>value` line sink (reference:
+    * TextOutputFormat.java; separator configurable).
+    */
+  def writeText(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    df.select(concat_ws(sep,
+        df.columns.toIndexedSeq.map(c =>
+          coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
   /** SequenceFile sink (reference: SequenceFileOutputFormat). */
   def writeSequenceFile(df: DataFrame, keyCol: String, valueCol: String,
                         path: String): Unit =

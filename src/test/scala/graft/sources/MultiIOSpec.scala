@@ -24,6 +24,15 @@ class MultiIOSpec extends SparkSpec {
     assert(got.length == 2)
   }
 
+  test("writeText emits separator-joined lines with empty nulls") {
+    val dir = Files.createTempDirectory("graft-wt").toString + "/out"
+    val df = Seq((Some("k1"), Some("v1")), (Some("k2"), None: Option[String]))
+      .toDF("k", "v")
+    MultiIO.writeText(df, dir)
+    val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(back == Set("k1\tv1", "k2\t"))
+  }
+
   test("sequence file round-trips (legacy-format compat)") {
     val dir = Files.createTempDirectory("graft-seq").toString + "/sf"
     val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
