@@ -198,12 +198,19 @@ object Dedup {
     * assemble the sign bits. Same result as [[simhash64]], built for
     * corpus scale (the HOF form re-parses the text per bit).
     */
-  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
+    simhashSignaturesFromTokens(df, id, TextAnalysis.bpeishTokens(text))
+
+  /** Signature computation over a pre-tokenized column (lets callers
+    * that already materialized tokens avoid re-tokenizing).
+    */
+  def simhashSignaturesFromTokens(df: DataFrame, id: Column,
+                                  tokens: Column): DataFrame = {
     // explode_outer: zero-token docs keep a row (null token) so they
     // still get a signature (sig=0, matching simhash64 on empty)
     val tok = spread(df, id)
       .select(id.as("doc_id"),
-        explode_outer(TextAnalysis.bpeishTokens(text)).as("t"))
+        explode_outer(tokens).as("t"))
       .select(col("doc_id"),
         when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
     val aggs = (0 until 64).map { b =>
@@ -228,9 +235,12 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame = {
     // empty/punctuation-only docs all share sig=0 — pairing them is
     // degenerate (k empty docs -> k²/2 hamming-0 pairs); exact dedup
-    // handles identical-empty duplicates, so exclude them here
-    val nonEmpty = df.filter(size(TextAnalysis.bpeishTokens(text)) > 0)
-    val sigs = simhashSignatures(nonEmpty, id, text)
+    // handles identical-empty duplicates, so exclude them here.
+    // Tokenize once into a column; filter and signatures share it.
+    val nonEmpty = df
+      .withColumn("__toks", TextAnalysis.bpeishTokens(text))
+      .filter(size(col("__toks")) > 0)
+    val sigs = simhashSignaturesFromTokens(nonEmpty, id, col("__toks"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))

@@ -69,15 +69,15 @@ object Multimodal {
     * bytes never shuffled.
     */
   def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     implicit val enc = Encoders.product[MediaRow]
     media.map { r =>
       if (r.bytes.length <= targetBytes) r
       else {
         val stride = math.max(1, r.bytes.length / targetBytes)
-        val out = r.bytes.indices.collect {
-          case i if i % stride == 0 => r.bytes(i)
-        }.take(targetBytes).toArray
-        r.copy(bytes = out)
+        // primitive-array tabulate: no boxing, output-sized allocation
+        val n = math.min(targetBytes, (r.bytes.length + stride - 1) / stride)
+        r.copy(bytes = Array.tabulate(n)(i => r.bytes(i * stride)))
       }
     }
   }

@@ -89,7 +89,11 @@ object Catalog {
     */
   def fsck(files: DataFrame, blockSize: Long, minRep: Int = 3): DataFrame =
     blocksOf(files, blockSize)
-      .withColumn("dir", regexp_extract(col("path"), "^(/[^/]+/[^/]+)", 1))
+      // two-component prefix when present; shallow paths fall back to
+      // their parent so nothing aggregates under an empty group
+      .withColumn("dir", coalesce(
+        nullif(regexp_extract(col("path"), "^(/[^/]+/[^/]+)", 1), lit("")),
+        parent(col("path"))))
       .groupBy(col("dir"))
       .agg(
         count(lit(1)).as("n_blocks"),

@@ -37,7 +37,15 @@ object Bucketing {
     * of n` in the plan), the reader-side analog of the reference's
     * partitioner-routed index lookup.
     */
-  def lookup(spark: SparkSession, table: String, key: String, value: Any): DataFrame = {
+  def lookup(spark: SparkSession, table: String, key: String, value: Any): DataFrame =
+    lookupWithPlan(spark, table, key, value)._1
+
+  /** [[lookup]] plus the executed-plan string of the pruned scan, so
+    * callers (and the regression test) can assert the
+    * `SelectedBucketsCount: 1 out of n` contract actually held.
+    */
+  def lookupWithPlan(spark: SparkSession, table: String, key: String,
+                     value: Any): (DataFrame, String) = {
     // filter-only plans need bucketed scan forced on, or the planner
     // falls back to a full (all-buckets) scan. A point lookup is
     // small by definition, so execute it eagerly inside the scoped
@@ -51,8 +59,9 @@ object Bucketing {
       val df = spark.table(table)
         .filter(org.apache.spark.sql.functions.col(key) === value)
       val rows = df.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema)
+      val plan = df.queryExecution.executedPlan.toString
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema), plan)
     } finally spark.conf.set(conf, prev)
   }
 }

@@ -40,6 +40,9 @@ class LookupAndPruningSpec extends SparkSpec {
       val raw = spark.table("bk_lookup").filter($"k" === 42L)
       val plan = raw.queryExecution.executedPlan.toString
       assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      // and lookup's OWN executed plan must carry the pruning too
+      val (_, lookupPlan) = Bucketing.lookupWithPlan(spark, "bk_lookup", "k", 42L)
+      assert(lookupPlan.contains("SelectedBucketsCount: 1 out of 8"), lookupPlan)
     } finally
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
     // lookup executes eagerly under the scoped conf and returns a

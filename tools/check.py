@@ -42,18 +42,21 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    # rows-only queries (no oracle): require non-empty output
-    for d in sorted(os.listdir(out_dir)):
+    # rows-only queries: iterate the MANIFEST, not listdir — a query
+    # that threw in Verify leaves no dir and must FAIL, and stale dirs
+    # from renamed queries must not count
+    manifest_path = os.path.join(out_dir, "queries.json")
+    all_queries = (json.load(open(manifest_path))
+                   if os.path.exists(manifest_path) else [])
+    for d in sorted(set(all_queries) - set(oracles)):
         qdir = os.path.join(out_dir, d)
-        if not os.path.isdir(qdir) or d in oracles:
-            continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        if n > 0:
+        if files and n > 0:
             print(f"PASS {d} (rows-only, {n} rows)")
             n_pass += 1
         else:
-            print(f"FAIL {d}: rows-only query returned 0 rows")
+            print(f"FAIL {d}: rows-only query {'threw (no result)' if not files else 'returned 0 rows'}")
             n_fail += 1
     for name, sql in sorted(oracles.items()):
         res_dir = os.path.join(out_dir, name)
