@@ -188,16 +188,18 @@ object SparkEntry {
         df => TextOps.wordCount(df, col("text")))),
 
     // ---- §2.4 aggregation -------------------------------------------
+    // decimal sums stay exact internally; final cast to double keeps the
+    // output arrow type (float64) identical to the oracle's
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
                (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
                 col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).as("sum_disc_price"),
+            .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
                 count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))),
@@ -207,7 +209,7 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(
           AggregateLib.longValueSum(col("l_linenumber")).as("long_sum"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sum"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"),
           AggregateLib.longValueMax(col("l_partkey")).as("long_max"),
           AggregateLib.longValueMin(col("l_partkey")).as("long_min"),
           AggregateLib.stringValueMax(col("l_linestatus")).as("str_max"),
@@ -231,7 +233,7 @@ object SparkEntry {
           sources.Records.fromJson(col("props"), "k INT").getField("k").as("k"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))),
 
     // ---- §2.6 window functions (superset of secondary sort) ---------
     "q_window_running" -> ((s, dir) => {
@@ -241,8 +243,9 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events").select(
         col("user_id"), col("event_id"),
-        col("value").cast("decimal(18,2)").as("v"),
-        sum(col("value").cast("decimal(18,2)")).over(w).as("running_sum"),
+        col("value").cast("decimal(18,2)").cast("double").as("v"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("running_sum"),
         lag(col("event_id"), 1).over(
           Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
           .as("prev_event"))
@@ -252,7 +255,8 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+               .as("sum_qty"),
              count(lit(1)).as("cnt"))),
 
     // ---- §0.1 dynamic-replication policy (batch form) ---------------
@@ -504,11 +508,11 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |      AS DECIMAL(28,4))) AS sum_disc_price,
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |        / count(*), 4) AS avg_qty,
         |  count(*) AS cnt
@@ -516,8 +520,8 @@ object SparkEntry {
 
     "q_agg_lib" ->
       """SELECT l_returnflag,
-        |  sum(CAST(l_linenumber AS BIGINT)) AS long_sum,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS long_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
         |  max(CAST(l_partkey AS BIGINT)) AS long_max,
         |  min(CAST(l_partkey AS BIGINT)) AS long_min,
         |  max(l_linestatus) AS str_max,
@@ -533,22 +537,23 @@ object SparkEntry {
     "q_json_record" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
         |       count(*) AS cnt,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_window_running" ->
       """SELECT user_id, event_id,
-        |  CAST(value AS DECIMAL(18,2)) AS v,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_sum,
         |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS prev_event
         |FROM events""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
@@ -600,14 +605,14 @@ object SparkEntry {
 
     "q_meta_du" ->
       """SELECT concat('/corpus/', source) AS child,
-        |       sum(CAST(n_chars AS BIGINT)) AS length,
+        |       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS length,
         |       count(*) AS n_files
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_meta_count" ->
       """SELECT CAST(0 AS BIGINT) AS dir_count,
         |       count(*) AS file_count,
-        |       sum(CAST(n_chars AS BIGINT)) AS content_size
+        |       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS content_size
         |FROM documents""".stripMargin,
 
     "q_meta_fsck" ->
@@ -616,7 +621,7 @@ object SparkEntry {
         |         CAST(ceil(CAST(n_chars AS DOUBLE) / 256) AS INT) AS nb
         |  FROM documents WHERE n_chars > 0)
         |SELECT dir,
-        |       sum(CAST(nb AS BIGINT)) AS n_blocks,
+        |       CAST(sum(CAST(nb AS BIGINT)) AS BIGINT) AS n_blocks,
         |       CAST(0 AS BIGINT) AS under_replicated,
         |       round(CAST(3 AS DOUBLE), 4) AS avg_replication
         |FROM blocks GROUP BY dir""".stripMargin,
@@ -729,8 +734,8 @@ object SparkEntry {
         |                         x -> length(x) > 0)) AS ntok
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |       sum(CAST(ntok AS BIGINT)) AS n_tokens,
-        |       sum(CAST(length(text) AS BIGINT)) AS n_chars,
+        |       CAST(sum(CAST(ntok AS BIGINT)) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
         |       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
         |         AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
@@ -748,7 +753,7 @@ object SparkEntry {
         |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |    ORDER BY doc_id) = 1)
         |SELECT lang, count(*) AS n_docs,
-        |       sum(CAST(nt AS BIGINT)) AS n_tokens
+        |       CAST(sum(CAST(nt AS BIGINT)) AS BIGINT) AS n_tokens
         |FROM deduped GROUP BY lang""".stripMargin,
 
     "q_multimodal_meta" ->

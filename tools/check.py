@@ -70,10 +70,35 @@ def main(sf_dir, out_dir):
         spark_rows = [tuple(d.values()) for d in tbl.to_pylist()]
         try:
             cur = con.execute(sql)
-            duck_names = [c[0] for c in cur.description]
-            duck_rows = cur.fetchall()
+            duck_arrow = cur.arrow()
+            duck_names = duck_arrow.column_names
+            duck_rows = [tuple(d.values()) for d in duck_arrow.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        # the driver's hash is type-sensitive: DuckDB HUGEINT/DECIMAL vs
+        # Spark BIGINT/DOUBLE mismatch even when stringified values agree
+        # — so compare arrow type categories too (r01 lesson: 10 queries
+        # passed stringified compare but failed the driver hash)
+        def cat(t):
+            import pyarrow as pa
+            if pa.types.is_integer(t): return "int" + str(t.bit_width)
+            if pa.types.is_floating(t): return "float" + str(t.bit_width)
+            if pa.types.is_decimal(t): return f"decimal({t.precision},{t.scale})"
+            if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+            if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
+            if pa.types.is_date(t): return "date"
+            if pa.types.is_timestamp(t): return "ts"
+            if pa.types.is_boolean(t): return "bool"
+            return str(t)
+        stypes = {n: cat(tbl.schema.field(n).type) for n in spark_names}
+        dtypes = {n: cat(duck_arrow.schema.field(n).type) for n in duck_names}
+        type_mismatch = [
+            (n, stypes[n], dtypes[n]) for n in stypes
+            if n in dtypes and stypes[n] != dtypes[n]]
+        if type_mismatch:
+            print(f"FAIL {name}: arrow type mismatch {type_mismatch}")
             n_fail += 1
             continue
         sn, srows = table_of(spark_rows, spark_names)
