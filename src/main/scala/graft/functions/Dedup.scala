@@ -93,28 +93,48 @@ object Dedup {
     * `sig.length / bands` rows each; bucket key = hash of the band
     * slice. Docs sharing any (band, bucket) are candidates.
     * Returns candidate pairs (id_a < id_b), distinct.
+    *
+    * Pair generation is bucket-local: group each (band, bucket)'s
+    * members and emit the pairs from the sorted member list — one
+    * exchange, no self-join. (The join form either recomputes the
+    * whole signature pipeline per side — exchange reuse doesn't fire
+    * across differently-aliased subtrees — or persists an index whose
+    * cached blocks leak past the query.) `maxBucket` drops degenerate
+    * buckets (a collapsed band hash would contribute O(n²) junk
+    * pairs); at working LSH parameters real buckets hold a handful of
+    * docs.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int,
+                    maxBucket: Int = 4096): DataFrame = {
     val rowsPerBand = floor(size(col("sig")) / bands).cast("int")
-    // persist the small banded index: the self-join would otherwise
-    // recompute the full signature pipeline for both sides (exchange
-    // reuse does not fire across the differently-aliased subtrees)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
             transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
               x => x.cast("string")))))))
       .toDF("doc_id", "band", "bucket")
-      .persist()
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    pairsFromGroups(
+      banded.groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucket)),
+      "ids")
+      .toDF("id_a", "id_b")
       .distinct()
   }
+
+  /** Expand each group's sorted member array into its ordered pairs
+    * (i < j) without a self-join: posexplode the left element, then
+    * explode the tail slice after it. The group array is the only
+    * per-row memory (bounded by the caller's bucket cap); emitted
+    * pairs stream out of the same stage — no exchange, no persisted
+    * intermediate.
+    */
+  private def pairsFromGroups(grouped: DataFrame, idsCol: String): DataFrame =
+    grouped
+      .select(col(idsCol), posexplode(col(idsCol)))
+      .select(col("col").as("__a"),
+        explode(slice(col(idsCol), col("pos") + 2,
+          greatest(size(col(idsCol)) - col("pos") - 1, lit(0)))).as("__b"))
 
   /** MinHash near-dup end-to-end: signature -> LSH candidates ->
     * exact Jaccard rerank on the candidates only (never all pairs).
@@ -153,19 +173,22 @@ object Dedup {
       .dropDuplicates("doc_id", "s")
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
-    // document-frequency prune as a window count; persist the pruned
-    // index so the self-join reads it once instead of recomputing the
-    // shingle pipeline per side
-    val pruned = inv
-      .withColumn("df_cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df_cnt") <= maxDf)
-      .drop("df_cnt")
-      .persist()
-    val a = pruned.alias("a")
-    val b = pruned.alias("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    // group the inverted index by shingle: the group size IS the
+    // document-frequency prune, and the member list is the pair
+    // source — one exchange, no self-join, no persisted index.
+    // Per-shingle memory is bounded by maxDf struct entries.
+    val grouped = inv.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    grouped
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col.doc_id").as("id_a"), col("col.n_sh").as("na"),
+        explode(slice(col("ds"), col("pos") + 2,
+          greatest(size(col("ds")) - col("pos") - 1, lit(0)))).as("y"))
+      .select(col("id_a"), col("na"),
+        col("y.doc_id").as("id_b"), col("y.n_sh").as("nb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
@@ -232,7 +255,7 @@ object Dedup {
     * then exact Hamming rerank within blocks.
     */
   def simhashNearDups(df: DataFrame, id: Column, text: Column,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     // empty/punctuation-only docs all share sig=0 — pairing them is
     // degenerate (k empty docs -> k²/2 hamming-0 pairs); exact dedup
     // handles identical-empty duplicates, so exclude them here.
@@ -245,14 +268,19 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))
       .toDF("doc_id", "sig", "chunk", "ckey")
-    val a = chunked.alias("a")
-    val b = chunked.alias("b")
-    val ham = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
-    a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        ham.as("hamming"))
+    // chunk-local pair expansion (same shape as lshCandidates): one
+    // exchange instead of a self-join that would recompute the
+    // 64-aggregate signature pipeline for both sides
+    chunked.groupBy(col("chunk"), col("ckey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col.doc_id").as("id_a"), col("col.sig").as("sig_a"),
+        explode(slice(col("ds"), col("pos") + 2,
+          greatest(size(col("ds")) - col("pos") - 1, lit(0)))).as("y"))
+      .select(col("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -26,8 +26,25 @@ import org.apache.spark.sql.types._
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must already be array<float> (the embeddings contract);
-  // no implicit-cast machinery — AbstractDataType is private[sql]
+  // inputs must already be array<float|double> (the embeddings
+  // contract); no implicit-cast machinery — AbstractDataType is
+  // private[sql], so the contract is enforced by checkInputDataTypes
+  // instead: misuse fails analysis, not execution (a non-array input
+  // would ClassCastException at runtime; an array<int> would silently
+  // read garbage bytes via getFloat)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or array<double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 

@@ -10,8 +10,11 @@ import scala.collection.mutable
   * Semantics preserved:
   *  - EWMA heat: `new = (1-α)·old + α·now`, α=0.5 default
   *    (FSDirectory.java:1366-1373, FSNamesystem.java:428)
-  *  - access-time update throttle: skip if `now - last < precision`
-  *    (30 s cap, FSDirectory.java:1352)
+  *  - access-time update throttle: skip if `now <= ewma + precision`
+  *    — inclusive, and measured against the stored EWMA-smoothed time,
+  *    because the reference stores the EWMA *as* the atime and compares
+  *    the new raw atime against it (30 s cap, FSDirectory.java:1352,
+  *    throttle check at FSDirectory.java:1362)
   *  - tiered buckets minRep+1..maxRep with per-bucket minimum-EWMA
   *    tracking (FSNamesystem.java:4399)
   *  - promotion on access into the highest bucket whose min-EWMA the
@@ -48,9 +51,19 @@ object ReplicationPolicy {
 
   /** One EWMA access update with the precision throttle. Returns the
     * new state and whether the update actually applied.
+    *
+    * The throttle mirrors FSDirectory.java:1362 exactly: the stored
+    * access time IS the EWMA, and the update is skipped when
+    * `atime <= storedEwma + precision` (inclusive). Consequence the
+    * reference shares: once a hot file's EWMA lags `now` by more than
+    * the precision window, every access applies. Deviation (documented):
+    * the reference seeds a new file's atime with its creation time; we
+    * have no creation clock, so the first observed access seeds the
+    * EWMA raw.
     */
   def access(s: FileState, nowMs: Long, cfg: Config): (FileState, Boolean) =
-    if (nowMs - s.lastUpdateMs < cfg.atimePrecisionMs) (s, false)
+    if (s.lastUpdateMs != 0L && nowMs <= s.ewma + cfg.atimePrecisionMs)
+      (s, false)
     else {
       val heat =
         if (s.lastUpdateMs == 0L) nowMs.toDouble
@@ -101,14 +114,20 @@ object ReplicationPolicy {
     /** Delete hook (FSNamesystem.java:4530-4545). */
     def deleteFile(path: String): Unit = files.remove(path)
 
-    /** allocateReplication (FSNamesystem.java:4425-4484). */
+    /** allocateReplication (FSNamesystem.java:4425-4484): always
+      * attempt the promotion (insertFileIntoNewSet), and THEN run the
+      * capacity sweep when usage exceeds the top threshold — the two
+      * are sequential in the reference, not alternatives, so an
+      * accessed hot file still promotes under capacity pressure (the
+      * sweep may immediately demote the coldest half around it).
+      */
     def allocate(path: String): Unit = {
       val f = files(path)
       // single-block files are exempt (FSNamesystem.java:4427-4430)
       if (f.blocks <= 1) return
+      promote(path)
       if (usedBytes > (clusterCapacityBytes * cfg.capacityTop).toLong)
         demoteSweep()
-      else promote(path)
     }
 
     /** insertFileIntoNewSet (FSNamesystem.java:4488-4526): scan from

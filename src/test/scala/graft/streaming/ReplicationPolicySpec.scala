@@ -24,12 +24,17 @@ class ReplicationPolicySpec extends AnyFunSuite {
     assert(math.abs(ewmaOf(xs, 0.5) - rec) < 1e-12)
   }
 
-  test("atime throttle skips updates within the precision window") {
-    val f = FileState("/f", 2, 100, 3, 0.0, 1000L)
-    val (_, applied) = access(f, 1000L + cfg.atimePrecisionMs - 1, cfg)
-    assert(!applied)
-    val (f2, applied2) = access(f, 1000L + cfg.atimePrecisionMs, cfg)
-    assert(applied2 && f2.ewma > 0)
+  test("atime throttle skips updates within ewma + precision, inclusive") {
+    // throttle compares the new raw atime against the STORED EWMA
+    // (reference stores the EWMA as the atime, FSDirectory.java:1362)
+    val f = FileState("/f", 2, 100, 3, 100000.0, 100000L)
+    val (_, onBoundary) = access(f, 100000L + cfg.atimePrecisionMs, cfg)
+    assert(!onBoundary) // atime == ewma + precision -> skip (inclusive)
+    val (f2, pastBoundary) = access(f, 100000L + cfg.atimePrecisionMs + 1, cfg)
+    assert(pastBoundary && f2.ewma > 100000.0)
+    // a hot file whose EWMA lags now by > precision always applies
+    val hot = FileState("/hot", 2, 100, 3, 100000.0, 200000L)
+    assert(access(hot, 200001L, cfg)._2)
   }
 
   test("replication always stays within [minRep, maxRep]") {
@@ -161,17 +166,19 @@ class HeatStreamSpec extends SparkSpec {
     val q = heatUpdates(input.toDS()).writeStream
       .outputMode("update").format("memory").queryName("heat_test").start()
     try {
-      // two micro-batches; second one inside the 30s throttle window
+      // two micro-batches; second one inside the ewma+30s throttle
+      // window (after 100000, 200000 the EWMA is 150000, so a late
+      // event at 175000 <= 180000 is skipped)
       input.addData(Access("/a", 100000L), Access("/a", 200000L), Access("/b", 100000L))
       q.processAllAvailable()
-      input.addData(Access("/a", 210000L))  // < 30s after 200000 -> throttled
+      input.addData(Access("/a", 175000L))  // <= ewma+30s -> throttled
       q.processAllAvailable()
       val got = spark.table("heat_test").as[HeatRecord].collect()
         .groupBy(_.path).map { case (p, rs) => p -> rs.maxBy(_.lastUpdateMs) }
 
       // oracle: pure state machine
       var fa = ReplicationPolicy.FileState("/a", 2, 0, 3, 0.0, 0L)
-      Seq(100000L, 200000L, 210000L).foreach { t =>
+      Seq(100000L, 200000L, 175000L).foreach { t =>
         fa = ReplicationPolicy.access(fa, t, ReplicationPolicy.Config())._1
       }
       assert(got("/a").ewma == fa.ewma)
