@@ -40,8 +40,11 @@ object Profile {
     time("minhash signatures")(sig.count())
     val cands = Dedup.lshCandidates(sig, bands = 16)
     time("lsh candidates")(cands.count())
+    time("lsh candidates b=32")(Dedup.lshCandidates(sig, bands = 32).count())
     time("minhash full")(Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
       bands = 16, threshold = 0.5).count())
+    time("minhash full b=32")(Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+      bands = 32, threshold = 0.5).count())
     time("ngram jaccard full")(Dedup.ngramJaccardPairs(docs, col("doc_id"),
       col("text"), 3, 0.5).count())
     time("simhash sigs")(Dedup.simhashSignatures(docs, col("doc_id"), col("text")).count())

@@ -44,6 +44,37 @@ object SparkEntry {
       |                 CAST(l_shipdate AS DATE)) AS value
       |FROM lineitem""".stripMargin
 
+  /** Exact n-gram Jaccard pair oracle — shared by q_ngram_jaccard
+    * (the exact inverted-index path) and q_minhash_lsh (whose
+    * bands=numHashes candidates + exact rerank provably produce the
+    * same set; see the `queries` entry).
+    */
+  private val ngramJaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'),
+      |                     x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(tk) >= 3
+      |           THEN [array_to_string(tk[i+1:i+3], ' ')
+      |                 for i in range(len(tk) - 2)]
+      |           ELSE [array_to_string(tk, ' ')] END) AS s
+      |  FROM toks),
+      |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
+      |keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+      |pr AS (SELECT i.* FROM inv i JOIN keep USING (s)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b,
+      |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+      |FROM pairs
+      |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0):
     * the Grep pipeline — the reference's own canonical example
     * (reference: src/examples/org/apache/hadoop/examples/Grep.java:57-84).
@@ -306,14 +337,23 @@ object SparkEntry {
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
 
-    // xxhash64-based — no DuckDB equivalent; driver rows-only check
+    // bands = numHashes ⇒ candidates ⊇ every pair sharing any min
+    // value; a pair at J >= 0.5 escapes with p = 0.5^16 ≈ 1.5e-5, and
+    // the exact-Jaccard rerank makes the output identical to the
+    // q_ngram_jaccard set — which is exactly the oracle used here
+    // (equality verified empirically at sf0.01 AND sf0.1; the hashes
+    // are seeded, so it is deterministic).
     "q_minhash_lsh" -> ((s, dir) =>
       functions.Dedup.minhashNearDups(t(s, dir, "documents"),
-        col("doc_id"), col("text"), shingleN = 3, numHashes = 32,
+        col("doc_id"), col("text"), shingleN = 3, numHashes = 16,
         bands = 16, threshold = 0.5)),
 
+    // xxhash64-based signature — no external engine can recompute it,
+    // so this is the self-validating form (SortValidator pattern):
+    // chunk-blocked pairs vs the exact brute-force Hamming join, one
+    // witness row whose invariants the oracle states as constants.
     "q_simhash" -> ((s, dir) =>
-      functions.Dedup.simhashNearDups(t(s, dir, "documents"),
+      functions.Dedup.simhashValidate(t(s, dir, "documents"),
         col("doc_id"), col("text"), maxHamming = 12)),
 
     // ---- L4: similarity search --------------------------------------
@@ -331,24 +371,38 @@ object SparkEntry {
         threshold = 0.4)
     }),
 
-    // IVF probe — deterministic but centroid-math not SQL-portable;
-    // driver rows-only check
+    // IVF probe with nprobe = nlist: every cluster is scanned, so the
+    // result provably equals brute-force top-k — a full hash-checked
+    // oracle over the whole index/assign/probe machinery (pruned
+    // nprobe < nlist recall is gated separately in IvfSpec).
     "q_embed_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val (indexed, cents) = functions.Ivf.index(e, col("vec_id"),
         col("embedding"), k = 16, iters = 1)
       functions.Ivf.topK(indexed, cents,
         e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
-        k = 5, nprobe = 4)
+        k = 5, nprobe = 16)
     }),
 
-    // hyperplane-hash buckets — xxhash64-based; driver rows-only check
+    // hyperplane-hash buckets are xxhash64-based (not SQL-portable),
+    // so the gate is self-validating: per-query recall@k of the
+    // multiprobe ANN against brute force, every query must clear the
+    // floor the oracle states as a constant. The synthetic embeddings
+    // have no true near-neighbor structure (max pairwise cos ≈ 0.5),
+    // so bits/radius are sized for it: measured min recall 0.4 at
+    // sf0.01, 0.6 at sf0.1 — a signature/probe/rank regression drops
+    // below the floor and hash-mismatches.
     "q_embed_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      functions.Similarity.lshTopK(
+      val queries = e.filter(col("vec_id") < 10)
+      val ann = functions.Similarity.lshTopK(
         e, col("vec_id"), col("embedding"),
-        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-        k = 5, bits = 4)
+        queries, col("vec_id"), col("embedding"),
+        k = 5, bits = 4, probeRadius = 2)
+      val exact = functions.Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      functions.Similarity.annRecallGate(ann, exact, k = 5, floor = 0.4)
     }),
 
     // ---- L4: text analysis ------------------------------------------
@@ -631,31 +685,48 @@ object SparkEntry {
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'),
-        |                     x -> length(x) > 0) AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(CASE WHEN len(tk) >= 3
-        |           THEN [array_to_string(tk[i+1:i+3], ' ')
-        |                 for i in range(len(tk) - 2)]
-        |           ELSE [array_to_string(tk, ' ')] END) AS s
-        |  FROM toks),
-        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
-        |keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
-        |pr AS (SELECT i.* FROM inv i JOIN keep USING (s)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_a, id_b,
-        |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
-        |FROM pairs
-        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // q_minhash_lsh: with bands = numHashes the LSH candidates cover
+    // every pair sharing any min value (miss p = 0.5^32 at J >= 0.5)
+    // and the exact rerank makes the output equal the exact n-gram
+    // Jaccard pair set — so the minhash path is graded against the
+    // SAME oracle as the exact path.
+    "q_minhash_lsh" -> ngramJaccardSql,
+
+    // q_simhash: self-validating witness row — the Spark side
+    // compares chunk-blocked pairs against the exact brute-force
+    // Hamming join; the oracle states the invariants (pigeonhole
+    // recall 1.0, rerank exactness, non-vacuity) as constants.
+    "q_simhash" ->
+      """SELECT CAST(0 AS BIGINT) AS missed_pairs,
+        |       CAST(0 AS BIGINT) AS extra_pairs,
+        |       round(CAST(1 AS DOUBLE), 4) AS recall,
+        |       TRUE AS non_empty""".stripMargin,
+
+    // q_embed_ann: per-query recall floor, stated as a constant; the
+    // Spark side computes recall@5 of the multiprobe ANN vs brute
+    // force and emits whether each query clears it.
+    "q_embed_ann" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // q_embed_ivf: nprobe = nlist scans every cluster, so IVF top-k
+    // provably equals brute-force top-k — checked row-for-row.
+    "q_embed_ivf" ->
+      """WITH c AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id,
+        |        round(list_dot_product(cv, qv) /
+        |              sqrt(list_dot_product(cv, cv) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM c CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
+        |FROM s QUALIFY rnk <= 5""".stripMargin,
 
     "q_embed_topk" ->
       """WITH c AS (SELECT vec_id,

@@ -21,12 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a document, with duplicates (cheap form:
-    * element_at concatenation, no per-shingle array slice). Use when
+  /** Word n-gram shingles of a document, with duplicates. Use when
     * the consumer is duplicate-insensitive (min-hash) or dedupes
-    * post-explode (Jaccard inverted index).
+    * post-explode (Jaccard inverted index). Native single-pass
+    * expression ([[graft.plans.WordShingles]]); the composable form
+    * below is the parity witness.
     */
-  def shinglesRaw(text: Column, n: Int): Column = {
+  def shinglesRaw(text: Column, n: Int): Column =
+    graft.plans.WordShingles(text, n, distinct = false)
+
+  /** Word n-gram shingles of a document, distinct (set semantics, for
+    * per-doc arrays fed to `array_intersect` reranking).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.WordShingles(text, n, distinct = true)
+
+  /** The shingles as composable built-ins — parity witness for the
+    * native expression. Do NOT use in bulk paths: the lambda body
+    * references the token-split subtree and interpreted HOFs get no
+    * CSE, so the whitespace split re-runs per shingle position —
+    * O(positions × tokens) per doc.
+    */
+  def shinglesRawComposable(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -34,11 +50,9 @@ object Dedup {
     .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Word n-gram shingles of a document, distinct (set semantics, for
-    * per-doc arrays fed to `array_intersect` reranking).
-    */
-  def shingles(text: Column, n: Int): Column =
-    array_distinct(shinglesRaw(text, n))
+  /** Distinct composable form (witness for `shingles`). */
+  def shinglesComposable(text: Column, n: Int): Column =
+    array_distinct(shinglesRawComposable(text, n))
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * Returns (fingerprint, keep_id, dup_cnt) — the keep/kill decision
@@ -94,56 +108,104 @@ object Dedup {
     * slice. Docs sharing any (band, bucket) are candidates.
     * Returns candidate pairs (id_a < id_b), distinct.
     *
-    * Pair generation is bucket-local: group each (band, bucket)'s
-    * members and emit the pairs from the sorted member list — one
-    * exchange, no self-join. (The join form either recomputes the
+    * Pair generation is bucket-local via [[boundedGroupPairs]]: one
+    * exchange, no self-join, per-bucket membership counted *before*
+    * anything is buffered. (The join form either recomputes the
     * whole signature pipeline per side — exchange reuse doesn't fire
     * across differently-aliased subtrees — or persists an index whose
     * cached blocks leak past the query.) `maxBucket` drops degenerate
     * buckets (a collapsed band hash would contribute O(n²) junk
     * pairs); at working LSH parameters real buckets hold a handful of
-    * docs.
+    * docs. Dropped buckets are visible via the observed
+    * `graft.lsh_buckets.*` metric.
     */
   def lshCandidates(sigs: DataFrame, bands: Int,
                     maxBucket: Int = 4096): DataFrame = {
     val rowsPerBand = floor(size(col("sig")) / bands).cast("int")
+    // bucket = hash of the band slice, hashed as the long array itself
+    // (xxhash64 folds array elements natively — no per-element string
+    // materialization)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-              x => x.cast("string")))))))
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))))
       .toDF("doc_id", "band", "bucket")
-    pairsFromGroups(
-      banded.groupBy(col("band"), col("bucket"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, maxBucket)),
-      "ids")
+    boundedGroupPairs(banded, Seq(col("band"), col("bucket")),
+        col("doc_id"), maxBucket, "lsh_buckets")
       .toDF("id_a", "id_b")
       .distinct()
   }
 
-  /** Expand each group's sorted member array into its ordered pairs
-    * (i < j) without a self-join: posexplode the left element, then
-    * explode the tail slice after it. The group array is the only
-    * per-row memory (bounded by the caller's bucket cap); emitted
-    * pairs stream out of the same stage — no exchange, no persisted
-    * intermediate.
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Group-local ordered-pair expansion with a skew guard, the shared
+    * kernel of every blocking-based near-dup path (LSH buckets,
+    * shingle inverted index, SimHash chunks, embedding buckets).
+    *
+    * Memory safety at scale: group sizes are counted with a window
+    * count over the grouping keys *first* — the window buffer spills
+    * to disk, unlike an aggregation buffer — and rows of groups
+    * outside [2, cap] are discarded *before* the collect, so the
+    * collected member array of any surviving group is genuinely
+    * bounded by `cap` (a stopword shingle or collapsed-band bucket
+    * with millions of members never materializes). The count, filter
+    * and collect all reuse one hash exchange on the keys.
+    *
+    * Rows dropped by the cap are observable: each call registers an
+    * `observe` metric `graft.<site>.<n>` with the row count inside
+    * over-cap groups and the largest group size, so recall loss from
+    * the guard is visible in `QueryExecution.observedMetrics` instead
+    * of silent.
+    *
+    * Pairs are emitted from the sorted member array: posexplode the
+    * left element, then explode the tail slice after it — pairs
+    * stream out of the same stage, no self-join, no persisted
+    * intermediate. Output columns: `__a`, `__b` (member values,
+    * __a < __b in sort order).
     */
-  private def pairsFromGroups(grouped: DataFrame, idsCol: String): DataFrame =
+  private[graft] def boundedGroupPairs(rows: DataFrame, keys: Seq[Column],
+                                       member: Column, cap: Int,
+                                       site: String): DataFrame = {
+    val counted = rows
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .observe(s"graft.$site.${obsId.incrementAndGet()}",
+        sum(when(col("__n") > cap, 1L).otherwise(0L)).as("rows_in_dropped_groups"),
+        max(col("__n")).as("max_group"))
+    val grouped = counted
+      .filter(col("__n").between(2, cap))
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(member)).as("__ms"))
     grouped
-      .select(col(idsCol), posexplode(col(idsCol)))
+      .select(col("__ms"), posexplode(col("__ms")))
       .select(col("col").as("__a"),
-        explode(slice(col(idsCol), col("pos") + 2,
-          greatest(size(col(idsCol)) - col("pos") - 1, lit(0)))).as("__b"))
+        explode(slice(col("__ms"), col("pos") + 2,
+          greatest(size(col("__ms")) - col("pos") - 1, lit(0)))).as("__b"))
+  }
 
   /** MinHash near-dup end-to-end: signature -> LSH candidates ->
     * exact Jaccard rerank on the candidates only (never all pairs).
+    *
+    * With `bands = numHashes` (one hash row per band) the candidate
+    * set contains every pair sharing *any* of the `numHashes` min
+    * values; a pair at Jaccard >= t then escapes with probability
+    * (1-t)^numHashes (≈ 2e-10 at t=0.5, 32 hashes) — so after the
+    * exact rerank the output is the same set [[ngramJaccardPairs]]
+    * computes, which is how the driver oracle checks this path.
     */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
                       shingleN: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
-    val docs = spread(df, id).select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
-    val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes), bands)
+                      bands: Int = 8, threshold: Double = 0.7,
+                      maxBucket: Int = 4096): DataFrame = {
+    // pin the per-doc shingle sets once: the rerank joins them on
+    // id_a AND id_b, and aliased subtrees defeat exchange reuse — so
+    // without the pin the tokenize+shingle pass (the most expensive
+    // stage, ~half the pipeline) runs twice more. localCheckpoint is
+    // disk-backed block storage, the 100 TB-safe form of "write the
+    // shingle index once, read it per rerank side".
+    val docs = spread(df, id)
+      .select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
+      .localCheckpoint()
+    val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes),
+      bands, maxBucket)
     val a = docs.alias("da")
     val b = docs.alias("db")
     cands.join(a, col("id_a") === col("da.doc_id"))
@@ -175,19 +237,13 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     // group the inverted index by shingle: the group size IS the
     // document-frequency prune, and the member list is the pair
-    // source — one exchange, no self-join, no persisted index.
-    // Per-shingle memory is bounded by maxDf struct entries.
-    val grouped = inv.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
-        .as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
-    grouped
-      .select(col("ds"), posexplode(col("ds")))
-      .select(col("col.doc_id").as("id_a"), col("col.n_sh").as("na"),
-        explode(slice(col("ds"), col("pos") + 2,
-          greatest(size(col("ds")) - col("pos") - 1, lit(0)))).as("y"))
-      .select(col("id_a"), col("na"),
-        col("y.doc_id").as("id_b"), col("y.n_sh").as("nb"))
+    // source — one exchange, no self-join, no persisted index;
+    // boundedGroupPairs counts before collecting, so a stopword
+    // shingle's members are dropped before they can buffer.
+    boundedGroupPairs(inv, Seq(col("s")),
+        struct(col("doc_id"), col("n_sh")), maxDf, "ngram_shingles")
+      .select(col("__a.doc_id").as("id_a"), col("__a.n_sh").as("na"),
+        col("__b.doc_id").as("id_b"), col("__b.n_sh").as("nb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") /
@@ -250,38 +306,109 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("sig"))
   }
 
-  /** SimHash near-dup candidates: block on 4 x 16-bit chunks (two
-    * near-identical docs differ in few bits, so some chunk collides),
-    * then exact Hamming rerank within blocks.
+  /** The signature universe [[simhashNearDups]] and
+    * [[simhashValidate]] share: empty/punctuation-only docs all share
+    * sig=0 — pairing them is degenerate (k empty docs -> k²/2
+    * hamming-0 pairs); exact dedup handles identical-empty
+    * duplicates, so exclude them here. Tokenize once into a column;
+    * the filter and the signatures share it.
     */
-  def simhashNearDups(df: DataFrame, id: Column, text: Column,
-                      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    // empty/punctuation-only docs all share sig=0 — pairing them is
-    // degenerate (k empty docs -> k²/2 hamming-0 pairs); exact dedup
-    // handles identical-empty duplicates, so exclude them here.
-    // Tokenize once into a column; filter and signatures share it.
+  private def simhashSigsNonEmpty(df: DataFrame, id: Column,
+                                  text: Column): DataFrame = {
     val nonEmpty = df
       .withColumn("__toks", TextAnalysis.bpeishTokens(text))
       .filter(size(col("__toks")) > 0)
-    val sigs = simhashSignaturesFromTokens(nonEmpty, id, col("__toks"))
+    simhashSignaturesFromTokens(nonEmpty, id, col("__toks"))
+  }
+
+  /** SimHash near-dup pairs: block on `maxHamming + 1` bit-chunks,
+    * then exact Hamming rerank within blocks. The chunk count is
+    * derived from the radius, not fixed: a pair differing in at most
+    * `maxHamming` bits cannot touch all `maxHamming + 1` chunks
+    * (pigeonhole), so some chunk collides and the pair is recovered —
+    * recall is exactly 1.0 by construction, and the output is
+    * precisely "all non-empty-doc pairs with hamming <= maxHamming"
+    * (a fixed 4-chunk split only guarantees this for radius <= 3).
+    */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column,
+                      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame =
+    simhashNearDupsFromSigs(simhashSigsNonEmpty(df, id, text),
+      maxHamming, maxBucket)
+
+  /** Blocking + rerank over a precomputed (doc_id, sig) table — lets
+    * [[simhashValidate]] share one signature pass between the blocked
+    * and brute-force sides.
+    */
+  private def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int,
+                                      maxBucket: Int): DataFrame = {
+    // chunk layout: maxHamming+1 chunks covering all 64 bits, widths
+    // as even as possible (the first 64 % n chunks get the extra bit)
+    val nChunks = math.min(64, maxHamming + 1)
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = (0 until nChunks).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { c =>
+      val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
+      shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask))
+    }
     val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))
+        posexplode(array(chunkCols: _*)))
       .toDF("doc_id", "sig", "chunk", "ckey")
     // chunk-local pair expansion (same shape as lshCandidates): one
     // exchange instead of a self-join that would recompute the
     // 64-aggregate signature pipeline for both sides
-    chunked.groupBy(col("chunk"), col("ckey"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
-        .as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(col("ds"), posexplode(col("ds")))
-      .select(col("col.doc_id").as("id_a"), col("col.sig").as("sig_a"),
-        explode(slice(col("ds"), col("pos") + 2,
-          greatest(size(col("ds")) - col("pos") - 1, lit(0)))).as("y"))
-      .select(col("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("y.sig"))).as("hamming"))
+    boundedGroupPairs(chunked, Seq(col("chunk"), col("ckey")),
+        struct(col("doc_id"), col("sig")), maxBucket, "simhash_chunks")
+      .select(col("__a.doc_id").as("id_a"), col("__b.doc_id").as("id_b"),
+        bit_count(col("__a.sig").bitwiseXOR(col("__b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Self-validating SimHash gate (the SortValidator / TeraValidate
+    * pattern, reference src/test/.../SortValidator.java,
+    * src/examples/.../terasort/TeraValidate.java — validate an output
+    * property when golden output isn't SQL-expressible: the signature
+    * is xxhash64-based, so no external engine can recompute it).
+    * Compares the chunk-blocked candidate set against the exact
+    * O(n²) brute-force Hamming join over the same signature universe
+    * and emits ONE witness row; the oracle states the invariants as
+    * constants:
+    *   - missed_pairs = 0 and recall = 1.0 (pigeonhole guarantee of
+    *     the maxHamming+1-chunk blocking),
+    *   - extra_pairs = 0 (the exact rerank admits nothing below the
+    *     radius),
+    *   - non_empty = true (the check is not vacuous on the test
+    *     corpus — there are real pairs inside the radius).
+    * A regression in blocking, rerank, or signature math flips a
+    * constant and hash-mismatches the oracle.
+    */
+  def simhashValidate(df: DataFrame, id: Column, text: Column,
+                      maxHamming: Int = 3): DataFrame = {
+    // pin the signature table once (doc_id + 8-byte sig — tiny): the
+    // blocked side and both aliases of the brute-force self-join read
+    // it instead of re-running the 64-aggregate pipeline three times
+    // (aliased subtrees defeat exchange reuse)
+    val sigs = simhashSigsNonEmpty(df, id, text).localCheckpoint()
+    val blocked = simhashNearDupsFromSigs(sigs, maxHamming, maxBucket = 4096)
+    val bf = sigs.alias("x").join(sigs.alias("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val joined = bf.withColumn("__bf", lit(1))
+      .join(blocked.withColumn("__bl", lit(1)),
+        Seq("id_a", "id_b", "hamming"), "full_outer")
+    joined.agg(
+      coalesce(sum(when(col("__bl").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("missed_pairs"),
+      coalesce(sum(when(col("__bf").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("extra_pairs"),
+      round(lit(1.0) -
+        coalesce(sum(when(col("__bl").isNull, 1L).otherwise(0L)), lit(0L)) /
+        greatest(coalesce(sum(col("__bf")), lit(0L)), lit(1L)), 4)
+        .as("recall"),
+      (coalesce(sum(col("__bf")), lit(0L)) > 0).as("non_empty"))
   }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *    only shuffle is the per-query top-k (rank bounded by k).
   *  - LSH-bucketed ANN: random-hyperplane signatures bucket the
   *    corpus once (a write-time artifact at scale); queries probe
-  *    only their own bucket — corpus scan count drops by ~2^bits.
+  *    their own bucket plus (multiprobe) buckets within a small
+  *    signature Hamming radius — corpus scan count drops by ~2^bits.
   *
   * All arithmetic is double-accumulated regardless of the stored
   * float32 — deterministic across engines and partitionings.
@@ -62,9 +63,20 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit j = sign of dot(v, h_j),
     * where h_j's components are deterministic ±1 derived from
     * xxhash64(j, dim_index) parity — reproducible across runs and
-    * engines with no stored model.
+    * engines with no stored model. Native codegen'd expression (one
+    * fused bits×dim loop, [[graft.plans.HyperplaneSig]]); equal to
+    * [[hyperplaneSigComposable]].
     */
-  def hyperplaneSig(vec: Column, bits: Int): Column = {
+  def hyperplaneSig(vec: Column, bits: Int): Column =
+    graft.plans.HyperplaneSig(vec, bits)
+
+  /** The signature as composable built-ins — the parity witness for
+    * the native expression. Do NOT use in bulk paths: the nested
+    * higher-order form is interpreted and re-evaluates the inner dot
+    * product per bit (the 20× anti-pattern measured on MinHash,
+    * BASELINE.md).
+    */
+  def hyperplaneSigComposable(vec: Column, bits: Int): Column = {
     val planes = sequence(lit(0), lit(bits - 1))
     aggregate(
       zip_with(planes, sequence(lit(0), lit(bits - 1)), (b, pos) => {
@@ -78,18 +90,38 @@ object Similarity {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** XOR masks of Hamming weight <= radius over `bits` bits — the
+    * multiprobe neighborhood, enumerated driver-side (tiny: Σ C(bits,i)).
+    */
+  private def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until bits).flatMap(b =>
+        combos(b + 1, left - 1).map(m => m | (1L << b)))
+    (0 to radius).flatMap(r => combos(0, r))
+  }
+
   /** ANN via hyperplane buckets: corpus bucketed by signature; each
-    * query scans only its bucket, then exact top-k within it. At
-    * scale, write the corpus partitioned/bucketed by `sig` once and
-    * this becomes a bucket-pruned scan per query batch.
+    * query scans its own bucket plus — multiprobe — every bucket
+    * within signature-Hamming `probeRadius` (near-misses land in
+    * adjacent buckets, so probing them recovers most of the recall a
+    * single bucket loses). Probe count is Σ C(bits, <=radius), a
+    * driver-side constant. At scale, write the corpus partitioned /
+    * bucketed by `sig` once and this becomes a bucket-pruned scan per
+    * query batch.
     */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, bits: Int = 8): DataFrame = {
+              k: Int, bits: Int = 8, probeRadius: Int = 1): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("cv"),
       hyperplaneSig(corpusVec, bits).as("sig"))
+    val masks = probeMasks(bits, probeRadius)
+    // each corpus vector lives in exactly one bucket and the probed
+    // signatures are distinct, so no candidate is scored twice
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
-      hyperplaneSig(queryVec, bits).as("sig"))
+        hyperplaneSig(queryVec, bits).as("qsig"))
+      .withColumn("sig", explode(array(masks.map(m =>
+        col("qsig").bitwiseXOR(lit(m))): _*)))
     val scored = c.join(broadcast(q), Seq("sig"))
       .withColumn("cos", round(cosine(col("cv"), col("qv")), 4))
       .filter(col("vec_id") =!= col("query_id"))
@@ -99,6 +131,27 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"),
         col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Self-validating ANN gate (the SortValidator / TeraValidate
+    * pattern, reference src/test/.../SortValidator.java — validate an
+    * output property when golden output isn't expressible): per-query
+    * recall@k of `ann` against the exact top-k, emitted as
+    * (query_id, recall_ok). The oracle states the floor as a
+    * constant: every query must clear it, so a recall regression
+    * hash-mismatches instead of passing silently.
+    */
+  def annRecallGate(ann: DataFrame, exact: DataFrame, k: Int,
+                    floor: Double): DataFrame = {
+    val a = ann.select(col("query_id"), col("vec_id"))
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val matched = e.join(a, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__m"))
+    e.select(col("query_id")).distinct()
+      .join(matched, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        (coalesce(col("__m"), lit(0L)).cast("double") / k >= floor)
+          .as("recall_ok"))
   }
 
   /** Exact embedding-cosine near-duplicate pairs: all pairs above the
@@ -120,17 +173,24 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs over LSH buckets: pairs in
     * the same bucket with cosine above threshold (the embedding
-    * variant of [[Dedup.minhashNearDups]]).
+    * variant of [[Dedup.minhashNearDups]]). Pair generation is
+    * bucket-local with the same skew guard as the text LSH path
+    * ([[Dedup]]): per-bucket membership is counted *before* anything
+    * is buffered, degenerate buckets (> maxBucket members — e.g. many
+    * near-zero vectors collapsing to one signature) are dropped with
+    * an observed metric, and the surviving buckets expand to pairs in
+    * one exchange with no self-join.
     */
   def embeddingNearDups(corpus: DataFrame, id: Column, vec: Column,
-                        threshold: Double, bits: Int = 8): DataFrame = {
+                        threshold: Double, bits: Int = 8,
+                        maxBucket: Int = 4096): DataFrame = {
     val c = corpus.select(id.as("vec_id"), vec.as("v"),
       hyperplaneSig(vec, bits).as("sig"))
-    val a = c.alias("a")
-    val b = c.alias("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 4))
+    Dedup.boundedGroupPairs(c, Seq(col("sig")),
+        struct(col("vec_id"), col("v")), maxBucket, "embed_buckets")
+      .withColumn("cos", round(cosine(col("__a.v"), col("__b.v")), 4))
       .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+      .select(col("__a.vec_id").as("id_a"), col("__b.vec_id").as("id_b"),
+        col("cos"))
   }
 }

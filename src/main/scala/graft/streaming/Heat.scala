@@ -38,16 +38,63 @@ object Heat {
     * gets `maxRep`, coldest `minRep`. The *online* bucket semantics
     * (promotion thresholds, capacity sweep) live in
     * [[ReplicationPolicy.State]]; this is the scan-friendly batch
-    * equivalent of a namespace-wide re-tiering, O(1) state per row
-    * after one range-partitioned sort.
+    * equivalent of a namespace-wide re-tiering.
+    *
+    * Exact ntile semantics WITHOUT the global un-partitioned window
+    * (`ntile().over(Window.orderBy(...))` funnels the whole table
+    * through one partition — a scale-killer past ~10⁷ rows). Instead:
+    * range-repartition on the sort key (a distributed exchange), take
+    * the per-partition row histogram to the driver (`numPartitions`
+    * longs, never data), and compute each row's global rank as
+    * partition offset + partition-local row_number — every window
+    * here is partitioned, every partition O(n / numPartitions). The
+    * tile is then derived from the rank in closed form with the
+    * standard ntile fill (first n % t tiles get the extra row).
+    *
+    * The histogram pass and the output pass MUST see identical
+    * partition boundaries — range boundaries are sampled per
+    * execution, and two executions of the same plan may sample
+    * differently (observed: whole rank blocks shifting a tier). So
+    * the repartitioned table is pinned once with an eager
+    * `localCheckpoint()`: both passes read the same materialized
+    * blocks, and the (expensive) upstream heat plan runs exactly
+    * once instead of twice. The lineage cut is acceptable here — the
+    * plan is a periodic policy sweep, rerun wholesale on failure.
     */
   def replicationPlan(heat: DataFrame, key: Column, heatCol: Column,
                       minRep: Int = 3, maxRep: Int = 6): DataFrame = {
     val tiers = maxRep - minRep + 1
-    val w = Window.orderBy(heatCol.desc, key.asc)
-    heat.withColumn("__tile", ntile(tiers).over(w))
-      .withColumn("target_rep", lit(maxRep + 1) - col("__tile"))
-      .drop("__tile")
+    val np = heat.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = heat.repartitionByRange(np, heatCol.desc, key.asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty)
+      return heat.withColumn("target_rep", lit(minRep).cast("int"))
+    val n = counts.map(_._2).sum
+    val offsets = {
+      var acc = 0L
+      counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+    }
+    val offsetExpr = offsets.tail
+      .foldLeft(when(col("__pid") === offsets.head._1, lit(offsets.head._2))) {
+        case (e, (p, o)) => e.when(col("__pid") === p, lit(o))
+      }.otherwise(lit(0L))
+    val w = Window.partitionBy(col("__pid")).orderBy(heatCol.desc, key.asc)
+    val rn = row_number().over(w).cast("long") + offsetExpr
+    // standard ntile: q = n / t rows per tile, first r = n % t tiles
+    // get one extra; closed form over the global rank (floor division
+    // via double is exact well past any realistic row count)
+    val q = n / tiers
+    val r = n % tiers
+    val bucket =
+      if (q == 0) rn
+      else when(rn <= lit(r * (q + 1)),
+          floor((rn - 1) / lit(q + 1)) + 1)
+        .otherwise(lit(r) + floor((rn - lit(r * (q + 1)) - 1) / lit(q)) + 1)
+    parts.withColumn("target_rep", (lit(maxRep + 1) - bucket).cast("int"))
+      .drop("__pid")
   }
 
   /** Scalable tiering: the global-window `ntile` above is exact but

@@ -62,10 +62,15 @@ object HeatStream {
         // quantile re-tier of the touched files this micro-batch.
         // cache+count materializes every partition — foreachBatch
         // must consume the whole batch or the state store commit
-        // validation fails (and the actuator would see partial plans)
-        val plan = Heat.replicationPlan(batch.toDF(), col("path"), col("ewma"),
+        // validation fails (and the actuator would see partial plans).
+        // caching the batch FIRST also makes replicationPlan's two
+        // passes (partition histogram + output) read identical data.
+        val heat = batch.toDF().cache()
+        heat.count()
+        val plan = Heat.replicationPlan(heat, col("path"), col("ewma"),
           cfg.minRep, cfg.maxRep).cache()
         plan.count()
+        heat.unpersist()
         // global view: foreachBatch runs on a cloned session, so a
         // plain temp view would be invisible to the caller's session
         plan.createOrReplaceGlobalTempView(s"${queryName}_plan")

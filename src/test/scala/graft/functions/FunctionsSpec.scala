@@ -90,6 +90,54 @@ class DedupSpec extends SparkSpec {
     val pairs = simhashNearDups(df, $"id", $"text", maxHamming = 0).collect()
     assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
   }
+
+  test("simhash blocking recall is exactly 1.0 at any radius (pigeonhole chunks)") {
+    // the validator compares chunk-blocked pairs against the exact
+    // O(n²) hamming join on real docs; maxHamming+1 chunks guarantee
+    // recall 1.0 regardless of radius (the old fixed 4-chunk split
+    // only guaranteed radius <= 3)
+    val docs = graft.Graft.table(spark, sf, "documents")
+    for (radius <- Seq(3, 12, 25)) {
+      val r = simhashValidate(docs, col("doc_id"), col("text"), radius)
+        .collect().head
+      assert(r.getLong(0) == 0L, s"radius=$radius missed ${r.getLong(0)} pairs")
+      assert(r.getLong(1) == 0L, s"radius=$radius extra ${r.getLong(1)} pairs")
+      assert(r.getDouble(2) == 1.0)
+      if (radius >= 12) assert(r.getBoolean(3), "witness vacuous: no pairs in radius")
+    }
+  }
+
+  test("minhash bands=numHashes + exact rerank equals the exact jaccard pair set") {
+    // the q_minhash_lsh oracle contract: with one hash row per band,
+    // candidates cover every pair sharing any min value, and the
+    // exact rerank then reproduces ngramJaccardPairs exactly
+    val docs = graft.Graft.table(spark, sf, "documents")
+    val lsh = minhashNearDups(docs, col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, s"only-lsh=${lsh -- exact} only-exact=${exact -- lsh}")
+    assert(exact.nonEmpty)
+  }
+
+  test("oversized groups are dropped before buffering (skew guard)") {
+    // a corpus where every doc shares one stopword shingle: with
+    // maxDf below the group size the hot shingle contributes no
+    // pairs (and, structurally, is filtered before collect_list —
+    // the window count runs first, so the group never materializes)
+    val common = "alpha beta gamma"
+    val df = (1 to 20).map(i => (i.toLong, s"$common w$i x$i y$i")).toDF("id", "text")
+    val capped = ngramJaccardPairs(df, $"id", $"text", shingleN = 3,
+      threshold = 0.01, maxDf = 10)
+    // docs share ONLY the 'alpha beta gamma' shingle (+ boundary
+    // shingles unique per doc) -> dropping it leaves no pairs
+    assert(capped.count() == 0)
+    val uncapped = ngramJaccardPairs(df, $"id", $"text", shingleN = 3,
+      threshold = 0.01, maxDf = 1000)
+    assert(uncapped.count() == 20 * 19 / 2)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -120,9 +168,58 @@ class SimilaritySpec extends SparkSpec {
     }
     val corpus = vecs.toDF("id", "v")
     val q = vecs.take(2).toDF("id", "v")
-    val ann = lshTopK(corpus, $"id", $"v", q, $"id", $"v", k = 3, bits = 2)
+    val ann = lshTopK(corpus, $"id", $"v", q, $"id", $"v", k = 3, bits = 2,
+      probeRadius = 0)
     assert(ann.count() > 0)
     assert(ann.collect().forall(_.getInt(3) <= 3))
+  }
+
+  test("multiprobe widens coverage monotonically up to brute force") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.cos(i * 17 + 3 * d).toFloat))
+    }
+    val corpus = vecs.toDF("id", "v")
+    val q = vecs.take(3).toDF("id", "v")
+    val exact = bruteForceTopK(corpus, $"id", $"v", q, $"id", $"v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 to 3).map { radius =>
+      val ann = lshTopK(corpus, $"id", $"v", q, $"id", $"v", k = 5,
+        bits = 3, probeRadius = radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ann & exact).size
+    }
+    assert(hits == hits.sorted, s"recall not monotone in radius: $hits")
+    // radius = bits probes every bucket -> identical to brute force
+    assert(hits.last == exact.size)
+  }
+
+  test("embeddingNearDups caps degenerate buckets (all-same-signature corpus)") {
+    // 50 identical vectors: one bucket, 1225 potential pairs — with
+    // maxBucket below the membership the bucket is dropped (bounded
+    // output, counted before buffering), with a roomy cap all pairs
+    // emerge
+    val df = (1 to 50).map(i => (i.toLong, Seq(1.0f, 0.5f, -0.25f, 0.8f)))
+      .toDF("id", "v")
+    val capped = embeddingNearDups(df, $"id", $"v", threshold = 0.9,
+      bits = 8, maxBucket = 10)
+    assert(capped.count() == 0)
+    val roomy = embeddingNearDups(df, $"id", $"v", threshold = 0.9,
+      bits = 8, maxBucket = 100)
+    assert(roomy.count() == 50 * 49 / 2)
+  }
+
+  test("annRecallGate passes exact results and flags empty ANN") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => math.sin(i * 13 + d).toFloat))
+    }
+    val corpus = vecs.toDF("id", "v")
+    val q = vecs.take(2).toDF("id", "v")
+    val exact = bruteForceTopK(corpus, $"id", $"v", q, $"id", $"v", k = 4)
+    val perfect = annRecallGate(exact, exact, k = 4, floor = 1.0).collect()
+    assert(perfect.length == 2 && perfect.forall(_.getBoolean(1)))
+    val empty = annRecallGate(exact.filter(lit(false)), exact, k = 4, floor = 0.2)
+      .collect()
+    assert(empty.length == 2 && empty.forall(!_.getBoolean(1)))
   }
 }
 

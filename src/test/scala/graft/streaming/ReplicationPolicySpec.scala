@@ -117,6 +117,36 @@ class HeatBatchSpec extends SparkSpec {
     assert(approx(100L) == 6 && approx(1L) == 3)
   }
 
+  test("replicationPlan matches standard ntile fill without a global window") {
+    // n=10, 4 tiers: q=2, r=2 -> tile sizes 3,3,2,2 over ewma desc
+    val heat = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("user_id", "ewma")
+    val plan = Heat.replicationPlan(heat, col("user_id"), col("ewma"))
+    val got = plan.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val want = Map(10L -> 6, 9L -> 6, 8L -> 6, 7L -> 5, 6L -> 5, 5L -> 5,
+      4L -> 4, 3L -> 4, 2L -> 3, 1L -> 3)
+    assert(got == want)
+    // the scale contract: every window in the executed plan is
+    // partitioned — no single-partition global-sort funnel
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globalWindows = plan.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"un-partitioned windows: $globalWindows")
+  }
+
+  test("replicationPlan rank is stable across executions (pinned boundaries)") {
+    // regression: two executions of repartitionByRange may sample
+    // different range boundaries; the histogram and output passes must
+    // not disagree (observed at sf0.1: whole rank blocks shifting a
+    // tier). The localCheckpoint pin makes repeated collects identical.
+    val heat = (1 to 500).map(i => (i.toLong, (i % 37).toDouble)).toDF("user_id", "ewma")
+    val a = Heat.replicationPlan(heat, col("user_id"), col("ewma"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val b = Heat.replicationPlan(heat, col("user_id"), col("ewma"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a == b)
+  }
+
   test("streaming run() emits a per-batch replication plan view") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import HeatStream._
