@@ -162,8 +162,19 @@ object Joins {
     val outSchema = StructType(left.schema.fields ++ right.schema.fields)
     val lIdx = left.schema.fieldIndex(leftKey)
     val rIdx = right.schema.fieldIndex(rightKey)
-    val keyedableL = left.groupByKey((r: Row) => String.valueOf(r.get(lIdx)))(Encoders.STRING)
-    val keyedR = right.groupByKey((r: Row) => String.valueOf(r.get(rIdx)))(Encoders.STRING)
+    // the key is grouped NATIVELY (single-field row encoder), not
+    // stringified: int 1 and string "1" must not collide, and keys
+    // shuffle as unsafe rows instead of boxed strings. Like the
+    // reference (same key class on both sides), mismatched key types
+    // are a caller error, not an implicit cast.
+    val lType = left.schema.fields(lIdx).dataType
+    val rType = right.schema.fields(rIdx).dataType
+    require(lType == rType,
+      s"dataJoin key types must match: $leftKey is $lType, $rightKey is $rType")
+    val keyEnc = Encoders.row(StructType(Seq(
+      left.schema.fields(lIdx).copy(name = "k"))))
+    val keyedableL = left.groupByKey((r: Row) => Row(r.get(lIdx)))(keyEnc)
+    val keyedR = right.groupByKey((r: Row) => Row(r.get(rIdx)))(keyEnc)
     val out = keyedableL.cogroup(keyedR) { (_, ls, rs) =>
       // buffer the (usually smaller) right side once, stream the left
       val rBuf = rs.toArray

@@ -16,12 +16,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write a bucketed+sorted table into the session catalog. */
+  /** Write a bucketed+sorted table into the session catalog, with a
+    * parquet bloom filter on the bucket key (the BloomMapFile analog
+    * — reference: src/core/org/apache/hadoop/io/BloomMapFile.java:
+    * probe the membership filter before touching the index). Bucket
+    * pruning routes a point lookup to 1 of n buckets; the bloom then
+    * skips that bucket's non-matching row groups without decoding
+    * them — at 100 TB a membership probe otherwise scans every row
+    * group of the bucket.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+                    buckets: Int, bloom: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    (if (bloom) w.option(s"parquet.bloom.filter.enabled#$key", "true") else w)
+      .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. With matching
     * bucket counts Catalyst plans SMJ with no Exchange (verify with

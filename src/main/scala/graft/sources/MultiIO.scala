@@ -84,4 +84,38 @@ object MultiIO {
     df.select(col(keyCol).cast("string"), col(valueCol).cast("string"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
       .saveAsSequenceFile(path)
+
+  /** Raw-bytes SequenceFile source (reference:
+    * SequenceFileAsBinaryInputFormat.java — K/V handed to the job as
+    * uninterpreted BytesWritable): (BytesWritable, BytesWritable) →
+    * two `binary` columns. The record reader reuses Writable buffers,
+    * so bytes are copied out before crossing the iterator.
+    */
+  def readSequenceFileBinary(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.BytesWritable
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile(path, classOf[BytesWritable], classOf[BytesWritable])
+      .map { case (k, v) => (k.copyBytes(), v.copyBytes()) }
+      .toDF("key", "value")
+  }
+
+  /** Raw-bytes SequenceFile sink (reference:
+    * SequenceFileAsBinaryOutputFormat.java): two binary columns →
+    * (BytesWritable, BytesWritable) records. Null bytes are written
+    * as empty (BytesWritable has no null representation).
+    */
+  def writeSequenceFileBinary(df: DataFrame, keyCol: String, valueCol: String,
+                              path: String): Unit = {
+    import org.apache.hadoop.io.BytesWritable
+    import org.apache.hadoop.mapred.SequenceFileOutputFormat
+    df.select(col(keyCol).cast("binary"), col(valueCol).cast("binary"))
+      .rdd.map { r =>
+        def bytes(i: Int): Array[Byte] =
+          if (r.isNullAt(i)) Array.emptyByteArray else r.getAs[Array[Byte]](i)
+        (new BytesWritable(bytes(0)), new BytesWritable(bytes(1)))
+      }
+      .saveAsHadoopFile(path, classOf[BytesWritable], classOf[BytesWritable],
+        classOf[SequenceFileOutputFormat[BytesWritable, BytesWritable]])
+  }
 }

@@ -179,6 +179,22 @@ class JoinsSpec extends SparkSpec {
       .collect().map(x => (x.getInt(0), x.getString(1), x.getInt(3))).sorted
     assert(got.toSeq == Seq((1, "x", 10), (1, "x", 20), (1, "y", 10), (1, "y", 20)))
   }
+
+  test("dataJoin keys are typed: int and string keys never collide") {
+    // the stringified-key form would have joined int 1 with "1";
+    // typed keys reject the mismatch outright (reference data_join
+    // requires the same key class on both sides)
+    val intKeys = Seq((1, "x")).toDF("k", "lv")
+    val strKeys = Seq(("1", 10)).toDF("j", "rv")
+    val e = intercept[IllegalArgumentException] {
+      dataJoin(intKeys, strKeys, "k", "j")
+    }
+    assert(e.getMessage.contains("key types must match"))
+    // same-typed keys still join natively
+    val l2 = Seq((1L, "a")).toDF("k", "lv")
+    val r2 = Seq((1L, 7)).toDF("j", "rv")
+    assert(dataJoin(l2, r2, "k", "j").count() == 1)
+  }
 }
 
 class AggregateLibSpec extends SparkSpec {

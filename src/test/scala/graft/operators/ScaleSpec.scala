@@ -53,6 +53,50 @@ class LookupAndPruningSpec extends SparkSpec {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled") == prev)
   }
 
+  test("bucketed write carries a parquet bloom filter on the key (BloomMapFile analog)") {
+    // many row groups: small row-group size so one bucket spans
+    // several, making row-group skipping meaningful
+    val df = (1 to 20000).map(i => (i.toLong, s"payload_$i" * 8)).toDF("k", "v")
+    val prev = spark.conf.getOption("spark.hadoop.parquet.block.size")
+    try {
+      spark.conf.set("spark.hadoop.parquet.block.size", (64 * 1024).toString)
+      Bucketing.writeBucketed(df, "bk_bloom", "k", 2)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.hadoop.parquet.block.size", v)
+      case None => spark.conf.unset("spark.hadoop.parquet.block.size")
+    }
+    val loc = new java.net.URI(spark.sql("DESCRIBE EXTENDED bk_bloom")
+      .filter($"col_name" === "Location").collect().head.getString(1))
+    val files = new java.io.File(loc).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    var groups = 0
+    var mightContain42 = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try reader.getRowGroups.asScala.foreach { block =>
+        val colMeta = block.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get
+        val bloom = reader.getBloomFilterDataReader(block)
+          .readBloomFilter(colMeta)
+        assert(bloom != null, s"no bloom filter on k in ${f.getName}")
+        groups += 1
+        if (bloom.findHash(bloom.hash(42L))) mightContain42 += 1
+      } finally reader.close()
+    }
+    // the probe key lives in exactly one row group; blooms must rule
+    // out (almost) all others — that's the row-group skip a reader
+    // performs before decoding anything
+    assert(groups > 4, s"want several row groups, got $groups")
+    assert(mightContain42 < groups / 2,
+      s"bloom prunes nothing: $mightContain42 of $groups row groups match")
+  }
+
   test("partitioned write enables partition pruning on read") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString + "/t"
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")

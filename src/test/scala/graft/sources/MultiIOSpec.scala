@@ -42,6 +42,19 @@ class MultiIOSpec extends SparkSpec {
     assert(back == Set("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("binary sequence file round-trips raw bytes (AsBinary compat)") {
+    val dir = Files.createTempDirectory("graft-seqbin").toString + "/sfb"
+    // bytes that are NOT valid UTF-8 — a text path would mangle them
+    val k1 = Array[Byte](0, 1, -1, -128, 127)
+    val v1 = Array[Byte](-2, -3, 0, 0, 5)
+    val df = Seq((k1, v1), (Array[Byte](9), Array.emptyByteArray))
+      .toDF("key", "value")
+    MultiIO.writeSequenceFileBinary(df, "key", "value", dir)
+    val back = MultiIO.readSequenceFileBinary(spark, dir).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(back == Set(k1.toSeq -> v1.toSeq, Seq[Byte](9) -> Seq.empty[Byte]))
+  }
+
   test("custom record delimiter read (StreamInputFormat analog)") {
     val f = Files.createTempDirectory("graft-lineSep").resolve("recs.txt")
     Files.writeString(f, "rec1;rec2;rec3")

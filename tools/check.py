@@ -11,10 +11,27 @@ repr of round(x, 9) to surface sub-rounding drift early).
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def cat(t):
+    """Arrow type category — the driver's hash is type-sensitive, so
+    the mirror must distinguish everything it does, including
+    timestamp unit and timezone (ts[us,UTC] vs ts[ns,None] would
+    hash-mismatch even when stringified values agree)."""
+    if pa.types.is_integer(t): return "int" + str(t.bit_width)
+    if pa.types.is_floating(t): return "float" + str(t.bit_width)
+    if pa.types.is_decimal(t): return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_timestamp(t): return f"ts[{t.unit},{t.tz}]"
+    if pa.types.is_boolean(t): return "bool"
+    return str(t)
 
 
 def norm(v):
@@ -81,17 +98,6 @@ def main(sf_dir, out_dir):
         # Spark BIGINT/DOUBLE mismatch even when stringified values agree
         # — so compare arrow type categories too (r01 lesson: 10 queries
         # passed stringified compare but failed the driver hash)
-        def cat(t):
-            import pyarrow as pa
-            if pa.types.is_integer(t): return "int" + str(t.bit_width)
-            if pa.types.is_floating(t): return "float" + str(t.bit_width)
-            if pa.types.is_decimal(t): return f"decimal({t.precision},{t.scale})"
-            if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
-            if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
-            if pa.types.is_date(t): return "date"
-            if pa.types.is_timestamp(t): return "ts"
-            if pa.types.is_boolean(t): return "bool"
-            return str(t)
         stypes = {n: cat(tbl.schema.field(n).type) for n in spark_names}
         dtypes = {n: cat(duck_arrow.schema.field(n).type) for n in duck_names}
         type_mismatch = [
