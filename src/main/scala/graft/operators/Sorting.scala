@@ -188,4 +188,27 @@ object Sorting {
     }
     df.orderBy(keys: _*)
   }
+
+  /** KeyFieldBasedPartitioner (reference:
+    * lib/KeyFieldBasedPartitioner.java — route records by a hash of
+    * the spec'd key fields, so all records sharing those fields land
+    * in the same reduce partition): hash-repartition on the parsed
+    * key-field expressions. Numeric fields hash by their numeric
+    * value ("07" and "7.0" co-locate, matching the numeric compare
+    * the downstream sort applies); co-location is the contract the
+    * spec asserts.
+    */
+  def keyFieldPartition(df: DataFrame, value: Column, spec: String,
+                        sep: String = "\t",
+                        numPartitions: Option[Int] = None): DataFrame = {
+    val parts = split(value, java.util.regex.Pattern.quote(sep))
+    val keys = parseKeyFieldSpecs(spec).map { s =>
+      val f = parts.getItem(s.field - 1)
+      if (s.numeric) f.cast("double") else f
+    }
+    numPartitions match {
+      case Some(n) => df.repartition(n, keys: _*)
+      case None => df.repartition(keys: _*)
+    }
+  }
 }

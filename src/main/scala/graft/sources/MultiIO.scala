@@ -32,6 +32,30 @@ object MultiIO {
       coalesce(get(parts, lit(1)), lit("")).as("value"))
   }
 
+  /** NLineInputFormat (reference: lib/NLineInputFormat.java:63-78 —
+    * each mapper receives exactly N lines; getSplits scans the file
+    * once to find line boundaries, then tasks read their window):
+    * deal consecutive rows into ceil(total/n) partitions of n rows
+    * each (last partial). Same two-pass shape as the reference — one
+    * pass to count/number, one to route — used when per-record work
+    * is heavy enough that task granularity must be row-exact rather
+    * than byte-sized (`maxPartitionBytes`).
+    */
+  def nLineSplit(df: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = df.sparkSession
+    val total = df.count()
+    val numParts = math.max(1, ((total + n - 1) / n).toInt)
+    val schema = df.schema
+    val rows = df.rdd.zipWithIndex.map { case (r, i) => ((i / n).toInt, r) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(rows, schema)
+  }
+
   /** MultipleOutputFormat: output path derived from a column —
     * directly Spark's partitioned write. Hive-style `col=value`
     * directories replace the reference's generateFileNameForKeyValue.

@@ -57,6 +57,24 @@ class SortingSpec extends SparkSpec {
     assert(got == Seq("a\t10", "b\t2", "c\t2"))
   }
 
+  test("keyFieldPartition co-locates records sharing the spec'd key fields") {
+    import spark.implicits._
+    // numeric key spec: "07" and "7.0" are the same numeric key and
+    // must land in the same partition (the partitioner hashes the
+    // typed key the downstream numeric sort compares)
+    val df = (1 to 200).map(i => s"u${i % 10}\t${i % 7}").toDF("value")
+      .union(Seq("u1\t07", "u1\t7.0").toDF("value"))
+    val parted = keyFieldPartition(df, col("value"), "-k2,2n", numPartitions = Some(5))
+    assert(parted.rdd.getNumPartitions == 5)
+    val keyToParts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => r.getString(0).split("\t")(1).toDouble -> pid)
+    }.collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every numeric key lives in exactly one partition
+    assert(keyToParts.values.forall(_.size == 1), keyToParts.toString)
+    // and rows are spread over more than one partition overall
+    assert(keyToParts.values.flatten.toSet.size > 1)
+  }
+
   test("reduceSortedGroups streams sorted runs and matches groupBy") {
     import spark.implicits._
     val li = Graft.table(spark, sf, "lineitem")

@@ -42,6 +42,21 @@ class MultiIOSpec extends SparkSpec {
     assert(back == Set("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("nLineSplit deals exactly n consecutive rows per partition") {
+    val df = (1 to 10).map(i => s"line$i").toDF("value")
+    val out = MultiIO.nLineSplit(df, 3)
+    val byPart = out.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_.getString(0)).toList)
+    }.collect().toMap
+    assert(byPart.keySet == Set(0, 1, 2, 3))
+    assert(byPart(0) == List("line1", "line2", "line3"))
+    assert(byPart(1) == List("line4", "line5", "line6"))
+    assert(byPart(2) == List("line7", "line8", "line9"))
+    assert(byPart(3) == List("line10"))
+    // row-exact granularity regardless of input partitioning
+    assert(MultiIO.nLineSplit(df.repartition(7), 5).rdd.getNumPartitions == 2)
+  }
+
   test("binary sequence file round-trips raw bytes (AsBinary compat)") {
     val dir = Files.createTempDirectory("graft-seqbin").toString + "/sfb"
     // bytes that are NOT valid UTF-8 — a text path would mangle them
