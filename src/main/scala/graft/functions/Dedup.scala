@@ -326,7 +326,8 @@ object Dedup {
     * derived from the radius, not fixed: a pair differing in at most
     * `maxHamming` bits cannot touch all `maxHamming + 1` chunks
     * (pigeonhole), so some chunk collides and the pair is recovered —
-    * recall is exactly 1.0 by construction, and the output is
+    * recall is exactly 1.0 by construction for any radius in [0, 63]
+    * (>= 64 would mean "every pair" — rejected), and the output is
     * precisely "all non-empty-doc pairs with hamming <= maxHamming"
     * (a fixed 4-chunk split only guarantees this for radius <= 3).
     */
@@ -341,9 +342,13 @@ object Dedup {
     */
   private def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int,
                                       maxBucket: Int): DataFrame = {
+    // 64 one-bit chunks guarantee recall only up to radius 63; a
+    // radius >= 64 means "every pair" — not a similarity query
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     // chunk layout: maxHamming+1 chunks covering all 64 bits, widths
     // as even as possible (the first 64 % n chunks get the extra bit)
-    val nChunks = math.min(64, maxHamming + 1)
+    val nChunks = maxHamming + 1
     val base = 64 / nChunks
     val rem = 64 % nChunks
     val widths = (0 until nChunks).map(i => if (i < rem) base + 1 else base)

@@ -166,15 +166,20 @@ object Joins {
     // stringified: int 1 and string "1" must not collide, and keys
     // shuffle as unsafe rows instead of boxed strings. Like the
     // reference (same key class on both sides), mismatched key types
-    // are a caller error, not an implicit cast.
+    // are a caller error, not an implicit cast. Null keys are dropped
+    // up front: an equi-join never matches null = null (Catalyst
+    // parity), and the encoder field is forced nullable so a null on
+    // either side cannot crash encoding before the filter.
     val lType = left.schema.fields(lIdx).dataType
     val rType = right.schema.fields(rIdx).dataType
     require(lType == rType,
       s"dataJoin key types must match: $leftKey is $lType, $rightKey is $rType")
     val keyEnc = Encoders.row(StructType(Seq(
-      left.schema.fields(lIdx).copy(name = "k"))))
-    val keyedableL = left.groupByKey((r: Row) => Row(r.get(lIdx)))(keyEnc)
-    val keyedR = right.groupByKey((r: Row) => Row(r.get(rIdx)))(keyEnc)
+      left.schema.fields(lIdx).copy(name = "k", nullable = true))))
+    val keyedableL = left.filter(col(leftKey).isNotNull)
+      .groupByKey((r: Row) => Row(r.get(lIdx)))(keyEnc)
+    val keyedR = right.filter(col(rightKey).isNotNull)
+      .groupByKey((r: Row) => Row(r.get(rIdx)))(keyEnc)
     val out = keyedableL.cogroup(keyedR) { (_, ls, rs) =>
       // buffer the (usually smaller) right side once, stream the left
       val rBuf = rs.toArray

@@ -44,15 +44,23 @@ object MultiIO {
   def nLineSplit(df: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val spark = df.sparkSession
-    val total = df.count()
+    // pin the input once: count, zipWithIndex's internal count job,
+    // and the shuffle all read the same materialized blocks instead
+    // of re-executing the upstream plan (and row numbering cannot
+    // drift between those jobs)
+    val pinned = df.localCheckpoint()
+    val total = pinned.count()
     val numParts = math.max(1, ((total + n - 1) / n).toInt)
-    val schema = df.schema
-    val rows = df.rdd.zipWithIndex.map { case (r, i) => ((i / n).toInt, r) }
+    val schema = pinned.schema
+    val rows = pinned.rdd.zipWithIndex
+      .map { case (r, i) => ((i / n).toInt, (i, r)) }
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = numParts
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
-      .map(_._2)
+      // shuffle-block fetch order is nondeterministic on a cluster;
+      // restore line order inside each (at most n-row) split
+      .mapPartitions(_.toArray.sortBy(_._2._1).iterator.map(_._2._2))
     spark.createDataFrame(rows, schema)
   }
 

@@ -64,7 +64,11 @@ object Heat {
   def replicationPlan(heat: DataFrame, key: Column, heatCol: Column,
                       minRep: Int = 3, maxRep: Int = 6): DataFrame = {
     val tiers = maxRep - minRep + 1
-    val np = heat.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // shuffle.partitions can be non-numeric on some platforms
+    // (e.g. "auto"); fall back to the cluster's default parallelism
+    val np = scala.util.Try(
+      heat.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(heat.sparkSession.sparkContext.defaultParallelism)
     val parts = heat.repartitionByRange(np, heatCol.desc, key.asc)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()

@@ -91,7 +91,11 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
   }
 
-  test("simhash blocking recall is exactly 1.0 at any radius (pigeonhole chunks)") {
+  test("simhash blocking recall is exactly 1.0 at any radius <= 63 (pigeonhole chunks)") {
+    intercept[IllegalArgumentException] {
+      simhashNearDups(graft.Graft.table(spark, sf, "documents"),
+        col("doc_id"), col("text"), maxHamming = 64).count()
+    }
     // the validator compares chunk-blocked pairs against the exact
     // O(n²) hamming join on real docs; maxHamming+1 chunks guarantee
     // recall 1.0 regardless of radius (the old fixed 4-chunk split
@@ -112,6 +116,14 @@ class DedupSpec extends SparkSpec {
     // candidates cover every pair sharing any min value, and the
     // exact rerank then reproduces ngramJaccardPairs exactly
     val docs = graft.Graft.table(spark, sf, "documents")
+    // precondition of the equality: the oracle's maxDf prune (df >
+    // 1000) must never fire on the graded corpus, or the two jaccard
+    // definitions diverge — check it rather than assume it
+    val maxDf = docs
+      .select(explode(shingles(col("text"), 3)).as("s"), col("doc_id"))
+      .groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
+      .agg(max(col("df"))).collect().head.getLong(0)
+    assert(maxDf <= 1000, s"stopword shingle df=$maxDf would split the oracles")
     val lsh = minhashNearDups(docs, col("doc_id"), col("text"),
         shingleN = 3, numHashes = 32, bands = 32, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
