@@ -257,6 +257,19 @@ object SparkEntry {
       AggregateLib.valueHistogram(t(s, dir, "lineitem"),
         Seq(col("l_returnflag")), col("l_quantity"))),
 
+    // AccumulatingReducer: value type rides on the key prefix (l: =
+    // long sum, s: = sorted concat; the f: double branch is spec'd,
+    // not oracled — double-to-string formatting differs per engine)
+    "q_accumulate" -> ((s, dir) =>
+      AggregateLib.accumulatingReduce(
+        t(s, dir, "nation").select(
+          when(col("n_nationkey") % 2 === 0, lit("l:even_keys"))
+            .otherwise(lit("s:odd_names")).as("k"),
+          when(col("n_nationkey") % 2 === 0,
+            col("n_nationkey").cast("string"))
+            .otherwise(col("n_name")).as("v")),
+        col("k"), col("v"))),
+
     // ---- §2.8 / record codecs: JSON record parsing ------------------
     "q_json_record" -> ((s, dir) =>
       t(s, dir, "events")
@@ -840,6 +853,19 @@ object SparkEntry {
         |       CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
         |       CAST(64 + (octet_length(encode(text)) * 31) % 433 AS INT) AS height
         |FROM documents""".stripMargin,
+
+    "q_accumulate" ->
+      """WITH kv AS (
+        |  SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'l:even_keys'
+        |              ELSE 's:odd_names' END AS key,
+        |         CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey AS VARCHAR)
+        |              ELSE n_name END AS value
+        |  FROM nation)
+        |SELECT key,
+        |  CASE WHEN key LIKE 'l:%'
+        |         THEN CAST(sum(TRY_CAST(value AS BIGINT)) AS VARCHAR)
+        |       ELSE string_agg(value, ';' ORDER BY value) END AS value
+        |FROM kv GROUP BY key""".stripMargin,
 
     "q_histogram" ->
       """WITH freq AS (

@@ -23,6 +23,30 @@ import scala.collection.mutable
   */
 object AggregateLib {
 
+  /** AccumulatingReducer (reference:
+    * src/test/org/apache/hadoop/fs/AccumulatingReducer.java — the
+    * DFSIO collector): the VALUE TYPE rides on the key prefix —
+    * `l:` keys long-sum their values, `f:` keys double-sum, anything
+    * else string-concatenates. One pass, one shuffle; all three
+    * aggregates are partial-aggregated and the prefix CASE picks the
+    * surviving one per group. Concatenation is over sorted values —
+    * deterministic, unlike the reference's reduce-iteration order.
+    * Non-numeric values under a numeric prefix become null via
+    * try_cast (the reference would throw mid-job).
+    */
+  def accumulatingReduce(df: DataFrame, key: Column, value: Column,
+                         concatSep: String = ";"): DataFrame = {
+    val v = value.cast("string")
+    df.groupBy(key.as("key"))
+      .agg(
+        when(col("key").startsWith("l:"),
+          sum(v.try_cast("long")).cast("string"))
+        .when(col("key").startsWith("f:"),
+          sum(v.try_cast("double")).cast("string"))
+        .otherwise(concat_ws(concatSep, sort_array(collect_list(v))))
+        .as("value"))
+  }
+
   // -- the simple family: direct built-in mappings -------------------
   def longValueSum(c: Column): Column = sum(c.cast("long"))
   def doubleValueSum(c: Column): Column = sum(c.cast("double"))

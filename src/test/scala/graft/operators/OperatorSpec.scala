@@ -219,6 +219,21 @@ class AggregateLibSpec extends SparkSpec {
   import AggregateLib._
   import spark.implicits._
 
+  test("accumulatingReduce types values by key prefix (DFSIO collector)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("l:tasks", "3"), ("l:tasks", "4"),
+      ("f:rate", "1.5"), ("f:rate", "2.25"),
+      ("s:files", "b.txt"), ("s:files", "a.txt"),
+      ("l:bad", "x"), ("l:bad", "7")).toDF("k", "v")
+    val got = accumulatingReduce(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("l:tasks") == "7")
+    assert(got("f:rate") == "3.75")
+    assert(got("s:files") == "a.txt;b.txt") // sorted, deterministic
+    assert(got("l:bad") == "7")             // non-numeric -> null, skipped by sum
+  }
+
   test("uniqValueCount caps exactly at maxNumItems") {
     val df = (1 to 100).map(i => ("g", i % 30)).toDF("g", "v")
     val got = df.groupBy($"g").agg(
