@@ -171,26 +171,43 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs over LSH buckets: pairs in
-    * the same bucket with cosine above threshold (the embedding
-    * variant of [[Dedup.minhashNearDups]]). Pair generation is
-    * bucket-local with the same skew guard as the text LSH path
-    * ([[Dedup]]): per-bucket membership is counted *before* anything
-    * is buffered, degenerate buckets (> maxBucket members — e.g. many
-    * near-zero vectors collapsing to one signature) are dropped with
-    * an observed metric, and the surviving buckets expand to pairs in
-    * one exchange with no self-join.
+  /** Embedding-cosine near-duplicate pairs over banded LSH buckets
+    * (the embedding variant of [[Dedup.minhashNearDups]]): one
+    * `bits`-bit hyperplane signature per vector, split into
+    * `bits / bandBits` bands; vectors sharing ANY band's bits are
+    * candidates, reranked with exact cosine. Banding is the standard
+    * recall amplifier — per-band collision for a pair at angle θ is
+    * (1 - θ/π)^bandBits, and missing ALL L bands decays as
+    * (1 - p^b)^L, so true near-dups (θ small) are recovered with
+    * high probability while the candidate count stays bucket-local.
+    *
+    * Pair generation carries the same skew guard as the text LSH
+    * path ([[Dedup]]): per-bucket membership is counted *before*
+    * anything is buffered, degenerate buckets (> maxBucket members —
+    * e.g. many near-zero vectors collapsing to one signature) are
+    * dropped with an observed metric, and surviving buckets expand
+    * to pairs in one exchange with no self-join.
     */
   def embeddingNearDups(corpus: DataFrame, id: Column, vec: Column,
-                        threshold: Double, bits: Int = 8,
-                        maxBucket: Int = 4096): DataFrame = {
+                        threshold: Double, bits: Int = 16,
+                        maxBucket: Int = 4096,
+                        bandBits: Int = 4): DataFrame = {
+    require(bits % bandBits == 0 && bits >= bandBits,
+      s"bits ($bits) must be a positive multiple of bandBits ($bandBits)")
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
     val c = corpus.select(id.as("vec_id"), vec.as("v"),
       hyperplaneSig(vec, bits).as("sig"))
-    Dedup.boundedGroupPairs(c, Seq(col("sig")),
+    val banded = c.select(col("vec_id"), col("v"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "v", "band", "bkey")
+    Dedup.boundedGroupPairs(banded, Seq(col("band"), col("bkey")),
         struct(col("vec_id"), col("v")), maxBucket, "embed_buckets")
       .withColumn("cos", round(cosine(col("__a.v"), col("__b.v")), 4))
       .filter(col("cos") >= threshold)
       .select(col("__a.vec_id").as("id_a"), col("__b.vec_id").as("id_b"),
         col("cos"))
+      .distinct()
   }
 }

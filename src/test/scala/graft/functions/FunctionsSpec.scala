@@ -220,6 +220,30 @@ class SimilaritySpec extends SparkSpec {
     assert(roomy.count() == 50 * 49 / 2)
   }
 
+  test("banded embeddingNearDups recovers true near-duplicates (recall gate)") {
+    // a corpus WITH near-dup structure (the synthetic embeddings have
+    // none): 40 random base vectors plus a tiny-noise copy of each —
+    // 40 true pairs at cos ~0.999. Banded LSH must recover nearly all
+    // of what brute force finds; a single-bucket (unbanded) scheme
+    // loses pairs whose one differing signature bit splits the bucket.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 40).flatMap { i =>
+      val v = vec()
+      val near = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, near.toSeq))
+    }
+    val df = rows.toDF("id", "v")
+    val exact = bruteForcePairs(df, $"id", $"v", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 40) // every seeded pair qualifies
+    val lsh = embeddingNearDups(df, $"id", $"v", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // rerank admits nothing below threshold
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded LSH recall $recall")
+  }
+
   test("annRecallGate passes exact results and flags empty ANN") {
     val vecs = (0 until 20).map { i =>
       (i.toLong, Seq.tabulate(4)(d => math.sin(i * 13 + d).toFloat))
