@@ -42,6 +42,23 @@ class MultiIOSpec extends SparkSpec {
     assert(back == Set("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("small files coalesce into few partitions (CombineFileInputFormat analog)") {
+    // 20 tiny parquet files; Spark's file packing (maxPartitionBytes /
+    // openCostInBytes) must NOT produce one task per file — the
+    // many-small-files problem CombineFileInputFormat existed for
+    val base = Files.createTempDirectory("graft-combine").toString + "/t"
+    (1 to 20).map(i => Seq((i, s"v$i")).toDF("id", "v"))
+      .reduce(_.union(_)).repartition(20)
+      .write.parquet(base)
+    val files = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 10, s"setup: want many files, got $files")
+    val scan = spark.read.parquet(base)
+    assert(scan.rdd.getNumPartitions < files / 2,
+      s"${scan.rdd.getNumPartitions} partitions for $files files — no coalescing")
+    assert(scan.count() == 20)
+  }
+
   test("nLineSplit deals exactly n consecutive rows per partition") {
     val df = (1 to 10).map(i => s"line$i").toDF("value")
     val out = MultiIO.nLineSplit(df, 3)
