@@ -153,8 +153,14 @@ object Dedup {
     * Rows dropped by the cap are observable: each call registers an
     * `observe` metric `graft.<site>.<n>` with the row count inside
     * over-cap groups and the largest group size, so recall loss from
-    * the guard is visible in `QueryExecution.observedMetrics` instead
-    * of silent.
+    * the guard is visible in `QueryExecution.observedMetrics` /
+    * a `QueryExecutionListener` instead of silent. Spark 4.1 caveat:
+    * `observedMetrics` does not traverse AQE's re-planned query
+    * stages for mid-plan observations — delivery is reliable with
+    * AQE off and in streaming (stateful queries disable AQE);
+    * under AQE the drop is still visible as the kept-vs-input row
+    * delta in the UI. (Spec: "skew-guard drops surface as observed
+    * metrics".)
     *
     * Pairs are emitted from the sorted member array: posexplode the
     * left element, then explode the tail slice after it — pairs

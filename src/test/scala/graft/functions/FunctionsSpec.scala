@@ -134,6 +134,46 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("skew-guard drops surface as observed metrics, not silently") {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    val seen = new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, row) => seen(n) = row }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // Spark 4.1 caveat (documented on boundedGroupPairs): AQE's
+      // re-planned query stages are not traversed by
+      // QueryExecution.observedMetrics for mid-plan observations, so
+      // the delivery contract holds with AQE off (and in streaming,
+      // where AQE is disabled for stateful queries)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val common = "alpha beta gamma"
+      val df = (1 to 20).map(i => (i.toLong, s"$common w$i x$i y$i")).toDF("id", "text")
+      ngramJaccardPairs(df, $"id", $"text", shingleN = 3,
+        threshold = 0.01, maxDf = 10).collect()
+      // listener delivery is asynchronous — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var m = Option.empty[String]
+      while (m.isEmpty && System.nanoTime() < deadline) {
+        m = seen.keys.find(_.startsWith("graft.ngram_shingles."))
+        if (m.isEmpty) Thread.sleep(50)
+      }
+      assert(m.isDefined, s"no ngram_shingles metric in ${seen.keys}")
+      val row = seen(m.get)
+      // the 20 rows of the hot 'alpha beta gamma' shingle were dropped
+      assert(row.getAs[Long]("rows_in_dropped_groups") == 20L, row.toString)
+      assert(row.getAs[Long]("max_group") == 20L, row.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("oversized groups are dropped before buffering (skew guard)") {
     // a corpus where every doc shares one stopword shingle: with
     // maxDf below the group size the hot shingle contributes no
