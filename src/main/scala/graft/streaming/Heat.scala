@@ -86,7 +86,12 @@ object Heat {
         case (e, (p, o)) => e.when(col("__pid") === p, lit(o))
       }.otherwise(lit(0L))
     val w = Window.partitionBy(col("__pid")).orderBy(heatCol.desc, key.asc)
-    val rn = row_number().over(w).cast("long") + offsetExpr
+    // bind the rank to a column FIRST: the tile CASE references it
+    // several times, and inlining the window expression would make
+    // WindowExec evaluate one identical row_number per reference
+    val ranked = parts.withColumn("__rank",
+      row_number().over(w).cast("long") + offsetExpr)
+    val rn = col("__rank")
     // standard ntile: q = n / t rows per tile, first r = n % t tiles
     // get one extra; closed form over the global rank (floor division
     // via double is exact well past any realistic row count)
@@ -97,8 +102,8 @@ object Heat {
       else when(rn <= lit(r * (q + 1)),
           floor((rn - 1) / lit(q + 1)) + 1)
         .otherwise(lit(r) + floor((rn - lit(r * (q + 1)) - 1) / lit(q)) + 1)
-    parts.withColumn("target_rep", (lit(maxRep + 1) - bucket).cast("int"))
-      .drop("__pid")
+    ranked.withColumn("target_rep", (lit(maxRep + 1) - bucket).cast("int"))
+      .drop("__pid", "__rank")
   }
 
   /** Scalable tiering: the global-window `ntile` above is exact but
