@@ -135,6 +135,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Split a 64-bit signature column into contiguous bit chunks of
+    * the given widths (low bits first) — the shared blocking-key
+    * builder for SimHash chunking and embedding-LSH banding. Widths
+    * >= 64 mask to the full word (a 64-bit shift would wrap).
+    */
+  private[graft] def bitChunks(sig: Column, widths: Seq[Int]): Seq[Column] = {
+    val offsets = widths.scanLeft(0)(_ + _)
+    widths.indices.map { i =>
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
+      shiftright(sig, offsets(i)).bitwiseAND(lit(mask))
+    }
+  }
+
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** Group-local ordered-pair expansion with a skew guard, the shared
@@ -358,13 +371,8 @@ object Dedup {
     val base = 64 / nChunks
     val rem = 64 % nChunks
     val widths = (0 until nChunks).map(i => if (i < rem) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
-    val chunkCols = (0 until nChunks).map { c =>
-      val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
-      shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask))
-    }
     val chunked = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array(chunkCols: _*)))
+        posexplode(array(bitChunks(col("sig"), widths): _*)))
       .toDF("doc_id", "sig", "chunk", "ckey")
     // chunk-local pair expansion (same shape as lshCandidates): one
     // exchange instead of a self-join that would recompute the

@@ -189,25 +189,41 @@ object Similarity {
     * to pairs in one exchange with no self-join.
     */
   def embeddingNearDups(corpus: DataFrame, id: Column, vec: Column,
-                        threshold: Double, bits: Int = 16,
+                        threshold: Double, bits: Int = 64,
                         maxBucket: Int = 4096,
-                        bandBits: Int = 4): DataFrame = {
-    require(bits % bandBits == 0 && bits >= bandBits,
-      s"bits ($bits) must be a positive multiple of bandBits ($bandBits)")
+                        bandBits: Int = 16): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 63 && bits % bandBits == 0,
+      s"bandBits ($bandBits) must be in [1, 63] and divide bits ($bits)")
     val nBands = bits / bandBits
-    val mask = (1L << bandBits) - 1
-    val c = corpus.select(id.as("vec_id"), vec.as("v"),
-      hyperplaneSig(vec, bits).as("sig"))
-    val banded = c.select(col("vec_id"), col("v"),
-        posexplode(array((0 until nBands).map(b =>
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
-      .toDF("vec_id", "v", "band", "bkey")
-    Dedup.boundedGroupPairs(banded, Seq(col("band"), col("bkey")),
-        struct(col("vec_id"), col("v")), maxBucket, "embed_buckets")
-      .withColumn("cos", round(cosine(col("__a.v"), col("__b.v")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("__a.vec_id").as("id_a"), col("__b.vec_id").as("id_b"),
-        col("cos"))
+    // bucket-key space per band is 2^bandBits — the scale dial: wider
+    // bands = more buckets (needed as the corpus grows past
+    // 2^bandBits · maxBucket vectors) but lower per-band collision
+    // probability p^bandBits, compensated by more bands. 64/16 keeps
+    // near-identical pairs (p ≈ 0.99/bit) at recall ≈ 0.999 with a
+    // 65536-key space; for corpora where even that saturates, block
+    // by IVF cluster instead (Ivf) — partition-count there scales
+    // with data, not with signature width.
+    val vecs = corpus.select(id.as("vec_id"), vec.as("v")).localCheckpoint()
+    val banded = corpus
+      .select(id.as("vec_id"), hyperplaneSig(vec, bits).as("sig"))
+      .select(col("vec_id"), posexplode(array(
+        Dedup.bitChunks(col("sig"), Seq.fill(nBands)(bandBits)): _*)))
+      .toDF("vec_id", "band", "bkey")
+    // candidates carry ids only — the float payload does not ride the
+    // banding exchange nBands times, and each surviving pair is
+    // reranked exactly once after the id-level distinct (the
+    // minhashNearDups shape; the pinned `vecs` serves both rerank
+    // joins, since aliased subtrees defeat exchange reuse)
+    val cands = Dedup.boundedGroupPairs(banded,
+        Seq(col("band"), col("bkey")), col("vec_id"), maxBucket,
+        "embed_buckets")
+      .toDF("id_a", "id_b")
       .distinct()
+    cands
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }

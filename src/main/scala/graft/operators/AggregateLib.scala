@@ -36,15 +36,21 @@ object AggregateLib {
     */
   def accumulatingReduce(df: DataFrame, key: Column, value: Column,
                          concatSep: String = ";"): DataFrame = {
-    val v = value.cast("string")
-    df.groupBy(key.as("key"))
+    // project key/value onto reserved names FIRST: referencing the
+    // grouping alias inside agg() would otherwise lean on
+    // lateral-column-alias resolution, which an input column that
+    // happens to be named "key" (or a disabled LCA conf) breaks
+    val kv = df.select(key.cast("string").as("__k"),
+      value.cast("string").as("__v"))
+    kv.groupBy(col("__k"))
       .agg(
-        when(col("key").startsWith("l:"),
-          sum(v.try_cast("long")).cast("string"))
-        .when(col("key").startsWith("f:"),
-          sum(v.try_cast("double")).cast("string"))
-        .otherwise(concat_ws(concatSep, sort_array(collect_list(v))))
+        when(col("__k").startsWith("l:"),
+          sum(col("__v").try_cast("long")).cast("string"))
+        .when(col("__k").startsWith("f:"),
+          sum(col("__v").try_cast("double")).cast("string"))
+        .otherwise(concat_ws(concatSep, sort_array(collect_list(col("__v")))))
         .as("value"))
+      .withColumnRenamed("__k", "key")
   }
 
   // -- the simple family: direct built-in mappings -------------------

@@ -40,11 +40,11 @@ case class HyperplaneSig(child: Expression, bits: Int)
       case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     }
-    if (ok && bits >= 1 && bits <= 63)
+    if (ok && bits >= 1 && bits <= 64)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> input and 1 <= bits <= 63, " +
+        s"$prettyName requires array<float|double> input and 1 <= bits <= 64, " +
         s"got ${child.dataType.simpleString}, bits=$bits")
   }
 

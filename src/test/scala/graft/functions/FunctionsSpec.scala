@@ -156,18 +156,22 @@ class DedupSpec extends SparkSpec {
       val df = (1 to 20).map(i => (i.toLong, s"$common w$i x$i y$i")).toDF("id", "text")
       ngramJaccardPairs(df, $"id", $"text", shingleN = 3,
         threshold = 0.01, maxDf = 10).collect()
-      // listener delivery is asynchronous — poll briefly
+      // listener delivery is asynchronous, and a late event from an
+      // earlier test's ngramJaccardPairs could also match the name
+      // prefix — poll until THIS query's metric content arrives: the
+      // 20 rows of the hot 'alpha beta gamma' shingle were dropped
       val deadline = System.nanoTime() + 10_000_000_000L
-      var m = Option.empty[String]
+      var m = Option.empty[org.apache.spark.sql.Row]
       while (m.isEmpty && System.nanoTime() < deadline) {
-        m = seen.keys.find(_.startsWith("graft.ngram_shingles."))
+        m = seen.collectFirst {
+          case (k, r) if k.startsWith("graft.ngram_shingles.") &&
+            r.getAs[Long]("rows_in_dropped_groups") == 20L => r
+        }
         if (m.isEmpty) Thread.sleep(50)
       }
-      assert(m.isDefined, s"no ngram_shingles metric in ${seen.keys}")
-      val row = seen(m.get)
-      // the 20 rows of the hot 'alpha beta gamma' shingle were dropped
-      assert(row.getAs[Long]("rows_in_dropped_groups") == 20L, row.toString)
-      assert(row.getAs[Long]("max_group") == 20L, row.toString)
+      assert(m.isDefined,
+        s"no ngram_shingles metric with 20 dropped rows in $seen")
+      assert(m.get.getAs[Long]("max_group") == 20L, m.get.toString)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       spark.listenerManager.unregister(listener)
@@ -253,10 +257,10 @@ class SimilaritySpec extends SparkSpec {
     val df = (1 to 50).map(i => (i.toLong, Seq(1.0f, 0.5f, -0.25f, 0.8f)))
       .toDF("id", "v")
     val capped = embeddingNearDups(df, $"id", $"v", threshold = 0.9,
-      bits = 8, maxBucket = 10)
+      maxBucket = 10)
     assert(capped.count() == 0)
     val roomy = embeddingNearDups(df, $"id", $"v", threshold = 0.9,
-      bits = 8, maxBucket = 100)
+      maxBucket = 100)
     assert(roomy.count() == 50 * 49 / 2)
   }
 

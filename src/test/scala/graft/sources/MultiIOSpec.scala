@@ -53,10 +53,26 @@ class MultiIOSpec extends SparkSpec {
     val files = new java.io.File(base).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(files >= 10, s"setup: want many files, got $files")
-    val scan = spark.read.parquet(base)
-    assert(scan.rdd.getNumPartitions < files / 2,
-      s"${scan.rdd.getNumPartitions} partitions for $files files — no coalescing")
-    assert(scan.count() == 20)
+    // pin the packing inputs: partition count derives from
+    // maxPartitionBytes / openCostInBytes / minPartitionNum, and the
+    // last defaults to the runner's core count — the assertion must
+    // test Spark's packing, not the test JVM's parallelism
+    val prev = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes",
+      "spark.sql.files.minPartitionNum").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", (4L << 20).toString)
+      spark.conf.set("spark.sql.files.minPartitionNum", "1")
+      val scan = spark.read.parquet(base)
+      assert(scan.rdd.getNumPartitions < files / 2,
+        s"${scan.rdd.getNumPartitions} partitions for $files files — no coalescing")
+      assert(scan.count() == 20)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("nLineSplit deals exactly n consecutive rows per partition") {
