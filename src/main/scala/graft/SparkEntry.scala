@@ -350,6 +350,14 @@ object SparkEntry {
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
 
+    // pairwise candidates -> transitive duplicate classes (a≈b, b≈c
+    // must form ONE class); min-label propagation vs the oracle's
+    // recursive-CTE closure over the same pair set
+    "q_dedup_classes" -> ((s, dir) =>
+      functions.Dedup.connectedComponents(
+        functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), shingleN = 3, threshold = 0.5))),
+
     // bands = numHashes ⇒ candidates ⊇ every pair sharing any min
     // value; a pair at J >= 0.5 escapes with p = 0.5^16 ≈ 1.5e-5, and
     // the exact-Jaccard rerank makes the output identical to the
@@ -705,6 +713,21 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // q_dedup_classes: the same pair set as q_ngram_jaccard, closed
+    // transitively — DuckDB walks the closure with a recursive CTE,
+    // Spark with min-label propagation; both label a component by its
+    // smallest doc id.
+    "q_dedup_classes" ->
+      s"""WITH RECURSIVE pr AS ($ngramJaccardSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |walk(id, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.id)
+         |SELECT id AS doc_id, min(r) AS class_rep
+         |FROM walk GROUP BY id""".stripMargin,
 
     // q_minhash_lsh: with bands = numHashes the LSH candidates cover
     // every pair sharing any min value (miss p = 0.5^32 at J >= 0.5)

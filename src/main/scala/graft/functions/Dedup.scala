@@ -385,6 +385,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Transitive duplicate classes from canonical near-dup pairs:
+    * min-label propagation over the undirected pair graph until
+    * fixpoint — the step between pairwise candidates (MinHash / SimHash
+    * / n-gram / embedding blocking) and the keep-one decision, which
+    * needs CLASSES (a≈b and b≈c must kill two docs, not one).
+    * Returns (doc_id, class_rep) for every doc appearing in a pair,
+    * class_rep = smallest doc id in the component (so the survivor
+    * rule "keep class_rep" is deterministic).
+    *
+    * Scale shape: each round is one join + one min-aggregation, both
+    * hash-partitioned on the id; rounds needed = graph diameter
+    * (near-dup classes are shallow — boilerplate clusters are
+    * star-shaped around the template). Labels are pinned per round
+    * (localCheckpoint): the loop would otherwise re-execute the whole
+    * lineage each iteration and the convergence check would race the
+    * next round's plan. Driver state is one changed-row count per
+    * round, never data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts the smallest label among itself + neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
+        .select(col("id_a").as("id"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("class_rep"))
+  }
+
   /** Self-validating SimHash gate (the SortValidator / TeraValidate
     * pattern, reference src/test/.../SortValidator.java,
     * src/examples/.../terasort/TeraValidate.java — validate an output

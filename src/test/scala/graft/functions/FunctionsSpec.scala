@@ -134,6 +134,18 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("connectedComponents closes transitive duplicate chains") {
+    // two components: a 4-node CHAIN 1-2-3-4 (diameter 3 — a single
+    // propagation round would NOT finish) and a pair 10-11;
+    // node 99 appears in no pair and must not appear in the output
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("skew-guard drops surface as observed metrics, not silently") {
     import org.apache.spark.sql.util.QueryExecutionListener
     import org.apache.spark.sql.execution.QueryExecution
