@@ -461,6 +461,26 @@ object SparkEntry {
           sum(col("m.n_tokens").cast("long")).as("n_tokens"))
     }),
 
+    // the full modern pipeline: quality filter -> exact dedup ->
+    // near-dup classes (transitive) -> keep class representative ->
+    // per-lang stats. The near-dup stage runs on the exact-deduped
+    // corpus (standard order: exact first, it's cheaper).
+    "q_pipeline_neardup" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("m", functions.TextAnalysis.qualityMetrics(col("text")))
+        .filter(col("m.n_tokens") >= 10)
+      val exact = functions.Dedup.exactDedup(scored, col("doc_id"), col("text"))
+      val classes = functions.Dedup.connectedComponents(
+        functions.Dedup.ngramJaccardPairs(exact, col("doc_id"), col("text"),
+          shingleN = 3, threshold = 0.5))
+      val survivors = exact
+        .join(classes, Seq("doc_id"), "left_outer")
+        .filter(col("class_rep").isNull || col("class_rep") === col("doc_id"))
+      survivors.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.n_tokens").cast("long")).as("n_tokens"))
+    }),
+
     // ---- L4: multimodal plumbing (stub decode, real dataflow) -------
     "q_multimodal_meta" -> ((s, dir) =>
       functions.Multimodal.decodeMeta(
@@ -868,6 +888,55 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |       CAST(sum(CAST(nt AS BIGINT)) AS BIGINT) AS n_tokens
         |FROM deduped GROUP BY lang""".stripMargin,
+
+    "q_pipeline_neardup" ->
+      """WITH RECURSIVE scored AS (
+        |  SELECT doc_id, lang, text,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> length(x) > 0)) AS nt
+        |  FROM documents),
+        |filtered AS (SELECT * FROM scored WHERE nt >= 10),
+        |deduped AS (
+        |  SELECT * FROM filtered
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) = 1),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM deduped),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
+        |keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+        |pr0 AS (SELECT i.* FROM inv i JOIN keep USING (s)),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM pr0 a JOIN pr0 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |np AS (SELECT id_a, id_b FROM prs
+        |       WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM np
+        |          UNION SELECT id_b, id_a FROM np),
+        |walk(id, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.id),
+        |classes AS (SELECT id AS doc_id, min(r) AS class_rep
+        |            FROM walk GROUP BY id),
+        |survivors AS (
+        |  SELECT d.* FROM deduped d LEFT JOIN classes c USING (doc_id)
+        |  WHERE c.class_rep IS NULL OR c.class_rep = d.doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CAST(nt AS BIGINT)) AS BIGINT) AS n_tokens
+        |FROM survivors GROUP BY lang""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,
