@@ -469,7 +469,11 @@ object SparkEntry {
       val scored = t(s, dir, "documents")
         .withColumn("m", functions.TextAnalysis.qualityMetrics(col("text")))
         .filter(col("m.n_tokens") >= 10)
+      // pinned: both the near-dup stage and the survivor aggregation
+      // read it — without the pin the scoring + window dedup lineage
+      // executes twice from the parquet scan
       val exact = functions.Dedup.exactDedup(scored, col("doc_id"), col("text"))
+        .localCheckpoint()
       val classes = functions.Dedup.connectedComponents(
         functions.Dedup.ngramJaccardPairs(exact, col("doc_id"), col("text"),
           shingleN = 3, threshold = 0.5))

@@ -403,10 +403,15 @@ object Dedup {
     * next round's plan. Driver state is one changed-row count per
     * round, never data.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // pin the canonical pairs FIRST: the symmetric union below would
+    // otherwise embed (and the eager edge checkpoint execute) the
+    // whole upstream near-dup pipeline twice
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p
+      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
+    dropCheckpoint(p)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -423,12 +428,34 @@ object Dedup {
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label")).count()
+      dropCheckpoint(labels) // superseded generation: free its blocks now
       labels = next
       converged = changed == 0
       i += 1
     }
+    dropCheckpoint(edges)
+    // an unconverged result would silently under-dedup (one class,
+    // several representatives) — fail loudly instead; rounds needed =
+    // propagation distance to the component min, so maxIters = 30
+    // covers any realistically-shaped duplicate class
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds " +
+      "(a duplicate chain longer than maxIters?) — raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("class_rep"))
   }
+
+  /** Free a `localCheckpoint` DataFrame's materialized blocks
+    * eagerly instead of waiting for ContextCleaner GC — superseded
+    * iteration state would otherwise accumulate in the block manager
+    * for the session's lifetime (catalog clearCache does not touch
+    * RDD-level checkpoint blocks).
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Self-validating SimHash gate (the SortValidator / TeraValidate
     * pattern, reference src/test/.../SortValidator.java,
