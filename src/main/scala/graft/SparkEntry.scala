@@ -449,6 +449,12 @@ object SparkEntry {
       functions.TextAnalysis.corpusStats(t(s, dir, "documents"),
         col("lang"), col("text"))),
 
+    // winnowing document fingerprints — md5-hex hashes compared
+    // lexicographically, so DuckDB replays the exact window minima
+    "q_winnowing" -> ((s, dir) =>
+      functions.TextAnalysis.winnowingFingerprints(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleN = 3, window = 4)),
+
     // ---- L4: the training-data pipeline end-to-end ------------------
     // quality filter -> exact dedup (min-id survivor) -> per-lang stats
     "q_pipeline" -> ((s, dir) => {
@@ -876,6 +882,33 @@ object SparkEntry {
         |       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
         |         AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
+
+    "q_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM toks),
+        |inv AS (
+        |  SELECT doc_id, n_sh, u.p AS pos, u.h AS h FROM (
+        |    SELECT doc_id, len(s) AS n_sh,
+        |           unnest([{'p': i, 'h': substr(md5(s[i+1]), 1, 16)}
+        |                   for i in range(len(s))]) AS u
+        |    FROM sh)),
+        |wmin AS (
+        |  SELECT doc_id, pos, n_sh,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM inv)
+        |SELECT DISTINCT doc_id, fp FROM wmin
+        |WHERE pos >= 3 OR (n_sh < 4 AND pos = n_sh - 1)""".stripMargin,
 
     "q_pipeline" ->
       """WITH scored AS (

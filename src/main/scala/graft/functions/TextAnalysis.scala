@@ -78,6 +78,48 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's local
+    * document fingerprinting, the standard overlap/decontamination
+    * probe): hash every k-token shingle, slide a window of `w`
+    * consecutive hashes, keep each window's minimum — any shared
+    * substring of at least w+k-1 tokens between two docs is
+    * guaranteed to share a fingerprint, while only ~2/(w+1) of
+    * hashes are kept.
+    *
+    * Returns distinct (doc_id, fp). The hash is the first 16 hex
+    * chars of md5(shingle) compared lexicographically — portable
+    * across engines, so the whole operator is oracle-checkable.
+    * Docs with fewer than w shingles emit the minimum over what they
+    * have (winnowing's every-doc-has-a-fingerprint guarantee).
+    *
+    * Scale shape: explode + one partition-local window over
+    * (doc, position) + distinct — one hash exchange on the doc id
+    * (reused by the window), one on the output pair for the
+    * distinct; no self-joins, no per-doc arrays.
+    */
+  def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
+                            shingleN: Int = 3, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"window must be >= 1, got $window")
+    val inv = df.repartition(id)
+      .select(id.as("doc_id"),
+        posexplode(Dedup.shinglesRaw(text, shingleN)))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("s")), 1, 16).as("h"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n_sh"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    inv.select(col("doc_id"), col("pos"), col("n_sh"),
+        min(col("h")).over(win).as("fp"))
+      // complete windows only — except short docs, whose last row's
+      // window spans the whole doc
+      .filter(col("pos") >= window - 1 ||
+        (col("n_sh") < window && col("pos") === col("n_sh") - 1))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** Per-language corpus stats — the report a pipeline operator runs
     * before/after filtering.
     */

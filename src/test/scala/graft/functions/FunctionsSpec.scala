@@ -13,6 +13,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(3, 0))
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    // guarantee: a common run of >= window + shingleN - 1 tokens (here
+    // 4 + 3 - 1 = 6) forces a shared window minimum
+    val common = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $common three four five six seven"),
+      (2L, s"x1 y1 z1 w1 $common x2 y2 z2 w2"),
+      (3L, "totally different words entirely here now ok then")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring lost")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // short doc (< window shingles) still fingerprints
+    val short = Seq((9L, "just three words")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowingFingerprints(short, $"doc_id", $"text")
+      .count() == 1)
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog in the house",
