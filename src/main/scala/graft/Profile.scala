@@ -45,6 +45,11 @@ object Profile {
       bands = 16, threshold = 0.5).count())
     time("minhash full b=32")(Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
       bands = 32, threshold = 0.5).count())
+    val sig16 = Dedup.minhashSignature(docs, col("doc_id"), col("text"), 3, 16)
+    time("minhash sig k=16")(sig16.count())
+    time("lsh candidates k=16 b=16")(Dedup.lshCandidates(sig16, bands = 16).count())
+    time("minhash full 16/16 (graded)")(Dedup.minhashNearDups(docs, col("doc_id"),
+      col("text"), 3, 16, 16, 0.5).count())
     time("ngram jaccard full")(Dedup.ngramJaccardPairs(docs, col("doc_id"),
       col("text"), 3, 0.5).count())
     time("simhash sigs")(Dedup.simhashSignatures(docs, col("doc_id"), col("text")).count())

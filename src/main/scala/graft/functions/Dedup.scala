@@ -214,14 +214,15 @@ object Dedup {
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.7,
                       maxBucket: Int = 4096): DataFrame = {
-    // pin the per-doc shingle sets once: the rerank joins them on
+    // pin the per-doc shingle sets once (SORTED — the rerank kernel
+    // is a linear merge over sorted sets): the rerank joins them on
     // id_a AND id_b, and aliased subtrees defeat exchange reuse — so
     // without the pin the tokenize+shingle pass (the most expensive
     // stage, ~half the pipeline) runs twice more. localCheckpoint is
     // disk-backed block storage, the 100 TB-safe form of "write the
     // shingle index once, read it per rerank side".
     val docs = spread(df, id)
-      .select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
+      .select(id.as("doc_id"), sort_array(shingles(text, shingleN)).as("sh"))
       .localCheckpoint()
     val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes),
       bands, maxBucket)
@@ -229,7 +230,10 @@ object Dedup {
     val b = docs.alias("db")
     cands.join(a, col("id_a") === col("da.doc_id"))
       .join(b, col("id_b") === col("db.doc_id"))
-      .withColumn("inter", size(array_intersect(col("da.sh"), col("db.sh"))))
+      // native merge-count (codegen'd, no per-row hash set) — equals
+      // size(array_intersect(...)) on these distinct sorted sets
+      .withColumn("inter",
+        graft.plans.SortedIntersectCount(col("da.sh"), col("db.sh")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("da.sh")) + size(col("db.sh")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd intersection size of two SORTED string arrays —
+  * the per-candidate-pair kernel of the MinHash rerank
+  * (`|A ∩ B|` over distinct sorted shingle sets via a linear merge).
+  *
+  * `size(array_intersect(a, b))` allocates and populates a hash set
+  * per ROW evaluation; at bands=numHashes validation operating points
+  * the rerank touches 10⁵-10⁶ candidate pairs × ~50-element arrays,
+  * making that allocation the hottest line of the near-dup family.
+  * The merge is a single pass over both arrays with binary UTF8String
+  * comparison — the same ordering `sort_array` wrote, so results
+  * equal `size(array_intersect(...))` exactly for distinct sorted
+  * inputs (the caller's contract; [[graft.functions.Dedup]] sorts the
+  * pinned shingle table once at build).
+  *
+  * (Reference: scalar compute lives in user map functions, SURVEY
+  * §2.8 — a Catalyst Expression is the Spark-native extension point.)
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Column form. */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SortedIntersectCount(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
