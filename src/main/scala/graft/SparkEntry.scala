@@ -888,7 +888,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         list_filter(string_split_regex(text, '\s+'),
         |                     x -> length(x) > 0) AS tk
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |sh AS (
         |  SELECT doc_id,
         |         CASE WHEN len(tk) >= 3

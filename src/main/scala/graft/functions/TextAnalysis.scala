@@ -101,7 +101,10 @@ object TextAnalysis {
                             shingleN: Int = 3, window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 1, s"window must be >= 1, got $window")
-    val inv = df.repartition(id)
+    // null text yields no fingerprints (the oracle's NULL shingle
+    // list propagates to a NULL print; dropping the row keeps both
+    // engines agreeing instead of fingerprinting md5(""))
+    val inv = df.filter(text.isNotNull).repartition(id)
       .select(id.as("doc_id"),
         posexplode(Dedup.shinglesRaw(text, shingleN)))
       .toDF("doc_id", "pos", "s")

@@ -188,15 +188,20 @@ object Sorting {
     // directly on the split/cast expressions would re-run the field
     // split O(n log k) times per row instead of once (measured ~2s of
     // a 3s query at sf0.1)
-    val keyed = df.select(df.columns.map(col).toIndexedSeq ++
-      specs.zipWithIndex.map { case (s, i) =>
-        val f = parts.getItem(s.field - 1)
-        (if (s.numeric) f.cast("double") else f).as(s"__sk$i")
-      }: _*)
-    val order = specs.zipWithIndex.map { case (s, i) =>
-      if (s.reverse) col(s"__sk$i").desc else col(s"__sk$i").asc
+    // withColumn (not a re-projection) so inputs with duplicate
+    // column names — e.g. post-join frames — still sort; the key
+    // prefix is grown until it collides with nothing, so a caller's
+    // own __sk columns are never shadowed or dropped
+    var prefix = "__sk"
+    while (df.columns.exists(_.startsWith(prefix))) prefix += "_"
+    val keyed = specs.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
+      val f = parts.getItem(s.field - 1)
+      d.withColumn(s"$prefix$i", if (s.numeric) f.cast("double") else f)
     }
-    keyed.orderBy(order: _*).drop(specs.indices.map(i => s"__sk$i"): _*)
+    val order = specs.zipWithIndex.map { case (s, i) =>
+      if (s.reverse) col(s"$prefix$i").desc else col(s"$prefix$i").asc
+    }
+    keyed.orderBy(order: _*).drop(specs.indices.map(i => s"$prefix$i"): _*)
   }
 
   /** KeyFieldBasedPartitioner (reference:

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   * The merge is a single pass over both arrays with binary UTF8String
   * comparison — the same ordering `sort_array` wrote, so results
   * equal `size(array_intersect(...))` exactly for distinct sorted
-  * inputs (the caller's contract; [[graft.functions.Dedup]] sorts the
-  * pinned shingle table once at build).
+  * null-free inputs (the caller's contract; [[graft.functions.Dedup]]
+  * sorts the pinned shingle table once at build). An array containing
+  * a null element yields a null count — outside the contract, but
+  * defined rather than a task-killing NPE.
   *
   * (Reference: scalar compute lives in user map functions, SURVEY
   * §2.8 — a Catalyst Expression is the Spark-native extension point.)
@@ -53,6 +55,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var cnt = 0
     while (i < na && j < nb) {
+      // null elements are outside the sorted-set contract: result is
+      // null (defined), never an NPE mid-merge
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
@@ -74,11 +79,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $cnt = 0;
          |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}
-         |${ev.value} = $cnt;
+         |if (!${ev.isNull}) { ${ev.value} = $cnt; }
        """.stripMargin
     })
 

@@ -57,6 +57,20 @@ class SortingSpec extends SparkSpec {
     assert(got == Seq("a\t10", "b\t2", "c\t2"))
   }
 
+  test("keyFieldSort tolerates duplicate passthrough columns and __sk names") {
+    import spark.implicits._
+    // post-join frame with two columns named 'tag' plus a caller
+    // column that collides with the internal sort-key prefix
+    val a = Seq(("b\t2", "x"), ("a\t1", "y")).toDF("value", "tag")
+    val b = Seq(("x", 1), ("y", 2)).toDF("tag", "__sk0")
+    val joined = a.join(b, a("tag") === b("tag"))
+    val got = keyFieldSort(joined, col("value"), "-k2,2n")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a\t1", "b\t2"))
+    assert(keyFieldSort(joined, col("value"), "-k2,2n").columns.count(_ == "__sk0") == 1,
+      "caller's __sk0 column must survive")
+  }
+
   test("keyFieldPartition co-locates records sharing the spec'd key fields") {
     import spark.implicits._
     // numeric key spec: "07" and "7.0" are the same numeric key and

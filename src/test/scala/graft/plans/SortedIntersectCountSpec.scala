@@ -34,5 +34,10 @@ class SortedIntersectCountSpec extends SparkSpec {
     assert(got(2).getInt(0) == 0)
     assert(got(3).getInt(0) == 2)
     assert(got(4).isNullAt(0))
+    // null ELEMENT: defined (null result), not an NPE
+    val nullElem = Seq((Seq(Some("a"), None), Seq(Some("a"), Some("b"))))
+      .toDF("x", "y")
+    assert(nullElem.select(SortedIntersectCount($"x", $"y"))
+      .collect().head.isNullAt(0))
   }
 }
