@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression under a SQL function name on a
+    * LIVE session (the function-registry seam `SparkSessionExtensions
+    * .injectFunction` uses, reachable post-build — extensions only
+    * apply when a session is first constructed).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
