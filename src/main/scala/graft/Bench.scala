@@ -13,9 +13,28 @@ object Bench {
     val spark = Graft.session(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt, appName = "graft-bench")
     // warm the JVM/codegen/file-source paths so the first measured
-    // query isn't charged for session startup
+    // query isn't charged for session startup, and pre-JIT the heavy
+    // operator kernels (shingling, signatures, window pair expansion,
+    // cosine) on the tiny sf — janino codegen + C2 compilation swing
+    // the heavy tail ±30% when paid inside the timed region. No data
+    // from the measured sfDir is touched or cached here.
     Graft.table(spark, sfDir, "lineitem").limit(10).count()
     spark.range(100).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      val warmDocs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      functions.Dedup.minhashNearDups(warmDocs, col("doc_id"), col("text"),
+        3, 16, 16, 0.5).count()
+      functions.Dedup.simhashValidate(warmDocs, col("doc_id"), col("text"),
+        12).count()
+      functions.Dedup.connectedComponents(
+        functions.Dedup.ngramJaccardPairs(warmDocs, col("doc_id"),
+          col("text"), 3, 0.5)).count()
+      val warmEmb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      functions.Similarity.bruteForcePairs(warmEmb, col("vec_id"),
+        col("embedding"), 0.4).count()
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: operators that persist derived indexes
       // (LSH banding, inverted indexes) must not distort successors
