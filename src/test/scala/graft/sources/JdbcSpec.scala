@@ -61,6 +61,27 @@ class JdbcSpec extends SparkSpec {
     assert(filtered.count() == (1 to 100).count(_ % 7 == 3))
   }
 
+  test("typed columns round-trip: decimal, date, timestamp") {
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    val df = Seq(
+      (1L, BigDecimal("12345.67"), Date.valueOf("2024-02-29"),
+        Timestamp.valueOf("2024-02-29 12:34:56")),
+      (2L, BigDecimal("-0.01"), Date.valueOf("1999-12-31"),
+        Timestamp.valueOf("2000-01-01 00:00:00"))
+    ).toDF("id", "amount", "d", "ts")
+    Jdbc.write(df, url, "t_typed", SaveMode.Overwrite)
+    // decimal scale is the store's choice (Derby narrows Spark's
+    // default 38,18) — compare numerically, not textually
+    val back = Jdbc.read(spark, url, "t_typed")
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDecimal(1)).underlying.stripTrailingZeros.toPlainString,
+        r.getDate(2).toString, r.getTimestamp(3).toString)).toSet
+    assert(back == Set(
+      (1L, "12345.67", "2024-02-29", "2024-02-29 12:34:56.0"),
+      (2L, "-0.01", "1999-12-31", "2000-01-01 00:00:00.0")))
+  }
+
   test("append mode accumulates batches (DBOutputFormat reduce batches)") {
     import spark.implicits._
     val batch = (1 to 10).map(i => (i.toLong, "x")).toDF("id", "v")
