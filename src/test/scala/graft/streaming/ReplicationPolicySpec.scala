@@ -163,6 +163,32 @@ class HeatBatchSpec extends SparkSpec {
       assert(plan("/hot") >= plan("/cold"))
     } finally q.stop()
   }
+
+  test("streaming plan tiers a wide batch with exact ntile fill") {
+    // 300 keys through the foreachBatch re-tier: the distributed rank
+    // (partition-offset + pinned boundaries) must produce the exact
+    // ntile tier sizes in the cloned-session streaming path — the
+    // setting where inconsistent range boundaries originally bit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import HeatStream._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Access]
+    val q = HeatStream.run(spark, input.toDS(), "policy_wide")
+    try {
+      // distinct access counts per path -> distinct-ish heats
+      val accesses = (1 to 300).flatMap { i =>
+        (0 until 1 + i % 7).map(j => Access(s"/f$i", 60000L * (j + 1)))
+      }
+      input.addData(accesses: _*)
+      q.processAllAvailable()
+      val plan = spark.table("global_temp.policy_wide_plan")
+        .collect().map(r => r.getAs[String]("path") -> r.getAs[Int]("target_rep"))
+      assert(plan.length == 300)
+      val sizes = plan.groupBy(_._2).view.mapValues(_.length).toMap
+      // 300 / 4 tiers = exactly 75 per tier
+      assert(sizes == Map(6 -> 75, 5 -> 75, 4 -> 75, 3 -> 75), sizes.toString)
+    } finally q.stop()
+  }
 }
 
 class AggApproxSpec extends SparkSpec {
