@@ -376,6 +376,25 @@ class IvfSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import Multimodal._
 
+  test("media features flow into the similarity stack end-to-end") {
+    import org.apache.spark.sql.functions._
+    // the media -> embedding -> ANN composition: extractFeatures'
+    // output column is directly consumable by the similarity
+    // operators (schema/type contract), and identical payloads are
+    // each other's nearest neighbors at cos 1.0
+    val docs = graft.Graft.table(spark, sf, "documents").limit(40)
+      .select(col("doc_id"), col("text"))
+    val dup = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val feats = extractFeatures(asMedia(docs.unionByName(dup), "doc_id", "text"))
+    val top = Similarity.bruteForceTopK(
+      feats, col("doc_id"), col("embedding"),
+      feats.filter(col("doc_id") === 0), col("doc_id"), col("embedding"),
+      k = 1).collect().head
+    assert(top.getLong(1) == 10000L, s"dup payload not nearest: $top")
+    assert(top.getDouble(2) == 1.0)
+  }
+
   test("decodeMeta emits deterministic stub metadata per row") {
     val docs = graft.Graft.table(spark, sf, "documents").limit(10)
     val meta = decodeMeta(asMedia(docs, "doc_id", "text")).collect()
