@@ -475,17 +475,13 @@ object SparkEntry {
       val scored = t(s, dir, "documents")
         .withColumn("m", functions.TextAnalysis.qualityMetrics(col("text")))
         .filter(col("m.n_tokens") >= 10)
-      // pinned: both the near-dup stage and the survivor aggregation
-      // read it — without the pin the scoring + window dedup lineage
+      // pinned: both the near-dup stage and the survivor filter read
+      // it — without the pin the scoring + window dedup lineage
       // executes twice from the parquet scan
       val exact = functions.Dedup.exactDedup(scored, col("doc_id"), col("text"))
         .localCheckpoint()
-      val classes = functions.Dedup.connectedComponents(
-        functions.Dedup.ngramJaccardPairs(exact, col("doc_id"), col("text"),
-          shingleN = 3, threshold = 0.5))
-      val survivors = exact
-        .join(classes, Seq("doc_id"), "left_outer")
-        .filter(col("class_rep").isNull || col("class_rep") === col("doc_id"))
+      val survivors = functions.Dedup.nearDupDedup(exact,
+        col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)
       survivors.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("m.n_tokens").cast("long")).as("n_tokens"))

@@ -448,6 +448,23 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("class_rep"))
   }
 
+  /** Near-duplicate dedup, filter form: drop every doc that belongs
+    * to a near-dup class but is not its smallest-id representative —
+    * the keep-one composition of [[ngramJaccardPairs]] +
+    * [[connectedComponents]], preserving the full input schema
+    * (the near-dup analog of [[exactDedup]]). Run [[exactDedup]]
+    * first: it is cheaper and shrinks the pair graph.
+    */
+  def nearDupDedup(df: DataFrame, id: Column, text: Column,
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val classes = connectedComponents(
+      ngramJaccardPairs(df, id, text, shingleN, threshold))
+      .withColumnRenamed("doc_id", "__cc_id")
+    df.join(classes, id === col("__cc_id"), "left_outer")
+      .filter(col("class_rep").isNull || col("class_rep") === id)
+      .drop("__cc_id", "class_rep")
+  }
+
   /** Free a `localCheckpoint` DataFrame's materialized blocks
     * eagerly instead of waiting for ContextCleaner GC — superseded
     * iteration state would otherwise accumulate in the block manager

@@ -154,6 +154,20 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("nearDupDedup keeps one representative per transitive class") {
+    // 1≈2≈3 form one class (chain), 10 is untouched by any pair
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),   // near 1
+      (3L, "a b c d e f g y"),   // near 1 and 2
+      (10L, "totally different content here entirely")
+    ).toDF("doc_id", "text")
+    val kept = nearDupDedup(df, $"doc_id", $"text", shingleN = 2,
+        threshold = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L), kept.toString)
+  }
+
   test("connectedComponents closes transitive duplicate chains") {
     // two components: a 4-node CHAIN 1-2-3-4 (diameter 3 — a single
     // propagation round would NOT finish) and a pair 10-11;
