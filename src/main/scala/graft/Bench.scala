@@ -20,7 +20,12 @@ object Bench {
     // from the measured sfDir is touched or cached here.
     Graft.table(spark, sfDir, "lineitem").limit(10).count()
     spark.range(100).selectExpr("sum(id)").collect()
-    locally {
+    // best-effort: a missing warmup directory must not abort the
+    // bench (measured queries have their own failure isolation).
+    // The warmup's internal localCheckpoint blocks (KB-scale at this
+    // sf) persist until ContextCleaner GC — negligible next to the
+    // measured working sets.
+    try {
       import org.apache.spark.sql.functions._
       val warmDocs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
       functions.Dedup.minhashNearDups(warmDocs, col("doc_id"), col("text"),
@@ -33,7 +38,9 @@ object Bench {
       val warmEmb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
       functions.Similarity.bruteForcePairs(warmEmb, col("vec_id"),
         col("embedding"), 0.4).count()
-      spark.catalog.clearCache()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] kernel warmup skipped: ${e.getMessage}")
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: operators that persist derived indexes

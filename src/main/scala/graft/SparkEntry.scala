@@ -475,11 +475,9 @@ object SparkEntry {
       val scored = t(s, dir, "documents")
         .withColumn("m", functions.TextAnalysis.qualityMetrics(col("text")))
         .filter(col("m.n_tokens") >= 10)
-      // pinned: both the near-dup stage and the survivor filter read
-      // it — without the pin the scoring + window dedup lineage
-      // executes twice from the parquet scan
+      // nearDupDedup pins its input internally (both its pair graph
+      // and keep-one join read it), so no extra checkpoint here
       val exact = functions.Dedup.exactDedup(scored, col("doc_id"), col("text"))
-        .localCheckpoint()
       val survivors = functions.Dedup.nearDupDedup(exact,
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)
       survivors.groupBy(col("lang"))

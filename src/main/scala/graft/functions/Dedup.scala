@@ -457,12 +457,20 @@ object Dedup {
     */
   def nearDupDedup(df: DataFrame, id: Column, text: Column,
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // pin the input once: the pair graph and the keep-one join both
+    // read it, and without the pin an expensive upstream (scoring,
+    // window dedup) would execute twice
+    val pinned = df.localCheckpoint()
+    // join-column names grown past any caller column, so a user
+    // 'class_rep' column is never shadowed or dropped
+    var p = "__cc"
+    while (pinned.columns.exists(_.startsWith(p))) p += "_"
     val classes = connectedComponents(
-      ngramJaccardPairs(df, id, text, shingleN, threshold))
-      .withColumnRenamed("doc_id", "__cc_id")
-    df.join(classes, id === col("__cc_id"), "left_outer")
-      .filter(col("class_rep").isNull || col("class_rep") === id)
-      .drop("__cc_id", "class_rep")
+      ngramJaccardPairs(pinned, id, text, shingleN, threshold))
+      .select(col("doc_id").as(s"${p}_id"), col("class_rep").as(s"${p}_rep"))
+    pinned.join(classes, id === col(s"${p}_id"), "left_outer")
+      .filter(col(s"${p}_rep").isNull || col(s"${p}_rep") === id)
+      .drop(s"${p}_id", s"${p}_rep")
   }
 
   /** Free a `localCheckpoint` DataFrame's materialized blocks

@@ -166,6 +166,14 @@ class DedupSpec extends SparkSpec {
         threshold = 0.4)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 10L), kept.toString)
+    // a caller's own class_rep / __cc columns survive untouched
+    val withClash = df.withColumn("class_rep", lit("mine"))
+      .withColumn("__cc_id", lit(7))
+    val out = nearDupDedup(withClash, $"doc_id", $"text", shingleN = 2,
+      threshold = 0.4)
+    assert(out.columns.toSeq == withClash.columns.toSeq)
+    assert(out.select("class_rep").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("mine"))
   }
 
   test("connectedComponents closes transitive duplicate chains") {
