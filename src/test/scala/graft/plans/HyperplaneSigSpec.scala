@@ -8,7 +8,7 @@ class HyperplaneSigSpec extends SparkSpec {
 
   test("native HyperplaneSig equals the composable form on real embeddings") {
     val e = Graft.table(spark, sf, "embeddings").limit(200)
-    for (bits <- Seq(1, 4, 8, 16)) {
+    for (bits <- Seq(1, 4, 8, 16, 64)) {
       val both = e.select(
         Similarity.hyperplaneSig(col("embedding"), bits).as("native"),
         Similarity.hyperplaneSigComposable(col("embedding"), bits).as("composable"))

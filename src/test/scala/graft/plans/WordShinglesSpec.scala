@@ -27,7 +27,9 @@ class WordShinglesSpec extends SparkSpec {
       (3L, Some("  \t ")),        // whitespace-only -> [""]
       (4L, Some("")),             // empty -> [""]
       (5L, None),                 // null -> [""]
-      (6L, Some("x y x y x y"))   // duplicate shingles
+      (6L, Some("x y x y x y")),  // duplicate shingles
+      (7L, Some("a\u00A0b c d")),  // NBSP is NOT \s in Java regex
+      (8L, Some("tab\tand\nnewline separated tokens"))
     ).toDF("id", "text")
     val rows = df.select(col("id"),
         Dedup.shinglesRaw(col("text"), 3).as("raw"),
@@ -45,5 +47,8 @@ class WordShinglesSpec extends SparkSpec {
     assert(rows(4).getSeq[String](1) == Seq(""))
     assert(rows(5).getSeq[String](1) == Seq("x y x", "y x y", "x y x", "y x y"))
     assert(rows(5).getSeq[String](2) == Seq("x y x", "y x y"))
+    // unicode edge: NBSP stays inside a token, exactly as split("\\s+")
+    assert(rows(6).getSeq[String](1) == Seq("a\u00A0b c d"))
+    assert(rows(7).getSeq[String](1).length == 3) // 5 tokens -> 3 shingles
   }
 }
