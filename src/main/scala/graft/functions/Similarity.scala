@@ -163,9 +163,16 @@ object Similarity {
   def bruteForcePairs(corpus: DataFrame, id: Column, vec: Column,
                       threshold: Double): DataFrame = {
     val c = corpus.select(id.as("vec_id"), vec.as("v"))
-    val a = c.alias("a")
+    // the non-equi self-join plans as a nested loop with one task per
+    // streamed-side partition — a dim-sized corpus usually arrives as
+    // ONE parquet split, serializing the O(n²) kernel; spread the
+    // streamed side across the cluster first (the broadcast side is
+    // the whole corpus by declared contract: exact baseline for
+    // dim-table-sized inputs only)
+    val a = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+      .alias("a")
     val b = c.alias("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
+    a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))

@@ -7,21 +7,25 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
 
-/** Native codegen'd intersection size of two SORTED string arrays —
-  * the per-candidate-pair kernel of the MinHash rerank
-  * (`|A ∩ B|` over distinct sorted shingle sets via a linear merge).
+/** Native codegen'd intersection size of two SORTED arrays (string
+  * or long elements) — the per-candidate-pair kernel of the MinHash
+  * rerank (`|A ∩ B|` over distinct sorted shingle sets via a linear
+  * merge).
   *
   * `size(array_intersect(a, b))` allocates and populates a hash set
   * per ROW evaluation; at bands=numHashes validation operating points
   * the rerank touches 10⁵-10⁶ candidate pairs × ~50-element arrays,
   * making that allocation the hottest line of the near-dup family.
   * The merge is a single pass over both arrays with binary UTF8String
-  * comparison — the same ordering `sort_array` wrote, so results
-  * equal `size(array_intersect(...))` exactly for distinct sorted
-  * null-free inputs (the caller's contract; [[graft.functions.Dedup]]
-  * sorts the pinned shingle table once at build). An array containing
-  * a null element yields a null count — outside the contract, but
-  * defined rather than a task-killing NPE.
+  * (or primitive long) comparison — the same ordering `sort_array`
+  * wrote, so results equal `size(array_intersect(...))` exactly for
+  * distinct sorted null-free inputs (the caller's contract;
+  * [[graft.functions.Dedup]] sorts the pinned shingle table once at
+  * build). Both inputs must share one element type; the long form
+  * exists because hashed shingle sets shuffle 8-byte elements where
+  * the raw strings are ~25 — see `Dedup.minhashNearDups`. An array
+  * containing a null element yields a null count — outside the
+  * contract, but defined rather than a task-killing NPE.
   *
   * (Reference: scalar compute lives in user map functions, SURVEY
   * §2.8 — a Catalyst Expression is the Spark-native extension point.)
@@ -32,14 +36,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(StringType, _) => true
+      case ArrayType(LongType, _) => true
       case _ => false
     }
-    if (ok(left.dataType) && ok(right.dataType))
+    val sameElem = (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) => a == b
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType) && sameElem)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<string> inputs, " +
+        s"$prettyName requires two array<string> or two array<bigint> inputs, " +
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  /** ArrayData.getLong on a non-long array returns garbage bytes, not
+    * a cast — dispatch on the resolved element type (same rule as
+    * CosineSim).
+    */
+  private def longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = IntegerType
@@ -54,11 +72,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var cnt = 0
+    val longs = longElems
     while (i < na && j < nb) {
       // null elements are outside the sorted-set contract: result is
       // null (defined), never an NPE mid-merge
       if (a.isNullAt(i) || b.isNullAt(j)) return null
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val c =
+        if (longs) java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -74,13 +95,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val cnt = ctx.freshName("cnt")
       val c = ctx.freshName("c")
+      val cmp =
+        if (longElems) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $cnt = 0;
          |while ($i < $na && $j < $nb) {
          |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $c = $cmp;
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

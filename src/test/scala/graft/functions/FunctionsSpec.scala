@@ -121,13 +121,16 @@ class DedupSpec extends SparkSpec {
     // recall 1.0 regardless of radius (the old fixed 4-chunk split
     // only guaranteed radius <= 3)
     val docs = graft.Graft.table(spark, sf, "documents")
-    for (radius <- Seq(3, 12, 25)) {
+    for (radius <- Seq(3, 4, 12, 25)) {
       val r = simhashValidate(docs, col("doc_id"), col("text"), radius)
         .collect().head
       assert(r.getLong(0) == 0L, s"radius=$radius missed ${r.getLong(0)} pairs")
       assert(r.getLong(1) == 0L, s"radius=$radius extra ${r.getLong(1)} pairs")
       assert(r.getDouble(2) == 1.0)
-      if (radius >= 12) assert(r.getBoolean(3), "witness vacuous: no pairs in radius")
+      // radius 4 is the graded q_simhash operating point — the
+      // witness must be non-vacuous there (seeded near-dups sit at
+      // hamming <= 5 on the shared sf0.001/sf0.01 corpus)
+      if (radius >= 4) assert(r.getBoolean(3), "witness vacuous: no pairs in radius")
     }
   }
 
@@ -144,6 +147,14 @@ class DedupSpec extends SparkSpec {
       .groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
       .agg(max(col("df"))).collect().head.getLong(0)
     assert(maxDf <= 1000, s"stopword shingle df=$maxDf would split the oracles")
+    // second precondition: the rerank intersects xxhash64'd shingle
+    // sets — a 64-bit collision between two distinct shingles of the
+    // corpus would skew an intersection count. Pin zero collisions.
+    val (nStr, nHash) = docs
+      .select(explode(shinglesRaw(col("text"), 3)).as("s"))
+      .agg(countDistinct(col("s")), countDistinct(xxhash64(col("s"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(nStr == nHash, s"shingle hash collision: $nStr strings -> $nHash hashes")
     val lsh = minhashNearDups(docs, col("doc_id"), col("text"),
         shingleN = 3, numHashes = 32, bands = 32, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
