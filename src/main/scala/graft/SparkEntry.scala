@@ -499,6 +499,64 @@ object SparkEntry {
       functions.Multimodal.decodeMeta(
         functions.Multimodal.asMedia(t(s, dir, "documents"),
           "doc_id", "text")).toDF()),
+
+    // ---- L4: deterministic sampling / export (InputSampler made
+    // content-level: reference lib/InputSampler.java samples splits;
+    // a training mix samples rows, reproducibly) ---------------------
+    "q_sample_hash" -> ((s, dir) =>
+      functions.Sampling.hashSample(t(s, dir, "documents"),
+        col("doc_id"), rate = 0.25)
+        .select(col("doc_id"), col("lang"))),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      functions.Sampling.stratifiedHashSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    "q_sample_stratum_k" -> ((s, dir) =>
+      functions.Sampling.perStratumSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), k = 20)
+        .select(col("doc_id"), col("lang"))),
+
+    // token-budget shard packing — the training-export step
+    "q_pack_shards" -> ((s, dir) =>
+      functions.Sampling.packByBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          functions.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        col("lang"), col("doc_id"), col("n_tokens"), budget = 2000L)),
+
+    // ---- L4: temporal joins / event grouping ------------------------
+    // point-in-time join: each measurement event picks up the latest
+    // preceding snapshot (event_id % 7 == 0) value of its user.
+    // Times surface (and match) in MICROS: the parquet timestamps are
+    // NANOS, which the DuckDB oracle truncates to its microsecond
+    // TIMESTAMP — `ts div 1000` is the same truncation, and per-user
+    // timestamps are unique at micro precision, so ordering agrees.
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      operators.Temporal.asOfJoin(
+        e.filter(col("event_id") % 7 =!= 0)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts")),
+        col("user_id"), col("ts"),
+        e.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), expr("ts div 1000").as("ts"),
+            col("value")),
+        col("user_id"), col("ts"),
+        col("value"), "snap_value")
+    }),
+
+    // gap sessionization (12 h in micros — the events table's median
+    // per-user inter-event gap is ~7 h, so sessions average a few
+    // events instead of degenerating to singletons)
+    "q_sessionize" -> ((s, dir) =>
+      operators.Temporal.sessionSummary(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts"), col("value")),
+        col("user_id"), col("ts"), gap = 43200000000L,
+        col("value").cast("decimal(18,2)"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1014,5 +1072,71 @@ object SparkEntry {
         |        - power(CAST(sum(freq) AS DOUBLE) / count(*), 2)), 4)
         |    AS stddev_freq
         |FROM freq GROUP BY l_returnflag""".stripMargin,
+
+    // deterministic md5-prefix samples: the oracle re-derives the
+    // EXACT sample (the operators' portability contract — hex-prefix
+    // compare is lexicographic = numeric). Thresholds: rate × 16⁸.
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+        |      < '40000000'""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+        |      < CASE lang WHEN 'en' THEN '80000000'
+        |                  WHEN 'de' THEN '40000000'
+        |                  ELSE '19999999' END""".stripMargin,
+
+    "q_sample_stratum_k" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8),
+        |           doc_id) <= 20""".stripMargin,
+
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                  x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |         PARTITION BY lang ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       / 2000) AS BIGINT) AS shard
+        |FROM t""".stripMargin,
+
+    // ASOF LEFT JOIN is the oracle's native form of the union-and-
+    // sweep as-of; ts surfaces as epoch MICROS on both sides (DuckDB
+    // truncates the parquet NANOS to its microsecond TIMESTAMP, and
+    // `ts div 1000` on the Spark side is the same truncation)
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+        |           FROM events WHERE event_id % 7 != 0),
+        |     r AS (SELECT user_id, epoch_us(ts) AS ts, value
+        |           FROM events WHERE event_id % 7 = 0)
+        |SELECT l.event_id, l.user_id, l.ts, r.value AS snap_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |y AS (SELECT user_id, t, value,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  > 43200000000 THEN 1 ELSE 0 END AS nw
+        |      FROM x),
+        |z AS (SELECT user_id, t, value,
+        |        CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS session_id
+        |      FROM y)
+        |SELECT user_id AS key, session_id,
+        |       min(t) AS start_t, max(t) AS end_t,
+        |       count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |         AS sum_value
+        |FROM z GROUP BY 1, 2""".stripMargin,
   )
 }

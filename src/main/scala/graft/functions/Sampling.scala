@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and shard packing for training-data
+  * pipelines.
+  *
+  * The reference ships samplers as split-planning helpers
+  * (src/mapred/org/apache/hadoop/mapred/lib/InputSampler.java:88 —
+  * RandomSampler / SplitSampler / IntervalSampler feeding
+  * TotalOrderPartitioner); a data pipeline needs the same decisions
+  * as *content* operators: which rows enter a training mix, at what
+  * per-source rate, and how the survivors are packed into shards.
+  *
+  * Everything here is hash-deterministic, never `rand()`:
+  * a sample must be reproducible across retries, speculative task
+  * re-execution, and engines (the md5-prefix predicate is plain SQL,
+  * so an external engine can re-derive the exact sample). All
+  * operators are single-pass column expressions or one-exchange
+  * window plans — no driver state, no collect.
+  */
+object Sampling {
+
+  /** Decision hash in [0, 16^8): the first 8 hex chars of
+    * md5(key ":" seed), compared lexicographically — hex digits
+    * order like the number they encode, so a string threshold is a
+    * numeric threshold and every engine with md5() agrees on the
+    * sample.
+    */
+  private def decisionHex(key: Column, seed: Long): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 8)
+
+  /** `rate` as an 8-hex-char threshold (rate 1.0 ⇒ above any hash). */
+  private def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    // 16^8 * rate, clamped; f"%08x" keeps the lexicographic compare
+    // aligned with the numeric one
+    val n = math.min((rate * 4294967296.0).toLong, 4294967296L)
+    if (n >= 4294967296L) "g" /* > every hex digit string */
+    else f"$n%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff the hash of its
+    * `key` falls under `rate`. Map-side only — fuses into the scan,
+    * no shuffle, stable under retries. Different `seed`s draw
+    * independent samples (held-out splits, A/B slices).
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double,
+                 seed: Long = 42L): DataFrame =
+    df.filter(decisionHex(key, seed) < lit(rateThreshold(rate)))
+
+  /** Per-stratum deterministic rates (the training-mix weights:
+    * "keep 50% of en, 10% of everything else"). `default` applies to
+    * strata absent from `rates`. Same scan-speed shape as
+    * [[hashSample]] — the stratum only switches the threshold.
+    */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           rates: Map[String, Double], default: Double,
+                           seed: Long = 42L): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThreshold(default))) {
+      case (acc, (s, r)) => when(stratum === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(decisionHex(key, seed) < threshold)
+  }
+
+  /** Deterministic fixed-size-per-stratum sample: the `k` rows of
+    * each stratum with the smallest decision hashes — a reproducible
+    * stand-in for per-key reservoir sampling (the reservoir's "k
+    * uniform survivors" with none of its sequential state). One hash
+    * exchange on the stratum + per-group sort.
+    *
+    * Scale note: a single stratum's rows all land in one window
+    * partition. For strata of ~10⁹+ rows pre-thin with
+    * [[hashSample]] at a generous rate (any rate keeping ≥ k rows
+    * per stratum preserves the result EXACTLY: the kept set is the
+    * k smallest hashes, and a hash-threshold pre-filter only drops
+    * rows above the threshold).
+    */
+  def perStratumSample(df: DataFrame, key: Column, stratum: Column,
+                       k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // tie-break on the key itself: md5 prefixes could collide, and
+    // the sample must be a deterministic set
+    val w = Window.partitionBy(stratum)
+      .orderBy(decisionHex(key, seed).asc, key.asc)
+    var rn = "__rn"
+    while (df.columns.contains(rn)) rn += "_"
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
+  }
+
+  /** Pack rows into budgeted shards: within each `part`, rows are
+    * laid out in `order` and shard id = floor(exclusive-prefix-sum
+    * (weight) / budget) — a row opens in the shard its starting
+    * offset falls in. The training-export step: "documents into
+    * ~N-token shards, deterministic order, no shard boundary
+    * splitting a document". A shard holds at least `budget` total
+    * weight's worth of offsets and overflows by at most its last
+    * row's weight; a row heavier than the whole budget gets a shard
+    * to itself. (Strict greedy packing — close the shard when the
+    * NEXT row would overflow — is a sequential recurrence, not a
+    * prefix sum; this offset form computes the same shard count ±1
+    * per part and distributes.)
+    *
+    * One exchange on `part` + per-partition sort — shards are
+    * assigned partition-locally, so parts scale out; a part's rows
+    * do funnel through one task (pick `part` = the export bucket,
+    * e.g. language × date, not a global constant).
+    */
+  def packByBudget(df: DataFrame, part: Column, order: Column,
+                   weight: Column, budget: Long, as: String = "shard"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(part).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // exclusive prefix sum: the first row of a part packs into shard
+    // 0 even if it alone blows the budget
+    df.withColumn(as,
+      floor(coalesce(sum(weight).over(w), lit(0L)) / budget).cast("long"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins and event grouping — the time-series operators a
+  * log/training-data pipeline needs beyond plain equi-joins
+  * (point-in-time feature attachment, gap-based sessionization).
+  *
+  * The reference's join DSL is equi-key only (CompositeInputFormat,
+  * src/mapred/org/apache/hadoop/mapred/join/CompositeInputFormat
+  * .java:40); the Spark-native way to get "greatest right timestamp
+  * <= left timestamp per key" at scale is NOT a range self-join
+  * (which explodes to |L|·|R| per key before filtering) but a
+  * union-and-sweep: tag both sides, sort each key's rows once by
+  * time, and let a running `last(right payload)` window carry the
+  * match to every left row. One exchange per side, one sort, zero
+  * pair blowup — the merge-join shape Catalyst would pick for a
+  * sorted-bucket equi-join, generalized to inequality time matching.
+  */
+object Temporal {
+
+  /** As-of join (point-in-time join): for every left row, attach
+    * `payload` from the right row with the same key and the greatest
+    * `rightTime` <= `leftTime` (null when no right row precedes it).
+    * Left rows/columns are preserved; the match lands in column `as`.
+    *
+    * Ties: a right row at exactly `leftTime` matches (<=, the ASOF
+    * convention). Callers must make (key, time) unique on the right
+    * side (aggregate duplicates first) — with ties the "latest right
+    * row" is ill-defined and engines disagree.
+    *
+    * Scale: the union is shuffled once on the key and sorted by
+    * (time, side) per key — the window frame is running, so state per
+    * key is O(1) (the last non-null payload), never a buffered range.
+    * Skewed keys behave like any window over a hot key: pre-split by
+    * time range if one key dominates.
+    */
+  def asOfJoin(left: DataFrame, leftKey: Column, leftTime: Column,
+               right: DataFrame, rightKey: Column, rightTime: Column,
+               payload: Column, as: String): DataFrame = {
+    val leftCols = left.columns
+    require(!leftCols.contains(as),
+      s"output column '$as' already exists on the left side")
+    // tag columns grown past both sides' names
+    var p = "__asof"
+    while (leftCols.exists(_.startsWith(p)) ||
+           right.columns.exists(_.startsWith(p))) p += "_"
+    val payloadType = right.select(payload).schema.head.dataType
+    // left rows ride whole (struct) so arbitrary left schemas survive
+    // the union with the narrow right side
+    val l = left.select(
+      leftKey.as(s"${p}_k"), leftTime.as(s"${p}_t"),
+      lit(true).as(s"${p}_isl"),
+      struct(leftCols.map(col): _*).as(s"${p}_row"),
+      lit(null).cast(payloadType).as(s"${p}_p"))
+    val r = right.select(
+      rightKey.as(s"${p}_k"), rightTime.as(s"${p}_t"),
+      lit(false).as(s"${p}_isl"),
+      lit(null).cast(l.schema(s"${p}_row").dataType).as(s"${p}_row"),
+      payload.as(s"${p}_p"))
+    // right sorts before left at equal time (false < true), so an
+    // exactly-simultaneous right row is visible to the left row
+    val w = Window.partitionBy(col(s"${p}_k"))
+      .orderBy(col(s"${p}_t").asc, col(s"${p}_isl").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(as, last(col(s"${p}_p"), ignoreNulls = true).over(w))
+      .filter(col(s"${p}_isl"))
+      .select(col(s"${p}_row.*"), col(as))
+  }
+
+  /** Gap-based sessionization: within each key, a new session starts
+    * when the time since the previous event exceeds `gap` (same unit
+    * as `time` — nanos for the events table). Appends `sessionCol`
+    * (0-based per-key session index) to every row.
+    *
+    * The standard two-window composition: a lag marks session starts,
+    * a running sum numbers them — both over one (key, time) sort, so
+    * the whole operator is one exchange + one sort. (Structured
+    * Streaming's `session_window` is the streaming twin; this is the
+    * batch/backfill form that also yields the per-event assignment.)
+    */
+  def sessionize(df: DataFrame, key: Column, time: Column, gap: Long,
+                 sessionCol: String = "session_id"): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    require(!df.columns.contains(sessionCol),
+      s"output column '$sessionCol' already exists")
+    var p = "__sess"
+    while (df.columns.exists(_.startsWith(p))) p += "_"
+    val byTime = Window.partitionBy(key).orderBy(time)
+    val runng = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${p}_new",
+        when(time - lag(time, 1).over(byTime) > gap, 1L).otherwise(0L))
+      .withColumn(sessionCol, sum(col(s"${p}_new")).over(runng))
+      .drop(s"${p}_new")
+  }
+
+  /** Per-session summary: the aggregate view of [[sessionize]]
+    * (session bounds, event count, value total per key+session).
+    * Pass `value` pre-cast to a decimal type when the result must be
+    * engine-portable — a double sum's rounding depends on the
+    * reduction order.
+    */
+  def sessionSummary(df: DataFrame, key: Column, time: Column, gap: Long,
+                     value: Column): DataFrame =
+    sessionize(df, key, time, gap)
+      .groupBy(key.as("key"), col("session_id"))
+      .agg(min(time).as("start_t"), max(time).as("end_t"),
+        count(lit(1)).as("n_events"),
+        round(sum(value).cast("double"), 4).as("sum_value"))
+}

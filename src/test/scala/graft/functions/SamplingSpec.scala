@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.Sampling._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n).toDF("id")
+
+  test("hashSample is deterministic, seed-sensitive, and rate-monotone") {
+    val df = ids(4000)
+    val s1 = hashSample(df, $"id", 0.25).collect().map(_.getLong(0)).toSet
+    val s2 = hashSample(df, $"id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed must re-derive the same sample")
+    val other = hashSample(df, $"id", 0.25, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != other, "different seeds must draw different samples")
+    // a lower rate's sample is a SUBSET of a higher rate's (same
+    // seed): thresholds nest, so training splits can be grown
+    // without resampling rows already in
+    val s5 = hashSample(df, $"id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s5))
+    // empirical rate lands near the nominal one (md5 uniformity)
+    assert(math.abs(s1.size / 4000.0 - 0.25) < 0.05, s"got ${s1.size}/4000")
+    assert(hashSample(df, $"id", 0.0).count() == 0)
+    assert(hashSample(df, $"id", 1.0).count() == 4000)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates and the default") {
+    val df = (0L until 3000).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("id", "lang")
+    val out = stratifiedHashSample(df, $"id", $"lang",
+      Map("en" -> 0.8, "de" -> 0.2), default = 0.05)
+    val byLang = out.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 1000.0 - 0.8) < 0.08, byLang.toString)
+    assert(math.abs(byLang("de") / 1000.0 - 0.2) < 0.08, byLang.toString)
+    assert(byLang.getOrElse("fr", 0L) / 1000.0 < 0.12, byLang.toString)
+    // a stratum's members are exactly hashSample at that stratum's
+    // rate — the stratified form only switches the threshold
+    val en = out.filter($"lang" === "en").select($"id")
+      .collect().map(_.getLong(0)).toSet
+    val plain = hashSample(df.filter($"lang" === "en"), $"id", 0.8)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(en == plain)
+  }
+
+  test("perStratumSample keeps exactly min(k, |stratum|) deterministic rows") {
+    val df = (0L until 500).map(i => (i, s"s${i % 4}")).toDF("id", "st")
+      .union(Seq((9999L, "tiny")).toDF("id", "st"))
+    val out = perStratumSample(df, $"id", $"st", k = 30)
+    val sizes = out.groupBy($"st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("s0", "s1", "s2", "s3").forall(sizes(_) == 30L), sizes.toString)
+    assert(sizes("tiny") == 1L, "undersized stratum keeps all its rows")
+    val again = perStratumSample(df, $"id", $"st", k = 30)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      again.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // pre-thinning at a rate that keeps >= k rows preserves the
+    // result exactly (the documented huge-stratum recipe): the kept
+    // set is the k smallest hashes, below any generous threshold
+    val thinned = perStratumSample(
+      hashSample(df, $"id", 0.9), $"id", $"st", k = 5)
+    val full = perStratumSample(df, $"id", $"st", k = 5)
+    assert(thinned.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      full.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("packByBudget: shard starts stay inside budget windows, heavy rows survive") {
+    val df = Seq(
+      ("a", 1L, 600L), ("a", 2L, 600L), ("a", 3L, 600L), ("a", 4L, 600L),
+      ("a", 5L, 5000L), // heavier than the whole budget
+      ("a", 6L, 100L),
+      ("b", 1L, 10L)
+    ).toDF("part", "ord", "w")
+    val out = packByBudget(df, $"part", $"ord", $"w", budget = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = out.filter(_._1 == "a").sortBy(_._2).map(_._4)
+    // offsets 0,600,1200,1800,2400,7400 / 1000 -> shards 0,0,1,1,2,7
+    assert(a.toSeq == Seq(0L, 0L, 1L, 1L, 2L, 7L), a.mkString(","))
+    assert(out.filter(_._1 == "b").map(_._4).toSeq == Seq(0L),
+      "each part packs independently from shard 0")
+    // invariant: a shard's total weight <= budget + its last row's
+    // weight (the documented overflow bound)
+    val byShard = out.filter(_._1 == "a").groupBy(_._4).view
+      .mapValues(_.map(_._3).sum)
+    byShard.foreach { case (shard, total) =>
+      val maxW = out.filter(r => r._1 == "a" && r._4 == shard).map(_._3).max
+      assert(total <= 1000L + maxW, s"shard $shard total $total")
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin attaches the latest right payload at or before each left time") {
+    val left = Seq(
+      (1L, 100L, "l1"), // before any snapshot -> null
+      (1L, 200L, "l2"), // exactly at snapshot t=200 -> tie matches
+      (1L, 350L, "l3"), // between 200 and 400 -> 200's payload
+      (1L, 450L, "l4"), // after 400 -> 400's payload
+      (2L, 999L, "l5")  // key with no snapshots at all -> null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 200L, 20.0),
+      (1L, 400L, 40.0)
+    ).toDF("k", "t", "v")
+    val out = asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "snap")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out == Map("l1" -> null, "l2" -> 20.0, "l3" -> 20.0,
+      "l4" -> 40.0, "l5" -> null))
+  }
+
+  test("asOfJoin preserves the left schema and rejects a clashing output column") {
+    val left = Seq((1L, 10L, "x", 7)).toDF("k", "t", "s", "extra")
+    val right = Seq((1L, 5L, 1.5)).toDF("k", "t", "v")
+    val out = asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "snap")
+    assert(out.columns.toSeq == Seq("k", "t", "s", "extra", "snap"))
+    assert(out.collect().head.getDouble(4) == 1.5)
+    intercept[IllegalArgumentException] {
+      asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "extra")
+    }
+  }
+
+  test("asOfJoin matches a per-row max-subquery reference on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    // unique (k, t) on the right — the operator's tie contract
+    val right = rnd.shuffle((0 until 200).toList).take(120).map(i =>
+      ((i % 5).toLong, (i * 7 + 3).toLong, i * 1.0))
+      .toDF("k", "t", "v")
+    val got = asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "snap")
+      .select($"lid", $"snap")
+    // reference: explicit inequality join + latest-wins window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lid").orderBy($"rt".desc)
+    val ref = left.join(right.toDF("k", "rt", "v"), Seq("k"), "left_outer")
+      .withColumn("ok", $"rt" <= $"t")
+      .withColumn("v2", when($"ok", $"v"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lid")
+          .orderBy(when($"ok", $"rt").desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"lid", $"v2".as("snap"))
+    val g = got.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val e = ref.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(g == e)
+  }
+
+  test("sessionize splits on gap strictly greater than the threshold") {
+    val df = Seq(
+      (1L, 0L), (1L, 100L), (1L, 200L),   // gaps 100 == gap -> same session
+      (1L, 301L),                          // gap 101 > 100 -> new session
+      (1L, 350L),
+      (2L, 0L), (2L, 500L)                 // key 2: gap 500 -> two sessions
+    ).toDF("k", "t")
+    val out = sessionize(df, $"k", $"t", gap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 0L) -> 0L, (1L, 100L) -> 0L, (1L, 200L) -> 0L,
+      (1L, 301L) -> 1L, (1L, 350L) -> 1L, (2L, 0L) -> 0L, (2L, 500L) -> 1L))
+  }
+
+  test("sessionSummary aggregates bounds, counts and exact sums per session") {
+    val df = Seq(
+      (1L, 0L, 1.5), (1L, 50L, 2.5), (1L, 500L, 4.0)
+    ).toDF("k", "t", "v")
+    val out = sessionSummary(df, $"k", $"t", gap = 100L,
+        $"v".cast("decimal(18,2)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out == Map(
+      (1L, 0L) -> (0L, 50L, 2L, 4.0),
+      (1L, 1L) -> (500L, 500L, 1L, 4.0)))
+  }
+}
