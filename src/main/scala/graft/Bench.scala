@@ -31,7 +31,7 @@ object Bench {
       functions.Dedup.minhashNearDups(warmDocs, col("doc_id"), col("text"),
         3, 16, 16, 0.5).count()
       functions.Dedup.simhashValidate(warmDocs, col("doc_id"), col("text"),
-        12).count()
+        4).count()
       functions.Dedup.connectedComponents(
         functions.Dedup.ngramJaccardPairs(warmDocs, col("doc_id"),
           col("text"), 3, 0.5)).count()

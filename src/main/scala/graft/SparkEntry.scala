@@ -525,7 +525,7 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           functions.TextAnalysis.tokenCount(col("text")).cast("long")
             .as("n_tokens")),
-        col("lang"), col("doc_id"), col("n_tokens"), budget = 2000L)),
+        col("lang"), Seq(col("doc_id")), col("n_tokens"), budget = 2000L)),
 
     // ---- L4: temporal joins / event grouping ------------------------
     // point-in-time join: each measurement event picks up the latest

@@ -232,8 +232,8 @@ object Dedup {
     // [[ngramJaccardPairs]] is unaffected).
     val docs = spread(df, id)
       .select(id.as("doc_id"),
-        sort_array(array_distinct(transform(shinglesRaw(text, shingleN),
-          s => xxhash64(s)))).as("sh"))
+        sort_array(transform(shingles(text, shingleN),
+          s => xxhash64(s))).as("sh"))
       .localCheckpoint()
     val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes),
       bands, maxBucket)

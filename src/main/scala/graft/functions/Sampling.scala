@@ -109,11 +109,18 @@ object Sampling {
     * assigned partition-locally, so parts scale out; a part's rows
     * do funnel through one task (pick `part` = the export bucket,
     * e.g. language × date, not a global constant).
+    *
+    * `order` must be a TOTAL order within each part (e.g. end with a
+    * unique id): with ties the prefix sum depends on which tied row
+    * a retry happens to sort first, and the shard assignment stops
+    * being reproducible — the same contract violation `rand()`
+    * sampling has.
     */
-  def packByBudget(df: DataFrame, part: Column, order: Column,
+  def packByBudget(df: DataFrame, part: Column, order: Seq[Column],
                    weight: Column, budget: Long, as: String = "shard"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(part).orderBy(order)
+    require(order.nonEmpty, "order must have at least one column")
+    val w = Window.partitionBy(part).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     // exclusive prefix sum: the first row of a part packs into shard
     // 0 even if it alone blows the budget

@@ -47,7 +47,13 @@ object Temporal {
     var p = "__asof"
     while (leftCols.exists(_.startsWith(p)) ||
            right.columns.exists(_.startsWith(p))) p += "_"
-    val payloadType = right.select(payload).schema.head.dataType
+    // the payload rides in a one-field struct: the struct is non-null
+    // on every right row even when the payload value is null, so the
+    // running `last(ignoreNulls)` picks the LATEST PRECEDING RIGHT
+    // ROW (the ASOF contract) rather than skipping back to the
+    // latest non-null payload
+    val wrappedPayload = struct(payload.as(s"${p}_v"))
+    val payloadType = right.select(wrappedPayload).schema.head.dataType
     // left rows ride whole (struct) so arbitrary left schemas survive
     // the union with the narrow right side
     val l = left.select(
@@ -56,17 +62,27 @@ object Temporal {
       struct(leftCols.map(col): _*).as(s"${p}_row"),
       lit(null).cast(payloadType).as(s"${p}_p"))
     val r = right.select(
-      rightKey.as(s"${p}_k"), rightTime.as(s"${p}_t"),
-      lit(false).as(s"${p}_isl"),
-      lit(null).cast(l.schema(s"${p}_row").dataType).as(s"${p}_row"),
-      payload.as(s"${p}_p"))
+        rightKey.as(s"${p}_k"), rightTime.as(s"${p}_t"),
+        lit(false).as(s"${p}_isl"),
+        lit(null).cast(l.schema(s"${p}_row").dataType).as(s"${p}_row"),
+        wrappedPayload.as(s"${p}_p"))
+      // a right row with a null key or null time can never satisfy
+      // `l.key = r.key AND l.t >= r.t` in SQL semantics — but the
+      // window's partitionBy groups nulls together and asc ordering
+      // puts a null time first, which would hand its payload to real
+      // left rows. Drop them. (A null-key/-time LEFT row still comes
+      // out with a null match: its partition holds no right rows /
+      // nothing sorts before it.)
+      .filter(col(s"${p}_k").isNotNull && col(s"${p}_t").isNotNull)
     // right sorts before left at equal time (false < true), so an
     // exactly-simultaneous right row is visible to the left row
     val w = Window.partitionBy(col(s"${p}_k"))
       .orderBy(col(s"${p}_t").asc, col(s"${p}_isl").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(as, last(col(s"${p}_p"), ignoreNulls = true).over(w))
+      .withColumn(as,
+        last(col(s"${p}_p"), ignoreNulls = true).over(w)
+          .getField(s"${p}_v"))
       .filter(col(s"${p}_isl"))
       .select(col(s"${p}_row.*"), col(as))
   }

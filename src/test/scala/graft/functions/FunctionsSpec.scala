@@ -147,14 +147,20 @@ class DedupSpec extends SparkSpec {
       .groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
       .agg(max(col("df"))).collect().head.getLong(0)
     assert(maxDf <= 1000, s"stopword shingle df=$maxDf would split the oracles")
-    // second precondition: the rerank intersects xxhash64'd shingle
-    // sets — a 64-bit collision between two distinct shingles of the
-    // corpus would skew an intersection count. Pin zero collisions.
-    val (nStr, nHash) = docs
-      .select(explode(shinglesRaw(col("text"), 3)).as("s"))
-      .agg(countDistinct(col("s")), countDistinct(xxhash64(col("s"))))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).head
-    assert(nStr == nHash, s"shingle hash collision: $nStr strings -> $nHash hashes")
+    // second precondition: the rerank and the inverted index key on
+    // xxhash64'd shingles — a 64-bit collision between two distinct
+    // shingles of a corpus would skew an intersection count. Pin zero
+    // collisions on EVERY graded corpus: this spec's sf0.001
+    // documents are sf0.01's (the correctness corpus), and sf0.1 is
+    // the second verify target + the bench corpus.
+    for (corpus <- Seq(sf, "/root/testdata/sf0.1")) {
+      val (nStr, nHash) = graft.Graft.table(spark, corpus, "documents")
+        .select(explode(shinglesRaw(col("text"), 3)).as("s"))
+        .agg(countDistinct(col("s")), countDistinct(xxhash64(col("s"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      assert(nStr == nHash,
+        s"$corpus shingle hash collision: $nStr strings -> $nHash hashes")
+    }
     val lsh = minhashNearDups(docs, col("doc_id"), col("text"),
         shingleN = 3, numHashes = 32, bands = 32, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -76,7 +76,7 @@ class SamplingSpec extends SparkSpec {
       ("a", 6L, 100L),
       ("b", 1L, 10L)
     ).toDF("part", "ord", "w")
-    val out = packByBudget(df, $"part", $"ord", $"w", budget = 1000L)
+    val out = packByBudget(df, $"part", Seq($"ord"), $"w", budget = 1000L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val a = out.filter(_._1 == "a").sortBy(_._2).map(_._4)
     // offsets 0,600,1200,1800,2400,7400 / 1000 -> shards 0,0,1,1,2,7
@@ -91,5 +91,19 @@ class SamplingSpec extends SparkSpec {
       val maxW = out.filter(r => r._1 == "a" && r._4 == shard).map(_._3).max
       assert(total <= 1000L + maxW, s"shard $shard total $total")
     }
+  }
+
+  test("packByBudget: a multi-column order disambiguates ties deterministically") {
+    // two rows tie on the primary order key with very different
+    // weights — the id tie-break makes the assignment a function of
+    // the data, not of which tied row a task happens to sort first
+    val df = Seq(
+      ("a", 5L, 1L, 600L), ("a", 5L, 2L, 5000L), ("a", 7L, 3L, 600L)
+    ).toDF("part", "prio", "id", "w")
+    val out = packByBudget(df, $"part", Seq($"prio", $"id"), $"w",
+        budget = 1000L)
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    // offsets: id1 -> 0, id2 -> 600, id3 -> 5600
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 5L), out.toString)
   }
 }

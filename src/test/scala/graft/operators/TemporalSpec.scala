@@ -37,6 +37,31 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin follows SQL semantics on null payloads, keys and times") {
+    // a matched right row whose PAYLOAD is null wins over an earlier
+    // non-null one — ASOF picks the latest preceding ROW, it does not
+    // skip back to the latest non-null value
+    val left = Seq((1L, 300L, "a"), (2L, 50L, "b"), (3L, 10L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(100L), Option(5.0)),
+      (Option(1L), Option(200L), None),         // latest for k=1: null payload
+      (Option(1L), None, Option(9.0)),          // null time: never matches
+      (None, Option(1L), Option(7.0))           // null key: never matches
+    ).toDF("k", "t", "v")
+    val out = asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "snap")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out == Map("a" -> null, "b" -> null, "c" -> null))
+    // null-key / null-time LEFT rows surface with a null match, not
+    // a spurious pairing with other null rows
+    val nullLeft = Seq((Option.empty[Long], Option(500L), "x"),
+      (Option(1L), Option.empty[Long], "y")).toDF("k", "t", "tag")
+    val out2 = asOfJoin(nullLeft, $"k", $"t", right, $"k", $"t", $"v", "snap")
+      .collect().map(r => r.getString(2) -> r.isNullAt(3)).toMap
+    assert(out2 == Map("x" -> true, "y" -> true))
+  }
+
   test("asOfJoin matches a per-row max-subquery reference on seeded random data") {
     val rnd = new scala.util.Random(42)
     val left = (0 until 300).map(i =>
