@@ -557,6 +557,25 @@ object SparkEntry {
           expr("ts div 1000").as("ts"), col("value")),
         col("user_id"), col("ts"), gap = 43200000000L,
         col("value").cast("decimal(18,2)"))),
+
+    // point-in-interval range join, bucket-blocked: for every error
+    // event, how many sessions (any user) were active at its
+    // timestamp — sessionization composed with the range join.
+    // 1-day buckets ≈ the typical session span (p50 0.2 d, max 5.5 d)
+    "q_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t"), col("event_type"), col("value"))
+      val sess = operators.Temporal.sessionSummary(
+          e.select(col("user_id"), col("t").as("ts"), col("value")),
+          col("user_id"), col("ts"), gap = 43200000000L,
+          col("value").cast("decimal(18,2)"))
+        .select(col("start_t"), col("end_t"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("t"))
+      operators.Temporal.rangeJoin(errors, col("t"), sess,
+          col("start_t"), col("end_t"), bucket = 86400000000L)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_active"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1138,5 +1157,25 @@ object SparkEntry {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
         |         AS sum_value
         |FROM z GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's IEJoin evaluates the BETWEEN predicate natively — the
+    // oracle is the plain inequality join the bucket blocking avoids
+    "q_range_join" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |y AS (SELECT user_id, t,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  > 43200000000 THEN 1 ELSE 0 END AS nw
+        |      FROM x),
+        |z AS (SELECT user_id, t,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM y),
+        |sess AS (SELECT user_id, sid, min(t) AS start_t, max(t) AS end_t
+        |         FROM z GROUP BY 1, 2),
+        |err AS (SELECT event_id, epoch_us(ts) AS t FROM events
+        |        WHERE event_type = 'error')
+        |SELECT e.event_id, count(*) AS n_active
+        |FROM err e JOIN sess s ON e.t BETWEEN s.start_t AND s.end_t
+        |GROUP BY 1""".stripMargin,
   )
 }

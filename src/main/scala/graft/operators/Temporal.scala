@@ -113,6 +113,60 @@ object Temporal {
       .drop(s"${p}_new")
   }
 
+  /** Point-in-interval range join: every (point row, interval row)
+    * pair with `start <= pt <= end`, returned as the concatenation of
+    * both sides' columns (the caller aggregates or selects).
+    *
+    * A naive inequality join is a cross product per planner (Spark
+    * plans BNL over |P|·|I| candidates); this blocks both sides into
+    * fixed-width time buckets first: an interval registers in every
+    * bucket it overlaps, a point lives in exactly ONE bucket, so the
+    * blocking equi-join emits each true pair exactly once (no
+    * post-join dedup) and candidates stay bucket-local. Pick
+    * `bucket` near the typical interval length: shorter buckets
+    * replicate intervals more, longer buckets widen the per-bucket
+    * candidate sets.
+    *
+    * Intervals longer than `maxBuckets` buckets are dropped (the
+    * boundedGroupPairs-style skew guard — one open-ended interval
+    * would otherwise replicate into the whole timeline); the drop is
+    * visible via the observed `graft.range_join.*` metric. Bucket
+    * indices are floor(t / bucket) computed in double — exact for
+    * |t| < 2^53, i.e. any epoch micros/nanos timeline.
+    */
+  def rangeJoin(points: DataFrame, pt: Column,
+                intervals: DataFrame, start: Column, end: Column,
+                bucket: Long, maxBuckets: Int = 4096): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval column names must be disjoint, both have: $overlap")
+    def bucketOf(t: Column): Column =
+      floor(t.cast("double") / bucket).cast("long")
+    var p = "__rj"
+    while (points.columns.exists(_.startsWith(p)) ||
+           intervals.columns.exists(_.startsWith(p))) p += "_"
+    val nb = (bucketOf(end) - bucketOf(start) + 1).as(s"${p}_nb")
+    val ivals = intervals
+      .withColumn(s"${p}_nb", nb)
+      .filter(end >= start)
+      .observe(s"graft.range_join.${Temporal.obsId.incrementAndGet()}",
+        sum(when(col(s"${p}_nb") > maxBuckets, 1L).otherwise(0L))
+          .as("dropped_intervals"),
+        max(col(s"${p}_nb")).as("max_interval_buckets"))
+      .filter(col(s"${p}_nb") <= maxBuckets)
+      .withColumn(s"${p}_b",
+        explode(sequence(bucketOf(start), bucketOf(end))))
+      .drop(s"${p}_nb")
+    points.withColumn(s"${p}_b", bucketOf(pt))
+      .join(ivals, Seq(s"${p}_b"))
+      .filter(pt.between(start, end))
+      .drop(s"${p}_b")
+  }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Per-session summary: the aggregate view of [[sessionize]]
     * (session bounds, event count, value total per key+session).
     * Pass `value` pre-cast to a decimal type when the result must be

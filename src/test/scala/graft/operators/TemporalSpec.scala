@@ -91,6 +91,52 @@ class TemporalSpec extends SparkSpec {
     assert(g == e)
   }
 
+  test("rangeJoin emits each covering pair exactly once across bucket spans") {
+    val points = Seq((1L, 5L), (2L, 100L), (3L, 250L), (4L, 999L))
+      .toDF("pid", "t")
+    val ivals = Seq(
+      (10L, 0L, 10L),     // 1 bucket (width 100), covers t=5
+      (20L, 50L, 260L),   // spans buckets 0..2: covers 100 and 250
+      (30L, 100L, 100L),  // degenerate single instant: covers 100 only
+      (40L, 260L, 240L)   // end < start: matches nothing
+    ).toDF("iid", "s", "e")
+    val out = rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 100L)
+      .select($"pid", $"iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a multi-bucket interval must match once per point, not once per
+    // shared bucket (the point lives in exactly one bucket)
+    assert(out == Set((1L, 10L), (2L, 20L), (2L, 30L), (3L, 20L)))
+  }
+
+  test("rangeJoin drops intervals longer than maxBuckets and rejects column overlap") {
+    val points = Seq((1L, 500L)).toDF("pid", "t")
+    val ivals = Seq((10L, 0L, 1000000L), (20L, 450L, 550L)).toDF("iid", "s", "e")
+    val out = rangeJoin(points, $"t", ivals, $"s", $"e",
+        bucket = 100L, maxBuckets = 50)
+      .select($"iid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(20L), "the 10001-bucket interval must be dropped by the guard")
+    intercept[IllegalArgumentException] {
+      rangeJoin(points, $"t", points, $"t", $"t", bucket = 100L)
+    }
+  }
+
+  test("rangeJoin matches a plain inequality join on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 400).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "t")
+    val ivals = (0 until 150).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, s, s + rnd.nextInt(800).toLong)
+    }.toDF("iid", "s", "e")
+    val got = rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 128L)
+      .select($"pid", $"iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = points.join(ivals, $"t" >= $"s" && $"t" <= $"e")
+      .select($"pid", $"iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+  }
+
   test("sessionize splits on gap strictly greater than the threshold") {
     val df = Seq(
       (1L, 0L), (1L, 100L), (1L, 200L),   // gaps 100 == gap -> same session
