@@ -464,6 +464,19 @@ object SparkEntry {
       functions.TextAnalysis.winnowingFingerprints(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, window = 4)),
 
+    // test-set decontamination: deterministic 50/50 hash split, then
+    // per test doc the fraction of winnowing fingerprints found
+    // anywhere in train (threshold 0.2 flags the seeded cross-split
+    // near-dups without tripping on shared boilerplate 3-grams)
+    "q_decontaminate" -> ((s, dir) => {
+      val (train, test) = functions.Sampling.hashSplit(
+        t(s, dir, "documents"), col("doc_id"), rate = 0.5)
+      functions.TextAnalysis.contaminationReport(
+        test, col("doc_id"), col("text"),
+        train, col("doc_id"), col("text"),
+        shingleN = 3, window = 4, threshold = 0.2)
+    }),
+
     // ---- L4: the training-data pipeline end-to-end ------------------
     // quality filter -> exact dedup (min-id survivor) -> per-lang stats
     "q_pipeline" -> ((s, dir) => {
@@ -989,6 +1002,50 @@ object SparkEntry {
         |  FROM inv)
         |SELECT DISTINCT doc_id, fp FROM wmin
         |WHERE pos >= 3 OR (n_sh < 4 AND pos = n_sh - 1)""".stripMargin,
+
+    // the q_winnowing pipeline with a split flag carried through,
+    // then the fingerprint semi-join aggregated per test doc
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+        |           < '80000000' AS is_train,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id, is_train,
+        |         CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM toks),
+        |inv AS (
+        |  SELECT doc_id, is_train, n_sh, u.p AS pos, u.h AS h FROM (
+        |    SELECT doc_id, is_train, len(s) AS n_sh,
+        |           unnest([{'p': i, 'h': substr(md5(s[i+1]), 1, 16)}
+        |                   for i in range(len(s))]) AS u
+        |    FROM sh)),
+        |wmin AS (
+        |  SELECT doc_id, is_train, pos, n_sh,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM inv),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, is_train, fp FROM wmin
+        |  WHERE pos >= 3 OR (n_sh < 4 AND pos = n_sh - 1)),
+        |trainfp AS (SELECT DISTINCT fp FROM fps WHERE is_train),
+        |test AS (SELECT doc_id, fp FROM fps WHERE NOT is_train)
+        |SELECT t.doc_id,
+        |       count(*) AS n_prints,
+        |       CAST(sum(CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_shared,
+        |       round(CAST(sum(CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 4) AS overlap,
+        |       round(CAST(sum(CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 4) >= 0.2 AS contaminated
+        |FROM test t LEFT JOIN trainfp tf ON t.fp = tf.fp
+        |GROUP BY 1""".stripMargin,
 
     "q_pipeline" ->
       """WITH scored AS (

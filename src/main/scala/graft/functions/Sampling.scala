@@ -51,6 +51,18 @@ object Sampling {
                  seed: Long = 42L): DataFrame =
     df.filter(decisionHex(key, seed) < lit(rateThreshold(rate)))
 
+  /** Deterministic two-way split: ([[hashSample]]'s kept set, its
+    * complement) — the train/test split whose membership survives
+    * reruns, engine changes and incremental re-ingestion (a row's
+    * side is a pure function of its key and the seed, so new data
+    * lands on a side without reshuffling old rows).
+    */
+  def hashSplit(df: DataFrame, key: Column, rate: Double,
+                seed: Long = 42L): (DataFrame, DataFrame) = {
+    val in = decisionHex(key, seed) < lit(rateThreshold(rate))
+    (df.filter(in), df.filter(!in))
+  }
+
   /** Per-stratum deterministic rates (the training-mix weights:
     * "keep 50% of en, 10% of everything else"). `default` applies to
     * strata absent from `rates`. Same scan-speed shape as

@@ -123,6 +123,38 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Test-set decontamination report: for every doc of `test`, the
+    * fraction of its winnowing fingerprints that also occur anywhere
+    * in `train` — the standard contamination probe (a test doc
+    * sharing a ≥ w+k-1-token run with any training doc shares a
+    * fingerprint, by winnowing's guarantee). Output per test doc:
+    * (doc_id, n_prints, n_shared, overlap, contaminated).
+    *
+    * Scale shape: both corpora fingerprint independently (winnowing
+    * is explode + one partition-local window), the train side
+    * collapses to a DISTINCT fingerprint set (16-char hex — tiny
+    * next to the corpus), and one hash join on the fingerprint +
+    * per-doc count finishes it. No doc-to-doc pair table — at 100 TB
+    * the contaminated-pair listing is the follow-up query on the
+    * flagged docs, not the bulk path.
+    */
+  def contaminationReport(test: DataFrame, testId: Column, testText: Column,
+                          train: DataFrame, trainId: Column, trainText: Column,
+                          shingleN: Int = 3, window: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val tf = winnowingFingerprints(test, testId, testText, shingleN, window)
+    val rf = winnowingFingerprints(train, trainId, trainText, shingleN, window)
+      .select(col("fp")).distinct()
+      .withColumn("__hit", lit(1))
+    tf.join(rf, Seq("fp"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prints"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / col("n_prints"), 4))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
   /** Per-language corpus stats — the report a pipeline operator runs
     * before/after filtering.
     */

@@ -29,4 +29,26 @@ object EventWindows {
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"),
         group, col("n"), col("total"))
+
+  /** Gap-based session aggregation — the streaming twin of
+    * [[graft.operators.Temporal.sessionize]]: on a stream, session
+    * state is watermark-bounded (a session finalizes once the
+    * watermark passes its close), so the backfill form and the live
+    * form share one definition of "session". Boundary convention
+    * differs by half-open-interval: `session_window` merges events
+    * strictly closer than `gap` (an event exactly `gap` later opens
+    * a new session), while the batch lag-form keeps an exact-gap
+    * event in the session — callers comparing the two should test
+    * away from the exact boundary.
+    */
+  def sessions(events: DataFrame, ts: Column, tsName: String,
+               group: Column, watermark: String, gap: String,
+               value: Column): DataFrame =
+    events
+      .withWatermark(tsName, watermark)
+      .groupBy(session_window(ts, gap), group)
+      .agg(count(lit(1)).as("n"), sum(value).as("total"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        group, col("n"), col("total"))
 }

@@ -33,6 +33,27 @@ class TextAnalysisSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("contaminationReport flags test docs sharing long runs with train") {
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, s"intro words $common closing words here now"),
+      (2L, "unrelated training material about other topics entirely")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, s"different frame $common and a distinct tail section"),
+      (11L, "completely novel held out evaluation content only")
+    ).toDF("doc_id", "text")
+    val rep = TextAnalysis.contaminationReport(
+        test, $"doc_id", $"text", train, $"doc_id", $"text",
+        shingleN = 3, window = 4, threshold = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    assert(rep(10L)._1 > 0 && rep(10L)._2,
+      s"contaminated doc not flagged: $rep")
+    assert(rep(11L)._1 == 0 && !rep(11L)._2,
+      s"clean doc flagged: $rep")
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog in the house",

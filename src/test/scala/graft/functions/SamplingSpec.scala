@@ -28,6 +28,17 @@ class SamplingSpec extends SparkSpec {
     assert(hashSample(df, $"id", 1.0).count() == 4000)
   }
 
+  test("hashSplit partitions exactly: two sides, no overlap, no loss") {
+    val df = ids(2000)
+    val (a, b) = hashSplit(df, $"id", 0.5)
+    val sa = a.collect().map(_.getLong(0)).toSet
+    val sb = b.collect().map(_.getLong(0)).toSet
+    assert(sa.intersect(sb).isEmpty)
+    assert(sa.size + sb.size == 2000)
+    // the in-side IS hashSample at the same rate/seed
+    assert(sa == hashSample(df, $"id", 0.5).collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratifiedHashSample applies per-stratum rates and the default") {
     val df = (0L until 3000).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))

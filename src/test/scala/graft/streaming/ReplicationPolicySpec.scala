@@ -211,6 +211,58 @@ class AggApproxSpec extends SparkSpec {
   }
 }
 
+case class Ev(user: Long, t: java.sql.Timestamp, v: Double)
+
+class SessionWindowSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("streaming session_window merges within-gap events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = EventWindows.sessions(input.toDS().toDF(), $"t", "t",
+        $"user", watermark = "10 seconds", gap = "1 minute", $"v")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_test").start()
+    try {
+      input.addData(Ev(1L, ts(0L), 1.0), Ev(1L, ts(30000L), 2.0))
+      q.processAllAvailable()
+      // second batch: event 30s after the last -> same session; and a
+      // far event 10 min later -> new session
+      input.addData(Ev(1L, ts(60000L), 4.0), Ev(1L, ts(600000L), 8.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_test")
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      // session 1: events at 0s/30s/60s (n=3, sum 7); session 2: the
+      // 10-min event alone
+      assert(got == Set((1L, 3L, 7.0), (1L, 1L, 8.0)), got.toString)
+    } finally q.stop()
+  }
+
+  test("batch session_window membership matches Temporal.sessionize off-boundary") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 50000L, 2.0),    // 50 s apart: same session
+      (1L, 200000L, 4.0),                   // 150 s later: new session
+      (2L, 10000L, 8.0)
+    ).map { case (u, ms, v) => Ev(u, ts(ms), v) }.toDF("user", "t", "v")
+    val viaWindow = EventWindows.sessions(df, $"t", "t", $"user",
+        watermark = "0 seconds", gap = "1 minute", $"v")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    // lag-form sessions on epoch millis with the same 60 s gap
+    val viaLag = graft.operators.Temporal.sessionSummary(
+        df.select($"user", unix_millis($"t").as("tm"), $"v"),
+        $"user", $"tm", gap = 60000L, $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(4),
+        r.getDouble(5))).toSet
+    assert(viaWindow == viaLag, s"window=$viaWindow lag=$viaLag")
+  }
+}
+
 class HeatStreamSpec extends SparkSpec {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import HeatStream._
