@@ -1008,8 +1008,8 @@ object SparkEntry {
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
-        |           < '80000000' AS is_train,
+        |         coalesce(substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+        |           < '80000000', FALSE) AS is_train,
         |         list_filter(string_split_regex(text, '\s+'),
         |                     x -> length(x) > 0) AS tk
         |  FROM documents WHERE text IS NOT NULL),

@@ -56,10 +56,17 @@ object Sampling {
     * reruns, engine changes and incremental re-ingestion (a row's
     * side is a pure function of its key and the seed, so new data
     * lands on a side without reshuffling old rows).
+    *
+    * A null key hashes to null; a bare filter would drop the row
+    * from BOTH sides — silent loss in an operator whose contract is
+    * an exact partition. Null keys land deterministically in the
+    * complement (they are not "sampled in" at any rate, matching
+    * [[hashSample]]'s subset behavior).
     */
   def hashSplit(df: DataFrame, key: Column, rate: Double,
                 seed: Long = 42L): (DataFrame, DataFrame) = {
-    val in = decisionHex(key, seed) < lit(rateThreshold(rate))
+    val in = coalesce(decisionHex(key, seed) < lit(rateThreshold(rate)),
+      lit(false))
     (df.filter(in), df.filter(!in))
   }
 

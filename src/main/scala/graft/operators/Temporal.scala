@@ -130,20 +130,34 @@ object Temporal {
     * Intervals longer than `maxBuckets` buckets are dropped (the
     * boundedGroupPairs-style skew guard — one open-ended interval
     * would otherwise replicate into the whole timeline); the drop is
-    * visible via the observed `graft.range_join.*` metric. Bucket
-    * indices are floor(t / bucket) computed in double — exact for
-    * |t| < 2^53, i.e. any epoch micros/nanos timeline.
+    * visible via an observed `graft.<site>.<n>` metric (same
+    * convention as the near-dup bucket caps: the numeric suffix
+    * keeps plan-level names unique, listeners match on the `site`
+    * prefix). Bucket indices are exact long floor-division
+    * (floorDiv) over the whole long range — a nanos timeline is
+    * above 2^53, where double math would misclassify boundary
+    * intervals against the guard.
     */
   def rangeJoin(points: DataFrame, pt: Column,
                 intervals: DataFrame, start: Column, end: Column,
-                bucket: Long, maxBuckets: Int = 4096): DataFrame = {
+                bucket: Long, maxBuckets: Int = 4096,
+                site: String = "range_join"): DataFrame = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
     require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint, both have: $overlap")
-    def bucketOf(t: Column): Column =
-      floor(t.cast("double") / bucket).cast("long")
+    // exact floorDiv in long arithmetic: t - pmod(t, b) is the
+    // largest multiple of b <= t (pmod is non-negative), and the
+    // integral division of an exact multiple is exact at any
+    // magnitude — no double rounding
+    def bucketOf(t: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      val tl = t.cast("long")
+      column(IntegralDivide(
+        expression(tl - pmod(tl, lit(bucket))), expression(lit(bucket))))
+    }
     var p = "__rj"
     while (points.columns.exists(_.startsWith(p)) ||
            intervals.columns.exists(_.startsWith(p))) p += "_"
@@ -151,7 +165,7 @@ object Temporal {
     val ivals = intervals
       .withColumn(s"${p}_nb", nb)
       .filter(end >= start)
-      .observe(s"graft.range_join.${Temporal.obsId.incrementAndGet()}",
+      .observe(s"graft.$site.${Temporal.obsId.incrementAndGet()}",
         sum(when(col(s"${p}_nb") > maxBuckets, 1L).otherwise(0L))
           .as("dropped_intervals"),
         max(col(s"${p}_nb")).as("max_interval_buckets"))

@@ -37,6 +37,12 @@ class SamplingSpec extends SparkSpec {
     assert(sa.size + sb.size == 2000)
     // the in-side IS hashSample at the same rate/seed
     assert(sa == hashSample(df, $"id", 0.5).collect().map(_.getLong(0)).toSet)
+    // a null key must not vanish from both sides (the exact-partition
+    // contract): it lands deterministically in the complement
+    val withNull = Seq(Option(1L), Option(2L), None).toDF("id")
+    val (na, nb) = hashSplit(withNull, $"id", 0.5)
+    assert(na.count() + nb.count() == 3)
+    assert(nb.filter($"id".isNull).count() == 1)
   }
 
   test("stratifiedHashSample applies per-stratum rates and the default") {

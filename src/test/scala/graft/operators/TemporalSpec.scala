@@ -120,6 +120,20 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin bucket math stays exact at nanos magnitude (> 2^53)") {
+    // epoch-nanos scale: double arithmetic rounds these longs to
+    // multiples of 256, which would misplace bucket boundaries; the
+    // floorDiv form must keep the pair set exact
+    val base = 1704067200000000000L // 2024-01-01 in nanos
+    val points = Seq((1L, base + 1L), (2L, base + 999L), (3L, base + 1001L))
+      .toDF("pid", "t")
+    val ivals = Seq((10L, base, base + 1000L)).toDF("iid", "s", "e")
+    val got = rangeJoin(points, $"t", ivals, $"s", $"e",
+        bucket = 1000L)
+      .select($"pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), got.toString)
+  }
+
   test("rangeJoin matches a plain inequality join on seeded random data") {
     val rnd = new scala.util.Random(7)
     val points = (0 until 400).map(i => (i.toLong, rnd.nextInt(10000).toLong))
