@@ -151,6 +151,18 @@ class TemporalSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("asOfJoin plans exactly one shuffle (union-and-sweep, not a range join)") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "s")
+    val right = Seq((1L, 5L, 1.5)).toDF("k", "t", "v")
+    val plan = asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "snap")
+      .queryExecution.executedPlan.toString
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected the single union exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "as-of must never plan a pairwise join")
+  }
+
   test("sessionize splits on gap strictly greater than the threshold") {
     val df = Seq(
       (1L, 0L), (1L, 100L), (1L, 200L),   // gaps 100 == gap -> same session

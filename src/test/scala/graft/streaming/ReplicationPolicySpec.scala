@@ -263,6 +263,44 @@ class SessionWindowSpec extends SparkSpec {
   }
 }
 
+class StreamAsOfSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import StreamAsOf._
+
+  test("streaming as-of equals the batch join on in-order streams, flags late points") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pts = MemoryStream[Point]
+    val snaps = MemoryStream[Snapshot]
+    val q = enrich(pts.toDS(), snaps.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("asof_test").start()
+    try {
+      // two MemoryStreams do not co-batch deterministically, so
+      // drive the scenario one micro-batch at a time
+      pts.addData(Point(1L, 50L, "p0")) // before any snapshot
+      q.processAllAvailable()
+      snaps.addData(Snapshot(1L, 100L, 5.0))
+      q.processAllAvailable()
+      pts.addData(Point(1L, 150L, "p1"))
+      q.processAllAvailable()
+      snaps.addData(Snapshot(1L, 300L, 7.0))
+      q.processAllAvailable()
+      // an in-order point and a LATE point older than the newest
+      // snapshot (gets latest-known, detectable via snapT > t)
+      pts.addData(Point(1L, 400L, "p2"), Point(1L, 200L, "late"))
+      q.processAllAvailable()
+      val got = spark.table("asof_test").as[Enriched].collect()
+        .map(e => e.tag -> ((e.snapT, e.snapValue))).toMap
+      assert(got("p0") == ((None, None)), "point before any snapshot")
+      assert(got("p1") == ((Some(100L), Some(5.0))))
+      assert(got("p2") == ((Some(300L), Some(7.0))))
+      // the late point carries the newest state; staleness visible
+      assert(got("late") == ((Some(300L), Some(7.0))))
+      assert(got("late")._1.exists(_ > 200L), "staleness must be detectable")
+    } finally q.stop()
+  }
+}
+
 class HeatStreamSpec extends SparkSpec {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import HeatStream._
