@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60 sequential queries generate enough janino/whole-stage classes
+  // to overflow the default ~240 MB code cache, after which the JIT
+  // stops compiling and random late queries run interpreted (observed
+  // as 10x single-query outliers in otherwise identical bench runs)
+  "-XX:ReservedCodeCacheSize=1g",
 )
