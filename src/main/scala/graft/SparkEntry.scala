@@ -589,6 +589,45 @@ object SparkEntry {
           col("start_t"), col("end_t"), bucket = 86400000000L)
         .groupBy(col("event_id")).agg(count(lit(1)).as("n_active"))
     }),
+
+    // ---- L4: retrieval scoring / frequency sketch / PII scrub -------
+    // BM25 top-10 over a mixed rare+common term bag; scores are
+    // ln/round(4) doubles derived from identical integer operands in
+    // both engines
+    "q_bm25" -> ((s, dir) =>
+      functions.Retrieval.bm25TopK(t(s, dir, "documents"),
+        col("doc_id"), col("text"),
+        queryTerms = Seq("dup", "spark", "vector"), k = 10)),
+
+    // exact phi-heavy-hitters: capacity 30 < the corpus' 31-token
+    // vocabulary, so the Misra-Gries decrement path genuinely runs;
+    // phi=0.0335 > 1/31 keeps the no-missed-hitter guarantee
+    "q_heavy_hitters" -> ((s, dir) =>
+      functions.Sketches.phiHeavyHitters(
+        t(s, dir, "documents").select(explode(
+          functions.TextAnalysis.bpeishTokens(col("text"))).as("item")),
+        col("item"), phi = 0.0335, capacity = 30)),
+
+    // PII scrub over a corpus with synthetic doc_id-derived contact
+    // lines (the plain documents text contains no PII to redact)
+    "q_scrub_pii" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10."),
+          (col("doc_id") % 250).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 250).cast("string"),
+          lit(".4 call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0"))
+          .as("raw"))
+        .select(col("doc_id"),
+          functions.TextAnalysis.scrubPii(col("raw")).as("p"))
+        .select(col("doc_id"), col("p.clean").as("clean"),
+          col("p.n_emails").cast("long").as("n_emails"),
+          col("p.n_ips").cast("long").as("n_ips"),
+          col("p.n_phones").cast("long").as("n_phones"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1234,5 +1273,84 @@ object SparkEntry {
         |SELECT e.event_id, count(*) AS n_active
         |FROM err e JOIN sess s ON e.t BETWEEN s.start_t AND s.end_t
         |GROUP BY 1""".stripMargin,
+
+    // BM25 replayed termwise: identical integer operands (tf, dl, df,
+    // N) cast to DOUBLE through the identical expression shape, so
+    // ln/round agree bit-for-bit
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+        |  WHERE term IN ('dup', 'spark', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(
+        |           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |           * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * (1.0 - 0.75
+        |                       + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4)
+        |           AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |         AS rnk,
+        |       doc_id, score
+        |FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // exact phi-heavy-hitters: the sketch only proposes candidates,
+    // exact counting decides — so plain GROUP BY + HAVING is the oracle
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(
+        |           string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |           x -> length(x) > 0)) AS item
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT item, count(*) AS cnt
+        |FROM t CROSS JOIN n
+        |GROUP BY item, n.n
+        |HAVING count(*) >= CAST(ceil(CAST(0.0335 AS DOUBLE) * n.n)
+        |                        AS BIGINT)""".stripMargin,
+
+    // PII scrub: same Java/RE2-portable patterns, 'g' for global
+    // replace; counts are per-pattern matches on the raw text
+    "q_scrub_pii" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com from 10.'
+        |           || (doc_id % 250) || '.' || ((doc_id * 7) % 250)
+        |           || '.4 call 555-'
+        |           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |           || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+        |           AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(raw,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |         '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
+        |       len(regexp_extract_all(raw,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |         AS n_emails,
+        |       len(regexp_extract_all(raw,
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |       len(regexp_extract_all(raw,
+        |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones
+        |FROM raw""".stripMargin,
   )
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring — the ranked-search primitive a
+  * training-data pipeline uses for targeted corpus probes (find the
+  * documents most relevant to a topic before sampling/inspection).
+  * The reference ships grep-style scans (src/examples/org/apache/
+  * hadoop/examples/Grep.java:57-84); BM25 is the ranked extension of
+  * the same inverted-index shape.
+  *
+  * Scale shape (100 TB corpus, a handful of query terms):
+  *  - the query-term filter runs map-side on the exploded token
+  *    stream, so only tokens IN the query set ever reach a shuffle —
+  *    the exchange carries O(matching tokens), not the corpus;
+  *  - corpus stats (N, avgdl) and per-term document frequencies are
+  *    one-row / |terms|-row aggregates, broadcast back — no second
+  *    big-side shuffle;
+  *  - the final top-k is orderBy+limit ⇒ TakeOrderedAndProject
+  *    (per-partition heaps + driver merge of k·partitions rows),
+  *    never a global sort.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson et al.; the Lucene-style `ln(1 + (N-df+0.5)/
+    * (df+0.5))` non-negative idf variant) of every document against a
+    * bag of query terms; returns the top `k` as
+    * (rank, doc_id, score) with a deterministic unique ordering
+    * (score desc, doc_id asc), score rounded to 4 decimals.
+    *
+    * Tokenization is [[TextAnalysis.bpeishTokens]] (lowercased
+    * alphanumeric runs), so scoring is case-insensitive.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms.map(_.toLowerCase)
+    val toks = docs.select(id.as("doc_id"),
+      TextAnalysis.bpeishTokens(text).as("tk"))
+    // One-row corpus stats: N docs and mean doc length. Computed
+    // in-plan and broadcast — no driver-side action.
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(col("tk"))).cast("double") / count(lit(1))).as("avgdl"))
+    // (doc, term) term frequencies; the isin filter runs before the
+    // aggregation exchange so non-query tokens never shuffle.
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        // k1+1 is computed as lit(k1)+lit(1.0) so an oracle writing
+        // (CAST(k1 AS DOUBLE) + 1.0) reproduces the identical double
+        col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0)))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b)
+              + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("score"))
+    // TakeOrderedAndProject on materialized columns; the rank window
+    // runs over the k surviving rows only.
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("score"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Frequency sketches for unbounded-cardinality columns — the
+  * heavy-hitters probe a pipeline runs over tokens / URLs / source
+  * domains before building vocabularies or mixture weights. Extends
+  * the reference's bounded-state value-aggregator family
+  * (reference: lib/aggregate/UniqValueCount.java:36-91 — cap-bounded
+  * buffers as the defense against hot keys) with the Misra-Gries
+  * summary, whose state is O(capacity) no matter the input.
+  */
+object Sketches {
+
+  /** Misra-Gries over one iterator: returns (items seen, survivor →
+    * lower-bound count). Decrement-all looks O(capacity) per
+    * untracked item, but every decrement cancels one prior increment,
+    * so total work is O(n) amortized. Guarantee: any item with true
+    * count > n/(capacity+1) survives, and survivor counts undercount
+    * by at most n/(capacity+1).
+    */
+  private[graft] def mgSketch(it: Iterator[String], capacity: Int)
+      : (Long, mutable.HashMap[String, Long]) = {
+    val m = mutable.HashMap.empty[String, Long]
+    var n = 0L
+    while (it.hasNext) {
+      val x = it.next()
+      n += 1
+      m.get(x) match {
+        case Some(c) => m.update(x, c + 1)
+        case None if m.size < capacity => m.update(x, 1L)
+        case None =>
+          val ks = m.keysIterator.toArray
+          var i = 0
+          while (i < ks.length) {
+            val c = m(ks(i)) - 1
+            if (c == 0) m.remove(ks(i)) else m.update(ks(i), c)
+            i += 1
+          }
+      }
+    }
+    (n, m)
+  }
+
+  /** EXACT φ-heavy-hitters: every item occurring in at least
+    * ⌈φ·n⌉ of the n non-null rows, with its exact count — computed
+    * with bounded memory in two passes (the reference's
+    * SortValidator/TeraValidate "self-validating job" discipline
+    * applied to a sketch: the sketch only proposes, exact counting
+    * decides).
+    *
+    * Pass 1 (one scan): a Misra-Gries sketch per partition via
+    * `mapPartitions` (the §2.2 MapRunner idiom) — map-side, no
+    * shuffle; each partition emits ≤ capacity survivors plus one
+    * count row. If a global-count item x is absent from every
+    * partition sketch, then per partition its count ≤ nₚ/(cap+1),
+    * so globally count(x) ≤ n/(cap+1) < ⌈φ·n⌉ whenever
+    * φ > 1/(capacity+1) (required) — no true heavy hitter is missed.
+    * Pass 2 (one scan): exact counts of the ≤ partitions·capacity
+    * candidates via broadcast semi-join + groupBy, thresholded at
+    * ⌈φ·n⌉ in-plan. Output: (item, cnt), exact.
+    *
+    * At 1000 executors × capacity 64 the candidate table is ≤ 64k
+    * 2-column rows — broadcast-sized by construction. The sketch
+    * output is pinned with an eager localCheckpoint so its two
+    * consumers (count row, candidates) don't rescan the corpus.
+    */
+  def phiHeavyHitters(df: DataFrame, item: Column, phi: Double,
+                      capacity: Int = 64): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(phi > 1.0 / (capacity + 1),
+      s"phi=$phi must exceed 1/(capacity+1)=${1.0 / (capacity + 1)} " +
+        "or the sketch cannot guarantee every heavy hitter survives")
+    val items = df.select(item.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val sketch = items.select(col("item")).as[String](Encoders.STRING)
+      .mapPartitions { it =>
+        val (n, m) = mgSketch(it, capacity)
+        Iterator.single((0, "", n)) ++
+          m.iterator.map { case (k, c) => (1, k, c) }
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
+        Encoders.scalaLong))
+      .toDF("tag", "item", "cnt")
+      .localCheckpoint()
+    val nDf = sketch.filter(col("tag") === 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    val cands = sketch.filter(col("tag") === 1)
+      .select(col("item")).distinct()
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nDf))
+      .filter(col("cnt") >= ceil(lit(phi) * col("n")))
+      .select(col("item"), col("cnt"))
+  }
+}

@@ -155,6 +155,36 @@ object TextAnalysis {
       .withColumn("contaminated", col("overlap") >= threshold)
   }
 
+  /** PII patterns — the regex subset shared by Java's engine and
+    * RE2-family engines (no lookaround, no backrefs), so the scrub
+    * is reproducible across execution engines. Order of application:
+    * emails first (their local/domain parts contain dot-digit runs
+    * an IP pattern could otherwise clip), then IPs, then phones.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrub — the redaction pass a training pipeline runs before
+    * anything leaves the raw zone: replaces emails / IPv4s / US-style
+    * phone numbers with typed placeholder tags and reports per-type
+    * match counts (counted on the raw text, per pattern,
+    * independently). Pure codegen'd column expressions — scan-speed,
+    * shuffle-free, fuses into the reading stage at 100 TB.
+    */
+  def scrubPii(text: Column): Column = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    struct(
+      scrubbed.as("clean"),
+      regexp_count(text, lit(emailRe)).as("n_emails"),
+      regexp_count(text, lit(ipv4Re)).as("n_ips"),
+      regexp_count(text, lit(phoneRe)).as("n_phones"))
+  }
+
   /** Per-language corpus stats — the report a pipeline operator runs
     * before/after filtering.
     */

@@ -78,6 +78,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.getAs[Double]("punct_ratio") == 0.2222)   // 2 of 9
     assert(m.getAs[Double]("stopword_ratio") == 0.5)   // "the"
   }
+
+  test("scrubPii redacts emails, IPv4s and phones with typed tags") {
+    val df = Seq(
+      "mail a.b-c@ex-y.co.uk or 10.2.3.44 call 555-123-4567 now",
+      "two mails x@y.io z@w.dev one ip 1.2.3.4",
+      "no pii here at all").toDF("text")
+    val got = df.select(scrubPii($"text").as("p")).select("p.*")
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      ("mail <EMAIL> or <IP> call <PHONE> now", 1, 1, 1),
+      ("two mails <EMAIL> <EMAIL> one ip <IP>", 2, 1, 0),
+      ("no pii here at all", 0, 0, 0)))
+  }
+
+  test("scrubPii: an email whose domain looks like an IP is one email") {
+    // email runs first, so the dotted-quad inside the address is
+    // consumed by the <EMAIL> tag; the raw-text counters still count
+    // both patterns independently (documented semantics)
+    val df = Seq("root@10.0.0.1 logged in").toDF("text")
+    val r = df.select(scrubPii($"text").as("p")).select("p.*")
+      .as[(String, Int, Int, Int)].collect().head
+    assert(r._1 == "<EMAIL> logged in")
+    assert(r._2 == 1 && r._3 == 1)
+  }
+
+  test("scrubPii propagates null text as null fields") {
+    val df = Seq(Option.empty[String]).toDF("text")
+    val r = df.select(scrubPii($"text").as("p")).select("p.*").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark spark spark engine"),       // tf(spark)=3, dl=4
+    (2L, "spark engine engine engine"),     // tf(spark)=1, dl=4
+    (3L, "engine engine"),                  // no query term
+    (4L, "spark")                           // tf=1, shortest doc
+  ).toDF("doc_id", "text")
+
+  /** Reference scorer with the same formula/rounding. */
+  private def expected(queryTf: Map[Long, Map[String, Long]],
+                       dls: Map[Long, Long], nDocs: Long,
+                       k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val avgdl = dls.values.sum.toDouble / nDocs
+    val dfs = queryTf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    queryTf.map { case (id, tfs) =>
+      val s = tfs.map { case (t, tf) =>
+        val idf = math.log(
+          (nDocs.toDouble - dfs(t).toDouble + 0.5) / (dfs(t).toDouble + 0.5)
+            + 1.0)
+        idf * (tf.toDouble * (k1 + 1.0)) /
+          (tf.toDouble + k1 * (1.0 - b + b * dls(id).toDouble / avgdl))
+      }.sum
+      id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+  }
+
+  test("bm25TopK matches the hand formula and ranks by tf") {
+    val got = Retrieval.bm25TopK(corpus, $"doc_id", $"text", Seq("spark"))
+      .as[(Int, Long, Double)].collect()
+    val want = expected(
+      Map(1L -> Map("spark" -> 3L), 2L -> Map("spark" -> 1L),
+        4L -> Map("spark" -> 1L)),
+      dls = Map(1L -> 4L, 2L -> 4L, 3L -> 2L, 4L -> 1L), nDocs = 4)
+    assert(got.map(_._2).toSeq == Seq(1L, 4L, 2L),
+      "tf=3 first; among tf=1 the shorter doc (less length-normalized " +
+        "penalty) outranks")
+    got.foreach { case (_, id, score) =>
+      assert(math.abs(score - want(id)) < 1e-9, s"doc $id: $score vs ${want(id)}")
+    }
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3), "rank is 1-based, dense")
+    // doc 3 has no query term — absent, not zero-scored
+    assert(!got.exists(_._2 == 3L))
+  }
+
+  test("bm25TopK k cutoff and deterministic doc_id tie-break") {
+    val ties = Seq.tabulate(6)(i => (i.toLong, "spark")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(ties, $"doc_id", $"text", Seq("spark"), k = 4)
+      .as[(Int, Long, Double)].collect()
+    assert(got.length == 4)
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L),
+      "equal scores break ties on ascending doc_id")
+  }
+
+  test("bm25TopK lowercases query terms (tokenizer is case-insensitive)") {
+    val got = Retrieval.bm25TopK(corpus, $"doc_id", $"text", Seq("SPARK"))
+      .as[(Int, Long, Double)].collect()
+    assert(got.map(_._2).toSet == Set(1L, 2L, 4L))
+  }
+}
