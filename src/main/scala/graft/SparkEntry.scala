@@ -1217,10 +1217,10 @@ object SparkEntry {
         |                  x -> length(x) > 0)) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, lang, n_tokens,
-        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |  CAST(coalesce(sum(n_tokens) OVER (
         |         PARTITION BY lang ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |       / 2000) AS BIGINT) AS shard
+        |       // 2000 AS BIGINT) AS shard
         |FROM t""".stripMargin,
 
     // ASOF LEFT JOIN is the oracle's native form of the union-and-
@@ -1340,12 +1340,12 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(raw,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |         '[A-Za-z0-9._%+-]+@(?:\d{1,3}(?:\.\d{1,3}){3}|[A-Za-z0-9.-]+\.[A-Za-z]{2,})',
         |         '<EMAIL>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
         |       len(regexp_extract_all(raw,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |         '[A-Za-z0-9._%+-]+@(?:\d{1,3}(?:\.\d{1,3}){3}|[A-Za-z0-9.-]+\.[A-Za-z]{2,})'))
         |         AS n_emails,
         |       len(regexp_extract_all(raw,
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,

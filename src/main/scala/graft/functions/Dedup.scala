@@ -201,7 +201,10 @@ object Dedup {
   }
 
   /** MinHash near-dup end-to-end: signature -> LSH candidates ->
-    * exact Jaccard rerank on the candidates only (never all pairs).
+    * Jaccard rerank on the candidates only (never all pairs). The
+    * rerank is exact up to 64-bit shingle-hash collisions (the sets
+    * carry xxhash64(shingle); P ≈ n²/2⁶⁵ per corpus — see the inline
+    * note below).
     *
     * With `bands = numHashes` (one hash row per band) the candidate
     * set contains every pair sharing *any* of the `numHashes` min
@@ -251,9 +254,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact n-gram Jaccard pairs via shingle-inverted-index self-join —
+  /** N-gram Jaccard pairs via shingle-inverted-index self-join —
     * the oracle-checkable (LSH-free) near-dup: pairs sharing >= 1
-    * shingle, scored exactly. The shingle join IS the blocking — all
+    * shingle, scored exactly up to 64-bit shingle-hash collisions
+    * (the index keys on xxhash64(shingle), P ≈ n²/2⁶⁵ per corpus —
+    * see the inline note). The shingle join IS the blocking — all
     *-pairs never materializes; skew guard: drop shingles appearing in
     * more than `maxDf` docs (stopword shingles would quadratically
     * blow up a 100 TB run).

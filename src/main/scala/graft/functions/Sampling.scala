@@ -46,6 +46,11 @@ object Sampling {
     * `key` falls under `rate`. Map-side only — fuses into the scan,
     * no shuffle, stable under retries. Different `seed`s draw
     * independent samples (held-out splits, A/B slices).
+    *
+    * Rows with a NULL key are never sampled in, at any rate (a null
+    * key hashes to null and fails the threshold compare) — the same
+    * subset behavior [[hashSplit]] documents; use [[hashSplit]] when
+    * every row must land somewhere.
     */
   def hashSample(df: DataFrame, key: Column, rate: Double,
                  seed: Long = 42L): DataFrame =
@@ -142,8 +147,17 @@ object Sampling {
     val w = Window.partitionBy(part).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     // exclusive prefix sum: the first row of a part packs into shard
-    // 0 even if it alone blows the budget
-    df.withColumn(as,
-      floor(coalesce(sum(weight).over(w), lit(0L)) / budget).cast("long"))
+    // 0 even if it alone blows the budget. The shard id divides in
+    // LONG arithmetic (IntegralDivide, same form as Temporal's bucket
+    // math): Column `/` is double division, which rounds once the
+    // cumulative weight per part passes 2^53 — real at 100 TB token
+    // budgets. Prefix sums are non-negative, so integral division
+    // equals the floor the docstring promises.
+    val prefix = coalesce(sum(weight).over(w), lit(0L)).cast("long")
+    df.withColumn(as, {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      column(IntegralDivide(expression(prefix), expression(lit(budget))))
+    })
   }
 }

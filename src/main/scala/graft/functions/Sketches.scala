@@ -64,9 +64,11 @@ object Sketches {
     * ⌈φ·n⌉ in-plan. Output: (item, cnt), exact.
     *
     * At 1000 executors × capacity 64 the candidate table is ≤ 64k
-    * 2-column rows — broadcast-sized by construction. The sketch
-    * output is pinned with an eager localCheckpoint so its two
-    * consumers (count row, candidates) don't rescan the corpus.
+    * 2-column rows — broadcast-sized by construction. The sketch is
+    * collected to the driver (that same bound makes it a few MB at
+    * most), so pass 2's plan embeds the candidate list and the
+    * threshold as literals and no checkpoint/broadcast state lingers
+    * in the block manager after the result is consumed.
     */
   def phiHeavyHitters(df: DataFrame, item: Column, phi: Double,
                       capacity: Int = 64): DataFrame = {
@@ -76,24 +78,25 @@ object Sketches {
         "or the sketch cannot guarantee every heavy hitter survives")
     val items = df.select(item.cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val sketch = items.select(col("item")).as[String](Encoders.STRING)
+    val sketchRows = items.select(col("item")).as[String](Encoders.STRING)
       .mapPartitions { it =>
         val (n, m) = mgSketch(it, capacity)
         Iterator.single((0, "", n)) ++
           m.iterator.map { case (k, c) => (1, k, c) }
       }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
         Encoders.scalaLong))
-      .toDF("tag", "item", "cnt")
-      .localCheckpoint()
-    val nDf = sketch.filter(col("tag") === 0)
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
-    val cands = sketch.filter(col("tag") === 1)
-      .select(col("item")).distinct()
-    items.join(broadcast(cands), Seq("item"))
+      .collect()
+    val n = sketchRows.iterator.filter(_._1 == 0).map(_._3).sum
+    // same double math as the previous in-plan ceil(phi * n)
+    val minCnt = math.ceil(phi * n.toDouble).toLong
+    val cands = sketchRows.iterator.filter(_._1 == 1).map(_._2)
+      .toArray.distinct
+    val candsDf = df.sparkSession
+      .createDataset(cands.toIndexedSeq)(Encoders.STRING).toDF("item")
+    items.join(broadcast(candsDf), Seq("item"))
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(nDf))
-      .filter(col("cnt") >= ceil(lit(phi) * col("n")))
+      .filter(col("cnt") >= minCnt)
       .select(col("item"), col("cnt"))
   }
 }

@@ -159,9 +159,12 @@ object TextAnalysis {
     * RE2-family engines (no lookaround, no backrefs), so the scrub
     * is reproducible across execution engines. Order of application:
     * emails first (their local/domain parts contain dot-digit runs
-    * an IP pattern could otherwise clip), then IPs, then phones.
+    * an IP pattern could otherwise clip — the domain alternation
+    * accepts a dotted-quad, so `root@10.0.0.1` is one email, not a
+    * name plus an IP), then IPs, then phones.
     */
-  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val emailRe =
+    "[A-Za-z0-9._%+-]+@(?:\\d{1,3}(?:\\.\\d{1,3}){3}|[A-Za-z0-9.-]+\\.[A-Za-z]{2,})"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 

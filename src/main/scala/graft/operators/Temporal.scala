@@ -129,8 +129,10 @@ object Temporal {
     *
     * Intervals longer than `maxBuckets` buckets are dropped (the
     * boundedGroupPairs-style skew guard — one open-ended interval
-    * would otherwise replicate into the whole timeline); the drop is
-    * visible via an observed `graft.<site>.<n>` metric (same
+    * would otherwise replicate into the whole timeline), and invalid
+    * intervals (end < start, or a null bound) are discarded; both
+    * drops are counted (`dropped_intervals` / `invalid_intervals`)
+    * in an observed `graft.<site>.<n>` metric (same
     * convention as the near-dup bucket caps: the numeric suffix
     * keeps plan-level names unique, listeners match on the `site`
     * prefix). Bucket indices are exact long floor-division
@@ -162,13 +164,19 @@ object Temporal {
     while (points.columns.exists(_.startsWith(p)) ||
            intervals.columns.exists(_.startsWith(p))) p += "_"
     val nb = (bucketOf(end) - bucketOf(start) + 1).as(s"${p}_nb")
+    // observe BEFORE the validity filter so inverted (end < start)
+    // or null-bounded intervals are counted, not silently discarded;
+    // their (negative/null) bucket span is excluded from the span
+    // metrics
+    val valid = coalesce(end >= start, lit(false))
     val ivals = intervals
       .withColumn(s"${p}_nb", nb)
-      .filter(end >= start)
       .observe(s"graft.$site.${Temporal.obsId.incrementAndGet()}",
-        sum(when(col(s"${p}_nb") > maxBuckets, 1L).otherwise(0L))
+        sum(when(!valid, 1L).otherwise(0L)).as("invalid_intervals"),
+        sum(when(valid && col(s"${p}_nb") > maxBuckets, 1L).otherwise(0L))
           .as("dropped_intervals"),
-        max(col(s"${p}_nb")).as("max_interval_buckets"))
+        max(when(valid, col(s"${p}_nb"))).as("max_interval_buckets"))
+      .filter(valid)
       .filter(col(s"${p}_nb") <= maxBuckets)
       .withColumn(s"${p}_b",
         explode(sequence(bucketOf(start), bucketOf(end))))

@@ -43,8 +43,8 @@ class SketchesSpec extends SparkSpec {
     val tail = (0 until 3000).map(i => s"t${i % 1500}")
     val data = rnd.shuffle(hot ++ tail)
     val df = data.toDF("item").repartition(4)
-    val phi = 0.04 // > 1/(20+1)
-    val got = Sketches.phiHeavyHitters(df, $"item", phi, capacity = 20)
+    val phi = 0.04 // > 1/(30+1) ≈ 0.032, the sketch guarantee bound
+    val got = Sketches.phiHeavyHitters(df, $"item", phi, capacity = 30)
       .as[(String, Long)].collect().toSet
     val n = data.size
     val thr = math.ceil(phi * n).toLong
