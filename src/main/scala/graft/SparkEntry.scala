@@ -458,6 +458,12 @@ object SparkEntry {
       functions.TextAnalysis.corpusStats(t(s, dir, "documents"),
         col("lang"), col("text"))),
 
+    // Gopher-style repetition pre-filter: dup-token and top-bigram
+    // coverage fractions per document
+    "q_repetition" -> ((s, dir) =>
+      functions.TextAnalysis.repetitionReport(t(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 2)),
+
     // winnowing document fingerprints — md5-hex hashes compared
     // lexicographically, so DuckDB replays the exact window minima
     "q_winnowing" -> ((s, dir) =>
@@ -530,6 +536,15 @@ object SparkEntry {
     "q_sample_stratum_k" -> ((s, dir) =>
       functions.Sampling.perStratumSample(t(s, dir, "documents"),
         col("doc_id"), col("lang"), k = 20)
+        .select(col("doc_id"), col("lang"))),
+
+    // rebalance the corpus toward a 60/25/15 en/de/zh mix (es/fr
+    // unweighted -> dropped); the oracle re-derives the exact rates
+    // from the group counts and replays the hash thresholds
+    "q_mix_weights" -> ((s, dir) =>
+      functions.Sampling.mixByWeight(t(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        weights = Map("en" -> 0.6, "de" -> 0.25, "zh" -> 0.15))
         .select(col("doc_id"), col("lang"))),
 
     // token-budget shard packing — the training-export step
@@ -1015,6 +1030,54 @@ object SparkEntry {
         |         AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
 
+    // repetition metrics re-derived exactly: token occurrence counts
+    // per (doc, token), bigram shingles via the winnowing oracle's
+    // indexed-list-comprehension pattern, deterministic arg-max via
+    // QUALIFY with the same (count DESC, gram DESC) tie-break
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS c, length(tok) AS l
+        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+        |  GROUP BY doc_id, tok),
+        |per_doc AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         round(CAST(sum(c) - count(*) AS DOUBLE)
+        |               / CAST(sum(c) AS DOUBLE), 4) AS dup_token_frac,
+        |         round(CAST(sum((c - 1) * l) AS DOUBLE)
+        |               / CAST(sum(c * l) AS DOUBLE), 4)
+        |           AS dup_token_char_frac,
+        |         CAST(sum(c * l) AS BIGINT) AS tok_chars
+        |  FROM tc GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 2
+        |           THEN [array_to_string(tk[i+1:i+2], ' ')
+        |                 for i in range(len(tk) - 1)]
+        |           ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM toks),
+        |sc AS (
+        |  SELECT doc_id, ng, count(*) AS nc
+        |  FROM (SELECT doc_id, unnest(s) AS ng FROM sh)
+        |  GROUP BY doc_id, ng),
+        |top AS (
+        |  SELECT doc_id, ng AS top_ngram, nc AS top_ngram_cnt
+        |  FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY nc DESC, ng DESC) = 1)
+        |SELECT p.doc_id, p.n_tokens, p.dup_token_frac,
+        |       p.dup_token_char_frac, t.top_ngram,
+        |       CAST(t.top_ngram_cnt AS BIGINT) AS top_ngram_cnt,
+        |       round(CAST(t.top_ngram_cnt AS DOUBLE)
+        |             * length(replace(t.top_ngram, ' ', ''))
+        |             / CAST(p.tok_chars AS DOUBLE), 4) AS top_ngram_frac
+        |FROM per_doc p JOIN top t USING (doc_id)""".stripMargin,
+
     "q_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1209,6 +1272,28 @@ object SparkEntry {
         |  PARTITION BY lang
         |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8),
         |           doc_id) <= 20""".stripMargin,
+
+    // the mix rates re-derived exactly: c = min(n/w) over weighted
+    // groups, rate = min(1, c*w/n), then the same md5-prefix
+    // threshold as the other sampling oracles (to_hex is uppercase
+    // in DuckDB -> lower())
+    "q_mix_weights" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |wt(lang, w) AS (VALUES ('en', CAST(0.6 AS DOUBLE)),
+        |                       ('de', CAST(0.25 AS DOUBLE)),
+        |                       ('zh', CAST(0.15 AS DOUBLE))),
+        |sc AS (SELECT min(CAST(n AS DOUBLE) / w) AS c
+        |       FROM cnt JOIN wt USING (lang)),
+        |r AS (SELECT lang,
+        |             least(CAST(1.0 AS DOUBLE),
+        |                   (SELECT c FROM sc) * w / CAST(n AS DOUBLE)) AS rate
+        |      FROM cnt JOIN wt USING (lang))
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+        |      CASE WHEN rate >= 1.0 THEN 'g'
+        |           ELSE lower(lpad(to_hex(CAST(floor(rate * 4294967296.0)
+        |                                       AS BIGINT)), 8, '0')) END""".stripMargin,
 
     "q_pack_shards" ->
       """WITH t AS (

@@ -89,6 +89,49 @@ object Sampling {
     df.filter(decisionHex(key, seed) < threshold)
   }
 
+  /** Re-mix a corpus toward target group weights by deterministic
+    * downsampling — the "rebalance the training mix to 60% en /
+    * 25% de / 15% zh" step. Scales the mix to the largest total the
+    * data supports: with `c = min over weighted groups of n_g / w_g`,
+    * each group keeps at `rate_g = min(1, c·w_g / n_g)` (the
+    * scarcest-relative-to-its-weight group keeps ~everything, the
+    * rest downsample to match). Groups without a weight are dropped.
+    * No upsampling — a group can't contribute rows it doesn't have;
+    * repeat-epoch upsampling is a training-loader concern, not a
+    * corpus transform.
+    *
+    * Membership is [[hashSample]]'s hash-threshold per group, so the
+    * mix is reproducible row-for-row and an external engine can
+    * re-derive it from the group counts alone. Null group or null
+    * key ⇒ dropped. Driver state is one count per distinct group
+    * value (the mix dimension — languages, sources — not a
+    * high-cardinality key), gathered in one aggregation pass.
+    */
+  def mixByWeight(df: DataFrame, key: Column, group: Column,
+                  weights: Map[String, Double],
+                  seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (g, w) =>
+      require(w > 0, s"weight for '$g' must be > 0, got $w") }
+    val counts = df.groupBy(group.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
+    if (present.isEmpty) df.filter(lit(false))
+    else {
+      val c = present.map { case (g, w) => counts(g).toDouble / w }.min
+      val threshold = present.foldLeft(lit(rateThreshold(0.0))) {
+        case (acc, (g, w)) =>
+          val rate = math.min(1.0, c * w / counts(g).toDouble)
+          when(group.cast("string") === g, lit(rateThreshold(rate)))
+            .otherwise(acc)
+      }
+      df.filter(decisionHex(key, seed) < threshold)
+    }
+  }
+
   /** Deterministic fixed-size-per-stratum sample: the `k` rows of
     * each stratum with the smallest decision hashes — a reproducible
     * stand-in for per-key reservoir sampling (the reservoir's "k

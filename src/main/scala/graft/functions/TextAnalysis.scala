@@ -155,6 +155,72 @@ object TextAnalysis {
       .withColumn("contaminated", col("overlap") >= threshold)
   }
 
+  /** Per-document repetition metrics — the Gopher-style "repetitious
+    * text" pre-filter of LLM data pipelines (docs dominated by a few
+    * repeated tokens/n-grams are low-quality boilerplate or spam).
+    * Output per doc:
+    *  - `n_tokens` — whitespace-token occurrences;
+    *  - `dup_token_frac` — fraction of token occurrences beyond the
+    *    first occurrence of each distinct token;
+    *  - `dup_token_char_frac` — same fraction weighted by token
+    *    length (chars in repeat occurrences / chars in all
+    *    occurrences; whitespace excluded from both sides);
+    *  - `top_ngram`, `top_ngram_cnt`, `top_ngram_frac` — the most
+    *    frequent word n-gram (ties broken toward the
+    *    lexicographically larger gram, so the arg-max is
+    *    deterministic and engine-portable), its occurrence count,
+    *    and the fraction of token characters its occurrences cover
+    *    (overlapping occurrences counted independently — the
+    *    standard cheap approximation).
+    *
+    * Docs with null text or no tokens are excluded (no denominators).
+    *
+    * Scale shape: two explodes (tokens, shingles) each followed by a
+    * key-partitioned groupBy on (doc, term) then (doc) — no per-doc
+    * arrays survive past the row they came from, no driver state, no
+    * self-joins; the n-gram arg-max is one partition-local window
+    * over the (doc, gram) counts. All fractions round(,4) for
+    * cross-engine compare.
+    */
+  def repetitionReport(df: DataFrame, id: Column, text: Column,
+                       n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("doc_id"), text.as("__text"))
+    val tokCnt = base
+      .select(col("doc_id"), explode(tokens(col("__text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("l", length(col("tok")).cast("long"))
+    val perDoc = tokCnt.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tokens"),
+      round((sum(col("c")) - count(lit(1))).cast("double") /
+        sum(col("c")), 4).as("dup_token_frac"),
+      round(sum((col("c") - 1) * col("l")).cast("double") /
+        sum(col("c") * col("l")), 4).as("dup_token_char_frac"),
+      sum(col("c") * col("l")).as("__tok_chars"))
+    val grams = base
+      .select(col("doc_id"),
+        explode(graft.plans.WordShingles(col("__text"), n,
+          distinct = false)).as("ng"))
+      .groupBy(col("doc_id"), col("ng"))
+      .agg(count(lit(1)).as("nc"))
+    val byFreq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("nc").desc, col("ng").desc)
+    val top = grams
+      .withColumn("__rn", row_number().over(byFreq))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("ng").as("top_ngram"),
+        col("nc").as("top_ngram_cnt"))
+    perDoc.join(top, Seq("doc_id"))
+      .withColumn("top_ngram_frac",
+        round(col("top_ngram_cnt") *
+          length(translate(col("top_ngram"), " ", "")).cast("double") /
+          col("__tok_chars"), 4))
+      .drop("__tok_chars")
+  }
+
   /** PII patterns — the regex subset shared by Java's engine and
     * RE2-family engines (no lookaround, no backrefs), so the scrub
     * is reproducible across execution engines. Order of application:

@@ -108,6 +108,46 @@ class TextAnalysisSpec extends SparkSpec {
     val r = df.select(scrubPii($"text").as("p")).select("p.*").collect().head
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("repetitionReport computes hand-checked fractions") {
+    val df = Seq((1L, "aa aa aa b")).toDF("doc_id", "text")
+    val r = repetitionReport(df, $"doc_id", $"text", n = 2)
+      .as[(Long, Long, Double, Double, String, Long, Double)]
+      .collect().head
+    // tokens: aa x3, b x1 -> 4 occurrences, 2 distinct
+    assert(r._2 == 4L)
+    assert(r._3 == 0.5)   // (4 - 2) / 4
+    // chars: repeats (3-1)*2 = 4 of total 3*2 + 1*1 = 7
+    assert(r._4 == math.round(4.0 / 7 * 10000) / 10000.0)
+    // bigrams: "aa aa" x2, "aa b" x1; covered chars 2*4 of 7
+    assert(r._5 == "aa aa" && r._6 == 2L)
+    assert(r._7 == math.round(8.0 / 7 * 10000) / 10000.0)
+  }
+
+  test("repetitionReport ties break to the lexicographically larger gram") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = repetitionReport(df, $"doc_id", $"text", n = 2)
+      .select("top_ngram", "top_ngram_cnt").as[(String, Long)].collect().head
+    assert(r == ("b c", 1L))
+  }
+
+  test("repetitionReport excludes null-text and token-free docs") {
+    val df = Seq((1L, Some("x y")), (2L, None), (3L, Some("   ")))
+      .toDF("doc_id", "text")
+    val ids = repetitionReport(df, $"doc_id", $"text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("repetitionReport: a no-repetition doc scores zero") {
+    val df = Seq((7L, "one two three four")).toDF("doc_id", "text")
+    val r = repetitionReport(df, $"doc_id", $"text", n = 2)
+      .as[(Long, Long, Double, Double, String, Long, Double)]
+      .collect().head
+    assert(r._3 == 0.0 && r._4 == 0.0)
+    assert(r._6 == 1L) // every bigram unique; deterministic pick
+    assert(r._5 == "two three") // lexicographically largest of the 3
+  }
 }
 
 class DedupSpec extends SparkSpec {

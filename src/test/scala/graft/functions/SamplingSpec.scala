@@ -123,4 +123,40 @@ class SamplingSpec extends SparkSpec {
     // offsets: id1 -> 0, id2 -> 600, id3 -> 5600
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 5L), out.toString)
   }
+
+  test("mixByWeight lands near the target mix and is a subset") {
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "zh"))
+    // counts: en 1000, de 1000, zh 2000
+    val df = rows.toDF("id", "g")
+    val out = mixByWeight(df, $"id", $"g",
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25))
+      .as[(Long, String)].collect()
+    val byG = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // binding group: en (1000/0.5 = 2000 is the min c) -> rate_en
+    // is exactly 1.0 (all kept), de/zh sample at 0.5 / 0.25
+    assert(byG("en") == 1000)
+    assert(math.abs(byG("de") - 500) < 80, byG.toString)
+    assert(math.abs(byG("zh") - 500) < 80, byG.toString)
+    // subset of the input, deterministic across calls
+    val again = mixByWeight(df, $"id", $"g",
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25))
+      .as[(Long, String)].collect()
+    assert(out.toSet == again.toSet)
+    assert(out.toSet.subsetOf(rows.toSet))
+  }
+
+  test("mixByWeight drops unweighted groups, null keys and null groups") {
+    val df = Seq((Some(1L), Some("en")), (Some(2L), Some("xx")),
+      (None, Some("en")), (Some(3L), None))
+      .toDF("id", "g")
+    val out = mixByWeight(df, $"id", $"g", Map("en" -> 1.0))
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("mixByWeight with no weighted group present returns empty") {
+    val df = Seq((1L, "en")).toDF("id", "g")
+    assert(mixByWeight(df, $"id", $"g", Map("zh" -> 1.0)).count() == 0L)
+  }
 }
