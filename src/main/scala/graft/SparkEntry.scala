@@ -417,6 +417,20 @@ object SparkEntry {
         k = 5, nprobe = 16)
     }),
 
+    // int8-quantized approximate scan + exact float rerank: with
+    // overfetch 4 the true top-5 survive the approximate cut (the
+    // quantization error at 64 dims is ~1% of the score), so the
+    // output EQUALS brute-force top-k and the oracle is the same
+    // full ranking SQL — the whole quantize/score/rerank pipeline is
+    // hash-checked row-for-row.
+    "q_embed_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.quantizedTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, overfetch = 4)
+    }),
+
     // hyperplane-hash buckets are xxhash64-based (not SQL-portable),
     // so the gate is self-validating: per-query recall@k of the
     // multiprobe ANN against brute force, every query must clear the
@@ -937,6 +951,25 @@ object SparkEntry {
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
         |           FROM embeddings),
         |q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id,
+        |        round(list_dot_product(cv, qv) /
+        |              sqrt(list_dot_product(cv, cv) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM c CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
+        |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    // q_embed_quantized: the quantized path's exact rerank makes its
+    // output equal brute-force top-k (overfetch keeps the true top-k
+    // among the approximate candidates), so the oracle is the full
+    // exact ranking
+    "q_embed_quantized" ->
+      """WITH c AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 10),
         |s AS (SELECT query_id, vec_id,
         |        round(list_dot_product(cv, qv) /
         |              sqrt(list_dot_product(cv, cv) *

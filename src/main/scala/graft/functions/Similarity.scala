@@ -154,6 +154,89 @@ object Similarity {
           .as("recall_ok"))
   }
 
+  /** Scalar (int8) quantization of an embedding vector: per-vector
+    * max-abs scaling to the symmetric byte range [-127, 127].
+    * Returns a struct:
+    *  - `q`     — `array<tinyint>`, round(x / scale);
+    *  - `scale` — double, max|x| / 127 (1.0 for the all-zero vector,
+    *    whose quantized form is all zeros anyway);
+    *  - `inv_norm` — double, 1 / ‖v‖ of the ORIGINAL float vector,
+    *    so approximate cosine needs no float reads at query time:
+    *    cos ≈ int8dot(qa, qb) · scale_a · scale_b · inv_norm_a ·
+    *    inv_norm_b.
+    *
+    * This is the INDEX-TIME step — run once per corpus row and
+    * persisted as columns (the whole point: the stored index is ~4×
+    * smaller than the float column, and query-time scans never touch
+    * the floats until the exact rerank). The one-pass `transform` /
+    * `aggregate` here are interpreted per element, which is
+    * acceptable write-path cost; the query-time kernel is the native
+    * codegen'd [[graft.plans.Int8Dot]].
+    */
+  def quantize(vec: Column): Column = {
+    val absMax = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(absMax > 0.0, absMax / 127.0).otherwise(lit(1.0))
+    val norm = sqrt(aggregate(vec,
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    struct(
+      transform(vec, x => round(x.cast("double") / scale).cast("byte")).as("q"),
+      scale.as("scale"),
+      // ANSI division throws on a zero denominator — the all-zero
+      // vector gets inv_norm 0.0, so its approximate score is 0
+      // (its exact cosine is NaN; neither ranks)
+      when(norm > 0.0, lit(1.0) / norm).otherwise(lit(0.0)).as("inv_norm"))
+  }
+
+  /** Approximate-then-exact top-k over a quantized corpus: rank ALL
+    * corpus vectors per query by the int8 approximate cosine (the
+    * 4×-smaller scan), keep `k · overfetch` candidates, then rerank
+    * just those with exact float cosine and keep k. With enough
+    * overfetch the output EQUALS [[bruteForceTopK]] (the true top-k
+    * survive the approximate cut — quantization error is ~1% of the
+    * score at 64 dims) at a quarter of the scan/shuffle bytes.
+    *
+    * Scale shape: the approximate stage shuffles only
+    * (query_id, vec_id, score) triples — never a vector of either
+    * form; survivors (k·overfetch per query) join back to the float
+    * column for the rerank. Null vectors are excluded up front. At
+    * corpus scale, persist [[quantize]]'s struct as index columns so
+    * this reads no floats at all until the rerank.
+    */
+  def quantizedTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    k: Int, overfetch: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val c = corpus.filter(corpusVec.isNotNull)
+      .select(corpusId.as("vec_id"), quantize(corpusVec).as("cq"))
+    val q = queries.filter(queryVec.isNotNull)
+      .select(queryId.as("query_id"), quantize(queryVec).as("qq"))
+    val approx = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (graft.plans.Int8Dot(col("cq.q"), col("qq.q")).cast("double") *
+          col("cq.scale") * col("qq.scale") *
+          col("cq.inv_norm") * col("qq.inv_norm")).as("ascore"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+    val cands = approx
+      .withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= k * overfetch)
+      .select(col("query_id"), col("vec_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .join(corpus.select(corpusId.as("vec_id"), corpusVec.as("cv")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(queryId.as("query_id"),
+        queryVec.as("qv"))), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("cv"), col("qv")), 4))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: all pairs above the
     * threshold — the O(n²) exact baseline (oracle-checkable). At
     * corpus scale use [[embeddingNearDups]] (LSH-blocked) or the IVF
