@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** SQL-text surface for the native expressions: after
   * `SqlFunctions.registerAll(spark)`, `spark.sql` queries can call
   * `cosine_sim(a, b)`, `hyperplane_sig(v, bits)`,
-  * `word_shingles(text, n, distinct)` and
-  * `sorted_intersect_count(a, b)` directly — the same extension
+  * `word_shingles(text, n, distinct)`, `sorted_intersect_count(a, b)`
+  * and `int8_dot(a, b)` directly — the same extension
   * point `SparkSessionExtensions.injectFunction` serves at
   * session-build time, exposed for live sessions (the reference's
   * user-code hooks are job-conf class names, SURVEY §2.10; here the
@@ -54,6 +54,11 @@ object SqlFunctions {
       case Seq(a, b) => SortedIntersectCount(a, b)
       case args => throw new IllegalArgumentException(
         s"sorted_intersect_count expects 2 arguments, got ${args.length}")
+    })
+    GraftColumnBridge.registerFunction(spark, "int8_dot", {
+      case Seq(a, b) => Int8Dot(a, b)
+      case args => throw new IllegalArgumentException(
+        s"int8_dot expects 2 arguments, got ${args.length}")
     })
   }
 }

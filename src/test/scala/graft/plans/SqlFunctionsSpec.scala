@@ -12,7 +12,9 @@ class SqlFunctionsSpec extends SparkSpec {
         |  hyperplane_sig(array(1.0F, -2.0F, 0.5F), 8) AS sig,
         |  word_shingles('a b c d', 3) AS sh,
         |  word_shingles('x y x y', 2, true) AS shd,
-        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+        |  int8_dot(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
+        |           array(CAST(10 AS TINYINT), CAST(5 AS TINYINT))) AS i8
         |""".stripMargin).collect().head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     // same signature the Column API computes
@@ -25,6 +27,7 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
     assert(r.getSeq[String](3) == Seq("x y", "y x"))
     assert(r.getInt(4) == 2)
+    assert(r.getLong(5) == 20L) // 3*10 + (-2)*5
   }
 
   test("bad arity / non-literal params fail at registration-time analysis") {
