@@ -1324,7 +1324,8 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r USING (lang)
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
-        |      CASE WHEN rate >= 1.0 THEN 'g'
+        |      CASE WHEN CAST(floor(rate * 4294967296.0) AS BIGINT)
+        |                >= 4294967296 THEN 'g'
         |           ELSE lower(lpad(to_hex(CAST(floor(rate * 4294967296.0)
         |                                       AS BIGINT)), 8, '0')) END""".stripMargin,
 
@@ -1458,12 +1459,12 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(raw,
-        |         '[A-Za-z0-9._%+-]+@(?:\d{1,3}(?:\.\d{1,3}){3}|[A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+        |         '[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{1,3}(?:\.\d{1,3}){3})',
         |         '<EMAIL>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
         |       len(regexp_extract_all(raw,
-        |         '[A-Za-z0-9._%+-]+@(?:\d{1,3}(?:\.\d{1,3}){3}|[A-Za-z0-9.-]+\.[A-Za-z]{2,})'))
+        |         '[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{1,3}(?:\.\d{1,3}){3})'))
         |         AS n_emails,
         |       len(regexp_extract_all(raw,
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,

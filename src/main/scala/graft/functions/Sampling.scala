@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * re-execution, and engines (the md5-prefix predicate is plain SQL,
   * so an external engine can re-derive the exact sample). All
   * operators are single-pass column expressions or one-exchange
-  * window plans — no driver state, no collect.
+  * window plans with no driver state — except [[mixByWeight]], which
+  * eagerly gathers one count per group value (the mix dimension —
+  * languages/sources, not a high-cardinality key) to derive its
+  * rates.
   */
 object Sampling {
 

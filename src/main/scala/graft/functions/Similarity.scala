@@ -178,8 +178,15 @@ object Similarity {
     val scale = when(absMax > 0.0, absMax / 127.0).otherwise(lit(1.0))
     val norm = sqrt(aggregate(vec,
       lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    // the per-element division reads the scale from a zip_with
+    // ARGUMENT (evaluated once per row), never from the lambda body:
+    // an interpreted-HOF lambda body gets no CSE, so referencing the
+    // array_max subtree there would recompute max-abs per element —
+    // O(dim²) per row, the documented hyperplaneSigComposable
+    // anti-pattern
     struct(
-      transform(vec, x => round(x.cast("double") / scale).cast("byte")).as("q"),
+      zip_with(vec, array_repeat(scale, size(vec)),
+        (x, s) => round(x.cast("double") / s).cast("byte")).as("q"),
       scale.as("scale"),
       // ANSI division throws on a zero denominator — the all-zero
       // vector gets inv_norm 0.0, so its approximate score is 0

@@ -229,8 +229,12 @@ object TextAnalysis {
     * accepts a dotted-quad, so `root@10.0.0.1` is one email, not a
     * name plus an IP), then IPs, then phones.
     */
+  // general-domain branch FIRST: alternation is leftmost-first in
+  // both Java and RE2, so the dotted-quad branch leading would stop
+  // the match after '1.2.3.4' in 'bob@1.2.3.4.example.org' and leave
+  // the domain tail unredacted
   val emailRe =
-    "[A-Za-z0-9._%+-]+@(?:\\d{1,3}(?:\\.\\d{1,3}){3}|[A-Za-z0-9.-]+\\.[A-Za-z]{2,})"
+    "[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\d{1,3}(?:\\.\\d{1,3}){3})"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 

@@ -103,6 +103,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._2 == 1 && r._3 == 1)
   }
 
+  test("scrubPii redacts the whole address when an IP prefixes the domain") {
+    // the general-domain branch must win over the dotted-quad branch
+    // (leftmost-first alternation): a quad-led match would stop after
+    // '1.2.3.4' and leak '.example.org'
+    val df = Seq("mail bob@1.2.3.4.example.org end").toDF("text")
+    val r = df.select(scrubPii($"text").as("p")).select("p.*")
+      .as[(String, Int, Int, Int)].collect().head
+    assert(r._1 == "mail <EMAIL> end")
+  }
+
   test("scrubPii propagates null text as null fields") {
     val df = Seq(Option.empty[String]).toDF("text")
     val r = df.select(scrubPii($"text").as("p")).select("p.*").collect().head
