@@ -257,6 +257,14 @@ object SparkEntry {
       AggregateLib.valueHistogram(t(s, dir, "lineitem"),
         Seq(col("l_returnflag")), col("l_quantity"))),
 
+    // distribution report: exact token-count percentiles per lang
+    // (quantile_cont interpolation convention in both engines)
+    "q_percentiles" -> ((s, dir) =>
+      AggregateLib.percentileReport(t(s, dir, "documents"),
+        col("lang"),
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        ps = Seq(0.5, 0.9, 0.99))),
+
     // AccumulatingReducer: value type rides on the key prefix (l: =
     // long sum, s: = sorted concat; the f: double branch is spec'd,
     // not oracled — double-to-string formatting differs per engine)
@@ -1267,6 +1275,18 @@ object SparkEntry {
         |         THEN CAST(sum(TRY_CAST(value AS BIGINT)) AS VARCHAR)
         |       ELSE string_agg(value, ';' ORDER BY value) END AS value
         |FROM kv GROUP BY key""".stripMargin,
+
+    "q_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                  x -> length(x) > 0)) AS BIGINT) AS v
+        |  FROM documents)
+        |SELECT lang AS grp, count(*) AS n,
+        |       round(CAST(quantile_cont(v, 0.5) AS DOUBLE), 4) AS p50,
+        |       round(CAST(quantile_cont(v, 0.9) AS DOUBLE), 4) AS p90,
+        |       round(CAST(quantile_cont(v, 0.99) AS DOUBLE), 4) AS p99
+        |FROM t GROUP BY lang""".stripMargin,
 
     "q_histogram" ->
       """WITH freq AS (

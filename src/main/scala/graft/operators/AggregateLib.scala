@@ -157,4 +157,48 @@ object AggregateLib {
         pow(sum(col("__freq")).cast("double") / count(lit(1)), 2)), 4)
         .as("stddev_freq"))
   }
+
+  /** Column name for percentile p: 0.5 -> p50, 0.99 -> p99,
+    * 0.999 -> p99_9 — stable, SQL-safe names for any reasonable p.
+    */
+  private def pName(p: Double): String = {
+    val s = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace(".", "_").replace("-", "m")
+  }
+
+  /** EXACT per-group percentiles (linear interpolation at
+    * pos = p·(n-1), the quantile_cont convention both engines share)
+    * of a numeric value — the distribution report a pipeline runs on
+    * doc lengths / token counts before choosing filter cutoffs.
+    * Output: (grp, n, p<P1>, p<P2>, ...), percentiles rounded(,4).
+    *
+    * Exact percentile buffers each group's values in the aggregation
+    * (ObjectHashAggregate, spillable) — fine for per-stratum
+    * reports; for percentiles OVER a 100 TB value column use
+    * [[percentileReportApprox]], whose sketch state is bounded and
+    * mergeable map-side.
+    */
+  def percentileReport(df: DataFrame, group: Column, value: Column,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    ps.foreach(p => require(p >= 0 && p <= 1, s"percentile $p not in [0,1]"))
+    val aggs = count(lit(1)).as("n") +:
+      ps.map(p => round(
+        call_function("percentile", value, lit(p)), 4).as(pName(p)))
+    df.groupBy(group.as("grp")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sketch-based variant of [[percentileReport]] (bounded state,
+    * map-side mergeable — the 100 TB path). Results differ from the
+    * exact form within the sketch's rank-error bound.
+    */
+  def percentileReportApprox(df: DataFrame, group: Column, value: Column,
+                             ps: Seq[Double],
+                             accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    val aggs = count(lit(1)).as("n") +:
+      ps.map(p => percentile_approx(value, lit(p), lit(accuracy))
+        .as(pName(p)))
+    df.groupBy(group.as("grp")).agg(aggs.head, aggs.tail: _*)
+  }
 }

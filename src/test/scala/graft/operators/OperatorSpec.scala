@@ -286,6 +286,38 @@ class AggregateLibSpec extends SparkSpec {
     assert(got.getDouble(5) == 2.0)       // avg
     assert(got.getDouble(6) == 1.0)       // stddev_pop
   }
+
+  test("percentileReport interpolates at p*(n-1) and names columns") {
+    // values 10,20,30,40: p50 at pos 1.5 -> 25.0; p90 at pos 2.7 ->
+    // 37.0 (30 + 0.7*10); p100 = 40
+    val df = Seq(10L, 20L, 30L, 40L).map(("g", _)).toDF("g", "v")
+    val out = percentileReport(df, $"g", $"v", Seq(0.5, 0.9, 1.0))
+    assert(out.columns.toSeq == Seq("grp", "n", "p50", "p90", "p100"))
+    val r = out.collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 25.0)
+    assert(math.abs(r.getDouble(3) - 37.0) < 1e-9)
+    assert(r.getDouble(4) == 40.0)
+  }
+
+  test("percentileReportApprox tracks the exact report within rank error") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 5000).map(i => ("g", rnd.nextInt(1000).toLong))
+      .toDF("g", "v")
+    val exact = percentileReport(df, $"g", $"v", Seq(0.5, 0.99))
+      .collect().head
+    val approx = percentileReportApprox(df, $"g", $"v", Seq(0.5, 0.99))
+      .collect().head
+    // accuracy 10000 on 5000 rows -> near-exact; allow a loose band
+    assert(math.abs(exact.getDouble(2) - approx.getLong(2)) <= 5.0)
+    assert(math.abs(exact.getDouble(3) - approx.getLong(3)) <= 10.0)
+  }
+
+  test("percentileReport names fractional percentiles safely") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    val out = percentileReport(df, $"g", $"v", Seq(0.999))
+    assert(out.columns.toSeq == Seq("grp", "n", "p99_9"))
+  }
 }
 
 class FiltersSpec extends SparkSpec {
