@@ -70,6 +70,18 @@ object Ivf {
     (assign(c, centsDf), centsDf)
   }
 
+  /** Persist the indexed corpus partitioned by `cluster` — the
+    * production index layout the module doc promises: each cluster
+    * is its own directory, so a probe becomes a partition-pruned
+    * scan (statically when the probed clusters are literal, via
+    * dynamic partition pruning when they come out of [[topK]]'s
+    * probe join). Rebuild = rewrite; the centroid table is tiny and
+    * travels separately.
+    */
+  def writePartitioned(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(path)
+
   /** Probe: top-k per query scanning only the `nprobe` nearest
     * clusters per query.
     */
