@@ -27,23 +27,31 @@ object Sketches {
     val m = mutable.HashMap.empty[String, Long]
     var n = 0L
     while (it.hasNext) {
-      val x = it.next()
+      mgUpdate(m, it.next(), capacity)
       n += 1
-      m.get(x) match {
-        case Some(c) => m.update(x, c + 1)
-        case None if m.size < capacity => m.update(x, 1L)
-        case None =>
-          val ks = m.keysIterator.toArray
-          var i = 0
-          while (i < ks.length) {
-            val c = m(ks(i)) - 1
-            if (c == 0) m.remove(ks(i)) else m.update(ks(i), c)
-            i += 1
-          }
-      }
     }
     (n, m)
   }
+
+  /** One Misra-Gries update step — shared by the batch partition
+    * sketch above and the streaming per-window state
+    * ([[graft.streaming.StreamHeavyHitters]]), so both paths carry
+    * the identical guarantee.
+    */
+  private[graft] def mgUpdate(m: mutable.HashMap[String, Long], x: String,
+                              capacity: Int): Unit =
+    m.get(x) match {
+      case Some(c) => m.update(x, c + 1)
+      case None if m.size < capacity => m.update(x, 1L)
+      case None =>
+        val ks = m.keysIterator.toArray
+        var i = 0
+        while (i < ks.length) {
+          val c = m(ks(i)) - 1
+          if (c == 0) m.remove(ks(i)) else m.update(ks(i), c)
+          i += 1
+        }
+    }
 
   /** EXACT φ-heavy-hitters: every item occurring in at least
     * ⌈φ·n⌉ of the n non-null rows, with its exact count — computed
