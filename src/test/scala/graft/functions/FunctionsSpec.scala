@@ -559,6 +559,13 @@ class MultimodalSpec extends SparkSpec {
       k = 1).collect().head
     assert(top.getLong(1) == 10000L, s"dup payload not nearest: $top")
     assert(top.getDouble(2) == 1.0)
+    // same contract through the int8-quantized path: media features
+    // quantize and rerank like any embedding column
+    val qtop = Similarity.quantizedTopK(
+      feats, col("doc_id"), col("embedding"),
+      feats.filter(col("doc_id") === 0), col("doc_id"), col("embedding"),
+      k = 1, overfetch = 4).collect().head
+    assert(qtop.getLong(1) == 10000L && qtop.getDouble(2) == 1.0, qtop.toString)
   }
 
   test("decodeMeta emits deterministic stub metadata per row") {
