@@ -162,8 +162,17 @@ object AggregateLib {
     * 0.999 -> p99_9 — stable, SQL-safe names for any reasonable p.
     */
   private def pName(p: Double): String = {
-    val s = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
-    "p" + s.replace(".", "_").replace("-", "m")
+    // exact decimal point-shift of the double's shortest repr —
+    // p * 100 in binary floating point would name 0.57 as
+    // p56_99999999999999
+    val s = BigDecimal(p).underlying.movePointRight(2)
+      .stripTrailingZeros.toPlainString
+    "p" + s.replace(".", "_")
+  }
+
+  private def checkPs(ps: Seq[Double]): Unit = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    ps.foreach(p => require(p >= 0 && p <= 1, s"percentile $p not in [0,1]"))
   }
 
   /** EXACT per-group percentiles (linear interpolation at
@@ -180,12 +189,19 @@ object AggregateLib {
     */
   def percentileReport(df: DataFrame, group: Column, value: Column,
                        ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty, "ps must be non-empty")
-    ps.foreach(p => require(p >= 0 && p <= 1, s"percentile $p not in [0,1]"))
-    val aggs = count(lit(1)).as("n") +:
-      ps.map(p => round(
-        call_function("percentile", value, lit(p)), 4).as(pName(p)))
-    df.groupBy(group.as("grp")).agg(aggs.head, aggs.tail: _*)
+    checkPs(ps)
+    // ONE percentile aggregate over the array of ps: separate
+    // percentile(v, p) calls each buffer the group's full value
+    // multiset — ps.length× the aggregation memory/spill on exactly
+    // the large groups the exactness caveat worries about
+    val agged = df.groupBy(group.as("grp")).agg(
+      count(lit(1)).as("n"),
+      call_function("percentile", value,
+        array(ps.map(lit): _*)).as("__ps"))
+    agged.select(col("grp") +: col("n") +:
+      ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("__ps"), i + 1), 4).as(pName(p))
+      }: _*)
   }
 
   /** Sketch-based variant of [[percentileReport]] (bounded state,
@@ -195,10 +211,14 @@ object AggregateLib {
   def percentileReportApprox(df: DataFrame, group: Column, value: Column,
                              ps: Seq[Double],
                              accuracy: Int = 10000): DataFrame = {
-    require(ps.nonEmpty, "ps must be non-empty")
-    val aggs = count(lit(1)).as("n") +:
-      ps.map(p => percentile_approx(value, lit(p), lit(accuracy))
-        .as(pName(p)))
-    df.groupBy(group.as("grp")).agg(aggs.head, aggs.tail: _*)
+    checkPs(ps)
+    val agged = df.groupBy(group.as("grp")).agg(
+      count(lit(1)).as("n"),
+      percentile_approx(value, array(ps.map(lit): _*), lit(accuracy))
+        .as("__ps"))
+    agged.select(col("grp") +: col("n") +:
+      ps.zipWithIndex.map { case (p, i) =>
+        element_at(col("__ps"), i + 1).as(pName(p))
+      }: _*)
   }
 }

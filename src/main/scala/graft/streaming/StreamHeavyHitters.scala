@@ -45,6 +45,10 @@ object StreamHeavyHitters {
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[WinState]
     events
+      // match the batch twin: n counts non-null rows only, and a
+      // null item/ts must not NPE the window-close sort or the
+      // window-key lambda
+      .filter((e: Item) => e.item != null && e.ts != null)
       .withWatermark("ts", watermark)
       .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMillis) * windowMillis)
       .flatMapGroupsWithState[WinState, Hit](

@@ -516,26 +516,31 @@ class IvfSpec extends SparkSpec {
     val e = graft.Graft.table(spark, sf, "embeddings").limit(300)
     val (indexed, cents) = Ivf.index(e, col("vec_id"), col("embedding"),
       k = 8, iters = 1)
-    val base = java.nio.file.Files.createTempDirectory("graft-ivf")
-      .toString + "/index"
-    Ivf.writePartitioned(indexed, base)
-    // one directory per cluster
-    val dirs = new java.io.File(base).listFiles()
-      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
-    assert(dirs.size > 1, s"expected several cluster dirs, got $dirs")
-    // static pruning: a literal cluster filter is a PartitionFilter
-    val one = spark.read.parquet(base).filter(col("cluster") === 0)
-    val plan = one.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cluster"), plan)
-    // the probe against the persisted layout equals the in-memory one
-    val q = e.filter(col("vec_id") < 5)
-    val fromDisk = Ivf.topK(spark.read.parquet(base), cents, q,
-      col("vec_id"), col("embedding"), k = 10, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    val inMem = Ivf.topK(indexed, cents, q,
-      col("vec_id"), col("embedding"), k = 10, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    assert(fromDisk == inMem)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf")
+    val base = tmp.toString + "/index"
+    try {
+      Ivf.writePartitioned(indexed, base)
+      // one directory per cluster
+      val dirs = new java.io.File(base).listFiles()
+        .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+      assert(dirs.size > 1, s"expected several cluster dirs, got $dirs")
+      // static pruning: a literal cluster filter is a PartitionFilter
+      val one = spark.read.parquet(base).filter(col("cluster") === 0)
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cluster"), plan)
+      // the probe against the persisted layout equals the in-memory one
+      val q = e.filter(col("vec_id") < 5)
+      val fromDisk = Ivf.topK(spark.read.parquet(base), cents, q,
+        col("vec_id"), col("embedding"), k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val inMem = Ivf.topK(indexed, cents, q,
+        col("vec_id"), col("embedding"), k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(fromDisk == inMem)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
   }
 }
 

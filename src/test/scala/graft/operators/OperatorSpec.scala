@@ -317,6 +317,13 @@ class AggregateLibSpec extends SparkSpec {
     val df = Seq(("g", 1L)).toDF("g", "v")
     val out = percentileReport(df, $"g", $"v", Seq(0.999))
     assert(out.columns.toSeq == Seq("grp", "n", "p99_9"))
+    // decimal point-shift, not double multiply: 0.57*100 in binary
+    // floating point is 56.99999999999999
+    val out2 = percentileReport(df, $"g", $"v", Seq(0.57, 0.07))
+    assert(out2.columns.toSeq == Seq("grp", "n", "p57", "p7"))
+    intercept[IllegalArgumentException] {
+      percentileReportApprox(df, $"g", $"v", Seq(1.5))
+    }
   }
 }
 

@@ -67,4 +67,24 @@ class StreamHeavyHittersSpec extends SparkSpec {
         s"streamed=$streamed batch=$batchSketch")
     } finally q.stop()
   }
+
+  test("null items are excluded like the batch twin, not NPE'd") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Item]
+    val q = perWindow(input.toDS(), windowMillis = 60000L,
+        watermark = "1 second", capacity = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("shh_nulls").start()
+    try {
+      input.addData(Item(ts(1000L), "a"), Item(ts(1001L), null),
+        Item(ts(1002L), "a"))
+      q.processAllAvailable()
+      input.addData(Item(ts(300000L), "later"))
+      q.processAllAvailable()
+      val got = spark.table("shh_nulls")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      // n counts the two non-null rows only; no null Hit row
+      assert(got.toSet == Set(("a", 2L, 2L)), got.mkString(","))
+    } finally q.stop()
+  }
 }
