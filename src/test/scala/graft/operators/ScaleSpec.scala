@@ -182,3 +182,58 @@ class SortValidatorSpec extends SparkSpec {
     assert(Sorting.validateSorted(numeric, Seq("k"))._1)
   }
 }
+
+class PipelinePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixByWeight plans as a scan-fused filter: zero exchanges") {
+    val df = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "g")
+    val out = graft.functions.Sampling.mixByWeight(df, $"id", $"g",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"mix must stay map-side after the one counts job:\n$plan")
+  }
+
+  test("repetitionReport prunes the n-gram arg-max map-side") {
+    val df = (0 until 100).map(i => (i.toLong, s"a b c d$i e"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis.repetitionReport(
+      df, $"doc_id", $"text")
+    val plan = out.queryExecution.executedPlan.toString
+    // partial WindowGroupLimit before the exchange + final after:
+    // only each map task's top candidate rows cross the wire
+    val hits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(hits >= 2, s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
+  test("quantizedTopK shuffles score triples, not vectors") {
+    val rnd = new scala.util.Random(3)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // AQE hides the shuffle nodes behind AdaptiveSparkPlanExec
+    // (collect doesn't traverse its captured input plan) — audit the
+    // static plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = graft.functions.Similarity.quantizedTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        k = 5, overfetch = 4)
+      // the one shuffle exchange carries (query_id, vec_id, ascore) —
+      // no array column survives into it
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val types = e.child.output.map(_.dataType.simpleString)
+        assert(!types.exists(_.startsWith("array")),
+          s"vector crossed the shuffle: ${e.child.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
