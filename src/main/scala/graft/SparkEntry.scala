@@ -569,6 +569,21 @@ object SparkEntry {
         weights = Map("en" -> 0.6, "de" -> 0.25, "zh" -> 0.15))
         .select(col("doc_id"), col("lang"))),
 
+    // the curation composition: repetition pre-filter (drop docs
+    // above the corpus-median dup-token fraction) -> deterministic
+    // re-mix of the survivors toward target language weights
+    "q_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rep = functions.TextAnalysis.repetitionReport(docs,
+        col("doc_id"), col("text"), n = 2)
+      val kept = docs.join(
+        rep.filter(col("dup_token_frac") <= 0.55).select("doc_id"),
+        Seq("doc_id"))
+      functions.Sampling.mixByWeight(kept, col("doc_id"), col("lang"),
+        weights = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // token-budget shard packing — the training-export step
     "q_pack_shards" -> ((s, dir) =>
       functions.Sampling.packByBudget(
@@ -1343,6 +1358,45 @@ object SparkEntry {
         |      FROM cnt JOIN wt USING (lang))
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+        |      CASE WHEN CAST(floor(rate * 4294967296.0) AS BIGINT)
+        |                >= 4294967296 THEN 'g'
+        |           ELSE lower(lpad(to_hex(CAST(floor(rate * 4294967296.0)
+        |                                       AS BIGINT)), 8, '0')) END""".stripMargin,
+
+    // curation = the repetition oracle's dup fraction as a filter,
+    // then the mix oracle's rate derivation over the SURVIVORS
+    "q_curation" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+        |  GROUP BY doc_id, tok),
+        |pd AS (
+        |  SELECT doc_id,
+        |         round(CAST(sum(c) - count(*) AS DOUBLE)
+        |               / CAST(sum(c) AS DOUBLE), 4) AS dup
+        |  FROM tc GROUP BY doc_id),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang
+        |  FROM documents d JOIN pd USING (doc_id)
+        |  WHERE pd.dup <= 0.55),
+        |cnt AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
+        |wt(lang, w) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),
+        |                       ('de', CAST(0.25 AS DOUBLE)),
+        |                       ('es', CAST(0.25 AS DOUBLE))),
+        |sc AS (SELECT min(CAST(n AS DOUBLE) / w) AS c
+        |       FROM cnt JOIN wt USING (lang)),
+        |r AS (SELECT lang,
+        |             least(CAST(1.0 AS DOUBLE),
+        |                   (SELECT c FROM sc) * w / CAST(n AS DOUBLE)) AS rate
+        |      FROM cnt JOIN wt USING (lang))
+        |SELECT k.doc_id, k.lang
+        |FROM kept k JOIN r USING (lang)
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
         |      CASE WHEN CAST(floor(rate * 4294967296.0) AS BIGINT)
         |                >= 4294967296 THEN 'g'
