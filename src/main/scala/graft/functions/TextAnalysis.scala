@@ -182,24 +182,44 @@ object TextAnalysis {
     * over the (doc, gram) counts. All fractions round(,4) for
     * cross-engine compare.
     */
-  def repetitionReport(df: DataFrame, id: Column, text: Column,
-                       n: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(n >= 1, s"n must be >= 1, got $n")
-    val base = df.filter(text.isNotNull)
-      .select(id.as("doc_id"), text.as("__text"))
+  /** The unigram half of [[repetitionReport]] — (doc_id, n_tokens,
+    * dup_token_frac, dup_token_char_frac, __tok_chars). Public as
+    * [[tokenDupStats]] (without the internal chars column) for
+    * pipelines that filter on token duplication alone: the n-gram
+    * arg-max branch costs a second explode + window, and an inner
+    * join keeps Catalyst from pruning it when unused.
+    */
+  private def tokenDupPerDoc(base: DataFrame): DataFrame = {
     val tokCnt = base
       .select(col("doc_id"), explode(tokens(col("__text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .withColumn("l", length(col("tok")).cast("long"))
-    val perDoc = tokCnt.groupBy(col("doc_id")).agg(
+    tokCnt.groupBy(col("doc_id")).agg(
       sum(col("c")).as("n_tokens"),
       round((sum(col("c")) - count(lit(1))).cast("double") /
         sum(col("c")), 4).as("dup_token_frac"),
       round(sum((col("c") - 1) * col("l")).cast("double") /
         sum(col("c") * col("l")), 4).as("dup_token_char_frac"),
       sum(col("c") * col("l")).as("__tok_chars"))
+  }
+
+  /** Token-duplication stats only (no n-gram pass): the cheap
+    * repetition pre-filter. Same rows/semantics as the matching
+    * columns of [[repetitionReport]].
+    */
+  def tokenDupStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    tokenDupPerDoc(df.filter(text.isNotNull)
+      .select(id.as("doc_id"), text.as("__text")))
+      .drop("__tok_chars")
+
+  def repetitionReport(df: DataFrame, id: Column, text: Column,
+                       n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("doc_id"), text.as("__text"))
+    val perDoc = tokenDupPerDoc(base)
     val grams = base
       .select(col("doc_id"),
         explode(graft.plans.WordShingles(col("__text"), n,

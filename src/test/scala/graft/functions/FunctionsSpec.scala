@@ -149,6 +149,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids == Seq(1L))
   }
 
+  test("tokenDupStats equals repetitionReport's unigram columns") {
+    val df = Seq((1L, "aa aa aa b"), (2L, "x y z"), (3L, "m m"))
+      .toDF("doc_id", "text")
+    val cheap = tokenDupStats(df, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val full = repetitionReport(df, $"doc_id", $"text")
+      .select("doc_id", "n_tokens", "dup_token_frac", "dup_token_char_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(cheap == full)
+  }
+
   test("repetitionReport: a no-repetition doc scores zero") {
     val df = Seq((7L, "one two three four")).toDF("doc_id", "text")
     val r = repetitionReport(df, $"doc_id", $"text", n = 2)

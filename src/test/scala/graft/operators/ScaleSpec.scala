@@ -230,8 +230,11 @@ class PipelinePlanSpec extends SparkSpec {
       }
       assert(shuffles.nonEmpty)
       shuffles.foreach { e =>
+        // contains, not startsWith: a vector smuggled inside a
+        // struct (quantize's struct<q:array<tinyint>,...>) must
+        // also trip this
         val types = e.child.output.map(_.dataType.simpleString)
-        assert(!types.exists(_.startsWith("array")),
+        assert(!types.exists(_.contains("array")),
           s"vector crossed the shuffle: ${e.child.output}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
