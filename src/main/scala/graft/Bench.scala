@@ -38,6 +38,9 @@ object Bench {
       val warmEmb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
       functions.Similarity.bruteForcePairs(warmEmb, col("vec_id"),
         col("embedding"), 0.4).count()
+      functions.Similarity.quantizedTopK(warmEmb, col("vec_id"),
+        col("embedding"), warmEmb.filter(col("vec_id") < 2),
+        col("vec_id"), col("embedding"), k = 3, overfetch = 2).count()
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] kernel warmup skipped: ${e.getMessage}")
