@@ -486,6 +486,12 @@ object SparkEntry {
       functions.TextAnalysis.repetitionReport(t(s, dir, "documents"),
         col("doc_id"), col("text"), n = 2)),
 
+    // context-window chunking: 20-token chunks advancing by 15
+    // (5 tokens of overlap carry context across boundaries)
+    "q_chunking" -> ((s, dir) =>
+      functions.TextAnalysis.chunkByTokens(t(s, dir, "documents"),
+        col("doc_id"), col("text"), size = 20, stride = 15)),
+
     // winnowing document fingerprints — md5-hex hashes compared
     // lexicographically, so DuckDB replays the exact window minima
     "q_winnowing" -> ((s, dir) =>
@@ -1087,6 +1093,24 @@ object SparkEntry {
         |       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
         |         AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
+
+    // chunk starts are 0, stride, 2·stride … ≤ len-1; DuckDB list
+    // slicing is 1-based inclusive, so chunk i = tk[i·15+1 : i·15+20]
+    "q_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id,
+        |         unnest([{'c': i, 's': tk[i*15+1 : i*15+20]}
+        |                 for i in range((len(tk) - 1) // 15 + 1)]) AS u
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+        |       CAST(len(u.s) AS BIGINT) AS n_tokens,
+        |       array_to_string(u.s, ' ') AS chunk_text
+        |FROM ch""".stripMargin,
 
     // repetition metrics re-derived exactly: token occurrence counts
     // per (doc, token), bigram shingles via the winnowing oracle's

@@ -241,6 +241,44 @@ object TextAnalysis {
       .drop("__tok_chars")
   }
 
+  /** Split documents into overlapping token-window chunks — the
+    * context-window preparation step of a training pipeline (chunk
+    * `size` tokens, advance by `stride`; `size - stride` tokens of
+    * overlap carry context across boundaries). Output per chunk:
+    * (doc_id, chunk_id, n_tokens, chunk_text); chunk c covers tokens
+    * [c·stride, c·stride + size), the last chunk may be short, and
+    * every token is covered by at least one chunk. Docs with null
+    * text or no tokens are excluded.
+    *
+    * Scale shape: one `posexplode` over the per-doc chunk starts —
+    * map-side only (no exchange); each chunk row slices the doc's
+    * token array in the same stage, so nothing but the emitted
+    * chunks survives. Per-doc token arrays live inside one row
+    * transiently (the usual "a document fits in a row" contract —
+    * same as every other text operator here).
+    */
+  def chunkByTokens(df: DataFrame, id: Column, text: Column,
+                    size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("doc_id"), tokens(text).as("__tk"))
+      .filter(org.apache.spark.sql.functions.size(col("__tk")) > 0)
+    base
+      .select(col("doc_id"), col("__tk"),
+        posexplode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("__tk")) - 1,
+          lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        org.apache.spark.sql.functions
+          .size(slice(col("__tk"), col("col") + 1, lit(size)))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__tk"), col("col") + 1, lit(size)))
+          .as("chunk_text"))
+  }
+
   /** PII patterns — the regex subset shared by Java's engine and
     * RE2-family engines (no lookaround, no backrefs), so the scrub
     * is reproducible across execution engines. Order of application:

@@ -149,6 +149,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids == Seq(1L))
   }
 
+  test("chunkByTokens: hand-checked windows, full coverage, overlap") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = chunkByTokens(df, $"doc_id", $"text", size = 3, stride = 2)
+      .orderBy($"chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 1L, "e")))
+  }
+
+  test("chunkByTokens covers every token and bounds chunk length") {
+    val text = (0 until 103).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = chunkByTokens(df, $"doc_id", $"text", size = 20, stride = 15)
+      .as[(Long, Long, Long, String)].collect()
+    assert(chunks.forall(_._3 <= 20))
+    // stride 15 over 103 tokens -> ceil(103/15) = 7 chunks
+    assert(chunks.length == 7, chunks.map(_._2).mkString(","))
+    val covered = chunks.flatMap(_._4.split(" ")).toSet
+    assert(covered == (0 until 103).map(i => s"t$i").toSet)
+    // stride < size: consecutive chunks share tokens
+    val c0 = chunks.find(_._2 == 0).get._4.split(" ").toSet
+    val c1 = chunks.find(_._2 == 1).get._4.split(" ").toSet
+    assert((c0 & c1).size == 5)
+  }
+
+  test("chunkByTokens excludes null-text and token-free docs, validates args") {
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some(" ")))
+      .toDF("doc_id", "text")
+    val got = chunkByTokens(df, $"doc_id", $"text", size = 2, stride = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+    intercept[IllegalArgumentException] {
+      chunkByTokens(df, $"doc_id", $"text", size = 2, stride = 3)
+    }
+  }
+
   test("tokenDupStats equals repetitionReport's unigram columns") {
     val df = Seq((1L, "aa aa aa b"), (2L, "x y z"), (3L, "m m"))
       .toDF("doc_id", "text")
