@@ -196,6 +196,16 @@ class PipelinePlanSpec extends SparkSpec {
       s"mix must stay map-side after the one counts job:\n$plan")
   }
 
+  test("chunkByTokens plans with no exchange (map-side explode)") {
+    val df = (0 until 50).map(i => (i.toLong, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis.chunkByTokens(
+      df, $"doc_id", $"text", size = 4, stride = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must stay map-side:\n$plan")
+  }
+
   test("repetitionReport prunes the n-gram arg-max map-side") {
     val df = (0 until 100).map(i => (i.toLong, s"a b c d$i e"))
       .toDF("doc_id", "text")
