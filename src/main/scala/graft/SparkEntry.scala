@@ -490,7 +490,7 @@ object SparkEntry {
     // (5 tokens of overlap carry context across boundaries)
     "q_chunking" -> ((s, dir) =>
       functions.TextAnalysis.chunkByTokens(t(s, dir, "documents"),
-        col("doc_id"), col("text"), size = 20, stride = 15)),
+        col("doc_id"), col("text"), chunkSize = 20, stride = 15)),
 
     // winnowing document fingerprints — md5-hex hashes compared
     // lexicographically, so DuckDB replays the exact window minima
@@ -1094,8 +1094,10 @@ object SparkEntry {
         |         AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
 
-    // chunk starts are 0, stride, 2·stride … ≤ len-1; DuckDB list
-    // slicing is 1-based inclusive, so chunk i = tk[i·15+1 : i·15+20]
+    // chunk starts are 0, stride, …, stopping once a window reaches
+    // the doc end (nChunks = max(1, ceil((len-20)/15)+1)); DuckDB
+    // list slicing is 1-based inclusive, so chunk i =
+    // tk[i·15+1 : i·15+20]
     "q_chunking" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1105,7 +1107,8 @@ object SparkEntry {
         |ch AS (
         |  SELECT doc_id,
         |         unnest([{'c': i, 's': tk[i*15+1 : i*15+20]}
-        |                 for i in range((len(tk) - 1) // 15 + 1)]) AS u
+        |                 for i in range(CASE WHEN len(tk) <= 20 THEN 1
+        |                   ELSE (len(tk) - 20 + 14) // 15 + 1 END)]) AS u
         |  FROM toks WHERE len(tk) > 0)
         |SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
         |       CAST(len(u.s) AS BIGINT) AS n_tokens,

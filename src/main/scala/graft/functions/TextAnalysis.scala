@@ -246,9 +246,12 @@ object TextAnalysis {
     * `size` tokens, advance by `stride`; `size - stride` tokens of
     * overlap carry context across boundaries). Output per chunk:
     * (doc_id, chunk_id, n_tokens, chunk_text); chunk c covers tokens
-    * [c·stride, c·stride + size), the last chunk may be short, and
-    * every token is covered by at least one chunk. Docs with null
-    * text or no tokens are excluded.
+    * [c·stride, c·stride + chunkSize), the last chunk may be short,
+    * every token is covered by at least one chunk, and chunking
+    * stops once a window reaches the end of the doc (no trailing
+    * chunk fully contained in its predecessor — that would be
+    * duplicated training data). Docs with null text or no tokens are
+    * excluded.
     *
     * Scale shape: one `posexplode` over the per-doc chunk starts —
     * map-side only (no exchange); each chunk row slices the doc's
@@ -258,24 +261,29 @@ object TextAnalysis {
     * same as every other text operator here).
     */
   def chunkByTokens(df: DataFrame, id: Column, text: Column,
-                    size: Int, stride: Int): DataFrame = {
-    require(size >= 1, s"size must be >= 1, got $size")
-    require(stride >= 1 && stride <= size,
-      s"stride must be in [1, size], got $stride (size $size)")
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
     val base = df.filter(text.isNotNull)
       .select(id.as("doc_id"), tokens(text).as("__tk"))
-      .filter(org.apache.spark.sql.functions.size(col("__tk")) > 0)
+      .filter(size(col("__tk")) > 0)
+    // chunk count stops once a window reaches the end of the doc:
+    // max(1, ceil((len - chunkSize) / stride) + 1). Emitting starts
+    // all the way to len-1 would append trailing chunks fully
+    // contained in their predecessor — duplicated training data.
+    val nTok = size(col("__tk"))
+    val nChunks = when(nTok <= chunkSize, lit(1)).otherwise(
+      floor((nTok - lit(chunkSize) + lit(stride - 1))
+        .cast("double") / stride).cast("int") + 1)
     base
-      .select(col("doc_id"), col("__tk"),
-        posexplode(sequence(lit(0),
-          org.apache.spark.sql.functions.size(col("__tk")) - 1,
-          lit(stride))))
+      .select(col("doc_id"), col("__tk"), nTok.as("__n"),
+        posexplode(sequence(lit(0), (nChunks - 1) * stride, lit(stride))))
       .select(col("doc_id"),
         col("pos").cast("long").as("chunk_id"),
-        org.apache.spark.sql.functions
-          .size(slice(col("__tk"), col("col") + 1, lit(size)))
+        least(lit(chunkSize), col("__n") - col("col"))
           .cast("long").as("n_tokens"),
-        concat_ws(" ", slice(col("__tk"), col("col") + 1, lit(size)))
+        concat_ws(" ", slice(col("__tk"), col("col") + 1, lit(chunkSize)))
           .as("chunk_text"))
   }
 

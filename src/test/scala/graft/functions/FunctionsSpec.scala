@@ -151,19 +151,31 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("chunkByTokens: hand-checked windows, full coverage, overlap") {
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
-    val got = chunkByTokens(df, $"doc_id", $"text", size = 3, stride = 2)
+    val got = chunkByTokens(df, $"doc_id", $"text", chunkSize = 3, stride = 2)
       .orderBy($"chunk_id")
       .as[(Long, Long, Long, String)].collect().toSeq
+    // the second window reaches the doc end, so chunking stops there
+    // (no redundant trailing "e" chunk fully inside its predecessor)
     assert(got == Seq(
       (1L, 0L, 3L, "a b c"),
-      (1L, 1L, 3L, "c d e"),
-      (1L, 2L, 1L, "e")))
+      (1L, 1L, 3L, "c d e")))
+  }
+
+  test("chunkByTokens emits one chunk for short docs, none redundant") {
+    // 16 tokens, chunkSize 20, stride 15: a start at 15 would be
+    // fully covered by chunk 0 — must not be emitted
+    val text = (0 until 16).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = chunkByTokens(df, $"doc_id", $"text", chunkSize = 20,
+      stride = 15).as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 0L, 16L, text)))
   }
 
   test("chunkByTokens covers every token and bounds chunk length") {
     val text = (0 until 103).map(i => s"t$i").mkString(" ")
     val df = Seq((7L, text)).toDF("doc_id", "text")
-    val chunks = chunkByTokens(df, $"doc_id", $"text", size = 20, stride = 15)
+    val chunks = chunkByTokens(df, $"doc_id", $"text", chunkSize = 20,
+        stride = 15)
       .as[(Long, Long, Long, String)].collect()
     assert(chunks.forall(_._3 <= 20))
     // stride 15 over 103 tokens -> ceil(103/15) = 7 chunks
@@ -179,11 +191,11 @@ class TextAnalysisSpec extends SparkSpec {
   test("chunkByTokens excludes null-text and token-free docs, validates args") {
     val df = Seq((1L, Some("x")), (2L, None), (3L, Some(" ")))
       .toDF("doc_id", "text")
-    val got = chunkByTokens(df, $"doc_id", $"text", size = 2, stride = 1)
+    val got = chunkByTokens(df, $"doc_id", $"text", chunkSize = 2, stride = 1)
       .select("doc_id").as[Long].collect().toSeq
     assert(got == Seq(1L))
     intercept[IllegalArgumentException] {
-      chunkByTokens(df, $"doc_id", $"text", size = 2, stride = 3)
+      chunkByTokens(df, $"doc_id", $"text", chunkSize = 2, stride = 3)
     }
   }
 

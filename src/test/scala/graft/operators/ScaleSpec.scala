@@ -200,7 +200,7 @@ class PipelinePlanSpec extends SparkSpec {
     val df = (0 until 50).map(i => (i.toLong, "a b c d e f g h"))
       .toDF("doc_id", "text")
     val out = graft.functions.TextAnalysis.chunkByTokens(
-      df, $"doc_id", $"text", size = 4, stride = 3)
+      df, $"doc_id", $"text", chunkSize = 4, stride = 3)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"chunking must stay map-side:\n$plan")
