@@ -492,6 +492,22 @@ object SparkEntry {
       functions.TextAnalysis.chunkByTokens(t(s, dir, "documents"),
         col("doc_id"), col("text"), chunkSize = 20, stride = 15)),
 
+    // the full training-export composition: chunk every document,
+    // then pack the chunks into ~500-token shards per language in
+    // deterministic (doc_id, chunk_id) order — what actually gets
+    // written as training shards
+    "q_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = functions.TextAnalysis.chunkByTokens(docs,
+        col("doc_id"), col("text"), chunkSize = 20, stride = 15)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      functions.Sampling.packByBudget(chunks, col("lang"),
+        Seq(col("doc_id"), col("chunk_id")), col("n_tokens"),
+        budget = 500L)
+        .select(col("doc_id"), col("chunk_id"), col("lang"),
+          col("n_tokens"), col("shard"))
+    }),
+
     // winnowing document fingerprints — md5-hex hashes compared
     // lexicographically, so DuckDB replays the exact window minima
     "q_winnowing" -> ((s, dir) =>
@@ -1114,6 +1130,32 @@ object SparkEntry {
         |       CAST(len(u.s) AS BIGINT) AS n_tokens,
         |       array_to_string(u.s, ' ') AS chunk_text
         |FROM ch""".stripMargin,
+
+    // export = the chunking oracle's chunks joined to lang, then the
+    // pack-shards oracle's exclusive-prefix-sum shard id over
+    // (doc_id, chunk_id) order within each language
+    "q_export" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id,
+        |         unnest([{'c': i, 'n': least(20, len(tk) - i*15)}
+        |                 for i in range(CASE WHEN len(tk) <= 20 THEN 1
+        |                   ELSE (len(tk) - 20 + 14) // 15 + 1 END)]) AS u
+        |  FROM toks WHERE len(tk) > 0),
+        |chunks AS (
+        |  SELECT c.doc_id, CAST(c.u.c AS BIGINT) AS chunk_id, d.lang,
+        |         CAST(c.u.n AS BIGINT) AS n_tokens
+        |  FROM ch c JOIN documents d USING (doc_id))
+        |SELECT doc_id, chunk_id, lang, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (
+        |         PARTITION BY lang ORDER BY doc_id, chunk_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       // 500 AS BIGINT) AS shard
+        |FROM chunks""".stripMargin,
 
     // repetition metrics re-derived exactly: token occurrence counts
     // per (doc, token), bigram shingles via the winnowing oracle's
