@@ -497,10 +497,11 @@ object SparkEntry {
     // deterministic (doc_id, chunk_id) order — what actually gets
     // written as training shards
     "q_export" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val chunks = functions.TextAnalysis.chunkByTokens(docs,
-        col("doc_id"), col("text"), chunkSize = 20, stride = 15)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // lang rides through the chunker as a carried column — one
+      // scan, and the only exchange is the pack window's
+      val chunks = functions.TextAnalysis.chunkByTokens(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        chunkSize = 20, stride = 15, carry = Seq("lang"))
       functions.Sampling.packByBudget(chunks, col("lang"),
         Seq(col("doc_id"), col("chunk_id")), col("n_tokens"),
         budget = 500L)

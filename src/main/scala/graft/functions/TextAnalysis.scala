@@ -259,14 +259,23 @@ object TextAnalysis {
     * chunks survives. Per-doc token arrays live inside one row
     * transiently (the usual "a document fits in a row" contract —
     * same as every other text operator here).
+    *
+    * `carry` names document columns copied onto every chunk row
+    * (language, source, …) — carrying beats re-joining the document
+    * table onto the chunk output, which at corpus scale costs a
+    * second scan plus a full chunk-side shuffle on doc_id.
     */
   def chunkByTokens(df: DataFrame, id: Column, text: Column,
-                    chunkSize: Int, stride: Int): DataFrame = {
+                    chunkSize: Int, stride: Int,
+                    carry: Seq[String] = Nil): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
+    val reserved = Set("doc_id", "chunk_id", "n_tokens", "chunk_text", "__tk")
+    val clash = carry.filter(reserved)
+    require(clash.isEmpty, s"carry columns collide with output: $clash")
     val base = df.filter(text.isNotNull)
-      .select(id.as("doc_id"), tokens(text).as("__tk"))
+      .select(id.as("doc_id") +: carry.map(col) :+ tokens(text).as("__tk"): _*)
       .filter(size(col("__tk")) > 0)
     // chunk count stops once a window reaches the end of the doc:
     // max(1, ceil((len - chunkSize) / stride) + 1). Emitting starts
@@ -277,14 +286,15 @@ object TextAnalysis {
       floor((nTok - lit(chunkSize) + lit(stride - 1))
         .cast("double") / stride).cast("int") + 1)
     base
-      .select(col("doc_id"), col("__tk"), nTok.as("__n"),
-        posexplode(sequence(lit(0), (nChunks - 1) * stride, lit(stride))))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("chunk_id"),
+      .select(col("doc_id") +: carry.map(col) :+ col("__tk") :+
+        nTok.as("__n") :+
+        posexplode(sequence(lit(0), (nChunks - 1) * stride, lit(stride))): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("pos").cast("long").as("chunk_id") :+
         least(lit(chunkSize), col("__n") - col("col"))
-          .cast("long").as("n_tokens"),
+          .cast("long").as("n_tokens") :+
         concat_ws(" ", slice(col("__tk"), col("col") + 1, lit(chunkSize)))
-          .as("chunk_text"))
+          .as("chunk_text"): _*)
   }
 
   /** PII patterns — the regex subset shared by Java's engine and

@@ -188,6 +188,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert((c0 & c1).size == 5)
   }
 
+  test("chunkByTokens carries document columns onto every chunk") {
+    val df = Seq((1L, "en", "a b c d e"), (2L, "de", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val got = chunkByTokens(df, $"doc_id", $"text", chunkSize = 3,
+        stride = 2, carry = Seq("lang"))
+      .select("doc_id", "lang", "chunk_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "en", 0L), (1L, "en", 1L), (2L, "de", 0L)))
+    intercept[IllegalArgumentException] {
+      chunkByTokens(df, $"doc_id", $"text", 3, 2, carry = Seq("chunk_id"))
+    }
+  }
+
   test("chunkByTokens excludes null-text and token-free docs, validates args") {
     val df = Seq((1L, Some("x")), (2L, None), (3L, Some(" ")))
       .toDF("doc_id", "text")
