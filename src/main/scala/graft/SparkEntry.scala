@@ -425,6 +425,17 @@ object SparkEntry {
         k = 5, nprobe = 16)
     }),
 
+    // classification by retrieval: each query vector takes the
+    // majority label of its 7 nearest neighbors (exact cosine,
+    // smaller-label tie-break)
+    "q_knn_predict" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.knnPredict(
+        e, col("vec_id"), col("embedding"), col("label"),
+        e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        k = 7)
+    }),
+
     // int8-quantized approximate scan + exact float rerank: with
     // overfetch 4 the true top-5 survive the approximate cut (the
     // quantization error at 64 dims is ~1% of the score), so the
@@ -1008,6 +1019,31 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
         |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    // kNN vote replayed: exact cosine ranking (the embed_topk CTE),
+    // then majority vote with (votes DESC, label ASC) tie-break
+    "q_knn_predict" ->
+      """WITH c AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |           FROM embeddings WHERE label IS NOT NULL),
+        |q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |      FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT query_id, vec_id, label,
+        |        round(list_dot_product(cv, qv) /
+        |              sqrt(list_dot_product(cv, cv) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM c CROSS JOIN q WHERE vec_id <> query_id),
+        |nn AS (SELECT query_id, label FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |                 ORDER BY cos DESC, vec_id ASC) <= 7),
+        |votes AS (SELECT query_id, label AS pred_label,
+        |                 count(*) AS n_votes
+        |          FROM nn GROUP BY query_id, label)
+        |SELECT query_id, pred_label, CAST(n_votes AS BIGINT) AS n_votes
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY n_votes DESC, pred_label ASC) = 1""".stripMargin,
 
     // q_embed_quantized: the quantized path's exact rerank makes its
     // output equal brute-force top-k (overfetch keeps the true top-k

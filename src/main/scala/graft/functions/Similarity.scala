@@ -154,6 +154,43 @@ object Similarity {
           .as("recall_ok"))
   }
 
+  /** kNN label prediction — classification by retrieval, the
+    * standard downstream consumer of an embedding index: each query
+    * vector takes the majority label of its k nearest corpus
+    * vectors (exact cosine; swap in the IVF/quantized paths for the
+    * index-backed form). Ties break deterministically toward the
+    * smaller label. Output: (query_id, pred_label, n_votes).
+    *
+    * Same scale shape as [[bruteForceTopK]] — queries broadcast,
+    * map-side scoring, per-query state bounded by k; the label rides
+    * the scoring row so no join back to the corpus is needed.
+    */
+  def knnPredict(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                 label: Column,
+                 queries: DataFrame, queryId: Column, queryVec: Column,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.filter(label.isNotNull)
+      .select(corpusId.as("vec_id"), corpusVec.as("cv"), label.as("lbl"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val neighbors = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col("cv"), col("qv")), 4))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("lbl").asc)
+    neighbors
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("__vr", row_number().over(wVote))
+      .filter(col("__vr") === 1)
+      .select(col("query_id"), col("lbl").as("pred_label"),
+        col("n_votes"))
+  }
+
   /** Scalar (int8) quantization of an embedding vector: per-vector
     * max-abs scaling to the symmetric byte range [-127, 127].
     * Returns a struct:

@@ -466,6 +466,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("knnPredict takes the majority label with smaller-label tie-break") {
+    // query (1,0): neighbors by cosine are id2 (lbl 0), id3 (lbl 1),
+    // id4 (lbl 1) -> k=3 majority is 1; k=2 ties 0 vs 1 -> pick 0
+    val corpus = Seq(
+      (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0.8f, 0.2f), 1),
+      (4L, Seq(0.7f, 0.3f), 1), (5L, Seq(-1.0f, 0.0f), 0))
+      .toDF("id", "v", "lbl")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val k3 = knnPredict(corpus, $"id", $"v", $"lbl", q, $"id", $"v", k = 3)
+      .as[(Long, Int, Long)].collect().head
+    assert(k3 == ((1L, 1, 2L)), k3.toString)
+    val k2 = knnPredict(corpus, $"id", $"v", $"lbl", q, $"id", $"v", k = 2)
+      .as[(Long, Int, Long)].collect().head
+    assert(k2 == ((1L, 0, 1L)), k2.toString)
+  }
+
+  test("knnPredict ignores unlabeled corpus rows") {
+    val corpus = Seq(
+      (2L, Seq(1.0f, 0.0f), Some(7)), (3L, Seq(0.99f, 0.1f), None))
+      .toDF("id", "v", "lbl")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val got = knnPredict(corpus, $"id", $"v", $"lbl", q, $"id", $"v", k = 2)
+      .as[(Long, Int, Long)].collect().head
+    assert(got == ((1L, 7, 1L)))
+  }
+
   test("lshTopK returns a subset of brute-force results (same bucket)") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Seq.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
