@@ -687,6 +687,12 @@ object SparkEntry {
         col("doc_id"), col("text"),
         queryTerms = Seq("dup", "spark", "vector"), k = 10)),
 
+    // TF-IDF keyword extraction: top-3 terms per document, ranked on
+    // the rounded score so the cut is engine-portable
+    "q_tfidf" -> ((s, dir) =>
+      functions.Retrieval.tfidfTopTerms(t(s, dir, "documents"),
+        col("doc_id"), col("text"), k = 3)),
+
     // exact phi-heavy-hitters: capacity 30 < the corpus' 31-token
     // vocabulary, so the Misra-Gries decrement path genuinely runs;
     // phi=0.0335 > 1/31 keeps the no-missed-hitter guarantee
@@ -1611,6 +1617,32 @@ object SparkEntry {
         |       doc_id, score
         |FROM scored
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // TF-IDF: identical tokenization, ln(N/df) idf, rank on the
+    // rounded score with term tie-break → the same top-3 per doc
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(CAST(tf AS DOUBLE)
+        |               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)),
+        |               4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                  ORDER BY score DESC, term) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
 
     // exact phi-heavy-hitters: the sketch only proposes candidates,
     // exact counting decides — so plain GROUP BY + HAVING is the oracle

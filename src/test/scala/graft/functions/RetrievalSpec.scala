@@ -65,4 +65,31 @@ class RetrievalSpec extends SparkSpec {
       .as[(Int, Long, Double)].collect()
     assert(got.map(_._2).toSet == Set(1L, 2L, 4L))
   }
+
+  test("tfidfTopTerms scores tf·ln(N/df) and ranks per doc") {
+    // N=4; df(spark)=3 (docs 1,2,4), df(engine)=3 (docs 1,2,3) →
+    // both idfs are ln(4/3); a term in every doc would score 0
+    val got = Retrieval.tfidfTopTerms(corpus, $"doc_id", $"text", k = 2)
+      .as[(Long, Int, String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: spark tf=3 → 3·ln(4/3) ≈ 0.8630; engine tf=1 → ln(4/3)
+    val d1 = got(1L)
+    assert(d1.map(t => (t._3, t._4, t._5)).toSeq ==
+      Seq(("spark", 3L, r4(3 * math.log(4.0 / 3.0))),
+          ("engine", 1L, r4(math.log(4.0 / 3.0)))))
+    // doc 2: engine tf=3 → 3·ln(2) beats spark tf=1 → ln(4/3)
+    assert(got(2L).map(_._3).toSeq == Seq("engine", "spark"))
+    // doc 4 has one term → one row, rank 1
+    assert(got(4L).map(t => (t._2, t._3)).toSeq == Seq((1, "spark")))
+  }
+
+  test("tfidfTopTerms breaks score ties on ascending term") {
+    val df = Seq((1L, "b a"), (2L, "c d")).toDF("doc_id", "text")
+    // within doc 1 both terms have tf=1, df=1 → identical scores
+    val got = Retrieval.tfidfTopTerms(df, $"doc_id", $"text", k = 1)
+      .as[(Long, Int, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq == Seq("a", "c"))
+  }
 }
