@@ -354,6 +354,12 @@ object SparkEntry {
       functions.Dedup.exactDupClasses(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    // sub-document dedup: 5-token segments deduped corpus-wide,
+    // first (doc_id, seg_idx) occurrence wins, survivors reassembled
+    "q_segment_dedup" -> ((s, dir) =>
+      functions.Dedup.segmentDedup(t(s, dir, "documents"),
+        col("doc_id"), col("text"), segTokens = 5)),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
@@ -967,6 +973,36 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // segment dedup: DuckDB elects winners on the raw segment text
+    // (engine-local), Spark on md5(segment) — identical winners up
+    // to 128-bit digest collisions
+    "q_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |base AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |segs AS (
+        |  SELECT doc_id,
+        |         unnest([{'i': i, 's': array_to_string(tk[i*5+1 : i*5+5], ' ')}
+        |                 for i in range((len(tk)-1)//5 + 1)]) AS u
+        |  FROM base),
+        |flat AS (SELECT doc_id, u.i AS seg_idx, u.s AS seg FROM segs),
+        |winners AS (
+        |  SELECT doc_id, seg_idx, seg
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY seg
+        |                    ORDER BY doc_id, seg_idx) AS rn FROM flat)
+        |  WHERE rn = 1),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS text_kept
+        |  FROM winners GROUP BY 1),
+        |nseg AS (SELECT doc_id, count(*) AS n_segments FROM flat GROUP BY 1)
+        |SELECT n.doc_id, n.n_segments,
+        |       coalesce(k.n_kept, 0) AS n_kept, k.text_kept
+        |FROM nseg n LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
 

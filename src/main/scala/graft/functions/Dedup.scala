@@ -577,4 +577,59 @@ object Dedup {
         .as("recall"),
       (coalesce(sum(col("__bf")), lit(0L)) > 0).as("non_empty"))
   }
+
+  /** Sub-document (segment-level) exact dedup — the C4-style pass
+    * that removes repeated spans ACROSS documents, not just whole-doc
+    * duplicates: split every document into fixed `segTokens`-token
+    * segments (last one may be short), keep each distinct segment's
+    * first occurrence in (doc_id, seg_idx) order, drop every other
+    * copy, and reassemble what survives.
+    *
+    * Returns (doc_id, n_segments, n_kept, text_kept) — text_kept is
+    * the kept segments re-joined in order (null when the whole doc
+    * was duplicated away). Docs with null/empty text are absent, as
+    * in the other dedup ops.
+    *
+    * Winners are chosen per md5(segment) — exact up to 128-bit digest
+    * collisions, like [[exactDedup]].
+    *
+    * Scale shape (100 TB): segmenting is a map-side array expression
+    * (no shuffle); the winner election shuffles (digest, doc_id,
+    * seg_idx) triples — never segment text; winners collapse to a
+    * per-doc sorted index list (ints, ≤ tokens/segTokens per doc);
+    * only the final doc_id-keyed join of that list back to the
+    * original rows moves text, once. Reassembly re-slices the token
+    * array map-side from the kept indices.
+    */
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+                   segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("doc_id"), TextAnalysis.tokens(text).as("tk"))
+      .filter(size(col("tk")) > 0)
+    // per-doc segment list, map-side: seg i = tokens [i*k+1, i*k+k]
+    val nSegs = (floor((size(col("tk")) - 1).cast("double") / segTokens)
+      .cast("int") + 1)
+    val segs = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => concat_ws(" ", slice(col("tk"), i * segTokens + 1, lit(segTokens))))))
+      .select(col("doc_id"), col("pos").as("seg_idx"),
+        md5(col("col")).as("h"))
+    // first occurrence per digest: min(struct) = lexicographic
+    // (doc_id, seg_idx) — a digest-keyed agg with map-side combine
+    val winners = segs.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.seg_idx").as("seg_idx"))
+    val keptIdx = winners.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("kept"))
+    base.join(keptIdx, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        nSegs.cast("long").as("n_segments"),
+        when(col("kept").isNull, lit(0L))
+          .otherwise(size(col("kept")).cast("long")).as("n_kept"),
+        when(col("kept").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", transform(col("kept"),
+            i => concat_ws(" ", slice(col("tk"), i * segTokens + 1, lit(segTokens))))))
+          .as("text_kept"))
+  }
 }

@@ -253,6 +253,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("segmentDedup keeps each segment's first (doc, idx) occurrence") {
+    // 2-token segments: doc 1 = ["a b", "c d"]; doc 2 repeats "a b"
+    // twice (second copy loses to the first IN the same doc) and adds
+    // a fresh segment; doc 3 is entirely duplicated away
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b a b x y"),
+      (3L, "c d"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "   ")).toDF("id", "text")
+    val got = segmentDedup(df, $"id", $"text", segTokens = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      "null/token-free docs are absent")
+    assert(got(0) == ((1L, 2L, 2L, "a b c d")), "doc 1 keeps everything")
+    assert(got(1) == ((2L, 3L, 1L, "x y")),
+      "both 'a b' copies lose to doc 1's; only the fresh segment stays")
+    assert(got(2) == ((3L, 1L, 0L, null)), "fully-duplicated doc: null text")
+  }
+
+  test("segmentDedup short trailing segment dedupes independently") {
+    // doc 1's trailing 1-token segment "c" equals doc 2's full text
+    val df = Seq((1L, "a b c"), (2L, "c")).toDF("id", "text")
+    val got = segmentDedup(df, $"id", $"text", segTokens = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 2L, "a b c")))
+    assert(got(1) == ((2L, 1L, 0L, null)),
+      "doc 2's only segment was already seen as doc 1's tail")
+  }
+
   test("minhashNearDups finds a seeded near-duplicate pair") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = ((1 to 28).map(i => s"w$i") ++ Seq("zz", "qq")).mkString(" ")
