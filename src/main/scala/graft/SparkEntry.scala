@@ -493,6 +493,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         functions.TextAnalysis.langId(col("text")).as("pred_lang"))),
 
+    // self-scored unigram LM: per-doc mean token log-probability
+    // under the corpus' own unigram distribution
+    "q_unigram_lm" -> ((s, dir) =>
+      functions.TextAnalysis.unigramLogProb(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "q_corpus_stats" -> ((s, dir) =>
       functions.TextAnalysis.corpusStats(t(s, dir, "documents"),
         col("lang"), col("text"))),
@@ -1175,6 +1181,28 @@ object SparkEntry {
         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
         |       ELSE 'de' END AS pred_lang
         |FROM s""".stripMargin,
+
+    // unigram LM: identical tokenization and ln arithmetic; the
+    // per-doc sum of tf·ln(p) rounds to 4 decimals on both engines
+    "q_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term
+        |        FROM toks WHERE len(tk) > 0)
+        |  GROUP BY 1, 2, 3),
+        |cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM cnt)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+        |       round(sum(CAST(tf AS DOUBLE)
+        |                 * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+        |             / CAST(dl AS DOUBLE), 4) AS avg_logprob
+        |FROM tf JOIN cnt USING (term) CROSS JOIN tot
+        |GROUP BY doc_id, dl""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH t AS (

@@ -344,4 +344,40 @@ object TextAnalysis {
         sum(tokenCount(text).cast("long")).as("n_tokens"),
         sum(length(text).cast("long")).as("n_chars"),
         round(sum(length(text)).cast("double") / count(lit(1)), 4).as("avg_chars"))
+
+  /** Unigram language-model document scoring — the perplexity-bucket
+    * quality signal of LLM data pipelines, with the model trained on
+    * the corpus itself (self-scoring): P(t) = count(t)/total, score =
+    * mean over the doc's tokens of ln P(token). Gibberish-heavy docs
+    * (rare-token mass) score far below the corpus mode; boilerplate
+    * scores above it. Returns (doc_id, n_tokens, avg_logprob) with
+    * avg_logprob rounded to 4 decimals; token-free docs are absent.
+    *
+    * Scale shape (100 TB): two cascaded hash aggregations over the
+    * exploded token stream — (doc, term) tf with map-side combine,
+    * then term → corpus count over the already-collapsed tf relation;
+    * the tf⋈count join shuffles count tables keyed by term, never
+    * text; the grand total is a one-row broadcast. Per-doc scores are
+    * a final doc-keyed aggregation of (tf · ln p) terms.
+    */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    tf.join(cnt, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(round(
+        sum(col("tf").cast("double")
+          * log(col("cnt").cast("double") / col("total").cast("double")))
+          / col("dl").cast("double"), 4).as("avg_logprob"))
+      .select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
+        col("avg_logprob"))
+  }
 }

@@ -225,6 +225,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cheap == full)
   }
 
+  test("unigramLogProb scores docs by corpus-trained token probabilities") {
+    // corpus: a×3, b×2, c×1 → total 6; P(a)=1/2, P(b)=1/3, P(c)=1/6
+    val df = Seq((1L, "a a b"), (2L, "a b c"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = unigramLogProb(df, $"id", $"text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "empty/null docs absent")
+    assert(got(0)._2 == 3L)
+    assert(got(0)._3 == r4((2 * math.log(3.0 / 6) + math.log(2.0 / 6)) / 3),
+      "doc 1 = (2·ln P(a) + ln P(b)) / 3")
+    assert(got(1)._3 == r4(
+      (math.log(3.0 / 6) + math.log(2.0 / 6) + math.log(1.0 / 6)) / 3))
+    // the all-common-tokens doc outranks the rare-token doc
+    assert(got(0)._3 > got(1)._3)
+  }
+
   test("repetitionReport: a no-repetition doc scores zero") {
     val df = Seq((7L, "one two three four")).toDF("doc_id", "text")
     val r = repetitionReport(df, $"doc_id", $"text", n = 2)
