@@ -344,6 +344,14 @@ object SparkEntry {
       meta.Catalog.countSummary(
         meta.Catalog.fromDocuments(t(s, dir, "documents")), "/corpus")),
 
+    // Balancer plan: classify each modeled datanode against the
+    // cluster-average utilization band and size the required moves
+    "q_balancer" -> ((s, dir) =>
+      meta.Catalog.balancerPlan(
+        meta.Catalog.fromDocuments(t(s, dir, "documents")),
+        blockSize = 256L, nNodes = 10, nodeCapacity = 100000L,
+        threshold = 0.01)),
+
     "q_meta_fsck" -> ((s, dir) =>
       meta.Catalog.fsck(
         meta.Catalog.fromDocuments(t(s, dir, "documents")),
@@ -974,6 +982,52 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS under_replicated,
         |       round(CAST(3 AS DOUBLE), 4) AS avg_replication
         |FROM blocks GROUP BY dir""".stripMargin,
+
+    // balancer: the same md5 replica-placement model, utilization
+    // band classification, and move sizing in plain SQL
+    "q_balancer" ->
+      """WITH files AS (
+        |  SELECT '/corpus/' || source || '/doc_' || doc_id AS path,
+        |         CAST(n_chars AS BIGINT) AS len, 3 AS replication
+        |  FROM documents WHERE n_chars > 0),
+        |blocks AS (
+        |  SELECT path, len, replication,
+        |         unnest(range(CAST(ceil(CAST(len AS DOUBLE)/256)
+        |                      AS BIGINT))) AS block_idx
+        |  FROM files),
+        |reps AS (
+        |  SELECT path, block_idx, least(256, len - block_idx*256) AS bytes,
+        |         unnest(range(replication)) AS r
+        |  FROM blocks),
+        |assigned AS (
+        |  SELECT ('0x' || substr(md5(path || '#' || block_idx || '#' || r),
+        |                         1, 6))::BIGINT % 10 AS node,
+        |         bytes FROM reps),
+        |usage AS (
+        |  SELECT t.range AS node,
+        |         CAST(coalesce(sum(a.bytes), 0) AS BIGINT) AS used_bytes
+        |  FROM range(10) t LEFT JOIN assigned a ON a.node = t.range
+        |  GROUP BY 1),
+        |avgu AS (SELECT CAST(sum(used_bytes) AS DOUBLE)
+        |                / (10 * 100000) AS avg_util FROM usage)
+        |SELECT node, used_bytes,
+        |  round(CAST(used_bytes AS DOUBLE) / 100000, 4) AS util,
+        |  CASE WHEN CAST(used_bytes AS DOUBLE)/100000 > avg_util + 0.01
+        |         THEN 'over'
+        |       WHEN CAST(used_bytes AS DOUBLE)/100000 > avg_util
+        |         THEN 'above'
+        |       WHEN CAST(used_bytes AS DOUBLE)/100000 >= avg_util - 0.01
+        |         THEN 'below'
+        |       ELSE 'under' END AS node_class,
+        |  CASE WHEN CAST(used_bytes AS DOUBLE)/100000 > avg_util + 0.01
+        |         THEN CAST(ceil((CAST(used_bytes AS DOUBLE)/100000
+        |                         - avg_util - 0.01) * 100000) AS BIGINT)
+        |       WHEN CAST(used_bytes AS DOUBLE)/100000 < avg_util - 0.01
+        |         THEN CAST(ceil((avg_util - 0.01
+        |                         - CAST(used_bytes AS DOUBLE)/100000)
+        |                        * 100000) AS BIGINT)
+        |       ELSE 0 END AS bytes_to_move
+        |FROM usage CROSS JOIN avgu""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -112,6 +112,69 @@ object Catalog {
       when(col("path").startsWith(pathPrefix) && !col("is_dir"), lit(rep))
         .otherwise(col("replication")))
 
+  /** Balancer plan (reference: src/hdfs/org/apache/hadoop/hdfs/
+    * server/balancer/Balancer.java — compute cluster-average
+    * utilization, classify each datanode against a ± `threshold`
+    * band, and size what must move off/onto it). Replica placement is
+    * modeled deterministically: replica `r` of block `i` of a file
+    * lands on node `md5(path#i#r) mod nNodes` (HDFS placement is
+    * pseudo-random; a content hash makes the model reproducible
+    * across engines and retries).
+    *
+    * Returns one row per node: (node, used_bytes, util,
+    * node_class ∈ over/above/below/under, bytes_to_move) — `over`
+    * nodes must shed down to avg+threshold, `under` nodes must gain
+    * up to avg-threshold; the middle band is balanced (the
+    * reference's four DatanodeInfo lists).
+    *
+    * Scale shape: the replica table is a narrow map-side explode of
+    * the namespace (no text, three small columns); usage is one hash
+    * aggregation keyed by node (O(nodes) rows out); the average is a
+    * one-row broadcast. Nothing driver-side scales with files.
+    */
+  def balancerPlan(files: DataFrame, blockSize: Long, nNodes: Int,
+                   nodeCapacity: Long, threshold: Double = 0.1): DataFrame = {
+    require(nNodes >= 1 && nodeCapacity > 0 && threshold >= 0)
+    val replicas = files.filter(!col("is_dir") && col("len") > 0)
+      .withColumn("n_blocks",
+        ceil(col("len").cast("double") / blockSize).cast("int"))
+      .select(col("path"), col("len"), col("replication"),
+        posexplode(sequence(lit(0), col("n_blocks") - 1)))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumn("bytes",
+        least(lit(blockSize), col("len") - col("block_idx") * blockSize))
+      .select(col("path"), col("block_idx"), col("bytes"),
+        explode(sequence(lit(0), col("replication") - 1)).as("r"))
+      .withColumn("node",
+        conv(substring(md5(concat(col("path"), lit("#"),
+          col("block_idx").cast("string"), lit("#"),
+          col("r").cast("string"))), 1, 6), 16, 10).cast("long")
+          % nNodes)
+    val usage = replicas.groupBy(col("node"))
+      .agg(sum(col("bytes")).as("used_bytes"))
+    val nodes = files.sparkSession.range(nNodes).toDF("node")
+      .join(usage, Seq("node"), "left_outer")
+      .withColumn("used_bytes", coalesce(col("used_bytes"), lit(0L)))
+    val avg = nodes.agg((sum(col("used_bytes")).cast("double")
+      / (lit(nNodes.toLong) * nodeCapacity).cast("double")).as("avg_util"))
+    nodes.crossJoin(broadcast(avg))
+      .withColumn("util",
+        col("used_bytes").cast("double") / nodeCapacity)
+      .select(col("node"), col("used_bytes"),
+        round(col("util"), 4).as("util"),
+        when(col("util") > col("avg_util") + threshold, "over")
+          .when(col("util") > col("avg_util"), "above")
+          .when(col("util") >= col("avg_util") - threshold, "below")
+          .otherwise("under").as("node_class"),
+        when(col("util") > col("avg_util") + threshold,
+          ceil((col("util") - col("avg_util") - threshold) * nodeCapacity)
+            .cast("long"))
+          .when(col("util") < col("avg_util") - threshold,
+            ceil((col("avg_util") - threshold - col("util")) * nodeCapacity)
+              .cast("long"))
+          .otherwise(lit(0L)).as("bytes_to_move"))
+  }
+
   /** A synthetic namespace over the documents corpus (for tests and
     * driver queries: each doc = a file under /corpus/<source>/).
     */

@@ -73,6 +73,34 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.usedBytes(updated).collect().head.getLong(0) ==
       100 * 6 + 50 * 6 + 25 * 6 + 10 * 6)
   }
+
+  test("balancerPlan conserves bytes, covers all nodes, sizes moves") {
+    val got = Catalog.balancerPlan(ns, blockSize = 40, nNodes = 4,
+      nodeCapacity = 200L, threshold = 0.05)
+      .as[(Long, Long, Double, String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L),
+      "every node is reported, including unused ones")
+    // replica bytes conserve: sum over nodes = sum(len*replication)
+    assert(got.map(_._2).sum == 100 * 3 + 50 * 4 + 25 * 3 + 10 * 6)
+    val avg = got.map(_._2).sum.toDouble / (4 * 200)
+    got.foreach { case (_, used, util, cls, move) =>
+      val u = used.toDouble / 200
+      assert(math.abs(util - u) < 5e-5, "util is the rounded ratio")
+      val expected =
+        if (u > avg + 0.05) "over"
+        else if (u > avg) "above"
+        else if (u >= avg - 0.05) "below"
+        else "under"
+      assert(cls == expected, s"node class at util=$u avg=$avg")
+      if (cls == "over")
+        assert(move == math.ceil((u - avg - 0.05) * 200).toLong && move > 0)
+      else if (cls == "under")
+        assert(move == math.ceil((avg - 0.05 - u) * 200).toLong && move > 0)
+      else assert(move == 0L, "balanced band moves nothing")
+    }
+    // the band split is non-trivial on this namespace
+    assert(got.map(_._4).distinct.length >= 2)
+  }
 }
 
 class ResilientSpec extends SparkSpec {
