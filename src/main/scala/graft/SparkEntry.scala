@@ -92,6 +92,10 @@ object SparkEntry {
     "q_wordcount" -> ((s, dir) =>
       TextOps.wordCount(t(s, dir, "documents"), col("text"))),
 
+    // PiEstimator parity: 100k Halton samples, no data input at all —
+    // the embarrassingly-parallel generator job
+    "q_pi" -> ((s, _) => operators.Pi.estimate(s, 100000L)),
+
     "q_field_selection" -> ((s, dir) =>
       TextOps.fieldSelection(kvCorpus(s, dir), col("value"),
         spec = "4,2,0-1,5-", maxFields = 6)),
@@ -757,6 +761,9 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(w) > 0
         |GROUP BY 1""".stripMargin,
+
+    // generated digit-polynomial oracle — bit-identical Halton doubles
+    "q_pi" -> operators.Pi.oracleSql(100000L),
 
     "q_field_selection" ->
       """SELECT CAST(l_returnflag AS VARCHAR) AS f0,

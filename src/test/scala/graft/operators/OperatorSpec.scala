@@ -343,3 +343,42 @@ class FiltersSpec extends SparkSpec {
     assert(md5Filter(df, $"k").count() == n)
   }
 }
+
+class PiSpec extends graft.SparkSpec {
+
+  /** Direct Scala port of the reference's digit computation
+    * (PiEstimator.HaltonSequence constructor): x = Σ d_j·q_j with
+    * q_j by iterated division — the parity witness for the generated
+    * SQL polynomial.
+    */
+  private def halton(index: Long, base: Int, digits: Int): Double = {
+    var (k, x, q) = (index, 0.0, 1.0 / base)
+    (0 until digits).foreach { _ =>
+      x += (k % base) * q
+      k /= base
+      q /= base
+    }
+    x
+  }
+
+  test("estimate counts exactly the reference's inside set") {
+    val n = 2048L
+    val expected = (1L to n).count { i =>
+      val x = halton(i, 2, 12) - 0.5
+      val y = halton(i, 3, 7) - 0.5
+      x * x + y * y <= 0.25
+    }
+    val got = Pi.estimate(spark, n).collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == expected.toLong,
+      "the SQL digit polynomial reproduces the reference Halton bits")
+    assert(got.getDouble(2) ==
+      BigDecimal(4.0 * expected / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("estimate converges toward pi (low-discrepancy, not random)") {
+    val got = Pi.estimate(spark, 20000L).collect().head
+    assert(math.abs(got.getDouble(2) - math.Pi) < 0.01)
+  }
+}
