@@ -607,6 +607,13 @@ object SparkEntry {
         col("doc_id"), rate = 0.25)
         .select(col("doc_id"), col("lang"))),
 
+    // deterministic global shuffle: content-hash training order,
+    // reproducible across retries/engines/cluster sizes
+    "q_shuffle" -> ((s, dir) =>
+      functions.Sampling.deterministicShuffle(t(s, dir, "documents"),
+        col("doc_id"), seed = 7L)
+        .select(col("doc_id"), col("rank"))),
+
     "q_sample_stratified" -> ((s, dir) =>
       functions.Sampling.stratifiedHashSample(t(s, dir, "documents"),
         col("doc_id"), col("lang"),
@@ -716,6 +723,11 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       functions.Retrieval.tfidfTopTerms(t(s, dir, "documents"),
         col("doc_id"), col("text"), k = 3)),
+
+    // inverted-index build: df + first-10 posting list per term
+    "q_inverted_index" -> ((s, dir) =>
+      functions.Retrieval.invertedIndex(t(s, dir, "documents"),
+        col("doc_id"), col("text"), maxPostings = 10)),
 
     // exact phi-heavy-hitters: capacity 30 < the corpus' 31-token
     // vocabulary, so the Misra-Gries decrement path genuinely runs;
@@ -1566,6 +1578,15 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
         |      < '40000000'""".stripMargin,
 
+    // deterministic shuffle: the permutation is a pure function of
+    // (content hash, seed) — one window re-derives it exactly
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |       row_number() OVER (
+        |         ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8),
+        |                  CAST(doc_id AS VARCHAR)) AS "rank"
+        |FROM documents""".stripMargin,
+
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
@@ -1768,6 +1789,26 @@ object SparkEntry {
         |                  ORDER BY score DESC, term) AS rnk
         |      FROM scored)
         |WHERE rnk <= 3""".stripMargin,
+
+    // inverted index: distinct (doc, term) pairs, windowed cut at 10
+    // postings, df from the full partition count
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)),
+        |ranked AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY term) AS dfc
+        |  FROM dt)
+        |SELECT term, CAST(max(dfc) AS BIGINT) AS df,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM ranked WHERE rn <= 10 GROUP BY term""".stripMargin,
 
     // exact phi-heavy-hitters: the sketch only proposes candidates,
     // exact counting decides — so plain GROUP BY + HAVING is the oracle

@@ -101,6 +101,36 @@ object Retrieval {
     *  - per-doc top-k is a rank window over (doc_id), one exchange;
     *    rank-by-rounded-score keeps the cut identical across engines.
     */
+  /** Inverted-index build: one row per term with its document
+    * frequency and the first `maxPostings` doc ids (ascending,
+    * comma-joined) — the posting-list table a retrieval probe scans
+    * instead of the corpus. The string form keeps the result portable
+    * (engines disagree on arrow list flavors, not on strings).
+    *
+    * Scale shape: the (doc, term) pairs collapse through a distinct
+    * (map-side combine), then ONE term-keyed exchange feeds both
+    * window functions (row_number + partition count share the spec,
+    * and the window buffer spills — no aggregation-buffer blowup on
+    * stopword terms); rows past `maxPostings` are discarded BEFORE
+    * the collect, so the collected list is genuinely bounded.
+    */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    maxPostings: Int = 10): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val dt = docs.select(id.as("doc_id"),
+        explode(TextAnalysis.bpeishTokens(text)).as("term"))
+      .distinct()
+    val byTerm = Window.partitionBy(col("term"))
+    val ranked = dt.select(col("term"), col("doc_id"),
+      row_number().over(byTerm.orderBy(col("doc_id"))).as("rn"),
+      count(lit(1)).over(byTerm).as("dfc"))
+    ranked.filter(col("rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(max(col("dfc")).as("df"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
                     k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -206,4 +206,26 @@ object Sampling {
       column(IntegralDivide(expression(prefix), expression(lit(budget))))
     })
   }
+
+  /** Deterministic global shuffle — reproducible training order. The
+    * sort key is the decision hash of the row `key` (seeded), so the
+    * permutation is a pure function of content + seed: stable across
+    * retries, engines, and cluster sizes, unlike `orderBy(rand())`.
+    * Emits the explicit `rank` so consumers (shard writers, curriculum
+    * samplers) can range-select without re-sorting; ties (duplicate
+    * keys) break on the key itself.
+    *
+    * Scale shape: [[graft.streaming.Heat.globalRank]] — one
+    * range-exchange on the hash (pivots sampled exactly like
+    * TotalOrderPartitioner), partition-local row_number, broadcast
+    * per-partition offsets. No zero-partition window, no
+    * single-reducer funnel; driver state is O(partitions) longs.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: Long,
+                           as: String = "rank"): DataFrame = {
+    val hashed = df.withColumn("__shuf", decisionHex(key, seed))
+    graft.streaming.Heat
+      .globalRank(hashed, Seq(col("__shuf"), key.cast("string")), as)
+      .drop("__shuf")
+  }
 }

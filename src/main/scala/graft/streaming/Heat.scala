@@ -61,22 +61,31 @@ object Heat {
     * once instead of twice. The lineage cut is acceptable here — the
     * plan is a periodic policy sweep, rerun wholesale on failure.
     */
-  def replicationPlan(heat: DataFrame, key: Column, heatCol: Column,
-                      minRep: Int = 3, maxRep: Int = 6): DataFrame = {
-    val tiers = maxRep - minRep + 1
+  /** Distributed exact global rank (1-based) in the given order —
+    * the scalable replacement for a zero-partition window: range-
+    * repartition on the order columns (pivots sampled like
+    * TotalOrderPartitioner), partition-local `row_number`, plus a
+    * broadcast per-partition offset CASE. Driver state is
+    * O(partitions) longs, never rows. Returns (ranked df with `as`
+    * and the internal `__pid` column, total row count); callers drop
+    * `__pid` when done. The input is localCheckpoint-pinned: the
+    * offset collection and the ranked output must see identical
+    * partitioning.
+    */
+  private[graft] def globalRankWithCount(df: DataFrame, order: Seq[Column],
+                                         as: String): (DataFrame, Long) = {
     // shuffle.partitions can be non-numeric on some platforms
     // (e.g. "auto"); fall back to the cluster's default parallelism
     val np = scala.util.Try(
-      heat.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .getOrElse(heat.sparkSession.sparkContext.defaultParallelism)
-    val parts = heat.repartitionByRange(np, heatCol.desc, key.asc)
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val parts = df.repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (counts.isEmpty)
-      return heat.withColumn("target_rep", lit(minRep).cast("int"))
-    val n = counts.map(_._2).sum
+      return (parts.withColumn(as, lit(0L)), 0L)
     val offsets = {
       var acc = 0L
       counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
@@ -85,12 +94,28 @@ object Heat {
       .foldLeft(when(col("__pid") === offsets.head._1, lit(offsets.head._2))) {
         case (e, (p, o)) => e.when(col("__pid") === p, lit(o))
       }.otherwise(lit(0L))
-    val w = Window.partitionBy(col("__pid")).orderBy(heatCol.desc, key.asc)
-    // bind the rank to a column FIRST: the tile CASE references it
-    // several times, and inlining the window expression would make
-    // WindowExec evaluate one identical row_number per reference
-    val ranked = parts.withColumn("__rank",
-      row_number().over(w).cast("long") + offsetExpr)
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    (parts.withColumn(as, row_number().over(w).cast("long") + offsetExpr),
+      counts.map(_._2).sum)
+  }
+
+  /** [[globalRankWithCount]] with the plumbing hidden: df + a
+    * 1-based global `as` rank column in the given order.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], as: String): DataFrame =
+    globalRankWithCount(df, order, as)._1.drop("__pid")
+
+  def replicationPlan(heat: DataFrame, key: Column, heatCol: Column,
+                      minRep: Int = 3, maxRep: Int = 6): DataFrame = {
+    val tiers = maxRep - minRep + 1
+    val (ranked, n) =
+      globalRankWithCount(heat, Seq(heatCol.desc, key.asc), "__rank")
+    if (n == 0L)
+      return heat.withColumn("target_rep", lit(minRep).cast("int"))
+    // the rank is bound to a column (not inlined): the tile CASE
+    // references it several times, and inlining the window expression
+    // would make WindowExec evaluate one identical row_number per
+    // reference
     val rn = col("__rank")
     // standard ntile: q = n / t rows per tile, first r = n % t tiles
     // get one extra; closed form over the global rank (floor division

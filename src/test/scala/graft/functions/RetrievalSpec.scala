@@ -85,6 +85,29 @@ class RetrievalSpec extends SparkSpec {
     assert(got(4L).map(t => (t._2, t._3)).toSeq == Seq((1, "spark")))
   }
 
+  test("invertedIndex: df counts all docs, postings capped and sorted") {
+    val df = Seq.tabulate(7)(i => (i.toLong, "spark common"))
+      .toDF("doc_id", "text")
+      .union(Seq((7L, "rare")).toDF("doc_id", "text"))
+    val got = Retrieval.invertedIndex(df, $"doc_id", $"text",
+        maxPostings = 3)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got("spark") == ((7L, "0,1,2")),
+      "df counts every doc; postings stop at the cap, ascending")
+    assert(got("common") == ((7L, "0,1,2")))
+    assert(got("rare") == ((1L, "7")))
+  }
+
+  test("invertedIndex counts a repeated term once per doc") {
+    val df = Seq((3L, "x x x"), (1L, "x y")).toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(df, $"doc_id", $"text")
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got("x") == ((2L, "1,3")))
+    assert(got("y") == ((1L, "1")))
+  }
+
   test("tfidfTopTerms breaks score ties on ascending term") {
     val df = Seq((1L, "b a"), (2L, "c d")).toDF("doc_id", "text")
     // within doc 1 both terms have tf=1, df=1 → identical scores

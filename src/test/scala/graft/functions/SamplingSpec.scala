@@ -159,4 +159,33 @@ class SamplingSpec extends SparkSpec {
     val df = Seq((1L, "en")).toDF("id", "g")
     assert(mixByWeight(df, $"id", $"g", Map("zh" -> 1.0)).count() == 0L)
   }
+
+  test("deterministicShuffle is a complete permutation, stable by seed") {
+    val df = (0L until 200L).toDF("id")
+    val a = deterministicShuffle(df, $"id", seed = 1L)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(a.map(_._2).toSeq == (1L to 200L), "ranks are a dense 1..n")
+    assert(a.map(_._1).sorted.toSeq == (0L until 200L), "every row kept once")
+    val b = deterministicShuffle(df, $"id", seed = 1L)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(a.toSeq == b.toSeq, "same seed, same permutation")
+    val c = deterministicShuffle(df, $"id", seed = 2L)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(a.map(_._1).toSeq != c.map(_._1).toSeq, "new seed, new order")
+    // the order is the md5 order — independently recomputable
+    val byHash = (0L until 200L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:1".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, i.toString))
+    assert(a.map(_._1).toSeq == byHash)
+  }
+
+  test("deterministicShuffle is partition-count invariant") {
+    val df = (0L until 100L).toDF("id")
+    val one = deterministicShuffle(df.repartition(1), $"id", seed = 9L)
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    val many = deterministicShuffle(df.repartition(13), $"id", seed = 9L)
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(one == many)
+  }
 }
