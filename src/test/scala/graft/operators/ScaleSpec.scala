@@ -250,3 +250,77 @@ class PipelinePlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
+
+class Round5PlanSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  private def withStaticPlan[A](body: => A): A = {
+    // AQE hides shuffles behind AdaptiveSparkPlanExec; audit static
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try { spark.conf.set("spark.sql.adaptive.enabled", "false"); body }
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("segmentDedup shuffles text exactly once (the reassembly join)") {
+    withStaticPlan {
+      val df = (0 until 100).map(i => (i.toLong, "a b c d e f g h i j"))
+        .toDF("doc_id", "text")
+      val out = graft.functions.Dedup.segmentDedup(df, $"doc_id", $"text", 4)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      val carryingTokens = shuffles.filter(_.child.output.exists(a =>
+        a.dataType.typeName.startsWith("array")))
+      assert(carryingTokens.length <= 1,
+        s"token arrays crossed ${carryingTokens.length} exchanges — " +
+          "winner election must move digests and ints only")
+      // winner election exchanges carry no strings longer than a digest
+      assert(shuffles.nonEmpty)
+    }
+  }
+
+  test("tfidf / unigramLogProb / invertedIndex window only partitioned") {
+    val df = (0 until 60).map(i => (i.toLong, s"w$i common words here"))
+      .toDF("doc_id", "text")
+    Seq(
+      graft.functions.Retrieval.tfidfTopTerms(df, $"doc_id", $"text", 2),
+      graft.functions.TextAnalysis.unigramLogProb(df, $"doc_id", $"text"),
+      graft.functions.Retrieval.invertedIndex(df, $"doc_id", $"text", 5)
+    ).foreach { out =>
+      val globalWindows = out.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"un-partitioned window funnel: $globalWindows")
+    }
+  }
+
+  test("pi estimator plans one exchange: the final one-row aggregate") {
+    withStaticPlan {
+      val out = graft.operators.Pi.estimate(spark, 10000L)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.length == 1,
+        s"generator job must shuffle only partial-agg rows:\n$shuffles")
+    }
+  }
+
+  test("balancerPlan never shuffles paths — node usage rows only") {
+    withStaticPlan {
+      val files = (0 until 50).map(i => (s"/d/f$i", false, 1000L, 3))
+        .toDF("path", "is_dir", "len", "replication")
+      val out = graft.meta.Catalog.balancerPlan(files, 256L, 4, 100000L)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      val carryingPath = shuffles.filter(_.child.output.exists(
+        _.name == "path"))
+      assert(carryingPath.isEmpty,
+        "the replica table must collapse to (node, bytes) before any " +
+          s"exchange: $carryingPath")
+    }
+  }
+}
