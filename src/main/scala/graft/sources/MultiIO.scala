@@ -150,4 +150,44 @@ object MultiIO {
       .saveAsHadoopFile(path, classOf[BytesWritable], classOf[BytesWritable],
         classOf[SequenceFileOutputFormat[BytesWritable, BytesWritable]])
   }
+
+  /** `getmerge <srcDir> <dst>` (reference: FsShell.copyMergeToLocal →
+    * FileUtil.copyMerge — concatenate a job's part files, in file
+    * order, into one local file). Reading with the filename attached
+    * and sorting by (file, position-in-file) reproduces copyMerge's
+    * byte order; the single output is written from one task — this
+    * is an EDGE operator for human-sized results (like the
+    * reference's copy *ToLocal*), not a cluster-scale sink.
+    */
+  def getmerge(spark: SparkSession, srcDir: String, dst: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = spark.read.text(srcDir)
+      .select(col("value"),
+        input_file_name().as("__f"),
+        monotonically_increasing_id().as("__pos"))
+    // monotonically_increasing_id is ordered within a partition and
+    // text splits don't reorder lines, so (file, id) is line order
+    lines.orderBy(col("__f"), col("__pos"))
+      .select(col("value"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).text(dst)
+  }
+
+  /** `distcp <src> <dst>` (reference: tools/DistCp.java — a map-only
+    * job copying a file list in parallel, preserving the directory
+    * layout). For table data the Spark-native form is a partitioned
+    * re-write: read preserving the source partition column(s), write
+    * with the same partitioning — each task copies its own slice, no
+    * shuffle, no driver bottleneck; `overwrite=false` mirrors
+    * DistCp's default skip-existing.
+    */
+  def distcp(spark: SparkSession, src: String, dst: String,
+             partitionCols: Seq[String] = Nil,
+             overwrite: Boolean = true): Unit = {
+    val df = spark.read.parquet(src)
+    val w = df.write.mode(
+      if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dst)
+  }
 }

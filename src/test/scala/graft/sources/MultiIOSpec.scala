@@ -42,6 +42,44 @@ class MultiIOSpec extends SparkSpec {
     assert(back == Set("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("getmerge concatenates part files in file order into one file") {
+    val base = Files.createTempDirectory("graft-gm").toString
+    val src = base + "/src"
+    // three part files with known content (write order scrambled)
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(src, "part-00001"), "b1\nb2\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(src, "part-00000"), "a1\na2\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(src, "part-00002"), "c1\n")
+    MultiIO.getmerge(spark, src, base + "/merged")
+    val outFiles = new java.io.File(base + "/merged").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(outFiles.length == 1, "getmerge produces ONE file")
+    val lines = java.nio.file.Files.readAllLines(outFiles.head.toPath)
+    assert(lines.toArray.toSeq == Seq("a1", "a2", "b1", "b2", "c1"),
+      "byte order is copyMerge's: files sorted by name, lines in order")
+  }
+
+  test("distcp preserves rows and partition layout, skip-existing mode") {
+    val base = Files.createTempDirectory("graft-dc").toString
+    val df = Seq((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"))
+      .toDF("id", "lang", "v")
+    df.write.partitionBy("lang").parquet(base + "/src")
+    MultiIO.distcp(spark, base + "/src", base + "/dst",
+      partitionCols = Seq("lang"))
+    val back = spark.read.parquet(base + "/dst")
+    assert(back.count() == 3)
+    assert(new java.io.File(base + "/dst/lang=en").isDirectory,
+      "directory layout preserved")
+    // DistCp default: refuse to clobber
+    intercept[Exception] {
+      MultiIO.distcp(spark, base + "/src", base + "/dst",
+        partitionCols = Seq("lang"), overwrite = false)
+    }
+  }
+
   test("small files coalesce into few partitions (CombineFileInputFormat analog)") {
     // 20 tiny parquet files; Spark's file packing (maxPartitionBytes /
     // openCostInBytes) must NOT produce one task per file — the
