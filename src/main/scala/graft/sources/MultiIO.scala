@@ -153,22 +153,24 @@ object MultiIO {
 
   /** `getmerge <srcDir> <dst>` (reference: FsShell.copyMergeToLocal →
     * FileUtil.copyMerge — concatenate a job's part files, in file
-    * order, into one local file). Reading with the filename attached
-    * and sorting by (file, position-in-file) reproduces copyMerge's
-    * byte order; the single output is written from one task — this
+    * order, into one local file). Each file is read WHOLE
+    * (`wholeTextFiles` — one record per file, so in-file byte order
+    * is the record itself, not an ordering of splits) and files
+    * concatenate in name order, exactly copyMerge's iteration. This
     * is an EDGE operator for human-sized results (like the
-    * reference's copy *ToLocal*), not a cluster-scale sink.
+    * reference's copy *ToLocal*): per-file memory is the file size,
+    * and the single output is written from one task. The output is
+    * newline-normalized — every input file contributes its content
+    * with exactly one trailing newline.
     */
   def getmerge(spark: SparkSession, srcDir: String, dst: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val lines = spark.read.text(srcDir)
-      .select(col("value"),
-        input_file_name().as("__f"),
-        monotonically_increasing_id().as("__pos"))
-    // monotonically_increasing_id is ordered within a partition and
-    // text splits don't reorder lines, so (file, id) is line order
-    lines.orderBy(col("__f"), col("__pos"))
-      .select(col("value"))
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(srcDir)
+      .sortByKey(ascending = true, numPartitions = 1)
+      // the text writer terminates each record with \n; dropping the
+      // file's own trailing newline keeps the concatenation faithful
+      .map { case (_, s) => if (s.endsWith("\n")) s.dropRight(1) else s }
+      .toDF("value")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).text(dst)
   }
@@ -178,8 +180,10 @@ object MultiIO {
     * layout). For table data the Spark-native form is a partitioned
     * re-write: read preserving the source partition column(s), write
     * with the same partitioning — each task copies its own slice, no
-    * shuffle, no driver bottleneck; `overwrite=false` mirrors
-    * DistCp's default skip-existing.
+    * shuffle, no driver bottleneck. `overwrite=false` refuses to
+    * clobber an existing destination wholesale (coarser than
+    * DistCp's per-file skip — Spark's writer is all-or-nothing per
+    * path); re-runs after a partial copy should overwrite.
     */
   def distcp(spark: SparkSession, src: String, dst: String,
              partitionCols: Seq[String] = Nil,
