@@ -45,24 +45,46 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] kernel warmup skipped: ${e.getMessage}")
     }
+    // median-of-N protocol: one timing sample is at the mercy of
+    // whatever else the machine is doing (round 5's recorded run
+    // showed phantom 12.8x "regressions" that an idle re-run erased).
+    // Three cache-cleared passes per query, the MEDIAN is the query's
+    // number of record, and the min/max spread is printed alongside so
+    // a noisy round is visible as noise instead of as a regression.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate queries: operators that persist derived indexes
-      // (LSH banding, inverted indexes) must not distort successors
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                 false
-               }
-      // a failed query must not read as a (fast) success: report -1
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val samples = (1 to passes).map { _ =>
+        // isolate queries: operators that persist derived indexes
+        // (LSH banding, inverted indexes) must not distort successors
+        // or their own re-runs
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0 // a failed pass must not read as a (fast) success
+        }
+      }
+      (name, samples)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // any failed pass marks the query failed (flaky != fast)
+    val meds = results.map { case (k, ss) =>
+      (k, if (ss.exists(_ < 0)) -1.0 else median(ss), ss.min, ss.max)
+    }
+    val qs = meds.map { case (k, m, _, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val spread = meds.map { case (k, _, lo, hi) =>
+      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
+      .mkString("{", ",", "}")
+    val failed = meds.collect { case (k, m, _, _) if m < 0 => "\"" + k + "\"" }
+    val total = meds.collect { case (_, m, _, _) if m >= 0 => m }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$passes","queries":$qs,"spread":$spread,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

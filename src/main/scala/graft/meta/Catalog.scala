@@ -166,11 +166,14 @@ object Catalog {
           .when(col("util") > col("avg_util"), "above")
           .when(col("util") >= col("avg_util") - threshold, "below")
           .otherwise("under").as("node_class"),
+        // floor = the reference's (long) cast truncation
+        // (Balancer.java computes (long)((util-avg-threshold)*cap) —
+        // the argument is positive here, so floor IS that truncation)
         when(col("util") > col("avg_util") + threshold,
-          ceil((col("util") - col("avg_util") - threshold) * nodeCapacity)
+          floor((col("util") - col("avg_util") - threshold) * nodeCapacity)
             .cast("long"))
           .when(col("util") < col("avg_util") - threshold,
-            ceil((col("avg_util") - threshold - col("util")) * nodeCapacity)
+            floor((col("avg_util") - threshold - col("util")) * nodeCapacity)
               .cast("long"))
           .otherwise(lit(0L)).as("bytes_to_move"))
   }

@@ -53,6 +53,78 @@ object AggregateLib {
       .withColumnRenamed("__k", "key")
   }
 
+  /** The aggregate library's REDUCE side as data-driven dispatch
+    * (reference: ValueAggregatorReducer.java:49-66 — the key prefix
+    * "Type:id" picks the aggregator, the reducer strips the type and
+    * emits (id, report)). This is the engine behind Hadoop
+    * Streaming's `-reducer aggregate` special form (reference:
+    * src/contrib/streaming/.../StreamJob.java:722 binds the aggregate
+    * package as the reduce): a user mapper emits descriptor lines,
+    * the framework aggregates them — compose with
+    * [[graft.operators.Pipe.pipeKV]] for the full streaming form.
+    *
+    * All eight ValueAggregatorBaseDescriptor types dispatch on the
+    * prefix. Keys with no ":" separator get a null report (the
+    * reference throws mid-job on them). Reports are strings, as the
+    * reference's Text output.
+    *
+    * Scale shape: ONE pre-aggregation by (key, value) collapses the
+    * record stream to frequency rows with map-side combine (the
+    * combiner role), then one key-level aggregation derives every
+    * type's report from (value, freq) — sums weight by freq, min/max
+    * pass through, UniqValueCount is the capped row count (exact:
+    * rows are distinct values), and ValueHistogram's stats are the
+    * reference's count/min/upper-median/max/mean/population-stddev
+    * over the frequency multiset. The only per-group buffer is the
+    * histogram's sorted frequency list — O(distinct values per
+    * histogram key), the same state the reference's TreeMap holds.
+    */
+  def aggregateReduce(kv: DataFrame, key: Column, value: Column,
+                      uniqCap: Long = Long.MaxValue): DataFrame = {
+    // first ":" splits type from id — the id may itself contain ":"
+    val keyed = kv.select(key.cast("string").as("__key"),
+        value.cast("string").as("__v"))
+      .withColumn("__sep", instr(col("__key"), ":"))
+      .withColumn("__type",
+        when(col("__sep") > 0,
+          col("__key").substr(lit(1), col("__sep") - 1)))
+      .withColumn("__id",
+        when(col("__sep") > 0,
+          col("__key").substr(col("__sep") + 1, length(col("__key")))))
+    val freq = keyed.groupBy(col("__type"), col("__id"), col("__v"))
+      .agg(count(lit(1)).as("__freq"))
+    val n = count(lit(1)) // distinct values per (type, id)
+    val avgFreq = sum(col("__freq")).cast("double") / count(lit(1))
+    freq.groupBy(col("__type"), col("__id"))
+      .agg(
+        when(col("__type") === "LongValueSum",
+          sum(col("__v").try_cast("long") * col("__freq")).cast("string"))
+        .when(col("__type") === "DoubleValueSum",
+          sum(col("__v").try_cast("double") * col("__freq")).cast("string"))
+        .when(col("__type") === "LongValueMax",
+          max(col("__v").try_cast("long")).cast("string"))
+        .when(col("__type") === "LongValueMin",
+          min(col("__v").try_cast("long")).cast("string"))
+        .when(col("__type") === "StringValueMax", max(col("__v")))
+        .when(col("__type") === "StringValueMin", min(col("__v")))
+        .when(col("__type") === "UniqValueCount",
+          least(n, lit(uniqCap)).cast("string"))
+        .when(col("__type") === "ValueHistogram",
+          concat_ws("\t",
+            n.cast("string"),
+            min(col("__freq")).cast("string"),
+            // the reference's median: sorted counts[len / 2] — the
+            // UPPER median, no interpolation
+            element_at(sort_array(collect_list(col("__freq"))),
+              (n / 2 + 1).cast("int")).cast("string"),
+            max(col("__freq")).cast("string"),
+            avgFreq.cast("string"),
+            sqrt(sum(col("__freq").cast("double") * col("__freq")) / n
+              - avgFreq * avgFreq).cast("string")))
+        .as("value"))
+      .select(col("__id").as("key"), col("value"))
+  }
+
   // -- the simple family: direct built-in mappings -------------------
   def longValueSum(c: Column): Column = sum(c.cast("long"))
   def doubleValueSum(c: Column): Column = sum(c.cast("double"))

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * count samples inside the circle inscribed in the unit square;
   * π ≈ 4·inside/total).
   *
+  * Parity claim, precisely: this matches the reference's DIRECT
+  * digit-polynomial evaluation (the HaltonSequence constructor).
+  * The reference job advances points incrementally
+  * (HaltonSequence.nextPoint), whose base-carry step can drift ULPs
+  * from the direct polynomial — a count difference would need a
+  * sample within ~1e-15 of the circle boundary.
+  *
   * The Halton coordinate is a finite digit polynomial
   * `x = Σ_j digit_j(i) · q_j` with `q_j = q_{j-1}/base` — evaluated
   * here as ONE generated arithmetic expression over the sample index,

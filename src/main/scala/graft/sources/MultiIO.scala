@@ -152,27 +152,32 @@ object MultiIO {
   }
 
   /** `getmerge <srcDir> <dst>` (reference: FsShell.copyMergeToLocal →
-    * FileUtil.copyMerge — concatenate a job's part files, in file
-    * order, into one local file). Each file is read WHOLE
-    * (`wholeTextFiles` — one record per file, so in-file byte order
-    * is the record itself, not an ordering of splits) and files
-    * concatenate in name order, exactly copyMerge's iteration. This
-    * is an EDGE operator for human-sized results (like the
-    * reference's copy *ToLocal*): per-file memory is the file size,
-    * and the single output is written from one task. The output is
-    * newline-normalized — every input file contributes its content
-    * with exactly one trailing newline.
+    * FileUtil.copyMerge — concatenate a job's part files, in name
+    * order, into ONE LOCAL file). Byte-faithful: each source file's
+    * raw bytes are streamed into `dst` unchanged — no decode, no
+    * newline normalization, nothing added or dropped — so binary and
+    * non-UTF-8 outputs merge correctly. Like the reference this is a
+    * CLIENT-side edge operator (copy *ToLocal*): the listing and the
+    * stream copy run on the driver against the (possibly remote)
+    * Hadoop filesystem, memory is one fixed copy buffer, and the
+    * output is a plain local file, not a Spark text directory.
     */
   def getmerge(spark: SparkSession, srcDir: String, dst: String): Unit = {
-    import spark.implicits._
-    spark.sparkContext.wholeTextFiles(srcDir)
-      .sortByKey(ascending = true, numPartitions = 1)
-      // the text writer terminates each record with \n; dropping the
-      // file's own trailing newline keeps the concatenation faithful
-      .map { case (_, s) => if (s.endsWith("\n")) s.dropRight(1) else s }
-      .toDF("value")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).text(dst)
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // copyMerge's iteration: the directory's files in name order
+    val files = fs.listStatus(src).filter(_.isFile)
+      .sortBy(_.getPath.getName)
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(dst))
+    try files.foreach { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } finally out.close()
   }
 
   /** `distcp <src> <dst>` (reference: tools/DistCp.java — a map-only

@@ -92,10 +92,12 @@ class CatalogSpec extends SparkSpec {
         else if (u >= avg - 0.05) "below"
         else "under"
       assert(cls == expected, s"node class at util=$u avg=$avg")
+      // floor mirrors the reference's (long) truncation (argument is
+      // positive in both branches); moves can legitimately floor to 0
       if (cls == "over")
-        assert(move == math.ceil((u - avg - 0.05) * 200).toLong && move > 0)
+        assert(move == math.floor((u - avg - 0.05) * 200).toLong && move >= 0)
       else if (cls == "under")
-        assert(move == math.ceil((avg - 0.05 - u) * 200).toLong && move > 0)
+        assert(move == math.floor((avg - 0.05 - u) * 200).toLong && move >= 0)
       else assert(move == 0L, "balanced band moves nothing")
     }
     // the band split is non-trivial on this namespace

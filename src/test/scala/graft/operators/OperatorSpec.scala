@@ -287,6 +287,46 @@ class AggregateLibSpec extends SparkSpec {
     assert(got.getDouble(6) == 1.0)       // stddev_pop
   }
 
+  test("aggregateReduce dispatches all eight descriptor types on the key prefix") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("LongValueSum:s", "3"), ("LongValueSum:s", "4"),
+      ("DoubleValueSum:d", "1.5"), ("DoubleValueSum:d", "2.25"),
+      ("LongValueMax:mx", "7"), ("LongValueMax:mx", "2"),
+      ("LongValueMin:mn", "7"), ("LongValueMin:mn", "2"),
+      ("StringValueMax:sx", "b"), ("StringValueMax:sx", "a"),
+      ("StringValueMin:sn", "b"), ("StringValueMin:sn", "a"),
+      ("UniqValueCount:u", "x"), ("UniqValueCount:u", "x"),
+      ("UniqValueCount:u", "y"),
+      // histogram over values a,a,a,b -> freqs {3,1}: n=2 min=1
+      // upper-median(counts[1])=3 max=3 avg=2 sd=1
+      ("ValueHistogram:h", "a"), ("ValueHistogram:h", "a"),
+      ("ValueHistogram:h", "a"), ("ValueHistogram:h", "b"),
+      // id containing the separator: only the FIRST ":" splits
+      ("LongValueSum:a:b", "5"),
+      // no separator: null report (the reference throws mid-job)
+      ("nosep", "1")).toDF("k", "v")
+    val got = aggregateReduce(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("s") == "7")
+    assert(got("d") == "3.75")
+    assert(got("mx") == "7" && got("mn") == "2")
+    assert(got("sx") == "b" && got("sn") == "a")
+    assert(got("u") == "2")
+    assert(got("h") == "2\t1\t3\t3\t2.0\t1.0")
+    assert(got("a:b") == "5")
+    assert(got.get(null).contains(null))
+  }
+
+  test("aggregateReduce caps UniqValueCount like the reference's maxNumItems") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 100).map(i => ("UniqValueCount:u", (i % 30).toString))
+      .toDF("k", "v")
+    val got = aggregateReduce(df, col("k"), col("v"), uniqCap = 10L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("u") == "10")
+  }
+
   test("percentileReport interpolates at p*(n-1) and names columns") {
     // values 10,20,30,40: p50 at pos 1.5 -> 25.0; p90 at pos 2.7 ->
     // 37.0 (30 + 0.7*10); p100 = 40
@@ -349,7 +389,13 @@ class PiSpec extends graft.SparkSpec {
   /** Direct Scala port of the reference's digit computation
     * (PiEstimator.HaltonSequence constructor): x = Σ d_j·q_j with
     * q_j by iterated division — the parity witness for the generated
-    * SQL polynomial.
+    * SQL polynomial. NOTE: the reference JOB generates points
+    * incrementally (HaltonSequence.nextPoint), whose base-carry step
+    * (x -= 1.0 after accumulating base·q_j terms) can drift ULPs from
+    * this direct polynomial — parity claimed here is with the
+    * constructor's evaluation, not the incremental recurrence (a
+    * count flip would need a point within ~1e-15 of the circle
+    * boundary).
     */
   private def halton(index: Long, base: Int, digits: Int): Double = {
     var (k, x, q) = (index, 0.0, 1.0 / base)
@@ -361,7 +407,7 @@ class PiSpec extends graft.SparkSpec {
     x
   }
 
-  test("estimate counts exactly the reference's inside set") {
+  test("estimate counts exactly the direct digit-polynomial inside set") {
     val n = 2048L
     val expected = (1L to n).count { i =>
       val x = halton(i, 2, 12) - 0.5

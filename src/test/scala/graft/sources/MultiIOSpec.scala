@@ -42,24 +42,28 @@ class MultiIOSpec extends SparkSpec {
     assert(back == Set("k1" -> "v1", "k2" -> "v2"))
   }
 
-  test("getmerge concatenates part files in file order into one file") {
+  test("getmerge byte-faithfully concatenates part files in name order") {
     val base = Files.createTempDirectory("graft-gm").toString
     val src = base + "/src"
-    // three part files with known content (write order scrambled)
+    // part files with known content (write order scrambled); the last
+    // lacks a trailing newline and one carries non-UTF-8 bytes —
+    // copyMerge concatenates raw bytes, adding/normalizing nothing
     Files.createDirectories(java.nio.file.Paths.get(src))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(src, "part-00001"), "b1\nb2\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "part-00000"),
+      Array[Byte]('a', '1', 0xff.toByte, '\n'))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(src, "part-00000"), "a1\na2\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(src, "part-00002"), "c1\n")
+      java.nio.file.Paths.get(src, "part-00002"), "c1")
     MultiIO.getmerge(spark, src, base + "/merged")
-    val outFiles = new java.io.File(base + "/merged").listFiles()
-      .filter(_.getName.startsWith("part-"))
-    assert(outFiles.length == 1, "getmerge produces ONE file")
-    val lines = java.nio.file.Files.readAllLines(outFiles.head.toPath)
-    assert(lines.toArray.toSeq == Seq("a1", "a2", "b1", "b2", "c1"),
-      "byte order is copyMerge's: files sorted by name, lines in order")
+    val got = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "merged"))
+    val expected =
+      Array[Byte]('a', '1', 0xff.toByte, '\n') ++
+        "b1\nb2\n".getBytes("UTF-8") ++ "c1".getBytes("UTF-8")
+    assert(java.util.Arrays.equals(got, expected),
+      "bytes are copyMerge's: files sorted by name, raw bytes verbatim")
   }
 
   test("distcp preserves rows and partition layout, skip-existing mode") {
