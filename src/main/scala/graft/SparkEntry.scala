@@ -44,6 +44,33 @@ object SparkEntry {
       |                 CAST(l_shipdate AS DATE)) AS value
       |FROM lineitem""".stripMargin
 
+  /** A corpus WITH planted near-duplicate structure, derived
+    * deterministically from the embeddings table: every vector gets a
+    * jittered twin at id+1,000,000 — component i shifts by
+    * eps·(u − 0.5) with u an md5-hash unit in [0,1) of "vec_id:i".
+    * The derivation is pure engine-portable arithmetic (md5 → first
+    * 15 hex digits → /2^60; the same conv trick the balancer oracle
+    * uses), so DuckDB replays the corpus bit-for-bit and can brute-
+    * force the true pair set. eps=1e-3 on unit-norm vectors puts each
+    * twin at angle ~0.0023 rad (cos ≈ 0.999997): a TRUE near-dup,
+    * while the max natural pair stays at cos ≈ 0.60 — the separation
+    * LSH's contract actually covers (q_embed_blocked's comment has
+    * the recall arithmetic).
+    */
+  private def plantedEmbeddings(e: DataFrame): DataFrame = {
+    def u(s: Column): Column =
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long").cast("double") /
+        lit(1.152921504606846976e18) // 2^60, exact as a double
+    val base = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val jit = base.select(col("vec_id"),
+        transform(col("cv"), (x, i) =>
+          x + lit(1e-3) * (u(concat(col("vec_id").cast("string"), lit(":"),
+            i.cast("string"))) - lit(0.5))).as("cv"))
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("cv"))
+    base.unionByName(jit)
+  }
+
   /** Exact n-gram Jaccard pair oracle — shared by q_ngram_jaccard
     * (the exact inverted-index path) and q_minhash_lsh (whose
     * bands=numHashes candidates + exact rerank provably produce the
@@ -422,9 +449,12 @@ object SparkEntry {
     // corpus — natural-language simhashes cluster far below the
     // random-64-bit mean of 32) and forces 5-bit blocking chunks
     // whose buckets approach all-pairs. 5 chunks of ~13 bits keep
-    // the pigeonhole recall-1.0 guarantee with selective keys; the
-    // witness stays non-vacuous on every graded corpus (33 pairs in
-    // radius at sf0.01, ~1.7k at sf0.1).
+    // the pigeonhole recall-1.0 guarantee with selective keys. The
+    // brute-force witness runs on a 500-doc hash stratum (the whole
+    // corpus below 500 docs), so the graded path has NO stage that
+    // scales quadratically with the corpus; non_empty=true verified
+    // at sf0.001/0.01 (stratum = full corpus, 33 in-radius pairs)
+    // and at sf0.1 (10% stratum still holds in-radius pairs).
     "q_simhash" -> ((s, dir) =>
       functions.Dedup.simhashValidate(t(s, dir, "documents"),
         col("doc_id"), col("text"), maxHamming = 4)),
@@ -443,6 +473,26 @@ object SparkEntry {
       functions.Similarity.bruteForcePairs(e, col("vec_id"), col("embedding"),
         threshold = 0.4)
     }),
+
+    // the SCALE path graded for set equality against a brute-force
+    // oracle: banded-LSH embedding near-dup over the planted-twin
+    // corpus (every vector + a jittered copy at cos ≈ 0.999997; see
+    // plantedEmbeddings — DuckDB rederives the corpus bit-for-bit and
+    // brute-forces the true pair set). Threshold 0.9 sits in the
+    // planted/natural separation (max natural cos ≈ 0.60), where
+    // LSH's contract holds: per-bit collision p = 1 − θ/π ≈ 0.99927
+    // at θ ≈ 0.0023 rad, so a 16-bit band collides at p^16 ≈ 0.988
+    // and missing all 4 bands is (1−0.988)^4 ≈ 2e-8 per pair —
+    // verified exact equality (0 missed / 0 extra) at sf0.001, 0.01
+    // AND 0.1, deterministic because signatures and jitter are both
+    // pure content hashes. q_embed_neardup remains the exact O(n²)
+    // baseline for the weak-similarity regime (cos 0.4–0.6) that no
+    // LSH blocks efficiently; THIS query grades the plan you'd run
+    // at 100×.
+    "q_embed_blocked" -> ((s, dir) =>
+      functions.Similarity.embeddingNearDups(
+        plantedEmbeddings(t(s, dir, "embeddings")),
+        col("vec_id"), col("cv"), threshold = 0.9)),
 
     // IVF probe with nprobe = nlist: every cluster is scanned, so the
     // result provably equals brute-force top-k — a full hash-checked
@@ -486,24 +536,29 @@ object SparkEntry {
     // so the gate is self-validating: per-query recall@k of the
     // multiprobe ANN against brute force, every query must clear the
     // floor the oracle states as a constant. The synthetic embeddings
-    // have no true near-neighbor structure (max pairwise cos ≈ 0.5),
-    // so bits/radius are sized for it: measured min recall 0.4 at
-    // sf0.01, 0.6 at sf0.1 (sf0.001 shares sf0.01's embeddings, so
-    // every graded corpus is covered; recall@5 quantizes in 0.2
-    // steps, so the 0.4 floor means "at least 2 of 5 hits") — a
-    // signature/probe/rank regression drops below the floor and
-    // hash-mismatches.
+    // have no true near-neighbor structure (max pairwise cos ≈ 0.5 —
+    // the "neighbors" are near-orthogonal, the regime LSH is worst
+    // at), so the graded config trades pruning for a gate that
+    // BITES: radius 3 probes 15 of 16 buckets and the measured min
+    // recall is exactly 4/5 at sf0.01 AND sf0.1 (sf0.001 shares
+    // sf0.01's embeddings; signatures are hash-deterministic, so the
+    // measurement is stable). Floor 0.8 means a signature/probe/rank
+    // regression that costs even one hit on the worst query
+    // hash-mismatches — vs the old 0.4 floor a halved recall could
+    // slip past. Real corpora with actual near-dup structure run
+    // higher bits with small radius (FunctionsSpec's banded recall
+    // gate covers that regime with seeded near-identical vectors).
     "q_embed_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
       val ann = functions.Similarity.lshTopK(
         e, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"),
-        k = 5, bits = 4, probeRadius = 2)
+        k = 5, bits = 4, probeRadius = 3)
       val exact = functions.Similarity.bruteForceTopK(
         e, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"), k = 5)
-      functions.Similarity.annRecallGate(ann, exact, k = 5, floor = 0.4)
+      functions.Similarity.annRecallGate(ann, exact, k = 5, floor = 0.8)
     }),
 
     // ---- L4: text analysis ------------------------------------------
@@ -1236,6 +1291,33 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.cv, b.cv) /
         |            sqrt(list_dot_product(a.cv, a.cv) *
         |                 list_dot_product(b.cv, b.cv)), 4) >= 0.4""".stripMargin,
+
+    // q_embed_blocked: DuckDB rederives the planted-twin corpus
+    // (md5-unit jitter, the plantedEmbeddings arithmetic verbatim —
+    // lambda index i is 1-based here, 0-based in Spark, hence i-1)
+    // and brute-forces ALL pairs >= 0.9; the Spark side's banded-LSH
+    // output must equal that set row-for-row.
+    "q_embed_blocked" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings),
+        |jit AS (
+        |  SELECT vec_id + 1000000 AS jid,
+        |         list_transform(cv, (x, i) -> x + 0.001 *
+        |           ((('0x' || substr(md5(vec_id || ':' || (i - 1)), 1, 15))
+        |               ::BIGINT / 1152921504606846976.0) - 0.5)) AS cv
+        |  FROM base),
+        |c AS (SELECT vec_id, cv FROM base
+        |      UNION ALL SELECT jid, cv FROM jit)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.cv, b.cv) /
+        |             sqrt(list_dot_product(a.cv, a.cv) *
+        |                  list_dot_product(b.cv, b.cv)), 4) AS cos
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.cv, b.cv) /
+        |            sqrt(list_dot_product(a.cv, a.cv) *
+        |                 list_dot_product(b.cv, b.cv)), 4) >= 0.9""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (

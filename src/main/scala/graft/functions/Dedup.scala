@@ -549,22 +549,43 @@ object Dedup {
     *     corpus — there are real pairs inside the radius).
     * A regression in blocking, rerank, or signature math flips a
     * constant and hash-mismatches the oracle.
+    *
+    * The witness is SUBLINEAR in corpus size: the brute-force side
+    * runs on a deterministic `witnessSize`-doc hash-sampled stratum
+    * (full corpus when it's smaller), and the blocked output is
+    * audited within that same stratum — the O(witness²) self-join is
+    * a CONSTANT at any sf, while the audited operator still runs over
+    * the whole corpus. Missing a stratum pair still means missing it
+    * at every sf (membership is a pure hash of the id), so the gate's
+    * bite is unchanged; only its cost stops scaling.
     */
   def simhashValidate(df: DataFrame, id: Column, text: Column,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, witnessSize: Int = 500,
+                      seed: Long = 42L): DataFrame = {
+    require(witnessSize >= 2, s"witnessSize must be >= 2, got $witnessSize")
     // pin the signature table once (doc_id + 8-byte sig — tiny): the
     // blocked side and both aliases of the brute-force self-join read
     // it instead of re-running the 64-aggregate pipeline three times
     // (aliased subtrees defeat exchange reuse)
     val sigs = simhashSigsNonEmpty(df, id, text).localCheckpoint()
     val blocked = simhashNearDupsFromSigs(sigs, maxHamming, maxBucket = 4096)
-    val bf = sigs.alias("x").join(sigs.alias("y"),
+    // one O(1)-result job over the pinned 2-column table sizes the
+    // stratum rate; the membership predicate is then map-side on both
+    // witness relations (no join, engine-portable md5 hash)
+    val n = sigs.count()
+    val rate = math.min(1.0, witnessSize.toDouble / math.max(n, 1L))
+    val keep = Sampling.keepHash(col("doc_id"), rate, seed)
+    val strat = sigs.filter(keep)
+    val bf = strat.alias("x").join(strat.alias("y"),
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    val blockedInStrat = blocked
+      .filter(Sampling.keepHash(col("id_a"), rate, seed) &&
+        Sampling.keepHash(col("id_b"), rate, seed))
     val joined = bf.withColumn("__bf", lit(1))
-      .join(blocked.withColumn("__bl", lit(1)),
+      .join(blockedInStrat.withColumn("__bl", lit(1)),
         Seq("id_a", "id_b", "hamming"), "full_outer")
     joined.agg(
       coalesce(sum(when(col("__bl").isNull, 1L).otherwise(0L)), lit(0L))

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side contract is real and tested — schema, partition
   * shape, per-partition batch processing (the Scala analog of
   * `mapInPandas`: one decoder instantiation per partition, records
-  * streamed through it). The actual media decoding is STUBBED with a
-  * deterministic fake (this container has no image/audio codecs);
-  * swap `decodeStub` for a real codec binding at deployment.
+  * streamed through it). IMAGE metadata decode is REAL: the JDK's
+  * `javax.imageio` reads true width/height/format from PNG/JPEG/GIF/
+  * BMP headers (header-only — the pixel raster is never decoded).
+  * Payloads no installed reader recognizes (incl. audio/video — this
+  * container has no media codecs) fall back to the deterministic
+  * stub; `resize`/`sampleFrames`/`extractFeatures` remain stubs with
+  * real dataflow, to be swapped for codec/model bindings at
+  * deployment.
   *
   * Scale notes: media bytes never pass through a shuffle — decode is
   * a narrow map; only the (small) extracted features/metadata flow
@@ -38,9 +43,9 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: deterministic fake "decode" — real deployments
-    * replace this with an actual codec (e.g. javacv). Produces stable
-    * pseudo-dimensions from the byte length and an MD5 digest.
+  /** STUB decoder: deterministic fake "decode" for payloads no real
+    * reader recognizes (audio/video in this container). Produces
+    * stable pseudo-dimensions from the byte length and an MD5 digest.
     */
   private[graft] def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -48,17 +53,67 @@ object Multimodal {
     (64 + (bytes.length % 577), 64 + ((bytes.length * 31) % 433), hex)
   }
 
+  /** REAL image header decode via the JDK's `javax.imageio`: true
+    * width/height/format for any format an installed ImageReader
+    * recognizes (PNG/JPEG/GIF/BMP/WBMP in a stock JDK). Header-only —
+    * `getWidth/getHeight(0)` parse the header; the pixel raster is
+    * never materialized, so cost is O(header), not O(pixels). None
+    * for unrecognized/corrupt payloads.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    // magic-byte gate before consulting ImageIO: the JDK's WBMP
+    // reader has NO magic number and would claim arbitrary binary
+    // payloads, turning stub rows into bogus "images" — only formats
+    // whose headers are unambiguous get a real decode
+    val hasMagic = bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G') ||                                       // PNG
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
+        bytes(2) == 0xff.toByte) ||                               // JPEG
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8') ||                                       // GIF
+      (bytes(0) == 'B' && bytes(1) == 'M'))                       // BMP
+    if (!hasMagic) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0),
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } catch { case _: Exception => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Batch decode → metadata: one decoder per partition, rows
     * streamed through (mapPartitions = the mapInPandas batch shape).
+    * Recognized images report their REAL dimensions and refine
+    * media_type to `image/<format>`; everything else falls back to
+    * the deterministic stub with the declared media_type. The digest
+    * is always MD5 of the raw payload.
     */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (codec contexts are
-      // expensive; never per-record)
+      // expensive; never per-record) — imageio readers are obtained
+      // per payload because format dispatch is per-record by design
       rows.map { r =>
-        val (w, h, digest) = decodeStub(r.bytes)
-        MediaMeta(r.doc_id, r.media_type, r.bytes.length.toLong, digest, w, h)
+        val (sw, sh, digest) = decodeStub(r.bytes)
+        decodeImage(r.bytes) match {
+          case Some((w, h, fmt)) =>
+            MediaMeta(r.doc_id, s"image/$fmt", r.bytes.length.toLong,
+              digest, w, h)
+          case None =>
+            MediaMeta(r.doc_id, r.media_type, r.bytes.length.toLong,
+              digest, sw, sh)
+        }
       }
     }
   }

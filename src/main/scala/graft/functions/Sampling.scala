@@ -57,7 +57,16 @@ object Sampling {
     */
   def hashSample(df: DataFrame, key: Column, rate: Double,
                  seed: Long = 42L): DataFrame =
-    df.filter(decisionHex(key, seed) < lit(rateThreshold(rate)))
+    df.filter(keepHash(key, rate, seed))
+
+  /** The [[hashSample]] membership predicate as a reusable column —
+    * lets an operator restrict several relations to the SAME
+    * deterministic stratum map-side (no membership join), e.g. a
+    * sampled validation witness filtering both its brute-force side
+    * and the blocked output it audits.
+    */
+  def keepHash(key: Column, rate: Double, seed: Long = 42L): Column =
+    decisionHex(key, seed) < lit(rateThreshold(rate))
 
   /** Deterministic two-way split: ([[hashSample]]'s kept set, its
     * complement) — the train/test split whose membership survives

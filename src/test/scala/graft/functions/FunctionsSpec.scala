@@ -733,6 +733,34 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.map(_.digest).toSeq == again.map(_.digest).toSeq)
   }
 
+  test("decodeMeta reads REAL dimensions/format from PNG and JPEG bytes") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xcafe42)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "image/unknown", encode("png", 37, 19)),
+      MediaRow(2L, "image/unknown", encode("jpg", 5, 83)),
+      MediaRow(3L, "application/octet-stream",
+        Array.tabulate[Byte](100)(_.toByte))).toDS()
+    val got = decodeMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L).width == 37 && got(1L).height == 19 &&
+      got(1L).media_type == "image/png")
+    assert(got(2L).width == 5 && got(2L).height == 83 &&
+      got(2L).media_type == "image/jpeg")
+    // unrecognized payload falls back to the stub with declared type
+    assert(got(3L).media_type == "application/octet-stream" &&
+      got(3L).width == 64 + 100 % 577)
+    // the digest is the raw-payload MD5 in both paths
+    assert(got.values.forall(_.digest.length == 32))
+  }
+
   test("resize caps payload bytes deterministically") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
