@@ -44,6 +44,22 @@ object SparkEntry {
       |                 CAST(l_shipdate AS DATE)) AS value
       |FROM lineitem""".stripMargin
 
+  /** Materialize a batch frame as a FILE-SOURCE STREAM: write it as
+    * `nFiles` parquet files into a fresh temp dir, then readStream
+    * with maxFilesPerTrigger=1 — a genuine multi-micro-batch replay
+    * (unordered files, state carried between triggers), not a
+    * one-shot MemoryStream. The driver-side temp write is the replay
+    * harness, not the operator: at deployment the stream reads the
+    * ingest directory that already exists.
+    */
+  private def replayStream(s: SparkSession, batch: DataFrame,
+                           nFiles: Int = 8): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    batch.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
   /** A corpus WITH planted near-duplicate structure, derived
     * deterministically from the embeddings table: every vector gets a
     * jittered twin at id+1,000,000 — component i shifts by
@@ -776,6 +792,59 @@ object SparkEntry {
       operators.Temporal.rangeJoin(errors, col("t"), sess,
           col("start_t"), col("end_t"), bucket = 86400000000L)
         .groupBy(col("event_id")).agg(count(lit(1)).as("n_active"))
+    }),
+
+    // ---- §2.9 streaming twins, graded against BATCH oracles ---------
+    // The events table is replayed through a real file-source stream
+    // (8 parquet files, maxFilesPerTrigger=1 ⇒ 8 unordered
+    // micro-batches with watermark/state maintenance between them),
+    // the sink is collected after processAllAvailable, and the result
+    // is graded by the SAME DuckDB oracle a batch query would use —
+    // closing the "streaming twins are spec-only" gap: the streaming
+    // plan algebra now has rows+schema+hash correctness rows.
+
+    // tumbling event-time day windows (EventWindows.tumbling) in
+    // complete mode: the final sink state equals the batch
+    // aggregation no matter how the replay micro-batches. Times are
+    // integer-floored to seconds (ts DIV 1e9 = epoch_us // 1e6 on
+    // the nanos fixture); sums go through DECIMAL(18,2) so partial
+    // aggregation order can't move a bit.
+    "q_stream_windows" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+        .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
+          col("event_type"), col("value"))
+      val agg = streaming.EventWindows.tumbling(
+        replayStream(s, batch), col("ts2"), "ts2",
+        col("event_type"), "90 days", "1 day",
+        col("value").cast("decimal(18,2)"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("q_stream_windows_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_windows_sink")
+        .select(col("w_start").cast("long").as("w_start"),
+          col("event_type"), col("n"),
+          col("total").cast("double").as("total"))
+    }),
+
+    // streaming dedup (StreamDedup.withinWatermark) on the
+    // (user_id, event_type) key: the watermark outlives the replay
+    // span, so no event is ever late-dropped and the appended
+    // survivors are exactly the distinct key set — deterministic even
+    // though WHICH copy survives depends on file arrival order
+    // (only the key columns are emitted). State is the exercised
+    // surface: keys ride the state store across 8 micro-batches.
+    "q_stream_dedup" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+        .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
+          col("user_id"), col("event_type"))
+      val deduped = streaming.StreamDedup.withinWatermark(
+        replayStream(s, batch), "ts2", "3650 days",
+        Seq("user_id", "event_type"))
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName("q_stream_dedup_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_dedup_sink")
+        .select(col("user_id"), col("event_type"))
     }),
 
     // ---- L4: retrieval scoring / frequency sketch / PII scrub -------
@@ -1794,6 +1863,21 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.value AS snap_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // q_stream_windows: the streamed tumbling-window aggregation's
+    // final (complete-mode) state must equal the plain batch GROUP BY
+    // — day floors via integer division, sums via exact DECIMAL
+    "q_stream_windows" ->
+      """SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS w_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q_stream_dedup: the appended stream-dedup survivors are exactly
+    // the distinct key set (watermark outlives the replay span; only
+    // key columns emitted, so arrival order is invisible)
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
