@@ -60,6 +60,34 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
+  /** [[replayStream]] with controlled ARRIVAL ORDER: range-partition
+    * the batch on `order` so file k holds the k-th time slice, then
+    * stamp strictly increasing modification times in slice order —
+    * the file source lists oldest-first (`latestFirst=false`), so the
+    * replay delivers micro-batches in event-time order and the
+    * watermark advances monotonically. This is the replay for
+    * operators whose STREAMING output contract assumes in-order
+    * ingest (as-of enrichment, append-mode window finalization);
+    * [[replayStream]]'s unordered form stays the harsher harness for
+    * order-insensitive sinks (complete-mode aggs, key-only dedup).
+    */
+  private def replayStreamOrdered(s: SparkSession, batch: DataFrame,
+                                  order: Column, nFiles: Int = 8): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    batch.repartitionByRange(nFiles, order)
+      .sortWithinPartitions(order)
+      .write.mode("overwrite").parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - 3600000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 2000L),
+        s"cannot stamp replay mod-time on $f")
+    }
+    s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
   /** A corpus WITH planted near-duplicate structure, derived
     * deterministically from the embeddings table: every vector gets a
     * jittered twin at id+1,000,000 — component i shifts by
@@ -845,6 +873,86 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("q_stream_dedup_sink")
         .select(col("user_id"), col("event_type"))
+    }),
+
+    // gap-session windows (EventWindows.sessions) in complete mode:
+    // sessions merge ACROSS unordered micro-batches (an early file may
+    // hold the middle of a session whose edges arrive later — the
+    // session-window state store must merge three fragments), and the
+    // final state equals the batch lag-form sessionization. Spark's
+    // session_window treats an event exactly `gap` later as the SAME
+    // session (merge condition start <= end on half-open windows), so
+    // the oracle breaks strictly greater-than; timestamps are floored
+    // to seconds, sums ride DECIMAL(18,2).
+    "q_stream_sessions" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+        .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
+          col("user_id"), col("value"))
+      val agg = streaming.EventWindows.sessions(
+        replayStream(s, batch), col("ts2"), "ts2",
+        col("user_id"), "3650 days", "12 hours",
+        col("value").cast("decimal(18,2)"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("q_stream_sessions_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_sessions_sink")
+        .select(col("s_start").cast("long").as("s_start"),
+          col("s_end").cast("long").as("s_end"),
+          col("user_id"), col("n"),
+          col("total").cast("double").as("total"))
+    }),
+
+    // streaming as-of enrichment (StreamAsOf.enrichMerged): the
+    // interleaved point/snapshot log replays through an ORDERED file
+    // stream (each micro-batch a time slice), so the O(1)-per-key
+    // state (latest snapshot only) reproduces the batch as-of join
+    // exactly — same split of the events table as q_asof_join, same
+    // DuckDB ASOF LEFT JOIN oracle. Update-mode memory sink: each
+    // point emits exactly once, in the batch it arrives.
+    "q_stream_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val merged = e.filter(col("event_id") % 7 =!= 0)
+        .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
+          lit(true).as("isPoint"),
+          col("event_id").cast("string").as("tag"), lit(0.0).as("value"))
+        .unionByName(e.filter(col("event_id") % 7 === 0)
+          .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
+            lit(false).as("isPoint"), lit("").as("tag"), col("value")))
+      val stream = replayStreamOrdered(s, merged, col("t"))
+        .as(org.apache.spark.sql.Encoders.product[streaming.StreamAsOf.Merged])
+      val q = streaming.StreamAsOf.enrichMerged(stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("q_stream_asof_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_asof_sink")
+        .select(col("tag").cast("long").as("event_id"),
+          col("key").as("user_id"), col("t").as("ts"),
+          col("snapValue").as("snap_value"))
+    }),
+
+    // streaming heavy hitters (StreamHeavyHitters.perWindow): append
+    // mode — a day window emits exactly once, when the watermark
+    // passes its end. Ordered replay + zero watermark delay make the
+    // emission set deterministic: exactly the windows whose end is
+    // strictly before the corpus' max event second. Capacity 64 >
+    // the 5 distinct event_types, so the Misra-Gries sketch never
+    // decrements and min_count IS the exact per-window count — the
+    // oracle is a plain GROUP BY over the closed windows.
+    "q_stream_heavy" -> ((s, dir) => {
+      import s.implicits._
+      val batch = t(s, dir, "events")
+        .select(expr("ts div 1000000000").cast("timestamp").as("ts"),
+          col("event_type").as("item"))
+      val stream = replayStreamOrdered(s, batch, col("ts"))
+        .as[streaming.StreamHeavyHitters.Item]
+      val q = streaming.StreamHeavyHitters
+        .perWindow(stream, 86400000L, "0 seconds", capacity = 64)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q_stream_heavy_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_heavy_sink")
+        .select(expr("windowStart div 1000").as("w_start"), col("item"),
+          col("minCount").as("min_count"), col("n"))
     }),
 
     // ---- L4: retrieval scoring / frequency sketch / PII scrub -------
@@ -1878,6 +1986,55 @@ object SparkEntry {
     // key columns emitted, so arrival order is invisible)
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // q_stream_sessions: final complete-mode session-window state vs
+    // the batch lag-form. Spark's session_window merges an event at
+    // EXACTLY gap distance (merge condition start <= current end), so
+    // the break is strictly greater-than; session end = last event +
+    // gap.
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
+        |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |y AS (SELECT user_id, t, v,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  > 43200 THEN 1 ELSE 0 END AS nw
+        |      FROM e),
+        |z AS (SELECT user_id, t, v,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM y)
+        |SELECT min(t) AS s_start, max(t) + 43200 AS s_end, user_id,
+        |       count(*) AS n, CAST(sum(v) AS DOUBLE) AS total
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+
+    // q_stream_asof: identical oracle to q_asof_join — the ordered
+    // replay makes the O(1)-state streaming enrichment equal the
+    // batch as-of join row for row
+    "q_stream_asof" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+        |           FROM events WHERE event_id % 7 != 0),
+        |     r AS (SELECT user_id, epoch_us(ts) AS ts, value
+        |           FROM events WHERE event_id % 7 = 0)
+        |SELECT l.event_id, l.user_id, l.ts, r.value AS snap_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // q_stream_heavy: append-mode emission = exactly the day windows
+    // whose end is strictly before the max event second (the final
+    // watermark with zero delay); capacity exceeds the distinct item
+    // count, so sketch lower bounds are exact counts
+    "q_stream_heavy" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS t, event_type
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT (t // 86400) * 86400 AS w_start, event_type AS item,
+        |             count(*) AS min_count
+        |      FROM e GROUP BY 1, 2),
+        |tot AS (SELECT w_start, CAST(sum(min_count) AS BIGINT) AS n
+        |        FROM g GROUP BY 1)
+        |SELECT g.w_start, g.item, g.min_count, tot.n
+        |FROM g JOIN tot USING (w_start), (SELECT max(t) AS mt FROM e) mx
+        |WHERE g.w_start + 86400 < mx.mt""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),

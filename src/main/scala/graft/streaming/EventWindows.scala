@@ -35,11 +35,14 @@ object EventWindows {
     * state is watermark-bounded (a session finalizes once the
     * watermark passes its close), so the backfill form and the live
     * form share one definition of "session". Boundary convention
-    * differs by half-open-interval: `session_window` merges events
-    * strictly closer than `gap` (an event exactly `gap` later opens
-    * a new session), while the batch lag-form keeps an exact-gap
-    * event in the session — callers comparing the two should test
-    * away from the exact boundary.
+    * (verified against data containing exact-gap pairs —
+    * q_stream_sessions hash-matches its oracle at sf0.1, which has
+    * two events exactly `gap` apart): `session_window` MERGES an
+    * event arriving exactly `gap` after the previous one (the merge
+    * test is newStart <= currentEnd on [t, t+gap) windows), i.e. a
+    * new session starts only when the inter-event difference is
+    * strictly greater than `gap` — the same convention as a lag-form
+    * sessionizer breaking on `diff > gap`.
     */
   def sessions(events: DataFrame, ts: Column, tsName: String,
                group: Column, watermark: String, gap: String,

@@ -42,11 +42,23 @@ object StreamAsOf {
     * latest-known state). Update output mode.
     */
   def enrich(points: Dataset[Point], snapshots: Dataset[Snapshot])
-      : Dataset[Enriched] = {
+      : Dataset[Enriched] =
+    enrichMerged(merged(points, snapshots))
+
+  /** The single-stream form of [[enrich]]: callers that already hold
+    * the tagged union (e.g. a file-source replay of an interleaved
+    * point/snapshot log — the shape a CDC ingest actually has) skip
+    * the two-source union. When the merged stream arrives globally
+    * time-ordered (each micro-batch a time slice), the output equals
+    * the batch as-of join exactly, because every snapshot with
+    * `t <= point.t` is either in the same batch (the in-batch sort
+    * sees it) or an earlier one (the per-key state carries it).
+    */
+  def enrichMerged(union: Dataset[Merged]): Dataset[Enriched] = {
     implicit val outEnc = Encoders.product[Enriched]
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[Latest]
-    merged(points, snapshots).groupByKey(_.key)
+    union.groupByKey(_.key)
       .flatMapGroupsWithState[Latest, Enriched](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Long, batch: Iterator[Merged], state: GroupState[Latest]) =>
