@@ -955,6 +955,39 @@ object SparkEntry {
           col("minCount").as("min_count"), col("n"))
     }),
 
+    // the §0.1 policy loop ITSELF as a graded stream: per-file
+    // EWMA-with-atime-throttle state (HeatStream.heatUpdates — the
+    // reference's FSDirectory EWMA + 30 s precision skip) over an
+    // ordered replay of access events. The throttle makes the fold
+    // state-dependent (skip iff now <= ewma + 30000), so the oracle
+    // replays the exact recurrence as a recursive CTE; α = 0.5 keeps
+    // every step a dyadic-rational blend evaluated in the same order
+    // in both engines — doubles match bit for bit, no rounding
+    // needed. Same-millisecond access pairs are provably
+    // order-invariant under the throttle (first one seeds/updates,
+    // the second always throttles at equal t), so row_number tie
+    // order can't drift the result. Final state per file = the
+    // update-mode record with the greatest lastUpdateMs (throttled
+    // batches re-emit the unchanged record — max(struct) dedups).
+    "q_stream_heat" -> ((s, dir) => {
+      import s.implicits._
+      val batch = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("path"),
+          expr("ts div 1000000").as("tsMs"))
+      val stream = replayStreamOrdered(s, batch, col("tsMs"))
+        .as[streaming.HeatStream.Access]
+      val q = streaming.HeatStream.heatUpdates(stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("q_stream_heat_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_heat_sink")
+        .groupBy(col("path"))
+        .agg(max(struct(col("lastUpdateMs"), col("ewma"))).as("m"))
+        .select(col("path").cast("long").as("user_id"),
+          col("m.ewma").as("ewma"),
+          col("m.lastUpdateMs").as("last_update_ms"))
+    }),
+
     // ---- L4: retrieval scoring / frequency sketch / PII scrub -------
     // BM25 top-10 over a mixed rare+common term bag; scores are
     // ln/round(4) doubles derived from identical integer operands in
@@ -2035,6 +2068,32 @@ object SparkEntry {
         |SELECT g.w_start, g.item, g.min_count, tot.n
         |FROM g JOIN tot USING (w_start), (SELECT max(t) AS mt FROM e) mx
         |WHERE g.w_start + 86400 < mx.mt""".stripMargin,
+
+    // q_stream_heat: the throttled-EWMA policy fold replayed as a
+    // recursive CTE — seed raw on first access, then skip when
+    // t <= ewma + 30000 else blend 0.5/0.5; lastUpdate moves only on
+    // applied updates. Equal-millisecond ties are order-invariant
+    // (see the query comment), so the CTE's row_number order is free
+    "q_stream_heat" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS t,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) // 1000) AS rn
+        |  FROM events),
+        |mx AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, rn, CAST(t AS DOUBLE) AS ewma, t AS last
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn + 1,
+        |         CASE WHEN e2.t <= s.ewma + 30000 THEN s.ewma
+        |              ELSE 0.5 * s.ewma + 0.5 * e2.t END,
+        |         CASE WHEN e2.t <= s.ewma + 30000 THEN s.last
+        |              ELSE e2.t END
+        |  FROM s JOIN ev e2
+        |    ON e2.user_id = s.user_id AND e2.rn = s.rn + 1)
+        |SELECT s.user_id, s.ewma, s.last AS last_update_ms
+        |FROM s JOIN mx ON s.user_id = mx.user_id AND s.rn = mx.n""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
