@@ -71,6 +71,26 @@ object SparkEntry {
     * [[replayStream]]'s unordered form stays the harsher harness for
     * order-insensitive sinks (complete-mode aggs, key-only dedup).
     */
+  /** Run `body` with the session's shuffle-partition count (which
+    * also sizes every stateful operator's state-store partitioning)
+    * temporarily lowered, restoring the previous value after. The
+    * streaming replay queries use this: state partitions are a FIXED
+    * per-micro-batch cost (each is a scheduled task plus a
+    * checkpoint-delta fsync, every batch), so they must be sized to
+    * the stream's keyspace/volume, not inherited from the batch
+    * engine's width — at 32 partitions × 8 replay batches a query
+    * pays ~256 stateful task+fsync rounds (~5 s at local[32]) to
+    * shuffle a sub-1M-row table; 8 partitions keep the identical
+    * plan shape at a quarter of the fixed cost. On a real cluster
+    * the same dial scales UP with keyspace; the point is that it is
+    * a dial, not an inherited constant.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def replayStreamOrdered(s: SparkSession, batch: DataFrame,
                                   order: Column, nFiles: Int = 8): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
@@ -837,22 +857,22 @@ object SparkEntry {
     // integer-floored to seconds (ts DIV 1e9 = epoch_us // 1e6 on
     // the nanos fixture); sums go through DECIMAL(18,2) so partial
     // aggregation order can't move a bit.
-    "q_stream_windows" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-        .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
-          col("event_type"), col("value"))
-      val agg = streaming.EventWindows.tumbling(
-        replayStream(s, batch), col("ts2"), "ts2",
-        col("event_type"), "90 days", "1 day",
-        col("value").cast("decimal(18,2)"))
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName("q_stream_windows_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_windows_sink")
-        .select(col("w_start").cast("long").as("w_start"),
-          col("event_type"), col("n"),
-          col("total").cast("double").as("total"))
-    }),
+    "q_stream_windows" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        val batch = t(s, dir, "events")
+          .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
+            col("event_type"), col("value"))
+        val agg = streaming.EventWindows.tumbling(
+          replayStream(s, batch), col("ts2"), "ts2",
+          col("event_type"), "90 days", "1 day",
+          col("value").cast("decimal(18,2)"))
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName("q_stream_windows_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_windows_sink")
+          .select(col("w_start").cast("long").as("w_start"),
+            col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+    } }),
 
     // streaming dedup (StreamDedup.withinWatermark) on the
     // (user_id, event_type) key: the watermark outlives the replay
@@ -861,19 +881,19 @@ object SparkEntry {
     // though WHICH copy survives depends on file arrival order
     // (only the key columns are emitted). State is the exercised
     // surface: keys ride the state store across 8 micro-batches.
-    "q_stream_dedup" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-        .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
-          col("user_id"), col("event_type"))
-      val deduped = streaming.StreamDedup.withinWatermark(
-        replayStream(s, batch), "ts2", "3650 days",
-        Seq("user_id", "event_type"))
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName("q_stream_dedup_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_dedup_sink")
-        .select(col("user_id"), col("event_type"))
-    }),
+    "q_stream_dedup" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        val batch = t(s, dir, "events")
+          .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
+            col("user_id"), col("event_type"))
+        val deduped = streaming.StreamDedup.withinWatermark(
+          replayStream(s, batch), "ts2", "3650 days",
+          Seq("user_id", "event_type"))
+        val q = deduped.writeStream.outputMode("append").format("memory")
+          .queryName("q_stream_dedup_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_dedup_sink")
+          .select(col("user_id"), col("event_type"))
+    } }),
 
     // gap-session windows (EventWindows.sessions) in complete mode:
     // sessions merge ACROSS unordered micro-batches (an early file may
@@ -884,23 +904,23 @@ object SparkEntry {
     // session (merge condition start <= end on half-open windows), so
     // the oracle breaks strictly greater-than; timestamps are floored
     // to seconds, sums ride DECIMAL(18,2).
-    "q_stream_sessions" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-        .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
-          col("user_id"), col("value"))
-      val agg = streaming.EventWindows.sessions(
-        replayStream(s, batch), col("ts2"), "ts2",
-        col("user_id"), "3650 days", "12 hours",
-        col("value").cast("decimal(18,2)"))
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName("q_stream_sessions_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_sessions_sink")
-        .select(col("s_start").cast("long").as("s_start"),
-          col("s_end").cast("long").as("s_end"),
-          col("user_id"), col("n"),
-          col("total").cast("double").as("total"))
-    }),
+    "q_stream_sessions" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        val batch = t(s, dir, "events")
+          .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
+            col("user_id"), col("value"))
+        val agg = streaming.EventWindows.sessions(
+          replayStream(s, batch), col("ts2"), "ts2",
+          col("user_id"), "3650 days", "12 hours",
+          col("value").cast("decimal(18,2)"))
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName("q_stream_sessions_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_sessions_sink")
+          .select(col("s_start").cast("long").as("s_start"),
+            col("s_end").cast("long").as("s_end"),
+            col("user_id"), col("n"),
+            col("total").cast("double").as("total"))
+    } }),
 
     // streaming as-of enrichment (StreamAsOf.enrichMerged): the
     // interleaved point/snapshot log replays through an ORDERED file
@@ -909,26 +929,26 @@ object SparkEntry {
     // exactly — same split of the events table as q_asof_join, same
     // DuckDB ASOF LEFT JOIN oracle. Update-mode memory sink: each
     // point emits exactly once, in the batch it arrives.
-    "q_stream_asof" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val merged = e.filter(col("event_id") % 7 =!= 0)
-        .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
-          lit(true).as("isPoint"),
-          col("event_id").cast("string").as("tag"), lit(0.0).as("value"))
-        .unionByName(e.filter(col("event_id") % 7 === 0)
+    "q_stream_asof" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        val e = t(s, dir, "events")
+        val merged = e.filter(col("event_id") % 7 =!= 0)
           .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
-            lit(false).as("isPoint"), lit("").as("tag"), col("value")))
-      val stream = replayStreamOrdered(s, merged, col("t"))
-        .as(org.apache.spark.sql.Encoders.product[streaming.StreamAsOf.Merged])
-      val q = streaming.StreamAsOf.enrichMerged(stream)
-        .writeStream.outputMode("update").format("memory")
-        .queryName("q_stream_asof_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_asof_sink")
-        .select(col("tag").cast("long").as("event_id"),
-          col("key").as("user_id"), col("t").as("ts"),
-          col("snapValue").as("snap_value"))
-    }),
+            lit(true).as("isPoint"),
+            col("event_id").cast("string").as("tag"), lit(0.0).as("value"))
+          .unionByName(e.filter(col("event_id") % 7 === 0)
+            .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
+              lit(false).as("isPoint"), lit("").as("tag"), col("value")))
+        val stream = replayStreamOrdered(s, merged, col("t"))
+          .as(org.apache.spark.sql.Encoders.product[streaming.StreamAsOf.Merged])
+        val q = streaming.StreamAsOf.enrichMerged(stream)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q_stream_asof_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_asof_sink")
+          .select(col("tag").cast("long").as("event_id"),
+            col("key").as("user_id"), col("t").as("ts"),
+            col("snapValue").as("snap_value"))
+    } }),
 
     // streaming heavy hitters (StreamHeavyHitters.perWindow): append
     // mode — a day window emits exactly once, when the watermark
@@ -938,22 +958,22 @@ object SparkEntry {
     // the 5 distinct event_types, so the Misra-Gries sketch never
     // decrements and min_count IS the exact per-window count — the
     // oracle is a plain GROUP BY over the closed windows.
-    "q_stream_heavy" -> ((s, dir) => {
-      import s.implicits._
-      val batch = t(s, dir, "events")
-        .select(expr("ts div 1000000000").cast("timestamp").as("ts"),
-          col("event_type").as("item"))
-      val stream = replayStreamOrdered(s, batch, col("ts"))
-        .as[streaming.StreamHeavyHitters.Item]
-      val q = streaming.StreamHeavyHitters
-        .perWindow(stream, 86400000L, "0 seconds", capacity = 64)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("q_stream_heavy_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_heavy_sink")
-        .select(expr("windowStart div 1000").as("w_start"), col("item"),
-          col("minCount").as("min_count"), col("n"))
-    }),
+    "q_stream_heavy" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        import s.implicits._
+        val batch = t(s, dir, "events")
+          .select(expr("ts div 1000000000").cast("timestamp").as("ts"),
+            col("event_type").as("item"))
+        val stream = replayStreamOrdered(s, batch, col("ts"))
+          .as[streaming.StreamHeavyHitters.Item]
+        val q = streaming.StreamHeavyHitters
+          .perWindow(stream, 86400000L, "0 seconds", capacity = 64)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q_stream_heavy_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_heavy_sink")
+          .select(expr("windowStart div 1000").as("w_start"), col("item"),
+            col("minCount").as("min_count"), col("n"))
+    } }),
 
     // the §0.1 policy loop ITSELF as a graded stream: per-file
     // EWMA-with-atime-throttle state (HeatStream.heatUpdates — the
@@ -969,24 +989,24 @@ object SparkEntry {
     // order can't drift the result. Final state per file = the
     // update-mode record with the greatest lastUpdateMs (throttled
     // batches re-emit the unchanged record — max(struct) dedups).
-    "q_stream_heat" -> ((s, dir) => {
-      import s.implicits._
-      val batch = t(s, dir, "events")
-        .select(col("user_id").cast("string").as("path"),
-          expr("ts div 1000000").as("tsMs"))
-      val stream = replayStreamOrdered(s, batch, col("tsMs"))
-        .as[streaming.HeatStream.Access]
-      val q = streaming.HeatStream.heatUpdates(stream)
-        .writeStream.outputMode("update").format("memory")
-        .queryName("q_stream_heat_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_heat_sink")
-        .groupBy(col("path"))
-        .agg(max(struct(col("lastUpdateMs"), col("ewma"))).as("m"))
-        .select(col("path").cast("long").as("user_id"),
-          col("m.ewma").as("ewma"),
-          col("m.lastUpdateMs").as("last_update_ms"))
-    }),
+    "q_stream_heat" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        import s.implicits._
+        val batch = t(s, dir, "events")
+          .select(col("user_id").cast("string").as("path"),
+            expr("ts div 1000000").as("tsMs"))
+        val stream = replayStreamOrdered(s, batch, col("tsMs"))
+          .as[streaming.HeatStream.Access]
+        val q = streaming.HeatStream.heatUpdates(stream)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q_stream_heat_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_heat_sink")
+          .groupBy(col("path"))
+          .agg(max(struct(col("lastUpdateMs"), col("ewma"))).as("m"))
+          .select(col("path").cast("long").as("user_id"),
+            col("m.ewma").as("ewma"),
+            col("m.lastUpdateMs").as("last_update_ms"))
+    } }),
 
     // ---- L4: retrieval scoring / frequency sketch / PII scrub -------
     // BM25 top-10 over a mixed rare+common term bag; scores are
