@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * streamed through it). IMAGE metadata decode is REAL: the JDK's
   * `javax.imageio` reads true width/height/format from PNG/JPEG/GIF/
   * BMP headers (header-only — the pixel raster is never decoded).
-  * Payloads no installed reader recognizes (incl. audio/video — this
-  * container has no media codecs) fall back to the deterministic
-  * stub; `resize`/`sampleFrames`/`extractFeatures` remain stubs with
-  * real dataflow, to be swapped for codec/model bindings at
-  * deployment.
+  * REAL JDK-only codec paths (no external media libraries needed):
+  * image header decode (`decodeMeta`), bilinear resize + PNG
+  * re-encode (`resizeImage`), animated-GIF frame extraction
+  * (`sampleFramesGif` — the genuine multi-frame "video" path), and
+  * audio header metadata via `javax.sound.sampled` (`decodeAudio`,
+  * WAV/AIFF/AU). Payloads no installed reader recognizes fall back
+  * to the deterministic stubs (`resize`, byte-slicing
+  * `sampleFrames`, `extractFeatures`) with real dataflow, to be
+  * swapped for ffmpeg/model bindings at deployment.
   *
   * Scale notes: media bytes never pass through a shuffle — decode is
   * a narrow map; only the (small) extracted features/metadata flow
@@ -118,10 +122,61 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize via the JDK: decode (ImageIO), scale with
+    * bilinear interpolation (Graphics2D — the same kernel AWT uses
+    * for thumbnailing), re-encode as PNG. Only payloads the
+    * magic-byte gate recognizes are touched; everything else passes
+    * through unchanged (a real pipeline would route those to a codec
+    * container). The longest side is capped at `maxDim`, aspect
+    * ratio preserved, never upscaled. Narrow map — bytes never
+    * shuffle; cost is O(pixels) per recognized image, which is the
+    * honest cost of a real resample.
+    */
+  def resizeImage(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        resizeImageBytes(r.bytes, maxDim) match {
+          case Some(out) => r.copy(media_type = "image/png", bytes = out)
+          case None => r
+        }
+      }
+    }
+  }
+
+  private[graft] def resizeImageBytes(bytes: Array[Byte],
+                                      maxDim: Int): Option[Array[Byte]] =
+    decodeImage(bytes).flatMap { case (w, h, _) =>
+      if (math.max(w, h) <= maxDim) None // never upscale; pass through
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val scale = maxDim.toDouble / math.max(w, h)
+          val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt))
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      }
+    }
+
   /** Resize stub: deterministic "resample" of the payload to a target
-    * byte budget (stride-sampled bytes — a real codec binding would
-    * decode, scale, re-encode). Keeps the batch shape: narrow map,
-    * bytes never shuffled.
+    * byte budget (stride-sampled bytes — the generic-binary fallback
+    * for payloads [[resizeImage]]'s codecs don't recognize). Keeps
+    * the batch shape: narrow map, bytes never shuffled.
     */
   def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -150,6 +205,102 @@ object Multimodal {
         .map { case (chunk, i) => Frame(r.doc_id, i, chunk) }
     }
   }
+
+  /** REAL frame sampling for the one multi-frame container the JDK
+    * ships a decoder for: animated GIF. Every `stride`-th frame is
+    * decoded via ImageIO's sequence reader and re-encoded as a PNG
+    * frame record; `frame_idx` is the index in the ORIGINAL
+    * sequence, so downstream temporal logic keeps real timestamps'
+    * ordinal structure. Non-GIF payloads fall back to the
+    * byte-slicing stub (an ffmpeg/JNI binding would slot in there at
+    * deployment). Same batch shape as a real video pipeline: one
+    * reader per payload inside a narrow mapPartitions, frames out,
+    * container bytes never shuffled.
+    */
+  def sampleFramesGif(media: Dataset[MediaRow], stride: Int,
+                      fallbackFrameBytes: Int = 4096): Dataset[Frame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    implicit val enc = Encoders.product[Frame]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        gifFrames(r.bytes, stride) match {
+          case Some(frames) => frames.map { case (i, png) =>
+            Frame(r.doc_id, i, png) }
+          case None =>
+            r.bytes.grouped(fallbackFrameBytes).zipWithIndex
+              .filter { case (_, i) => i % stride == 0 }
+              .map { case (chunk, i) => Frame(r.doc_id, i, chunk) }.toSeq
+        }
+      }
+    }
+  }
+
+  private[graft] def gifFrames(bytes: Array[Byte],
+                               stride: Int): Option[Seq[(Int, Array[Byte])]] = {
+    val isGif = bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8'
+    if (!isGif) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          Some((0 until n by stride).map { i =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+            (i, bos.toByteArray)
+          })
+        } catch { case _: Exception => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  final case class AudioMeta(doc_id: Long, byte_len: Long, encoding: String,
+                             sample_rate: Float, channels: Int,
+                             frames: Long, duration_ms: Double)
+
+  /** REAL audio metadata via `javax.sound.sampled`: encoding, sample
+    * rate, channel count, frame length and derived duration for any
+    * container the JDK ships a provider for (WAV/AIFF/AU in a stock
+    * JDK — header-only, samples never decoded). Unrecognized
+    * payloads get a deterministic stub row (encoding "unknown",
+    * pseudo-rate from the stub kernel) so the pipeline stays total.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        audioMeta(r.bytes) match {
+          case Some((encName, rate, ch, frames)) =>
+            val durMs = if (rate > 0) frames * 1000.0 / rate else 0.0
+            AudioMeta(r.doc_id, r.bytes.length.toLong, encName, rate, ch,
+              frames, durMs)
+          case None =>
+            val (sw, sh, _) = decodeStub(r.bytes)
+            AudioMeta(r.doc_id, r.bytes.length.toLong, "unknown",
+              8000f + sw, 1 + (sh % 2), r.bytes.length.toLong / 2, 0.0)
+        }
+      }
+    }
+  }
+
+  private[graft] def audioMeta(bytes: Array[Byte])
+      : Option[(String, Float, Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        Some((f.getEncoding.toString.toLowerCase(java.util.Locale.ROOT),
+          f.getSampleRate, f.getChannels, ais.getFrameLength))
+      } finally ais.close()
+    } catch { case _: Exception => None }
 
   /** Feature extraction stub: fixed-width deterministic "embedding"
     * from the bytes (replace with a model runtime at deployment).

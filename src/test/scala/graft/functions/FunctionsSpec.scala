@@ -761,6 +761,84 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.forall(_.digest.length == 32))
   }
 
+  test("resizeImage REALLY rescales a PNG (bilinear + PNG re-encode)") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "image/png", png(100, 40)),   // downscale 2x
+      MediaRow(2L, "image/png", png(30, 10)),    // under cap: untouched
+      MediaRow(3L, "application/octet-stream",   // not an image: untouched
+        Array.tabulate[Byte](64)(_.toByte))).toDS()
+    val got = resizeImage(media, maxDim = 50)
+      .collect().map(r => r.doc_id -> r).toMap
+    val d1 = decodeImage(got(1L).bytes)
+    assert(d1.contains((50, 20, "png")), d1.toString) // aspect preserved
+    assert(got(2L).bytes.sameElements(media.collect()(1).bytes))
+    assert(got(3L).bytes.length == 64)
+  }
+
+  test("sampleFramesGif extracts REAL animated-GIF frames at the stride") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    // build a 5-frame animated GIF with the JDK's sequence writer
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 5).foreach { i =>
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, i * 40)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    val media = Seq(
+      MediaRow(1L, "image/gif", gif),
+      MediaRow(2L, "application/octet-stream",  // fallback: byte slices
+        Array.tabulate[Byte](10)(_.toByte))).toDS()
+    val got = sampleFramesGif(media, stride = 2, fallbackFrameBytes = 4)
+      .collect().groupBy(_.doc_id)
+    // real path: original-sequence indices 0,2,4; every frame decodes
+    // as a true 8x6 PNG
+    assert(got(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    assert(got(1L).forall(f => decodeImage(f.bytes).contains((8, 6, "png"))))
+    // fallback path: 10 bytes in 4-byte slices -> indices 0, 2
+    assert(got(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("decodeAudio reads REAL WAV header metadata via javax.sound") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    // 16-bit mono PCM, 8 kHz, 1600 frames = 200 ms
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](1600 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 1600L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(
+      MediaRow(1L, "audio/wav", bos.toByteArray),
+      MediaRow(2L, "application/octet-stream",
+        Array.tabulate[Byte](32)(_.toByte))).toDS()
+    val got = decodeAudio(media).collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L).encoding == "pcm_signed" && got(1L).sample_rate == 8000f &&
+      got(1L).channels == 1 && got(1L).frames == 1600L &&
+      math.abs(got(1L).duration_ms - 200.0) < 1e-9, got(1L).toString)
+    assert(got(2L).encoding == "unknown")
+  }
+
   test("resize caps payload bytes deterministically") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
