@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Checkpoint recovery — the property that makes the streaming twins
+  * deployable: a stream killed mid-ingest and restarted from its
+  * checkpoint must neither lose nor re-emit state. The reference gets
+  * durability from the NameNode edit log; Structured Streaming gets
+  * it from the checkpointed offset log + state store, and this spec
+  * proves the graft operators actually ride it.
+  *
+  * Harness: a file-source directory grows in two phases with a hard
+  * `query.stop()` between them (same checkpoint, same sink). Phase 2
+  * restarts from the offset log, replays nothing, and the state
+  * store (dedup keys seen in phase 1) carries across the restart —
+  * a phase-1 duplicate arriving in phase 2 must be suppressed by
+  * RECOVERED state, which no per-run in-memory structure could do.
+  */
+class StreamRecoverySpec extends SparkSpec {
+
+  test("StreamDedup state survives a stop/restart from checkpoint") {
+    val src = Files.createTempDirectory("graft-recover-src").toString
+    val ckpt = Files.createTempDirectory("graft-recover-ckpt").toString
+    val sink = Files.createTempDirectory("graft-recover-sink").toString
+    import spark.implicits._
+
+    def writeFile(name: String, rows: Seq[(java.sql.Timestamp, Long, String)]): Unit =
+      rows.toDF("ts2", "user_id", "event_type").coalesce(1)
+        .write.mode("append").parquet(src)
+
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val schema = "ts2 timestamp, user_id bigint, event_type string"
+
+    def start() = StreamDedup.withinWatermark(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        "ts2", "3650 days", Seq("user_id", "event_type"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sink).start()
+
+    // phase 1: keys (1,a) (2,b) seen
+    writeFile("f1", Seq((ts(1000L), 1L, "a"), (ts(2000L), 2L, "b")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 (after a hard stop): a phase-1 duplicate (1,a) and a
+    // new key (3,c). Only recovered state can suppress the duplicate.
+    writeFile("f2", Seq((ts(3000L), 1L, "a"), (ts(4000L), 3L, "c")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(sink)
+      .select($"user_id", $"event_type").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), got.toString)
+  }
+
+  test("HeatStream EWMA state survives a stop/restart from checkpoint") {
+    val src = Files.createTempDirectory("graft-heat-src").toString
+    val ckpt = Files.createTempDirectory("graft-heat-ckpt").toString
+    val sink = Files.createTempDirectory("graft-heat-sink").toString
+    import spark.implicits._
+
+    def writeAccesses(rows: Seq[HeatStream.Access]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(src)
+
+    // parquet sinks reject update mode; foreachBatch-append is the
+    // standard actuator shape for update-mode state emissions
+    def start() = HeatStream.heatUpdates(
+        spark.readStream.schema("path string, tsMs bigint")
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .as[HeatStream.Access])
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[HeatStream.HeatRecord], _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+      }.start()
+
+    // the throttle window is 30 s: space accesses 60 s apart so every
+    // access applies and the EWMA fold is non-trivial
+    writeAccesses(Seq(HeatStream.Access("f", 60000L),
+      HeatStream.Access("f", 120000L)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    writeAccesses(Seq(HeatStream.Access("f", 180000L)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the pure state machine, run unbroken over all three accesses
+    val cfg = ReplicationPolicy.Config()
+    var fs = ReplicationPolicy.FileState("f", 2, 0L, cfg.minRep, 0.0, 0L)
+    Seq(60000L, 120000L, 180000L).foreach { t =>
+      fs = ReplicationPolicy.access(fs, t, cfg)._1
+    }
+    // the restarted stream's LAST emission must continue the fold
+    // from recovered state, not re-seed at 180000
+    val last = spark.read.parquet(sink)
+      .orderBy(desc("lastUpdateMs")).limit(1)
+      .select($"ewma", $"lastUpdateMs").as[(Double, Long)].head()
+    assert(last == ((fs.ewma, fs.lastUpdateMs)),
+      s"got $last want (${fs.ewma}, ${fs.lastUpdateMs})")
+  }
+}
