@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object MultiIO {
 
+  /** One [[harPack]] index row: where an archived file's bytes live. */
+  final case class HarEntry(path: String, part: Int, offset: Long,
+                            length: Long)
+
   /** MultipleInputs: each source gets its own per-source transform
     * (the per-path Mapper), then all are unioned by column name.
     * Sources must produce union-compatible schemas; each branch keeps
@@ -199,4 +203,133 @@ object MultiIO {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dst)
   }
+
+  /** Hadoop-archive-style small-file packing (reference:
+    * src/core/org/apache/hadoop/fs/HarFileSystem.java — `_index` +
+    * `part-N` layout; src/tools/org/apache/hadoop/tools/
+    * HadoopArchives.java — the archiving job). Many small files
+    * become a few concatenated `part-NNNNN` blobs plus a PARQUET
+    * index (path, part, offset, length) — parquet instead of the
+    * reference's text `_index`/`_masterindex` pair because predicate
+    * pushdown on `path` then IS the master index: a point lookup
+    * prunes index row groups by the path stats and issues one ranged
+    * read, O(file) not O(archive).
+    *
+    * Shape at scale: the driver handles FILE METADATA only (one
+    * (path, size) pair per file — the same driver-side planning the
+    * reference's archiver does in the JobTracker client); bytes move
+    * task-side, one task per part, each streaming its own slice.
+    * Files are name-sorted then first-fit into `partSizeBytes`
+    * budgets, so layout is deterministic and re-runs are idempotent.
+    */
+  def harPack(spark: SparkSession, srcDir: String, dstDir: String,
+              partSizeBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    require(partSizeBytes > 0, s"partSizeBytes must be > 0, got $partSizeBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    // recursive listing, archive-relative paths, name-sorted
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st)
+      }
+    val base = fs.makeQualified(src).toString.stripSuffix("/") + "/"
+    val files = walk(src)
+      .map(st => (fs.makeQualified(st.getPath).toString.stripPrefix(base),
+        st.getLen))
+      .sortBy(_._1)
+    // first-fit part assignment: (path, part, offset, length); a file
+    // larger than the budget still gets its own part (never split)
+    val assigned = Seq.newBuilder[(String, Int, Long, Long)]
+    var part = 0; var off = 0L
+    files.foreach { case (p, len) =>
+      if (off > 0 && off + len > partSizeBytes) { part += 1; off = 0L }
+      assigned += ((p, part, off, len))
+      off += len
+    }
+    val index = assigned.result()
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    fs.mkdirs(dst)
+    val srcBase = base
+    val dstBase = fs.makeQualified(dst).toString.stripSuffix("/") + "/"
+    // one task per part; each streams its own files into its blob.
+    // numSlices = nParts so the copy parallelism is the part count
+    val nParts = part + 1
+    val byPart = index.groupBy(_._2).toSeq.sortBy(_._1)
+    spark.sparkContext.parallelize(byPart, nParts).foreach { case (pid, slice) =>
+      val hconf = new org.apache.hadoop.conf.Configuration()
+      val outPath = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$pid%05d")
+      val pfs = outPath.getFileSystem(hconf)
+      val out = pfs.create(outPath, true)
+      try slice.sortBy(_._3).foreach { case (rel, _, _, _) =>
+        val in = new org.apache.hadoop.fs.Path(srcBase + rel)
+          .getFileSystem(hconf).open(new org.apache.hadoop.fs.Path(srcBase + rel))
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      } finally out.close()
+    }
+    import spark.implicits._
+    val idxDf = index.toDF("path", "part", "offset", "length")
+    idxDf.repartition(1).write.mode(SaveMode.Overwrite)
+      .parquet(dstBase + "_index")
+    spark.read.parquet(dstBase + "_index")
+  }
+
+  /** Read a [[harPack]] archive back as (path, bytes): ranged reads
+    * against the part blobs, driven by the parquet index. Index rows
+    * are range-partitioned by (part, offset) so each task reads ONE
+    * part handle sequentially forward — the archive-scan access
+    * pattern HarFileSystem's readers use; bytes never shuffle.
+    * `pathFilter` (an index predicate, e.g. `col("path").startsWith
+    * ("logs/")`) prunes with parquet pushdown before any blob is
+    * opened.
+    */
+  def readHar(spark: SparkSession, harDir: String,
+              pathFilter: Option[Column] = None): DataFrame = {
+    val dstBase = harDir.stripSuffix("/") + "/"
+    val idx0 = spark.read.parquet(dstBase + "_index")
+    val idx = pathFilter.map(idx0.filter).getOrElse(idx0)
+    import spark.implicits._
+    idx.repartitionByRange(col("part"), col("offset"))
+      .sortWithinPartitions(col("part"), col("offset"))
+      .as[HarEntry]
+      .mapPartitions { rows =>
+        val hconf = new org.apache.hadoop.conf.Configuration()
+        var open: Option[(Int, org.apache.hadoop.fs.FSDataInputStream)] = None
+        val it = rows.map { case HarEntry(path, part, offset, length) =>
+          if (!open.exists(_._1 == part)) {
+            open.foreach(_._2.close())
+            val p = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$part%05d")
+            open = Some((part, p.getFileSystem(hconf).open(p)))
+          }
+          val in = open.get._2
+          val buf = new Array[Byte](length.toInt)
+          in.seek(offset)
+          in.readFully(buf)
+          (path, buf)
+        }
+        // close the trailing handle once the iterator drains
+        new Iterator[(String, Array[Byte])] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) { open.foreach(_._2.close()); open = None }
+            h
+          }
+          def next(): (String, Array[Byte]) = it.next()
+        }
+      }.toDF("path", "bytes")
+  }
+
+  /** Point lookup: one file out of the archive in O(file) — the
+    * index scan is parquet-pruned on the path predicate (row-group
+    * stats over the sorted path column), then exactly one ranged
+    * read against one part blob. None if the path isn't archived.
+    */
+  def harLookup(spark: SparkSession, harDir: String,
+                path: String): Option[Array[Byte]] =
+    readHar(spark, harDir, Some(col("path") === path))
+      .collect().headOption.map(_.getAs[Array[Byte]]("bytes"))
 }

@@ -202,4 +202,57 @@ class PipeSpec extends SparkSpec {
       d => d.withColumn("sq", $"n" * $"n"))
     assert(got.collect().map(_.getInt(1)).toSet == Set(4, 16))
   }
+
+  test("harPack/readHar round-trips small files; lookup is one ranged read") {
+    val base = Files.createTempDirectory("graft-har").toString
+    val src = base + "/src"
+    Files.createDirectories(java.nio.file.Paths.get(src, "sub"))
+    // 20 files incl. an empty one, a binary one, and a nested path;
+    // contents sized so a 64-byte budget forces multiple parts
+    val contents: Map[String, Array[Byte]] =
+      (0 until 17).map(i => f"f$i%02d.txt" ->
+        s"content-$i-${"x" * (i * 3)}".getBytes("UTF-8")).toMap ++
+      Map("empty.txt" -> Array.emptyByteArray,
+        "bin.dat" -> Array[Byte](0, 1, 0xff.toByte, 0x89.toByte),
+        "sub/nested.txt" -> "nested".getBytes("UTF-8"))
+    contents.foreach { case (p, b) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, p), b) }
+    val idx = MultiIO.harPack(spark, src, base + "/har",
+      partSizeBytes = 64L)
+    // index covers every file with its true length
+    val byPath = idx.collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(byPath.keySet == contents.keySet)
+    assert(contents.forall { case (p, b) => byPath(p)._3 == b.length })
+    // multiple parts were cut, and every referenced part blob exists
+    val parts = byPath.values.map(_._1).toSet
+    assert(parts.size > 1, s"expected >1 parts, got $parts")
+    parts.foreach { p =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(base, "har", f"part-$p%05d"))) }
+    // full scan round-trips every byte
+    val back = MultiIO.readHar(spark, base + "/har").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(back.keySet == contents.keySet)
+    contents.foreach { case (p, b) =>
+      assert(java.util.Arrays.equals(back(p), b), s"bytes differ for $p") }
+    // point lookup: exact bytes; absent path -> None
+    assert(MultiIO.harLookup(spark, base + "/har", "bin.dat")
+      .exists(java.util.Arrays.equals(_, contents("bin.dat"))))
+    assert(MultiIO.harLookup(spark, base + "/har", "f13.txt")
+      .exists(java.util.Arrays.equals(_, contents("f13.txt"))))
+    assert(MultiIO.harLookup(spark, base + "/har", "missing").isEmpty)
+    // the lookup's index scan pushes the path predicate to parquet
+    val plan = MultiIO.readHar(spark, base + "/har",
+        Some($"path" === "bin.dat"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(path), EqualTo(path,bin.dat)]"),
+      plan)
+    // idempotent re-pack: same layout
+    val idx2 = MultiIO.harPack(spark, src, base + "/har2",
+      partSizeBytes = 64L)
+    assert(idx2.collect().map(_.toSeq).toSet ==
+      idx.collect().map(_.toSeq).toSet)
+  }
 }
