@@ -648,6 +648,12 @@ object SparkEntry {
       functions.TextAnalysis.corpusStats(t(s, dir, "documents"),
         col("lang"), col("text"))),
 
+    // per-source dataset-card composition: volume, language spread,
+    // exact-dup rate — the table a mix-weight decision reads
+    "q_source_report" -> ((s, dir) =>
+      functions.TextAnalysis.sourceReport(t(s, dir, "documents"),
+        col("source"), col("lang"), col("text"))),
+
     // Gopher-style repetition pre-filter: dup-token and top-bigram
     // coverage fractions per document
     "q_repetition" -> ((s, dir) =>
@@ -1625,6 +1631,22 @@ object SparkEntry {
         |       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
         |         AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
+
+    "q_source_report" ->
+      """WITH t AS (
+        |  SELECT source, lang, text, md5(text) AS digest,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> length(x) > 0)) AS ntok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs,
+        |       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT)
+        |         AS total_chars,
+        |       CAST(sum(CAST(ntok AS BIGINT)) AS BIGINT) AS total_tokens,
+        |       count(DISTINCT digest) AS n_unique,
+        |       round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+        |             / count(*), 4) AS dup_rate
+        |FROM t GROUP BY source""".stripMargin,
 
     // chunk starts are 0, stride, …, stopping once a window reaches
     // the doc end (nChunks = max(1, ceil((len-20)/15)+1)); DuckDB

@@ -345,6 +345,33 @@ object TextAnalysis {
         sum(length(text).cast("long")).as("n_chars"),
         round(sum(length(text)).cast("double") / count(lit(1)), 4).as("avg_chars"))
 
+  /** Per-source dataset-card composition report — the table a
+    * training-mix decision reads: document/token/char volume,
+    * language spread, and the exact-duplicate rate inside each
+    * source (1 − distinct(md5)/docs; a high rate flags a crawler
+    * slice that needs dedup before it can be weighted).
+    *
+    * Scale shape (100 TB): text reduces to five narrow columns
+    * (source, lang, 16-byte digest, two longs) BEFORE aggregation,
+    * so the two distinct aggregates' Expand replicates small tuples
+    * only — never text — and every replica partial-aggregates
+    * map-side; one exchange on the source key.
+    */
+  def sourceReport(df: DataFrame, source: Column, lang: Column,
+                   text: Column): DataFrame =
+    df.select(source.as("source"), lang.as("lang"),
+        md5(text).as("digest"),
+        length(text).cast("long").as("nchars"),
+        tokenCount(text).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("nchars")).as("total_chars"),
+        sum(col("ntok")).as("total_tokens"),
+        countDistinct(col("digest")).as("n_unique"),
+        round(lit(1.0) - countDistinct(col("digest")).cast("double") /
+          count(lit(1)), 4).as("dup_rate"))
+
   /** Unigram language-model document scoring — the perplexity-bucket
     * quality signal of LLM data pipelines, with the model trained on
     * the corpus itself (self-scoring): P(t) = count(t)/total, score =
