@@ -52,6 +52,7 @@ object Bench {
     // number of record, and the min/max spread is printed alongside so
     // a noisy round is visible as noise instead of as a regression.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to passes).map { _ =>
         // isolate queries: operators that persist derived indexes
@@ -73,9 +74,12 @@ object Bench {
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    // any failed pass marks the query failed (flaky != fast)
+    // any failed pass marks the query failed (flaky != fast); the
+    // failure sentinel must not leak into the published spread as if
+    // it were a timing
     val meds = results.map { case (k, ss) =>
-      (k, if (ss.exists(_ < 0)) -1.0 else median(ss), ss.min, ss.max)
+      if (ss.exists(_ < 0)) (k, -1.0, -1.0, -1.0)
+      else (k, median(ss), ss.min, ss.max)
     }
     val qs = meds.map { case (k, m, _, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")

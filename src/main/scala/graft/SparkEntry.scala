@@ -60,17 +60,6 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
-  /** [[replayStream]] with controlled ARRIVAL ORDER: range-partition
-    * the batch on `order` so file k holds the k-th time slice, then
-    * stamp strictly increasing modification times in slice order —
-    * the file source lists oldest-first (`latestFirst=false`), so the
-    * replay delivers micro-batches in event-time order and the
-    * watermark advances monotonically. This is the replay for
-    * operators whose STREAMING output contract assumes in-order
-    * ingest (as-of enrichment, append-mode window finalization);
-    * [[replayStream]]'s unordered form stays the harsher harness for
-    * order-insensitive sinks (complete-mode aggs, key-only dedup).
-    */
   /** Run `body` with the session's shuffle-partition count (which
     * also sizes every stateful operator's state-store partitioning)
     * temporarily lowered, restoring the previous value after. The
@@ -91,6 +80,17 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** [[replayStream]] with controlled ARRIVAL ORDER: range-partition
+    * the batch on `order` so file k holds the k-th time slice, then
+    * stamp strictly increasing modification times in slice order —
+    * the file source lists oldest-first (`latestFirst=false`), so the
+    * replay delivers micro-batches in event-time order and the
+    * watermark advances monotonically. This is the replay for
+    * operators whose STREAMING output contract assumes in-order
+    * ingest (as-of enrichment, append-mode window finalization);
+    * [[replayStream]]'s unordered form stays the harsher harness for
+    * order-insensitive sinks (complete-mode aggs, key-only dedup).
+    */
   private def replayStreamOrdered(s: SparkSession, batch: DataFrame,
                                   order: Column, nFiles: Int = 8): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
@@ -514,11 +514,13 @@ object SparkEntry {
     // random-64-bit mean of 32) and forces 5-bit blocking chunks
     // whose buckets approach all-pairs. 5 chunks of ~13 bits keep
     // the pigeonhole recall-1.0 guarantee with selective keys. The
-    // brute-force witness runs on a 500-doc hash stratum (the whole
-    // corpus below 500 docs), so the graded path has NO stage that
-    // scales quadratically with the corpus; non_empty=true verified
-    // at sf0.001/0.01 (stratum = full corpus, 33 in-radius pairs)
-    // and at sf0.1 (10% stratum still holds in-radius pairs).
+    // exact witness joins a 500-doc hash stratum against the FULL
+    // corpus (broadcast, map-side, O(500·n)), so the graded path has
+    // NO quadratic stage — and because only ONE endpoint must land
+    // in the stratum, witness pairs survive at ~500·pairDensity,
+    // constant as the corpus grows (a both-endpoint stratum decays
+    // as rate² and would go vacuous at large sf). non_empty=true
+    // verified at all three graded sfs.
     "q_simhash" -> ((s, dir) =>
       functions.Dedup.simhashValidate(t(s, dir, "documents"),
         col("doc_id"), col("text"), maxHamming = 4)),

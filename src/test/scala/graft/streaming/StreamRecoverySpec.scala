@@ -28,7 +28,7 @@ class StreamRecoverySpec extends SparkSpec {
     val sink = Files.createTempDirectory("graft-recover-sink").toString
     import spark.implicits._
 
-    def writeFile(name: String, rows: Seq[(java.sql.Timestamp, Long, String)]): Unit =
+    def writeFile(rows: Seq[(java.sql.Timestamp, Long, String)]): Unit =
       rows.toDF("ts2", "user_id", "event_type").coalesce(1)
         .write.mode("append").parquet(src)
 
@@ -44,13 +44,13 @@ class StreamRecoverySpec extends SparkSpec {
       .format("parquet").option("path", sink).start()
 
     // phase 1: keys (1,a) (2,b) seen
-    writeFile("f1", Seq((ts(1000L), 1L, "a"), (ts(2000L), 2L, "b")))
+    writeFile(Seq((ts(1000L), 1L, "a"), (ts(2000L), 2L, "b")))
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
 
     // phase 2 (after a hard stop): a phase-1 duplicate (1,a) and a
     // new key (3,c). Only recovered state can suppress the duplicate.
-    writeFile("f2", Seq((ts(3000L), 1L, "a"), (ts(4000L), 3L, "c")))
+    writeFile(Seq((ts(3000L), 1L, "a"), (ts(4000L), 3L, "c")))
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
 
