@@ -30,6 +30,18 @@ object Profile {
         col("text"), bands = 16, threshold = 0.5).count())
       time("ngram jaccard 10x")(Dedup.ngramJaccardPairs(docs10, col("doc_id"),
         col("text"), 3, 0.5).count())
+      time("simhash full 10x")(Dedup.simhashNearDups(docs10, col("doc_id"),
+        col("text"), 4).count())
+      time("simhash witness 10x")(Dedup.simhashValidate(docs10, col("doc_id"),
+        col("text"), 4).count())
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      val emb10 = (0 until 10).map { i =>
+        emb.select((col("vec_id") + lit(i * 1000000)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_.unionByName(_))
+      time("embed banded neardup 10x")(graft.functions.Similarity
+        .embeddingNearDups(emb10, col("vec_id"), col("embedding"),
+          threshold = 0.95).count())
       spark.stop()
       return
     }
