@@ -54,10 +54,25 @@ object SparkEntry {
     */
   private def replayStream(s: SparkSession, batch: DataFrame,
                            nFiles: Int = 8): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val tmp = replayDir()
     batch.repartition(nFiles).write.mode("overwrite").parquet(tmp)
     s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
+  /** Replay scratch dir, deleted on JVM exit — a long-lived driver
+    * re-running the replay queries (Bench does, three passes each)
+    * must not accumulate parquet slices in the temp filesystem.
+    */
+  private def replayDir(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }))
+    tmp.toString
   }
 
   /** Run `body` with the session's shuffle-partition count (which
@@ -93,7 +108,7 @@ object SparkEntry {
     */
   private def replayStreamOrdered(s: SparkSession, batch: DataFrame,
                                   order: Column, nFiles: Int = 8): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val tmp = replayDir()
     batch.repartitionByRange(nFiles, order)
       .sortWithinPartitions(order)
       .write.mode("overwrite").parquet(tmp)

@@ -170,37 +170,42 @@ class MultiIOSpec extends SparkSpec {
     assert(new java.io.File(s"$base/tag=a").exists())
     assert(spark.read.parquet(base).count() == 2)
   }
-}
 
-class PipeSpec extends SparkSpec {
-  import spark.implicits._
-
-  test("pipe emits empty fields for nulls (no field shifting)") {
-    val df = Seq((Some("a"), None: Option[String], Some("c")))
-      .toDF("x", "y", "z")
-    val got = Pipe.pipe(df, "cat", col("x"), col("y"), col("z"))
-      .collect().head.getString(0)
-    assert(got == "a\t\tc")
+  test("crc32 matches java.util.zip.CRC32 (the FSInputChecker checksum)") {
+    // SURVEY §2.8: the reference checksums every stream with CRC32
+    // (fs/FSInputChecker.java); Spark's built-in crc32 must agree
+    // with the JDK implementation the reference wraps — including on
+    // empty and non-ASCII payloads
+    import spark.implicits._
+    val vals = Seq("", "hello", "graft éø中", "0123456789")
+    val got = vals.toDF("s")
+      .select(crc32(col("s").cast("binary"))).as[Long].collect().toSeq
+    val want = vals.map { v =>
+      val c = new java.util.zip.CRC32()
+      c.update(v.getBytes("UTF-8")); c.getValue
+    }
+    assert(got == want, s"got $got want $want")
   }
 
-  test("pipe through cat is identity on lines") {
-    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
-    val got = Pipe.pipe(df, "cat", col("k"), col("v")).as[String].collect().toSet
-    assert(got == Set("a\t1", "b\t2"))
-  }
-
-  test("pipeKV reparses first-tab output") {
-    val df = Seq(("a", 1)).toDF("k", "v")
-    val got = Pipe.pipeKV(df, "cat", col("k"), col("v")).collect().head
-    assert((got.getString(0), got.getString(1)) == ("a", "1"))
-  }
-
-  test("chain composes without materialization") {
-    val df = Seq(1, 2, 3, 4).toDF("n")
-    val got = Pipe.chain(df,
-      d => d.filter($"n" % 2 === 0),
-      d => d.withColumn("sq", $"n" * $"n"))
-    assert(got.collect().map(_.getInt(1)).toSet == Set(4, 16))
+  test("gzip and bzip2 text codecs round-trip (SURVEY §2.8 codecs)") {
+    // the reference's GzipCodec/BZip2Codec map to Spark write options;
+    // the classic operational difference carries over: bzip2 is
+    // splittable (a 100 TB .bz2 scan parallelizes), gzip is not (one
+    // task per file — pack accordingly)
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-codec").toString
+    val lines = (1 to 200).map(i => s"line-$i-payload")
+    for ((codec, ext) <- Seq(("gzip", ".gz"), ("bzip2", ".bz2"))) {
+      val dir = s"$base/$codec"
+      lines.toDF("value").coalesce(1).write
+        .option("compression", codec).text(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSeq
+      assert(parts.nonEmpty && parts.forall(_.endsWith(ext)),
+        s"$codec parts: $parts")
+      val back = spark.read.text(dir).as[String].collect().sorted.toSeq
+      assert(back == lines.sorted, s"$codec round-trip mismatch")
+    }
   }
 
   test("harPack/readHar round-trips small files; lookup is one ranged read") {
@@ -254,5 +259,37 @@ class PipeSpec extends SparkSpec {
       partSizeBytes = 64L)
     assert(idx2.collect().map(_.toSeq).toSet ==
       idx.collect().map(_.toSeq).toSet)
+  }
+}
+
+class PipeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipe emits empty fields for nulls (no field shifting)") {
+    val df = Seq((Some("a"), None: Option[String], Some("c")))
+      .toDF("x", "y", "z")
+    val got = Pipe.pipe(df, "cat", col("x"), col("y"), col("z"))
+      .collect().head.getString(0)
+    assert(got == "a\t\tc")
+  }
+
+  test("pipe through cat is identity on lines") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val got = Pipe.pipe(df, "cat", col("k"), col("v")).as[String].collect().toSet
+    assert(got == Set("a\t1", "b\t2"))
+  }
+
+  test("pipeKV reparses first-tab output") {
+    val df = Seq(("a", 1)).toDF("k", "v")
+    val got = Pipe.pipeKV(df, "cat", col("k"), col("v")).collect().head
+    assert((got.getString(0), got.getString(1)) == ("a", "1"))
+  }
+
+  test("chain composes without materialization") {
+    val df = Seq(1, 2, 3, 4).toDF("n")
+    val got = Pipe.chain(df,
+      d => d.filter($"n" % 2 === 0),
+      d => d.withColumn("sq", $"n" * $"n"))
+    assert(got.collect().map(_.getInt(1)).toSet == Set(4, 16))
   }
 }
