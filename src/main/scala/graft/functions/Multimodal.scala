@@ -314,8 +314,39 @@ object Multimodal {
     }
   }
 
+  /** Structural gate before consulting the audio providers — the
+    * WAV/AIFF/AU magics ("RIFF", "FORM", ".snd") are PRINTABLE
+    * prefixes ordinary text can start with, and a lenient provider
+    * could parse the following text as a header (the same
+    * impersonation class [[imageMagic]] guards against). Each
+    * container must prove itself with a field text can't fake: WAV's
+    * RIFF size (little-endian u32 at 4) must equal payload−8 and
+    * bytes 8-11 must be "WAVE"; AIFF needs "FORM"+"AIFF" with the
+    * big-endian size matching; AU's encoding word (big-endian u32 at
+    * 12, value 1-27) forces three leading zero bytes — impossible in
+    * text.
+    */
+  private[graft] def audioMagic(bytes: Array[Byte]): Boolean = {
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | (bytes(o + 1) & 0xffL) << 8 |
+        (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
+    def u32be(o: Int): Long =
+      (bytes(o) & 0xffL) << 24 | (bytes(o + 1) & 0xffL) << 16 |
+        (bytes(o + 2) & 0xffL) << 8 | (bytes(o + 3) & 0xffL)
+    def ascii(o: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => bytes(o + i) == c.toByte }
+    bytes.length >= 16 && (
+      (ascii(0, "RIFF") && ascii(8, "WAVE") &&
+        u32le(4) == bytes.length.toLong - 8) ||
+      (ascii(0, "FORM") && ascii(8, "AIFF") &&
+        u32be(4) == bytes.length.toLong - 8) ||
+      (ascii(0, ".snd") && u32be(4) >= 24 && u32be(4) <= bytes.length &&
+        u32be(12) >= 1 && u32be(12) <= 27))
+  }
+
   private[graft] def audioMeta(bytes: Array[Byte])
-      : Option[(String, Float, Int, Long)] =
+      : Option[(String, Float, Int, Long)] = {
+    if (!audioMagic(bytes)) return None
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -325,6 +356,7 @@ object Multimodal {
           f.getSampleRate, f.getChannels, ais.getFrameLength))
       } finally ais.close()
     } catch { case _: Exception => None }
+  }
 
   /** Feature extraction stub: fixed-width deterministic "embedding"
     * from the bytes (replace with a model runtime at deployment).

@@ -860,6 +860,12 @@ class MultimodalSpec extends SparkSpec {
       got(1L).channels == 1 && got(1L).frames == 1600L &&
       math.abs(got(1L).duration_ms - 200.0) < 1e-9, got(1L).toString)
     assert(got(2L).encoding == "unknown")
+    // printable audio magics in TEXT must not reach the providers —
+    // same impersonation class as the "BM"/"GIF8" image gate
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(audioMeta(b("RIFF through the amplifier, WAVE after wave")).isEmpty)
+    assert(audioMeta(b("FORM follows function — AIFF was Apple's")).isEmpty)
+    assert(audioMeta(b(".snd files predate both, from Sun")).isEmpty)
   }
 
   test("resize caps payload bytes deterministically") {
