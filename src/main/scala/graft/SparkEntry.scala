@@ -1630,8 +1630,9 @@ object SparkEntry {
         |cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
         |tot AS (SELECT sum(cnt) AS total FROM cnt)
         |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
-        |       round(sum(CAST(tf AS DOUBLE)
-        |                 * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+        |       round((CAST(sum(tf * CAST(round(
+        |                 ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |                 * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6)
         |             / CAST(dl AS DOUBLE), 4) AS avg_logprob
         |FROM tf JOIN cnt USING (term) CROSS JOIN tot
         |GROUP BY doc_id, dl""".stripMargin,

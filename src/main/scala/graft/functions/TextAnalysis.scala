@@ -387,13 +387,19 @@ object TextAnalysis {
     * text; the grand total is a one-row broadcast. Per-doc scores are
     * a final doc-keyed aggregation of (tf · ln p) terms.
     *
-    * Accepted cross-engine risk (shared with every rounded floating
-    * aggregate here): the summation order of Σ tf·ln p differs
-    * between Spark's partial aggregation and a single-pass engine, so
-    * a document whose unrounded score lands within ULPs of a
-    * 4th-decimal rounding midpoint could flip the last digit across
-    * engines or partitionings. No graded corpus has such a document;
-    * a tolerance-based checker removes the risk entirely.
+    * Cross-engine determinism: each term's ln P is quantized to
+    * integer MICRO-NATS (round(ln p · 1e6), a per-term scalar both
+    * engines compute from identical (cnt, total) doubles), so the
+    * per-document aggregation is an INTEGER sum — exact and
+    * order-free under any partial-aggregation order or partitioning.
+    * The earlier float-sum form could flip its 4th decimal when a
+    * document's unrounded score sat ULPs from a rounding midpoint
+    * and Spark's partial-agg order differed from the oracle's
+    * single-pass order; the integer form's only residual risk is a
+    * per-term ln() ULP difference landing exactly on a 0.5-micro-nat
+    * boundary (~1e-10 per distinct term, vs per-document-per-run
+    * before). Resolution loss is ≤ 5e-7 nat/token — invisible at the
+    * 4-decimal output scale.
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))
@@ -409,8 +415,9 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"), col("dl"))
       .agg(round(
-        sum(col("tf").cast("double")
-          * log(col("cnt").cast("double") / col("total").cast("double")))
+        (sum(col("tf") *
+          round(log(col("cnt").cast("double") / col("total").cast("double"))
+            * lit(1e6), 0).cast("long")).cast("double") / lit(1e6))
           / col("dl").cast("double"), 4).as("avg_logprob"))
       .select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
         col("avg_logprob"))
