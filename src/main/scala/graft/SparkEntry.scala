@@ -2214,13 +2214,14 @@ object SparkEntry {
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |scored AS (
         |  SELECT tf.doc_id,
-        |         round(sum(
+        |         round(CAST(sum(CAST(round(
         |           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
         |              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
         |           * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
         |           / (CAST(tf AS DOUBLE)
         |              + 1.2 * (1.0 - 0.75
-        |                       + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4)
+        |                       + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |           * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6, 4)
         |           AS score
         |  FROM tf JOIN df USING (term) CROSS JOIN stats
         |  GROUP BY 1)

@@ -69,7 +69,10 @@ object Retrieval {
             + lit(k1) * (lit(1.0) - lit(b)
               + lit(b) * col("dl").cast("double") / col("avgdl"))))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("w")), 4).as("score"))
+      // integer micro-unit sum: order-free across partial-agg orders
+      // (same hardening as unigramLogProb/ewmaBatch)
+      .agg(round(sum(round(col("w") * lit(1e6), 0).cast("long"))
+        .cast("double") / lit(1e6), 4).as("score"))
     // TakeOrderedAndProject on materialized columns; the rank window
     // runs over the k surviving rows only.
     scored

@@ -31,6 +31,16 @@ object Heat {
           value * pow(lit(1 - alpha), col("__n") - 1))
         .otherwise(lit(alpha) * value *
           pow(lit(1 - alpha), col("__n") - col("__rn"))))
+    // Deliberately a FLOAT sum (not the integer micro-unit hardening
+    // unigramLogProb/bm25 use): the per-row weight contains
+    // power(1-α, k), and DuckDB's power() differs from Java's
+    // Math.pow by ULPs on exact dyadic bases (measured: two per-row
+    // micro-roundings flipped at sf0.1 when this was quantized).
+    // Per-row quantization amplifies scalar ULP divergence into
+    // whole output-digit flips; the float sum averages it away —
+    // order-dependence near a 4th-decimal midpoint is the accepted
+    // (never observed) residual risk. Quantize only where the
+    // per-row scalar is engine-identical.
     weighted.groupBy(key).agg(round(sum(col("__wx")), 4).as("ewma"))
   }
 
