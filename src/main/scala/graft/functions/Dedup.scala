@@ -56,20 +56,27 @@ object Dedup {
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * Returns (fingerprint, keep_id, dup_cnt) — the keep/kill decision
-    * per duplicate class.
+    * per duplicate class. Null-text docs are excluded: their
+    * fingerprint is null and grouping them would build one bogus
+    * "duplicate class" out of documents with no comparable content.
     */
   def exactDupClasses(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(text).as("fp"))
+    df.filter(text.isNotNull)
+      .groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Exact dedup, filter form: keep one row per fingerprint (the
     * min-id row), preserving the full schema. Window-free variant of
-    * dropDuplicates with a *deterministic* survivor.
+    * dropDuplicates with a *deterministic* survivor. Null-text docs
+    * all pass through — they are not duplicates of each other (no
+    * content to compare); without the guard the null fingerprint
+    * group would silently keep one of them and drop the rest.
     */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
     val w = Window.partitionBy(TextAnalysis.fingerprint(text)).orderBy(id.asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    df.withColumn("__fpn", TextAnalysis.fingerprint(text).isNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || col("__fpn")).drop("__rn", "__fpn")
   }
 
   /** Spread a skinny-but-compute-heavy input across the cluster: a
@@ -121,14 +128,23 @@ object Dedup {
     */
   def lshCandidates(sigs: DataFrame, bands: Int,
                     maxBucket: Int = 4096): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    // bands > signature length would make every slice empty (all
+    // docs in ONE bucket per band — recall silently collapses once a
+    // bucket tops maxBucket); fail loudly at execution instead.
+    // Callers with a static numHashes (minhashNearDups) also reject
+    // non-divisor bands up front.
     val rowsPerBand = floor(size(col("sig")) / bands).cast("int")
     // bucket = hash of the band slice, hashed as the long array itself
     // (xxhash64 folds array elements natively — no per-element string
     // materialization)
     val banded = sigs.select(col("doc_id"),
+        assert_true(size(col("sig")) >= lit(bands),
+          lit(s"lshCandidates: bands=$bands exceeds the signature length — " +
+            "every band slice would be empty")).as("__chk"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))))
-      .toDF("doc_id", "band", "bucket")
+      .toDF("doc_id", "__chk", "band", "bucket").drop("__chk")
     boundedGroupPairs(banded, Seq(col("band"), col("bucket")),
         col("doc_id"), maxBucket, "lsh_buckets")
       .toDF("id_a", "id_b")
@@ -217,6 +233,10 @@ object Dedup {
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.7,
                       maxBucket: Int = 4096): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must be in [1, numHashes=$numHashes] and divide it " +
+        "evenly: bands > numHashes makes every band slice empty (all docs " +
+        "one bucket); a non-divisor silently ignores trailing hashes")
     // pin the per-doc shingle sets once (SORTED — the rerank kernel
     // is a linear merge over sorted sets): the rerank joins them on
     // id_a AND id_b, and aliased subtrees defeat exchange reuse — so
@@ -233,7 +253,12 @@ object Dedup {
     // collide in 64 bits (P ≈ n²/2⁶⁵; DedupSpec pins zero collisions
     // on the graded corpora, so the oracle-equality contract with
     // [[ngramJaccardPairs]] is unaffected).
-    val docs = spread(df, id)
+    // blank/null docs all share the single shingle "" — k of them
+    // would emit k²/2 degenerate jaccard-1.0 pairs (the same
+    // degeneracy simhashSigsNonEmpty excludes); exact dedup owns
+    // identical-empty duplicates
+    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
+    val docs = spread(nonBlank, id)
       .select(id.as("doc_id"),
         sort_array(transform(shingles(text, shingleN),
           s => xxhash64(s))).as("sh"))
@@ -277,7 +302,8 @@ object Dedup {
     // collisions on the graded corpus; at 100 TB a collision shifts
     // one pair's jaccard by ~1/n_sh with P ≈ n²/2⁶⁵ — noise well
     // under the threshold granularity).
-    val inv = spread(df, id)
+    // same blank-doc exclusion as minhashNearDups (degenerate "" pairs)
+    val inv = spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
       .select(id.as("doc_id"),
         explode(shinglesRaw(text, shingleN)).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))

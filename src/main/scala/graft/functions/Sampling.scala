@@ -160,10 +160,15 @@ object Sampling {
   def perStratumSample(df: DataFrame, key: Column, stratum: Column,
                        k: Int, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // tie-break on the key itself: md5 prefixes could collide, and
-    // the sample must be a deterministic set
+    // tie-break on the key, then on a hash of the WHOLE ROW: md5
+    // prefixes could collide, and two rows sharing the same key value
+    // would otherwise be ordered by shuffle arrival — a retry could
+    // return a different surviving row at the k boundary. With the
+    // full-row hash the order is content-deterministic (two fully
+    // identical rows are interchangeable, so their tie is harmless).
     val w = Window.partitionBy(stratum)
-      .orderBy(decisionHex(key, seed).asc, key.asc)
+      .orderBy(decisionHex(key, seed).asc, key.asc,
+        xxhash64(struct(col("*"))).asc)
     var rn = "__rn"
     while (df.columns.contains(rn)) rn += "_"
     df.withColumn(rn, row_number().over(w))
@@ -208,7 +213,10 @@ object Sampling {
     // cumulative weight per part passes 2^53 — real at 100 TB token
     // budgets. Prefix sums are non-negative, so integral division
     // equals the floor the docstring promises.
-    val prefix = coalesce(sum(weight).over(w), lit(0L)).cast("long")
+    // the weight casts to LONG BEFORE the sum: summing a double
+    // weight column would accumulate in double and re-introduce the
+    // 2^53 rounding this IntegralDivide form exists to avoid
+    val prefix = coalesce(sum(weight.cast("long")).over(w), lit(0L)).cast("long")
     df.withColumn(as, {
       import org.apache.spark.sql.GraftColumnBridge.{column, expression}
       import org.apache.spark.sql.catalyst.expressions.IntegralDivide
@@ -232,9 +240,17 @@ object Sampling {
     */
   def deterministicShuffle(df: DataFrame, key: Column, seed: Long,
                            as: String = "rank"): DataFrame = {
-    val hashed = df.withColumn("__shuf", decisionHex(key, seed))
+    // the output and scratch names must not silently replace user
+    // columns (withColumn overwrites): grow the scratch name until
+    // free, refuse an occupied output name outright
+    require(!df.columns.contains(as),
+      s"deterministicShuffle: output column '$as' already exists — " +
+        "pass a free name via `as`")
+    var shuf = "__shuf"
+    while (df.columns.contains(shuf)) shuf += "_"
+    val hashed = df.withColumn(shuf, decisionHex(key, seed))
     graft.streaming.Heat
-      .globalRank(hashed, Seq(col("__shuf"), key.cast("string")), as)
-      .drop("__shuf")
+      .globalRank(hashed, Seq(col(shuf), key.cast("string")), as)
+      .drop(shuf)
   }
 }

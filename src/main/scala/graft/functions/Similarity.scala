@@ -35,7 +35,9 @@ object Similarity {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    val den = sqrt(dot(a, a) * dot(b, b))
+    // zero-norm guard, matching the native expression: 0.0, not NaN
+    when(den === lit(0.0), lit(0.0)).otherwise(dot(a, b) / den)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k most
@@ -147,10 +149,15 @@ object Similarity {
     val e = exact.select(col("query_id"), col("vec_id"))
     val matched = e.join(a, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("__m"))
-    e.select(col("query_id")).distinct()
+    // denominator = the exact side's PER-QUERY row count, not k: on a
+    // corpus smaller than k+1 the exact top-k has fewer than k rows,
+    // and dividing by k would fail a perfect ANN (4/10 < floor while
+    // ANN matched all 4 true neighbors)
+    val exactN = e.groupBy(col("query_id")).agg(count(lit(1)).as("__n"))
+    exactN
       .join(matched, Seq("query_id"), "left_outer")
       .select(col("query_id"),
-        (coalesce(col("__m"), lit(0L)).cast("double") / k >= floor)
+        (coalesce(col("__m"), lit(0L)).cast("double") / col("__n") >= floor)
           .as("recall_ok"))
   }
 
@@ -226,8 +233,9 @@ object Similarity {
         (x, s) => round(x.cast("double") / s).cast("byte")).as("q"),
       scale.as("scale"),
       // ANSI division throws on a zero denominator — the all-zero
-      // vector gets inv_norm 0.0, so its approximate score is 0
-      // (its exact cosine is NaN; neither ranks)
+      // vector gets inv_norm 0.0, so its approximate score is 0,
+      // matching its exact cosine (0.0 by the zero-norm guard in
+      // CosineSim/cosineComposable); neither ranks
       when(norm > 0.0, lit(1.0) / norm).otherwise(lit(0.0)).as("inv_norm"))
   }
 
@@ -338,8 +346,11 @@ object Similarity {
     // by IVF cluster instead (Ivf) — partition-count there scales
     // with data, not with signature width.
     val vecs = corpus.select(id.as("vec_id"), vec.as("v")).localCheckpoint()
-    val banded = corpus
-      .select(id.as("vec_id"), hyperplaneSig(vec, bits).as("sig"))
+    // signatures derive from the PINNED table — reading `corpus` here
+    // would re-execute the whole upstream a second time (the pin
+    // exists precisely so every downstream reads materialized blocks)
+    val banded = vecs
+      .select(col("vec_id"), hyperplaneSig(col("v"), bits).as("sig"))
       .select(col("vec_id"), posexplode(array(
         Dedup.bitChunks(col("sig"), Seq.fill(nBands)(bandBits)): _*)))
       .toDF("vec_id", "band", "bkey")

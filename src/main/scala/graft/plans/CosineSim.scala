@@ -73,7 +73,12 @@ case class CosineSim(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    val denom = math.sqrt(na * nb)
+    // zero-norm guard: 0/0 would be NaN, and Spark's double ordering
+    // ranks NaN ABOVE every value — a zero vector (padding / failed
+    // embedding) would win every top-k and pass every >= threshold
+    // filter. Cosine with a zero vector is "no similarity": 0.0.
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -102,7 +107,8 @@ case class CosineSim(left: Expression, right: Expression)
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |    double ${dot}_den = java.lang.Math.sqrt($na * $nb);
+         |    ${ev.value} = ${dot}_den == 0.0 ? 0.0 : $dot / ${dot}_den;
          |  }
          |}
        """.stripMargin

@@ -265,6 +265,35 @@ class DedupSpec extends SparkSpec {
     assert(got(1) == Set("x y"))
   }
 
+  test("null-text docs are not a duplicate class: all pass exactDedup") {
+    import spark.implicits._
+    val df = Seq((1L, Option("same")), (2L, Option("same")),
+      (3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    // dedup keeps one of the "same" pair; BOTH null-text rows survive
+    // (no content to compare — they are not duplicates of each other)
+    val kept = exactDedup(df, $"doc_id", $"text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), kept.toString)
+    // and the class report covers comparable docs only
+    val classes = exactDupClasses(df, $"doc_id", $"text").collect()
+    assert(classes.length == 1 && classes.head.getLong(1) == 1L &&
+      classes.head.getLong(2) == 2L)
+  }
+
+  test("minhashNearDups rejects band counts that break the LSH contract") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // bands > numHashes: every slice empty (all docs one bucket)
+    intercept[IllegalArgumentException] {
+      minhashNearDups(df, $"doc_id", $"text", 3, 16, 32, 0.5)
+    }
+    // non-divisor bands: trailing hashes silently ignored
+    intercept[IllegalArgumentException] {
+      minhashNearDups(df, $"doc_id", $"text", 3, 32, 6, 0.5)
+    }
+  }
+
   test("exactDedup keeps exactly one row per duplicate class, min id") {
     val df = Seq((3L, "dup text"), (1L, "dup  TEXT"), (2L, "unique")).toDF("id", "text")
     val got = exactDedup(df, $"id", $"text").collect().map(_.getLong(0)).toSet
@@ -495,6 +524,27 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
   import Similarity._
+
+  test("zero-norm vectors score 0.0, not NaN, and never win a top-k") {
+    import spark.implicits._
+    // Spark's double ordering ranks NaN ABOVE every value — without
+    // the zero-norm guard a padding/failed-embedding row would be
+    // rank 1 for every query and pass every >= threshold filter
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val both = corpus.select(
+      cosine($"embedding", typedLit(Array(1.0f, 0.0f))).as("native"),
+      cosineComposable($"embedding", typedLit(Array(1.0f, 0.0f))).as("comp"))
+      .collect()
+    assert(both.forall(r => !r.getDouble(0).isNaN && !r.getDouble(1).isNaN))
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1))) // parity holds
+    val top = bruteForceTopK(corpus, $"vec_id", $"embedding",
+      corpus.filter($"vec_id" === 1L), $"vec_id", $"embedding", k = 2)
+      .orderBy($"rnk").collect()
+    assert(top.head.getLong(1) == 2L, s"zero vector must not outrank: ${top.toSeq}")
+    assert(top.last.getLong(1) == 3L && top.last.getDouble(2) == 0.0)
+  }
 
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
