@@ -62,9 +62,16 @@ object Ivf {
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cluster"), transform(col("pm"), x => x.getField("m")).as("cv"))
-      // k rows — safe to bring to the driver between iterations
-      cents = updated.collect().map(r =>
-        (r.getInt(0), r.getSeq[Double](1))).toSeq
+      // k rows — safe to bring to the driver between iterations.
+      // A cluster that received no members this round (possible when
+      // seed vectors duplicate: the assignment tie-break drains one
+      // of them) emits no mean row — KEEP its previous centroid
+      // instead of silently shrinking the index below k (callers
+      // size nprobe against k)
+      val newCents = updated.collect().map(r =>
+        (r.getInt(0), r.getSeq[Double](1))).toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, newCents.getOrElse(cid, old)) }
       centsDf = centroidDf(c, cents)
     }
     (assign(c, centsDf), centsDf)

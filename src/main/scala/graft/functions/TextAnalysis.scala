@@ -67,7 +67,12 @@ object TextAnalysis {
         size(filter(toks, t => t.isin(stopwords(l): _*))).as("score"),
         lit(l).as("lang"))
     }: _*)
-    array_max(scored).getField("lang")
+    // null text -> null label: every language's score is null there,
+    // and array_max would otherwise tie-break purely on the lang
+    // string, confidently labeling null docs with the
+    // lexicographically-last language
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(array_max(scored).getField("lang"))
   }
 
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text
@@ -271,7 +276,11 @@ object TextAnalysis {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
-    val reserved = Set("doc_id", "chunk_id", "n_tokens", "chunk_text", "__tk")
+    // every name the implementation introduces at any point — a carry
+    // column matching one would collide mid-plan with an ambiguous-
+    // reference error far less clear than this require
+    val reserved = Set("doc_id", "chunk_id", "n_tokens", "chunk_text",
+      "__tk", "__n", "pos", "col")
     val clash = carry.filter(reserved)
     require(clash.isEmpty, s"carry columns collide with output: $clash")
     val base = df.filter(text.isNotNull)

@@ -48,7 +48,13 @@ object AggregateLib {
           sum(col("__v").try_cast("long")).cast("string"))
         .when(col("__k").startsWith("f:"),
           sum(col("__v").try_cast("double")).cast("string"))
-        .otherwise(concat_ws(concatSep, sort_array(collect_list(col("__v")))))
+        // collect_list skips nulls, so numeric-prefixed groups buffer
+        // NOTHING here — without the when(), every l:/f: group would
+        // hold its whole value list in the list buffer (unbounded
+        // state on hot numeric keys) just to discard it in the CASE
+        .otherwise(concat_ws(concatSep, sort_array(collect_list(
+          when(!col("__k").startsWith("l:") && !col("__k").startsWith("f:"),
+            col("__v"))))))
         .as("value"))
       .withColumnRenamed("__k", "key")
   }
@@ -115,7 +121,8 @@ object AggregateLib {
             min(col("__freq")).cast("string"),
             // the reference's median: sorted counts[len / 2] — the
             // UPPER median, no interpolation
-            element_at(sort_array(collect_list(col("__freq"))),
+            element_at(sort_array(collect_list(
+              when(col("__type") === "ValueHistogram", col("__freq")))),
               (n / 2 + 1).cast("int")).cast("string"),
             max(col("__freq")).cast("string"),
             avgFreq.cast("string"),
@@ -210,7 +217,7 @@ object AggregateLib {
       max(col("__freq")).as("max_freq"),
       round(sum(col("__freq")).cast("double") / count(lit(1)), 4).as("avg_freq"),
       round(sqrt(
-        sum(col("__freq") * col("__freq")).cast("double") / count(lit(1)) -
+        sum(col("__freq").cast("double") * col("__freq")) / count(lit(1)) -
         pow(sum(col("__freq")).cast("double") / count(lit(1)), 2)), 4)
         .as("stddev_freq"))
   }
@@ -225,7 +232,7 @@ object AggregateLib {
       max(col("__freq")).as("max_freq"),
       round(sum(col("__freq")).cast("double") / count(lit(1)), 4).as("avg_freq"),
       round(sqrt(
-        sum(col("__freq") * col("__freq")).cast("double") / count(lit(1)) -
+        sum(col("__freq").cast("double") * col("__freq")) / count(lit(1)) -
         pow(sum(col("__freq")).cast("double") / count(lit(1)), 2)), 4)
         .as("stddev_freq"))
   }

@@ -51,6 +51,12 @@ object Joins {
                    valueCols: Seq[Seq[String]]): DataFrame = {
     require(dfs.nonEmpty && dfs.size == valueCols.size)
     val outNames = valueCols.head
+    valueCols.zipWithIndex.foreach { case (vcs, i) =>
+      require(vcs.size == outNames.size,
+        s"overrideJoin: source $i has ${vcs.size} value columns, " +
+          s"expected ${outNames.size} (positional alignment — zip would " +
+          "silently drop the extras / die late on the missing)")
+    }
     // presence flag per source: "rightmost source that HAS the key"
     // wins even when its value is null — a bare coalesce on the value
     // would silently resurrect an overridden value
@@ -135,6 +141,20 @@ object Joins {
         val key = dfs.head.columns.head
         val aligned = dfs.map { df =>
           df.withColumnRenamed(df.columns.head, key)
+        }
+        // inner/outer: sources sharing a value-column name would emit
+        // duplicate output columns — unusable by name, and ambiguous
+        // inside any surrounding expression. Reject with the
+        // offenders named. (override is exempt: positional alignment
+        // with rightmost-wins is exactly the shared-name case.)
+        if (op != "override") {
+          val dupes = aligned.flatMap(_.columns.drop(1))
+            .groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+          require(dupes.isEmpty,
+            s"compositeJoin '$op': value column name(s) " +
+              s"${dupes.mkString(", ")} appear in more than one source — " +
+              "alias them apart first (the composed frame would carry " +
+              "ambiguous duplicate columns)")
         }
         op match {
           case "inner" => innerJoin(aligned, key)

@@ -75,7 +75,14 @@ object Sorting {
         private var current: Iterator[T] = Iterator.empty
         private var lastKey: Seq[Any] = null
         private def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
-          groupIdx.map(r.get)
+          // binary columns surface as Array[Byte], whose == is
+          // REFERENCE equality — comparing raw arrays would split
+          // every row into its own group silently; normalize to an
+          // immutable Seq (value equality) for the run comparison
+          groupIdx.map(r.get(_) match {
+            case b: Array[Byte] => b.toSeq
+            case v => v
+          })
         private def advance(): Unit = {
           while (!current.hasNext && {
             // skip whatever the previous f left unconsumed — done
@@ -120,13 +127,27 @@ object Sorting {
   def validateSorted(sorted: DataFrame, keys: Seq[String]): (Boolean, Long) = {
     val idx = keys.map(sorted.schema.fieldIndex)
     // type-aware ascending compare; nulls first (Spark's default)
+    def cmpOne(x: Any, y: Any): Int = (x, y) match {
+      // Spark orders binary lexicographically by UNSIGNED byte;
+      // Array[Byte] is not Comparable, and a signed compare would
+      // disagree with the engine's own order above 0x7f
+      case (a: Array[Byte], b: Array[Byte]) =>
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
     def cmpKey(a: Seq[Any], b: Seq[Any]): Int =
       a.lazyZip(b).collectFirst {
         case (x, y) if x == null && y != null => -1
         case (x, y) if x != null && y == null => 1
-        case (x, y) if x != null && y != null &&
-            x.asInstanceOf[Comparable[Any]].compareTo(y) != 0 =>
-          x.asInstanceOf[Comparable[Any]].compareTo(y)
+        case (x, y) if x != null && y != null && cmpOne(x, y) != 0 =>
+          cmpOne(x, y)
       }.getOrElse(0)
     val perPartition = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var ok = true

@@ -54,6 +54,17 @@ class TextAnalysisSpec extends SparkSpec {
       s"clean doc flagged: $rep")
   }
 
+  test("langId labels null text null, not the last language code") {
+    import spark.implicits._
+    val got = Seq((1L, Option("the cat and the dog")),
+      (2L, None: Option[String]))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("en"))
+    assert(got(2L).isEmpty, "null doc must not be confidently labeled")
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog in the house",

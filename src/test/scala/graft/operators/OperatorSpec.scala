@@ -110,6 +110,25 @@ class SortingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("reduceSortedGroups groups BINARY keys by value, not reference") {
+    import spark.implicits._
+    // Array[Byte] == is reference equality; without normalization
+    // every row of a binary-keyed group would become its own
+    // single-row run — silently wrong aggregates, no error
+    val df = Seq(("a", 1), ("a", 2), ("b", 3))
+      .toDF("k", "v")
+      .select(unhex(hex(col("k"))).as("k"), col("v")) // k as binary
+    val got = Sorting.reduceSortedGroups[(String, Int)](
+      df, Seq("k"), Seq(col("v"))) { (key, rows) =>
+        val bytes = key.head match {
+          case b: Array[Byte] => b
+          case s: Seq[_] => s.asInstanceOf[Seq[Byte]].toArray
+        }
+        Iterator.single((new String(bytes, "UTF-8"), rows.size))
+      }.collect().toMap
+    assert(got == Map("a" -> 2, "b" -> 1), got.toString)
+  }
+
   test("reduceSortedGroups handles partial consumers without bleeding runs") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (1, 30), (2, 40)).toDF("k", "v")
