@@ -31,10 +31,21 @@ object Catalog {
   def depth(path: Column): Column =
     size(filter(split(path, "/"), p => length(p) > 0))
 
+  /** Strip trailing slashes (keeping root itself) so "/a" and "/a/"
+    * address the same directory across ls/du/count — du already
+    * normalized; the others silently returned nothing for "/a/".
+    */
+  private def normDir(dir: String): String = {
+    val d = dir.replaceAll("/+$", "")
+    if (d.isEmpty) "/" else d
+  }
+
   /** `ls <dir>`: direct children of a directory. */
-  def ls(files: DataFrame, dir: String): DataFrame =
-    files.filter(parent(col("path")) === (if (dir == "/") "" else dir))
+  def ls(files: DataFrame, dir: String): DataFrame = {
+    val d = normDir(dir)
+    files.filter(parent(col("path")) === (if (d == "/") "" else d))
       .orderBy(col("path"))
+  }
 
   /** `du <dir>` (per direct child, recursive sizes): one aggregation
     * keyed by the child prefix.
@@ -53,8 +64,9 @@ object Catalog {
 
   /** `count <dir>`: (dirs, files, bytes) under a prefix. */
   def countSummary(files: DataFrame, dir: String): DataFrame = {
-    val prefix = if (dir.endsWith("/")) dir else dir + "/"
-    files.filter(col("path") === dir || col("path").startsWith(prefix))
+    val d = normDir(dir)
+    val prefix = if (d == "/") "/" else d + "/"
+    files.filter(col("path") === d || col("path").startsWith(prefix))
       .agg(
         sum(when(col("is_dir"), 1L).otherwise(0L)).as("dir_count"),
         sum(when(col("is_dir"), 0L).otherwise(1L)).as("file_count"),
@@ -78,7 +90,8 @@ object Catalog {
       .withColumn("n_blocks",
         ceil(col("len").cast("double") / blockSize).cast("int"))
       .select(col("path"), col("replication"),
-        posexplode(sequence(lit(0), col("n_blocks") - 1)))
+        posexplode(when(col("n_blocks") > 0,
+          sequence(lit(0), col("n_blocks") - 1))))
       .withColumnRenamed("pos", "block_idx")
       .drop("col")
       .withColumn("block_id", xxhash64(col("path"), col("block_idx")))
@@ -93,7 +106,9 @@ object Catalog {
       // their parent so nothing aggregates under an empty group
       .withColumn("dir", coalesce(
         nullif(regexp_extract(col("path"), "^(/[^/]+/[^/]+)", 1), lit("")),
-        parent(col("path"))))
+        // a root-level file's parent is "" — report it under "/",
+        // not an unnamed empty-string directory
+        nullif(parent(col("path")), lit("")), lit("/")))
       .groupBy(col("dir"))
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -139,12 +154,14 @@ object Catalog {
       .withColumn("n_blocks",
         ceil(col("len").cast("double") / blockSize).cast("int"))
       .select(col("path"), col("len"), col("replication"),
-        posexplode(sequence(lit(0), col("n_blocks") - 1)))
+        posexplode(when(col("n_blocks") > 0,
+          sequence(lit(0), col("n_blocks") - 1))))
       .withColumnRenamed("pos", "block_idx")
       .withColumn("bytes",
         least(lit(blockSize), col("len") - col("block_idx") * blockSize))
       .select(col("path"), col("block_idx"), col("bytes"),
-        explode(sequence(lit(0), col("replication") - 1)).as("r"))
+        explode(when(col("replication") > 0,
+          sequence(lit(0), col("replication") - 1))).as("r"))
       .withColumn("node",
         conv(substring(md5(concat(col("path"), lit("#"),
           col("block_idx").cast("string"), lit("#"),

@@ -23,8 +23,16 @@ object Filters {
     * reference uses Java `hashCode()`; for integral keys that is the
     * value itself, which keeps the predicate engine-portable.
     */
-  def percentFilter(df: DataFrame, key: Column, frequency: Int): DataFrame =
+  /** Keys must be numeric(-castable): the reference's PercentFilter
+    * hashes arbitrary keys via hashCode, this form keeps the numeric
+    * key directly (engine-portable, oracle-checkable). A non-numeric
+    * key fails the ANSI cast loudly rather than silently dropping
+    * every row.
+    */
+  def percentFilter(df: DataFrame, key: Column, frequency: Int): DataFrame = {
+    require(frequency >= 1, s"frequency must be >= 1, got $frequency")
     df.filter(pmod(key.cast("long"), lit(frequency.toLong)) === 0)
+  }
 
   /** MD5Filter: keep records whose MD5 falls in a 16^-nibbles slice —
     * deterministic content-hash sampling (reference samples

@@ -32,13 +32,27 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
       .contains(normalized),
       s"saltedJoin preserves multiplicity only for probe-side join types, got $joinType")
-    // deterministic salt: stable under retries/speculation (a random
-    // salt would break exactly-once row semantics on task rerun)
-    val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*)), lit(salts))
-        .cast("int"))
-    val replicated = build.withColumn("__salt",
+    // scratch name must not clobber a user column (withColumn
+    // replaces silently; the final drop would delete their data)
+    var saltCol = "__salt"
+    while (probe.columns.contains(saltCol) || build.columns.contains(saltCol))
+      saltCol += "_"
+    // salt = hash of (row content, per-partition row position): the
+    // row hash alone is CONSTANT across identical duplicate rows —
+    // exactly the shape a hot key often has (probe projected to the
+    // join key, repeated events) — which would land the whole hot key
+    // on one reducer while still paying the build×salts replication.
+    // monotonically_increasing_id breaks those ties; for a
+    // deterministic scan (file source, same splits) it is stable
+    // under retry/speculation, and ANY salt assignment yields the
+    // same join result — determinism here is about reproducible
+    // execution, not correctness.
+    val salted = probe.withColumn(saltCol,
+      pmod(xxhash64(struct(
+        probe.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*)),
+        lit(salts)).cast("int"))
+    val replicated = build.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)
   }
 }

@@ -149,21 +149,25 @@ object Temporal {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint, both have: $overlap")
-    // exact floorDiv in long arithmetic: t - pmod(t, b) is the
-    // largest multiple of b <= t (pmod is non-negative), and the
-    // integral division of an exact multiple is exact at any
-    // magnitude — no double rounding
-    def bucketOf(t: Column): Column = {
-      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
-      val tl = t.cast("long")
-      column(IntegralDivide(
-        expression(tl - pmod(tl, lit(bucket))), expression(lit(bucket))))
-    }
+    // exact floorDiv in DECIMAL arithmetic: long bucket math
+    // (t - pmod(t, b)) overflows under ANSI for sentinel bounds
+    // (start = Long.MinValue "beginning of time" / end =
+    // Long.MaxValue "forever" — exactly the open-ended intervals the
+    // maxBuckets guard exists to drop), killing the job before the
+    // guard could count them. decimal(21,0) holds any long with
+    // headroom; the quotient's fractional part is k/b ≤ 1 − 1/b,
+    // far from the result-scale rounding boundary, so floor is
+    // exact. Bucket INDICES fit a long again (|t/b| ≤ 2^63/b).
+    def bucketOfDec(t: Column): Column =
+      floor(t.cast("decimal(21,0)") /
+        lit(bucket).cast("decimal(21,0)"))
+    def bucketOf(t: Column): Column = bucketOfDec(t).cast("long")
     var p = "__rj"
     while (points.columns.exists(_.startsWith(p)) ||
            intervals.columns.exists(_.startsWith(p))) p += "_"
-    val nb = (bucketOf(end) - bucketOf(start) + 1).as(s"${p}_nb")
+    // span in decimal too: with bucket=1 the index difference of a
+    // sentinel-bounded interval itself exceeds Long.MaxValue
+    val nb = (bucketOfDec(end) - bucketOfDec(start) + 1).as(s"${p}_nb")
     // observe BEFORE the validity filter so inverted (end < start)
     // or null-bounded intervals are counted, not silently discarded;
     // their (negative/null) bucket span is excluded from the span

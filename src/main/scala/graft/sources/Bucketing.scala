@@ -64,15 +64,21 @@ object Bucketing {
     // AFTER the conf is restored and lose the pruning) and hand back
     // a local result.
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(conf)
-    spark.conf.set(conf, "false")
-    try {
-      val df = spark.table(table)
-        .filter(org.apache.spark.sql.functions.col(key) === value)
-      val rows = df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      (spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema), plan)
-    } finally spark.conf.set(conf, prev)
+    // the toggle is session-global: serialize concurrent lookups on
+    // the session so two threads can't interleave read-prev/restore
+    // and leave the conf stuck (or force bucketed scans on unrelated
+    // concurrent queries mid-window)
+    spark.synchronized {
+      val prev = spark.conf.get(conf)
+      spark.conf.set(conf, "false")
+      try {
+        val df = spark.table(table)
+          .filter(org.apache.spark.sql.functions.col(key) === value)
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        (spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema), plan)
+      } finally spark.conf.set(conf, prev)
+    }
   }
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.types.StructType
 
 /** Record I/O — the reference's DDL-compiled record codecs
@@ -35,12 +36,4 @@ object Records {
 
   /** Parse an XML record column against a DDL schema. */
   def fromXml(c: Column, ddl: String): Column = from_xml(c, schemaOf(ddl))
-
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val jm = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
-  }
 }

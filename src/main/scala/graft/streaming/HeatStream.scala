@@ -56,6 +56,7 @@ object HeatStream {
     // unpersist the previous micro-batch's plan — without this the
     // cached blocks accumulate for the stream's whole lifetime
     var prevPlan: Option[org.apache.spark.sql.DataFrame] = None
+    var prevPrevPlan: Option[org.apache.spark.sql.DataFrame] = None
     heatUpdates(events, cfg).writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[HeatRecord], _: Long) =>
@@ -74,7 +75,14 @@ object HeatStream {
         // global view: foreachBatch runs on a cloned session, so a
         // plain temp view would be invisible to the caller's session
         plan.createOrReplaceGlobalTempView(s"${queryName}_plan")
-        prevPlan.foreach(_.unpersist())
+        // unpersist with ONE generation of grace: an actuator that
+        // read the view just before the swap may still be scanning
+        // the previous plan's cached blocks — dropping them mid-read
+        // would force recomputation through localCheckpoint lineage
+        // that is not guaranteed to survive executor loss. Two live
+        // generations bound the cache at 2× one (tiny) plan.
+        prevPrevPlan.foreach(_.unpersist())
+        prevPrevPlan = prevPlan
         prevPlan = Some(plan)
         ()
       }
