@@ -59,9 +59,24 @@ object Bench {
         // (LSH banding, inverted indexes) must not distort successors
         // or their own re-runs
         spark.catalog.clearCache()
+        // clearCache drops cached DataFrames but NOT localCheckpoint
+        // RDD blocks (freed by ContextCleaner on GC) — nudge the
+        // cleaner so pinned blocks from checkpoint-using queries
+        // don't bleed storage pressure into later timings
+        System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        try {
+          // toRdd.count() executes the PHYSICAL plan as built: a plain
+          // Dataset.count() rewrites to Aggregate(count(1)) and prunes
+          // deterministic projections, so projection-only queries
+          // (scrub/langid/quality/...) would time a near-metadata-only
+          // scan instead of their actual operator work
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal: an OOM/LinkageError must abort the bench loudly,
+          // not record a silent -1 on a corrupted JVM
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0 // a failed pass must not read as a (fast) success
         }

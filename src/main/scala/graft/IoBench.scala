@@ -19,8 +19,11 @@ object IoBench {
       shufflePartitions = cpus.toInt, appName = "graft-iobench")
     import spark.implicits._
 
-    // ~100 bytes/row like the TeraSort record (TeraGen.java:50-53)
-    val rows = mb.toLong * 1024 * 1024 / 100
+    // 104 logical bytes/row (8B id + 32B md5 key + 64B filler) —
+    // close to the TeraSort record (TeraGen.java:50-53); the constant
+    // must match the actual schema or both MB/s figures skew
+    val bytesPerRow = 8L + 32L + 64L
+    val rows = mb.toLong * 1024 * 1024 / bytesPerRow
     val df = spark.range(rows).select(
       col("id"),
       md5(col("id").cast("string")).as("key"),          // 32 B
@@ -32,11 +35,15 @@ object IoBench {
     val writeSec = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val n = spark.read.parquet(out).agg(count(lit(1)), max(length(col("filler"))))
+    // the aggregate must TOUCH every column: pruning would skip the
+    // id/key chunks entirely while read_mb_s still divides by the
+    // full logical size (a ~40% overstatement)
+    val n = spark.read.parquet(out).agg(count(lit(1)), max(col("id")),
+        max(length(col("key"))), max(length(col("filler"))))
       .collect().head.getLong(0)
     val readSec = (System.nanoTime() - t1) / 1e9
 
-    val logicalMb = rows * 100.0 / 1024 / 1024
+    val logicalMb = rows * bytesPerRow.toDouble / 1024 / 1024
     println(f"""{"metric":"iobench","logical_mb":$logicalMb%.1f,"rows":$n,"write_sec":$writeSec%.2f,"read_sec":$readSec%.2f,"write_mb_s":${logicalMb / writeSec}%.1f,"read_mb_s":${logicalMb / readSec}%.1f}""")
     spark.stop()
   }

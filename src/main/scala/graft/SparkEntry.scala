@@ -60,18 +60,28 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
-  /** Replay scratch dir, deleted on JVM exit — a long-lived driver
-    * re-running the replay queries (Bench does, three passes each)
-    * must not accumulate parquet slices in the temp filesystem.
+  /** Replay scratch dirs, bounded to ONE live copy: each new replay
+    * eagerly deletes the previous one (its stream has stopped by
+    * then — the queries stop before returning), so a long-lived
+    * driver re-running the replay queries (Bench: three passes × six
+    * queries) holds one slice copy at a time, not eighteen. A single
+    * shutdown hook sweeps the final survivor at JVM exit.
     */
-  private def replayDir(): String = {
+  private val liveReplayDirs =
+    new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+  private lazy val replayShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveReplayDirs.synchronized {
+        liveReplayDirs.foreach(p => rmTree(p.toFile)) }))
+  private def replayDir(): String = liveReplayDirs.synchronized {
+    replayShutdownHook
+    liveReplayDirs.foreach(p => rmTree(p.toFile))
+    liveReplayDirs.clear()
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp.toFile)
-    }))
+    liveReplayDirs += tmp
     tmp.toString
   }
 

@@ -16,9 +16,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce propagates the
+      // single-partition constraint up through narrow stages, so a
+      // map-only query's whole scan+compute would run on one core;
+      // the explicit exchange keeps upstream parallelism and only
+      // funnels the final write. NonFatal: a JVM-fatal error (OOM)
+      // must abort the round visibly — later queries on a corrupted
+      // JVM could dump truncated parquet that grades as operator
+      // regressions.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
