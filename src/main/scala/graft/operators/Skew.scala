@@ -23,6 +23,22 @@ object Skew {
     * Cost model: build side × salts extra rows shuffled, in exchange
     * for the hot key fanning out over `salts` reducers.
     */
+  /** Salt = hash of (row content, per-partition row position): the
+    * row hash alone is CONSTANT across identical duplicate rows —
+    * exactly the shape a hot key often has (probe projected to the
+    * join key, repeated events) — which would land the whole hot key
+    * on one reducer while still paying the build×salts replication.
+    * monotonically_increasing_id breaks those ties; for a
+    * deterministic scan (file source, same splits) it is stable
+    * under retry/speculation, and ANY salt assignment yields the
+    * same join result — determinism here is about reproducible
+    * execution, not correctness.
+    */
+  private[operators] def saltExpr(probe: DataFrame, salts: Int): Column =
+    pmod(xxhash64(struct(
+      probe.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*)),
+      lit(salts)).cast("int")
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
@@ -37,20 +53,7 @@ object Skew {
     var saltCol = "__salt"
     while (probe.columns.contains(saltCol) || build.columns.contains(saltCol))
       saltCol += "_"
-    // salt = hash of (row content, per-partition row position): the
-    // row hash alone is CONSTANT across identical duplicate rows —
-    // exactly the shape a hot key often has (probe projected to the
-    // join key, repeated events) — which would land the whole hot key
-    // on one reducer while still paying the build×salts replication.
-    // monotonically_increasing_id breaks those ties; for a
-    // deterministic scan (file source, same splits) it is stable
-    // under retry/speculation, and ANY salt assignment yields the
-    // same join result — determinism here is about reproducible
-    // execution, not correctness.
-    val salted = probe.withColumn(saltCol,
-      pmod(xxhash64(struct(
-        probe.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*)),
-        lit(salts)).cast("int"))
+    val salted = probe.withColumn(saltCol, saltExpr(probe, salts))
     val replicated = build.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)

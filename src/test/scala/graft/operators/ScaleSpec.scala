@@ -128,6 +128,24 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain && plain(1L) == 500L)
   }
 
+  test("saltedJoin fans IDENTICAL duplicate hot rows across salts") {
+    import org.apache.spark.sql.functions._
+    // the hot key's rows are exact duplicates — the common shape
+    // (probe projected to the join key, repeated events). A salt
+    // derived from row content alone is constant across them, so the
+    // whole hot key would land on ONE reducer while still paying
+    // build-side replication; the per-partition row position in the
+    // salt breaks the tie
+    val probe = (1 to 512).map(_ => (1L, "hot")).toDF("k", "pv")
+      .repartition(4)
+    val nSalts = probe.select(Skew.saltExpr(probe, 8).as("s"))
+      .agg(countDistinct($"s")).head().getLong(0)
+    assert(nSalts > 1, s"identical duplicates landed on $nSalts salt(s)")
+    // and the join built on it stays multiplicity-exact
+    val build = Seq((1L, "B")).toDF("k", "bv")
+    assert(Skew.saltedJoin(probe, build, "k", salts = 8).count() == 512L)
+  }
+
   test("saltedJoin rejects build-side outer join types") {
     val probe = Seq((1L, "x")).toDF("k", "pv")
     val build = Seq((1L, "B")).toDF("k", "bv")

@@ -120,6 +120,26 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin survives sentinel open-ended intervals (Long.Min/Max bounds)") {
+    // the exact case the maxBuckets guard exists for: an interval
+    // encoded as "beginning of time .. forever". Long bucket math
+    // overflowed under ANSI before the decimal floorDiv fix — the
+    // job died before the guard could count the interval as dropped
+    val points = Seq((1L, 500L)).toDF("pid", "t")
+    val ivals = Seq(
+      (10L, Long.MinValue, Long.MaxValue),  // sentinel: dropped, not fatal
+      (20L, 450L, 550L)
+    ).toDF("iid", "s", "e")
+    for (bucket <- Seq(1L, 100L)) {
+      // maxBuckets = 200 keeps the 101-bucket valid interval at
+      // bucket=1 while the sentinel interval (~2^64 buckets) drops
+      val out = rangeJoin(points, $"t", ivals, $"s", $"e",
+          bucket = bucket, maxBuckets = 200)
+        .select($"iid").collect().map(_.getLong(0)).toSet
+      assert(out == Set(20L), s"bucket=$bucket: $out")
+    }
+  }
+
   test("rangeJoin bucket math stays exact at nanos magnitude (> 2^53)") {
     // epoch-nanos scale: double arithmetic rounds these longs to
     // multiples of 256, which would misplace bucket boundaries; the
