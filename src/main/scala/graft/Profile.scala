@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 /** Dev tool: stage-by-stage timing of the near-dup pipelines. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // flags are not paths: `Profile --scale10` must hit the default
+    // sfDir, not read "--scale10/documents.parquet"
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt, appName = "graft-profile")

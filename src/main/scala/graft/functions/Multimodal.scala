@@ -173,7 +173,10 @@ object Multimodal {
                                       maxDim: Int): Option[Array[Byte]] =
     decodeImage(bytes).flatMap { case (w, h, _) =>
       if (math.max(w, h) <= maxDim) None // never upscale; pass through
-      else {
+      else try {
+        // full raster decode CAN fail where the header parse did not
+        // (truncated raster, CMYK JPEG unsupported by the stock JDK
+        // reader) — totality means pass-through, not a task failure
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         if (img == null) None
@@ -194,7 +197,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           Some(bos.toByteArray)
         }
-      }
+      } catch { case _: Exception => None }
     }
 
   /** Resize stub: deterministic "resample" of the payload to a target
@@ -222,6 +225,8 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
                    stride: Int): Dataset[Frame] = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     implicit val enc = Encoders.product[Frame]
     media.flatMap { r =>
       r.bytes.grouped(frameBytes).zipWithIndex

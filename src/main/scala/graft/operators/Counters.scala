@@ -18,7 +18,12 @@ import scala.collection.concurrent.TrieMap
   */
 object Counters {
 
-  private val results = TrieMap.empty[String, Row]
+  // keyed by (sessionUUID, metric name): two sessions (or two
+  // concurrent jobs in different sessions) using the same metric
+  // name must not clobber each other's counters. Within ONE session,
+  // concurrent queries sharing a name still last-write-win — scope
+  // names per job there.
+  private val results = TrieMap.empty[(String, String), Row]
 
   /** Attach named observed metrics to a DataFrame. Metrics surface in
     * [[lastObserved]] after an action completes.
@@ -40,15 +45,26 @@ object Counters {
   private val registered = scala.collection.mutable.Set.empty[org.apache.spark.sql.SparkSession]
 
   private val listener = new QueryExecutionListener {
-    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      qe.observedMetrics.foreach { case (name, row) => results(name) = row }
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      val sid = sessionKey(qe.sparkSession)
+      qe.observedMetrics.foreach { case (name, row) =>
+        results((sid, name)) = row }
+    }
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
   }
+
+  // session identity within this JVM — SparkSession exposes no
+  // public UUID, and object identity is exactly the scope the
+  // listener registration uses
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    Integer.toHexString(System.identityHashCode(s))
 
   /** The most recent observed metrics row for `name`, if any action
     * has completed. (Listener delivery is asynchronous — tests call
     * `spark.sparkContext.listenerBus.waitUntilEmpty()` equivalent via
     * polling.)
     */
-  def lastObserved(name: String): Option[Row] = results.get(name)
+  def lastObserved(spark: org.apache.spark.sql.SparkSession,
+                   name: String): Option[Row] =
+    results.get((sessionKey(spark), name))
 }

@@ -22,14 +22,21 @@ object Resilient {
     * a `try_`-style expression (e.g. `try_to_number`, `try_divide`,
     * or any expression wrapped to null on failure).
     */
-  def applied(df: DataFrame, result: Column, as: String): DataFrame =
+  def applied(df: DataFrame, result: Column, as: String): DataFrame = {
+    require(!df.columns.contains(as),
+      s"applied: output column '$as' already exists — withColumn would " +
+        "silently replace the user's data")
     df.withColumn(as, result).filter(col(as).isNotNull)
+  }
 
   /** Rows the transform failed on — the skip list, kept for audit
     * exactly like the reference's skipped-records counter/output.
     */
-  def quarantine(df: DataFrame, result: Column): DataFrame =
-    df.withColumn("__r", result).filter(col("__r").isNull).drop("__r")
+  def quarantine(df: DataFrame, result: Column): DataFrame = {
+    var r = "__r"
+    while (df.columns.contains(r)) r += "_"
+    df.withColumn(r, result).filter(col(r).isNull).drop(r)
+  }
 
   /** One-pass split: (good rows with result, quarantined rows).
     * The input is cached by the caller if both sides are consumed.

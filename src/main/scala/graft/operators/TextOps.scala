@@ -47,8 +47,9 @@ object TextOps {
     * lib/FieldSelectionMapReduce.java:47-137). A spec like
     * `"4,3,0-2,6-"` is a list of single indices and ranges; an
     * open-ended range `n-` means "field n through the last field".
-    * Returns the 0-based field indices, with `-1` marking an
-    * open-ended tail start (expanded at plan build time).
+    * Returns (start, end) pairs of 0-based indices, inclusive; a
+    * `None` end marks an open-ended tail (expanded at plan build
+    * time).
     */
   private[graft] def parseFieldSpec(spec: String): Seq[(Int, Option[Int])] =
     spec.split(",").filter(_.nonEmpty).toSeq.map { tok =>

@@ -21,6 +21,12 @@ object Heat {
     */
   def ewmaBatch(df: DataFrame, key: Column, order: Seq[Column],
                 value: Column, alpha: Double): DataFrame = {
+    // `order` must totally order rows within each key (end it with a
+    // unique id): the first-row weight is structurally different
+    // ((1-a)^(n-1) vs a*(1-a)^(n-k)), so a row_number tie at rn=1
+    // would make the result depend on which tied row the shuffle
+    // delivered first — same contract as packByBudget's order.
+
     val w = Window.partitionBy(key).orderBy(order: _*)
     val wAll = Window.partitionBy(key)
     val weighted = df
@@ -100,12 +106,20 @@ object Heat {
       var acc = 0L
       counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
     }
-    val offsetExpr = offsets.tail
-      .foldLeft(when(col("__pid") === offsets.head._1, lit(offsets.head._2))) {
-        case (e, (p, o)) => e.when(col("__pid") === p, lit(o))
-      }.otherwise(lit(0L))
+    // offsets attach via a BROADCAST join on __pid, not a chained
+    // CASE: a per-row linear scan over numPartitions branches is
+    // O(rows x partitions) and blows codegen method limits at
+    // thousands of partitions — the join is O(1) per row and the
+    // offset table is numPartitions longs
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(
+      offsets.toSeq.toDF("__pid", "__offset"))
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    (parts.withColumn(as, row_number().over(w).cast("long") + offsetExpr),
+    (parts.join(offsetDf, Seq("__pid"), "left_outer")
+      .withColumn(as,
+        row_number().over(w).cast("long") + coalesce(col("__offset"), lit(0L)))
+      .drop("__offset"),
       counts.map(_._2).sum)
   }
 
@@ -117,6 +131,9 @@ object Heat {
 
   def replicationPlan(heat: DataFrame, key: Column, heatCol: Column,
                       minRep: Int = 3, maxRep: Int = 6): DataFrame = {
+    require(maxRep >= minRep,
+      s"maxRep ($maxRep) must be >= minRep ($minRep) — tiers would be " +
+        "zero or negative")
     val tiers = maxRep - minRep + 1
     val (ranked, n) =
       globalRankWithCount(heat, Seq(heatCol.desc, key.asc), "__rank")
@@ -146,10 +163,18 @@ object Heat {
     * variant computes approximate quantile cutoffs in one distributed
     * aggregation and assigns tiers by comparison — no global sort,
     * no single partition, at the cost of quantile-sketch error on
-    * tier boundaries.
+    * tier boundaries. Tie caveat (beyond sketch error): assignment
+    * compares `cutoff < heat` strictly, so a heavily tied
+    * distribution (e.g. most files at heat 0.0) collapses every tied
+    * row into the LOWEST tier — the exact rank form splits ties by
+    * rank. Null heat also lands in the lowest tier here; the exact
+    * form ranks it. Use the exact [[replicationPlan]] when ties
+    * carry meaning.
     */
   def replicationPlanByThreshold(heat: DataFrame, key: Column, heatCol: Column,
                                  minRep: Int = 3, maxRep: Int = 6): DataFrame = {
+    require(maxRep >= minRep,
+      s"maxRep ($maxRep) must be >= minRep ($minRep)")
     val tiers = maxRep - minRep + 1
     val probs = (1 until tiers).map(i => i.toDouble / tiers)
     val cuts = heat.agg(

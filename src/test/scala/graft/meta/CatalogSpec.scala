@@ -128,7 +128,7 @@ class CountersSpec extends SparkSpec {
     var r: Option[org.apache.spark.sql.Row] = None
     val deadline = System.currentTimeMillis() + 10000
     while (r.isEmpty && System.currentTimeMillis() < deadline) {
-      r = Counters.lastObserved("counters_test")
+      r = Counters.lastObserved(spark, "counters_test")
       if (r.isEmpty) Thread.sleep(100)
     }
     assert(r.isDefined)
