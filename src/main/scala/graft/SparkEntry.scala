@@ -60,28 +60,34 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
-  /** Replay scratch dirs, bounded to ONE live copy: each new replay
-    * eagerly deletes the previous one (its stream has stopped by
-    * then — the queries stop before returning), so a long-lived
-    * driver re-running the replay queries (Bench: three passes × six
+  /** Replay scratch dir, bounded to ONE live copy: each new replay
+    * eagerly deletes the previous one, so a long-lived driver
+    * re-running the replay queries (Bench: three passes × six
     * queries) holds one slice copy at a time, not eighteen. A single
     * shutdown hook sweeps the final survivor at JVM exit.
+    *
+    * CONTRACT: one replay stream at a time. Deleting the previous
+    * dir is only safe because every replay query stops its stream
+    * before returning, and Verify/Bench run queries sequentially —
+    * a caller that materializes two replay streams before running
+    * either, or runs replay queries from concurrent threads, would
+    * have its first stream's source dir deleted out from under it.
+    * The Option type makes the one-live-dir invariant structural.
     */
-  private val liveReplayDirs =
-    new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+  private var liveReplayDir: Option[java.nio.file.Path] = None
+  private val replayLock = new Object
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
   private lazy val replayShutdownHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      liveReplayDirs.synchronized {
-        liveReplayDirs.foreach(p => rmTree(p.toFile)) }))
-  private def replayDir(): String = liveReplayDirs.synchronized {
+      replayLock.synchronized {
+        liveReplayDir.foreach(p => rmTree(p.toFile)) }))
+  private def replayDir(): String = replayLock.synchronized {
     replayShutdownHook
-    liveReplayDirs.foreach(p => rmTree(p.toFile))
-    liveReplayDirs.clear()
+    liveReplayDir.foreach(p => rmTree(p.toFile))
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
-    liveReplayDirs += tmp
+    liveReplayDir = Some(tmp)
     tmp.toString
   }
 

@@ -18,46 +18,54 @@ import scala.collection.concurrent.TrieMap
   */
 object Counters {
 
-  // keyed by (sessionUUID, metric name): two sessions (or two
-  // concurrent jobs in different sessions) using the same metric
-  // name must not clobber each other's counters. Within ONE session,
-  // concurrent queries sharing a name still last-write-win — scope
-  // names per job there.
-  private val results = TrieMap.empty[(String, String), Row]
+  // per-session metric rows, WEAKLY keyed by the session object:
+  // reference equality makes cross-session collision impossible
+  // (identity hashes are not unique across object lifetimes, so a
+  // string key derived from one could alias a dead session's rows),
+  // and a stopped, unreferenced session's entries evaporate with it
+  // instead of accumulating across session churn. Within ONE
+  // session, concurrent queries sharing a name still last-write-win
+  // — scope names per job there.
+  private val results = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, TrieMap[String, Row]]
+
+  private def sessionRows(
+      s: org.apache.spark.sql.SparkSession): TrieMap[String, Row] =
+    results.synchronized {
+      var m = results.get(s)
+      if (m == null) { m = TrieMap.empty[String, Row]; results.put(s, m) }
+      m
+    }
 
   /** Attach named observed metrics to a DataFrame. Metrics surface in
     * [[lastObserved]] after an action completes.
     */
   def observed(df: DataFrame, name: String, metrics: (String, Column)*): DataFrame = {
     val spark = df.sparkSession
-    // single lock: a mutable.Set read concurrent with += is unsafe,
-    // so even the fast-path check must be inside the synchronized
+    // single lock: WeakHashMap-backed sets are not thread-safe, so
+    // even the fast-path check must be inside the synchronized
     registered.synchronized {
       if (!registered.contains(spark)) {
         spark.listenerManager.register(listener)
-        registered += spark
+        registered.add(spark)
       }
     }
     val cols = metrics.map { case (n, c) => c.as(n) }
     df.observe(name, cols.head, cols.tail: _*)
   }
 
-  private val registered = scala.collection.mutable.Set.empty[org.apache.spark.sql.SparkSession]
+  // weak too: a strong registration set would pin every session ever
+  // observed, defeating the weak results map's eviction
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean])
 
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      val sid = sessionKey(qe.sparkSession)
-      qe.observedMetrics.foreach { case (name, row) =>
-        results((sid, name)) = row }
+      val rows = sessionRows(qe.sparkSession)
+      qe.observedMetrics.foreach { case (name, row) => rows(name) = row }
     }
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
   }
-
-  // session identity within this JVM — SparkSession exposes no
-  // public UUID, and object identity is exactly the scope the
-  // listener registration uses
-  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
-    Integer.toHexString(System.identityHashCode(s))
 
   /** The most recent observed metrics row for `name`, if any action
     * has completed. (Listener delivery is asynchronous — tests call
@@ -66,5 +74,6 @@ object Counters {
     */
   def lastObserved(spark: org.apache.spark.sql.SparkSession,
                    name: String): Option[Row] =
-    results.get((sessionKey(spark), name))
+    results.synchronized { Option(results.get(spark)) }
+      .flatMap(_.get(name))
 }

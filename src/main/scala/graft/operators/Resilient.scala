@@ -33,8 +33,7 @@ object Resilient {
     * exactly like the reference's skipped-records counter/output.
     */
   def quarantine(df: DataFrame, result: Column): DataFrame = {
-    var r = "__r"
-    while (df.columns.contains(r)) r += "_"
+    val r = graft.Names.fresh("__r", df.columns)
     df.withColumn(r, result).filter(col(r).isNull).drop(r)
   }
 

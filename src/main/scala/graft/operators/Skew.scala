@@ -48,11 +48,7 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
       .contains(normalized),
       s"saltedJoin preserves multiplicity only for probe-side join types, got $joinType")
-    // scratch name must not clobber a user column (withColumn
-    // replaces silently; the final drop would delete their data)
-    var saltCol = "__salt"
-    while (probe.columns.contains(saltCol) || build.columns.contains(saltCol))
-      saltCol += "_"
+    val saltCol = graft.Names.fresh("__salt", probe.columns, build.columns)
     val salted = probe.withColumn(saltCol, saltExpr(probe, salts))
     val replicated = build.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))

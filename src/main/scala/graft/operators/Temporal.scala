@@ -43,10 +43,7 @@ object Temporal {
     val leftCols = left.columns
     require(!leftCols.contains(as),
       s"output column '$as' already exists on the left side")
-    // tag columns grown past both sides' names
-    var p = "__asof"
-    while (leftCols.exists(_.startsWith(p)) ||
-           right.columns.exists(_.startsWith(p))) p += "_"
+    val p = graft.Names.fresh("__asof", leftCols, right.columns)
     // the payload rides in a one-field struct: the struct is non-null
     // on every right row even when the payload value is null, so the
     // running `last(ignoreNulls)` picks the LATEST PRECEDING RIGHT
@@ -103,8 +100,7 @@ object Temporal {
     require(gap > 0, s"gap must be positive, got $gap")
     require(!df.columns.contains(sessionCol),
       s"output column '$sessionCol' already exists")
-    var p = "__sess"
-    while (df.columns.exists(_.startsWith(p))) p += "_"
+    val p = graft.Names.fresh("__sess", df.columns)
     val byTime = Window.partitionBy(key).orderBy(time)
     val runng = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(s"${p}_new",
@@ -162,9 +158,7 @@ object Temporal {
       floor(t.cast("decimal(21,0)") /
         lit(bucket).cast("decimal(21,0)"))
     def bucketOf(t: Column): Column = bucketOfDec(t).cast("long")
-    var p = "__rj"
-    while (points.columns.exists(_.startsWith(p)) ||
-           intervals.columns.exists(_.startsWith(p))) p += "_"
+    val p = graft.Names.fresh("__rj", points.columns, intervals.columns)
     // span in decimal too: with bucket=1 the index difference of a
     // sentinel-bounded interval itself exceeds Long.MaxValue
     val nb = (bucketOfDec(end) - bucketOfDec(start) + 1).as(s"${p}_nb")

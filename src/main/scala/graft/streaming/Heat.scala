@@ -50,6 +50,67 @@ object Heat {
     weighted.groupBy(key).agg(round(sum(col("__wx")), 4).as("ewma"))
   }
 
+  /** Distributed exact global rank (1-based) in the given order —
+    * the scalable replacement for a zero-partition window: range-
+    * repartition on the order columns (pivots sampled like
+    * TotalOrderPartitioner), partition-local `row_number`, plus a
+    * broadcast per-partition offset join. Driver state is
+    * O(partitions) longs, never rows. Returns (ranked df carrying
+    * `as` plus an internal partition-id scratch column, total row
+    * count, the scratch column's name — callers drop it when done).
+    * The input is localCheckpoint-pinned: the offset collection and
+    * the ranked output must see identical partitioning.
+    */
+  private[graft] def globalRankWithCount(df: DataFrame, order: Seq[Column],
+                                         as: String): (DataFrame, Long, String) = {
+    require(!df.columns.contains(as),
+      s"rank column '$as' already exists — withColumn would silently " +
+        "replace the user's data")
+    val pre = graft.Names.fresh("__grank", df.columns)
+    val pid = s"${pre}_pid"
+    val off = s"${pre}_off"
+    // shuffle.partitions can be non-numeric on some platforms
+    // (e.g. "auto"); fall back to the cluster's default parallelism
+    val np = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val parts = df.repartitionByRange(np, order: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint()
+    val counts = parts.groupBy(col(pid)).agg(count(lit(1)).as(s"${pre}_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty)
+      return (parts.withColumn(as, lit(0L)), 0L, pid)
+    val offsets = {
+      var acc = 0L
+      counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+    }
+    // offsets attach via a BROADCAST join on the partition id, not a
+    // chained CASE: a per-row linear scan over numPartitions branches
+    // is O(rows x partitions) and blows codegen method limits at
+    // thousands of partitions — the join is O(1) per row and the
+    // offset table is numPartitions longs
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(
+      offsets.toSeq.toDF(pid, off))
+    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+    (parts.join(offsetDf, Seq(pid), "left_outer")
+      .withColumn(as,
+        row_number().over(w).cast("long") + coalesce(col(off), lit(0L)))
+      .drop(off),
+      counts.map(_._2).sum,
+      pid)
+  }
+
+  /** [[globalRankWithCount]] with the plumbing hidden: df + a
+    * 1-based global `as` rank column in the given order.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], as: String): DataFrame = {
+    val (ranked, _, pid) = globalRankWithCount(df, order, as)
+    ranked.drop(pid)
+  }
+
   /** Batch replication plan: tier by heat quantile — hottest tier
     * gets `maxRep`, coldest `minRep`. The *online* bucket semantics
     * (promotion thresholds, capacity sweep) live in
@@ -77,73 +138,22 @@ object Heat {
     * once instead of twice. The lineage cut is acceptable here — the
     * plan is a periodic policy sweep, rerun wholesale on failure.
     */
-  /** Distributed exact global rank (1-based) in the given order —
-    * the scalable replacement for a zero-partition window: range-
-    * repartition on the order columns (pivots sampled like
-    * TotalOrderPartitioner), partition-local `row_number`, plus a
-    * broadcast per-partition offset CASE. Driver state is
-    * O(partitions) longs, never rows. Returns (ranked df with `as`
-    * and the internal `__pid` column, total row count); callers drop
-    * `__pid` when done. The input is localCheckpoint-pinned: the
-    * offset collection and the ranked output must see identical
-    * partitioning.
-    */
-  private[graft] def globalRankWithCount(df: DataFrame, order: Seq[Column],
-                                         as: String): (DataFrame, Long) = {
-    // shuffle.partitions can be non-numeric on some platforms
-    // (e.g. "auto"); fall back to the cluster's default parallelism
-    val np = scala.util.Try(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    val parts = df.repartitionByRange(np, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    if (counts.isEmpty)
-      return (parts.withColumn(as, lit(0L)), 0L)
-    val offsets = {
-      var acc = 0L
-      counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
-    }
-    // offsets attach via a BROADCAST join on __pid, not a chained
-    // CASE: a per-row linear scan over numPartitions branches is
-    // O(rows x partitions) and blows codegen method limits at
-    // thousands of partitions — the join is O(1) per row and the
-    // offset table is numPartitions longs
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = broadcast(
-      offsets.toSeq.toDF("__pid", "__offset"))
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    (parts.join(offsetDf, Seq("__pid"), "left_outer")
-      .withColumn(as,
-        row_number().over(w).cast("long") + coalesce(col("__offset"), lit(0L)))
-      .drop("__offset"),
-      counts.map(_._2).sum)
-  }
-
-  /** [[globalRankWithCount]] with the plumbing hidden: df + a
-    * 1-based global `as` rank column in the given order.
-    */
-  def globalRank(df: DataFrame, order: Seq[Column], as: String): DataFrame =
-    globalRankWithCount(df, order, as)._1.drop("__pid")
-
   def replicationPlan(heat: DataFrame, key: Column, heatCol: Column,
                       minRep: Int = 3, maxRep: Int = 6): DataFrame = {
     require(maxRep >= minRep,
       s"maxRep ($maxRep) must be >= minRep ($minRep) — tiers would be " +
         "zero or negative")
     val tiers = maxRep - minRep + 1
-    val (ranked, n) =
-      globalRankWithCount(heat, Seq(heatCol.desc, key.asc), "__rank")
+    val rankCol = graft.Names.fresh("__rank", heat.columns)
+    val (ranked, n, pid) =
+      globalRankWithCount(heat, Seq(heatCol.desc, key.asc), rankCol)
     if (n == 0L)
       return heat.withColumn("target_rep", lit(minRep).cast("int"))
     // the rank is bound to a column (not inlined): the tile CASE
     // references it several times, and inlining the window expression
     // would make WindowExec evaluate one identical row_number per
     // reference
-    val rn = col("__rank")
+    val rn = col(rankCol)
     // standard ntile: q = n / t rows per tile, first r = n % t tiles
     // get one extra; closed form over the global rank (floor division
     // via double is exact well past any realistic row count)
@@ -155,7 +165,7 @@ object Heat {
           floor((rn - 1) / lit(q + 1)) + 1)
         .otherwise(lit(r) + floor((rn - lit(r * (q + 1)) - 1) / lit(q)) + 1)
     ranked.withColumn("target_rep", (lit(maxRep + 1) - bucket).cast("int"))
-      .drop("__pid", "__rank")
+      .drop(pid, rankCol)
   }
 
   /** Scalable tiering: the global-window `ntile` above is exact but

@@ -134,6 +134,25 @@ class HeatBatchSpec extends SparkSpec {
     assert(globalWindows.isEmpty, s"un-partitioned windows: $globalWindows")
   }
 
+  test("rank and plan survive user columns named like the old scratch names") {
+    // regression: globalRank once hardcoded __pid/__offset and
+    // replicationPlan __rank — a user column with any of those names
+    // was silently replaced (or made the offset join ambiguous).
+    // Scratch names are now probed fresh per input.
+    val df = (1 to 20).map(i =>
+        (i.toLong, i.toDouble, s"u$i", 7L, 8L))
+      .toDF("user_id", "ewma", "__pid", "__offset", "__rank")
+    val ranked = Heat.globalRank(df, Seq(col("ewma").desc), "rnk")
+    assert(ranked.columns.count(_ == "__offset") == 1)
+    assert(ranked.select("__pid").distinct().count() == 20) // user data intact
+    assert(ranked.select("rnk").as[Long].collect().sorted.toSeq ==
+      (1L to 20L))
+    val plan = Heat.replicationPlan(df, col("user_id"), col("ewma"))
+    assert(plan.columns.toSet ==
+      Set("user_id", "ewma", "__pid", "__offset", "__rank", "target_rep"))
+    assert(plan.select("__rank").distinct().count() == 1) // untouched lit(8)
+  }
+
   test("replicationPlan rank is stable across executions (pinned boundaries)") {
     // regression: two executions of repartitionByRange may sample
     // different range boundaries; the histogram and output passes must
