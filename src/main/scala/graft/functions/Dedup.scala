@@ -74,9 +74,11 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
     val w = Window.partitionBy(TextAnalysis.fingerprint(text)).orderBy(id.asc)
-    df.withColumn("__fpn", TextAnalysis.fingerprint(text).isNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 || col("__fpn")).drop("__rn", "__fpn")
+    val p = graft.Names.fresh("__ded", df.columns)
+    df.withColumn(s"${p}_fpn", TextAnalysis.fingerprint(text).isNull)
+      .withColumn(s"${p}_rn", row_number().over(w))
+      .filter(col(s"${p}_rn") === 1 || col(s"${p}_fpn"))
+      .drop(s"${p}_rn", s"${p}_fpn")
   }
 
   /** Spread a skinny-but-compute-heavy input across the cluster: a
@@ -200,13 +202,14 @@ object Dedup {
   private[graft] def boundedGroupPairs(rows: DataFrame, keys: Seq[Column],
                                        member: Column, cap: Int,
                                        site: String): DataFrame = {
+    val n = graft.Names.fresh("__n", rows.columns)
     val counted = rows
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .withColumn(n, count(lit(1)).over(Window.partitionBy(keys: _*)))
       .observe(s"graft.$site.${obsId.incrementAndGet()}",
-        sum(when(col("__n") > cap, 1L).otherwise(0L)).as("rows_in_dropped_groups"),
-        max(col("__n")).as("max_group"))
+        sum(when(col(n) > cap, 1L).otherwise(0L)).as("rows_in_dropped_groups"),
+        max(col(n)).as("max_group"))
     val grouped = counted
-      .filter(col("__n").between(2, cap))
+      .filter(col(n).between(2, cap))
       .groupBy(keys: _*)
       .agg(sort_array(collect_list(member)).as("__ms"))
     grouped

@@ -29,14 +29,16 @@ object Heat {
 
     val w = Window.partitionBy(key).orderBy(order: _*)
     val wAll = Window.partitionBy(key)
+    val p = graft.Names.fresh("__ew", df.columns)
+    val (rn, cnt, wx) = (s"${p}_rn", s"${p}_n", s"${p}_wx")
     val weighted = df
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__wx",
-        when(col("__rn") === 1,
-          value * pow(lit(1 - alpha), col("__n") - 1))
+      .withColumn(rn, row_number().over(w))
+      .withColumn(cnt, count(lit(1)).over(wAll))
+      .withColumn(wx,
+        when(col(rn) === 1,
+          value * pow(lit(1 - alpha), col(cnt) - 1))
         .otherwise(lit(alpha) * value *
-          pow(lit(1 - alpha), col("__n") - col("__rn"))))
+          pow(lit(1 - alpha), col(cnt) - col(rn))))
     // Deliberately a FLOAT sum (not the integer micro-unit hardening
     // unigramLogProb/bm25 use): the per-row weight contains
     // power(1-α, k), and DuckDB's power() differs from Java's
@@ -47,7 +49,7 @@ object Heat {
     // order-dependence near a 4th-decimal midpoint is the accepted
     // (never observed) residual risk. Quantize only where the
     // per-row scalar is engine-identical.
-    weighted.groupBy(key).agg(round(sum(col("__wx")), 4).as("ewma"))
+    weighted.groupBy(key).agg(round(sum(col(wx)), 4).as("ewma"))
   }
 
   /** Distributed exact global rank (1-based) in the given order —

@@ -311,6 +311,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("exactDedup preserves user columns named like its scratch names") {
+    // regression: hardcoded __fpn/__rn scratch columns were silently
+    // replaced by withColumn and then dropped — deleting user data
+    val df = Seq((3L, "dup text", "keep3"), (1L, "dup  TEXT", "keep1"),
+        (2L, "unique", "keep2"))
+      .toDF("id", "text", "__ded_rn")
+    val kept = exactDedup(df, $"id", $"text")
+    assert(kept.columns.toSeq == Seq("id", "text", "__ded_rn"))
+    assert(kept.select("__ded_rn").as[String].collect().toSet ==
+      Set("keep1", "keep2"))
+  }
+
   test("segmentDedup keeps each segment's first (doc, idx) occurrence") {
     // 2-token segments: doc 1 = ["a b", "c d"]; doc 2 repeats "a b"
     // twice (second copy loses to the first IN the same doc) and adds
