@@ -73,12 +73,20 @@ object Dedup {
     * group would silently keep one of them and drop the rest.
     */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(text)).orderBy(id.asc)
+    val fp = TextAnalysis.fingerprint(text)
+    // null-fingerprint rows pass through WHOLESALE and never enter
+    // the window: partitionBy puts the entire null class into one
+    // window partition, so a corpus slice with a large null-text
+    // fraction would funnel through a single task just to compute a
+    // row_number the filter then ignores. Splitting before the
+    // exchange keeps the pass-through class exchange-free.
     val p = graft.Names.fresh("__ded", df.columns)
-    df.withColumn(s"${p}_fpn", TextAnalysis.fingerprint(text).isNull)
+    val w = Window.partitionBy(fp).orderBy(id.asc)
+    val kept = df.filter(fp.isNotNull)
       .withColumn(s"${p}_rn", row_number().over(w))
-      .filter(col(s"${p}_rn") === 1 || col(s"${p}_fpn"))
-      .drop(s"${p}_rn", s"${p}_fpn")
+      .filter(col(s"${p}_rn") === 1)
+      .drop(s"${p}_rn")
+    kept.unionByName(df.filter(fp.isNull))
   }
 
   /** Spread a skinny-but-compute-heavy input across the cluster: a
@@ -135,18 +143,22 @@ object Dedup {
     // docs in ONE bucket per band — recall silently collapses once a
     // bucket tops maxBucket); fail loudly at execution instead.
     // Callers with a static numHashes (minhashNearDups) also reject
-    // non-divisor bands up front.
-    val rowsPerBand = floor(size(col("sig")) / bands).cast("int")
+    // non-divisor bands up front. The guard must be ON the value the
+    // output depends on: an assert_true in its own projected-then-
+    // dropped column is removed by column pruning and never fires.
+    val sigChecked = when(size(col("sig")) >= lit(bands), col("sig"))
+      .otherwise(raise_error(
+        lit(s"lshCandidates: bands=$bands exceeds the signature length — " +
+          "every band slice would be empty")))
+    val rowsPerBand = floor(size(col("__sig")) / bands).cast("int")
     // bucket = hash of the band slice, hashed as the long array itself
     // (xxhash64 folds array elements natively — no per-element string
     // materialization)
-    val banded = sigs.select(col("doc_id"),
-        assert_true(size(col("sig")) >= lit(bands),
-          lit(s"lshCandidates: bands=$bands exceeds the signature length — " +
-            "every band slice would be empty")).as("__chk"),
+    val banded = sigs.select(col("doc_id"), sigChecked.as("__sig"))
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))))
-      .toDF("doc_id", "__chk", "band", "bucket").drop("__chk")
+          b => xxhash64(b, slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))))
+      .toDF("doc_id", "band", "bucket")
     boundedGroupPairs(banded, Seq(col("band"), col("bucket")),
         col("doc_id"), maxBucket, "lsh_buckets")
       .toDF("id_a", "id_b")

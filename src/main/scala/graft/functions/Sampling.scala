@@ -160,17 +160,30 @@ object Sampling {
   def perStratumSample(df: DataFrame, key: Column, stratum: Column,
                        k: Int, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // tie-break on the key, then on a hash of the WHOLE ROW: md5
+    // tie-break on the key, then on a hash of the whole row: md5
     // prefixes could collide, and two rows sharing the same key value
     // would otherwise be ordered by shuffle arrival — a retry could
     // return a different surviving row at the k boundary. With the
     // full-row hash the order is content-deterministic (two fully
     // identical rows are interchangeable, so their tie is harmless).
+    // Spark's hash functions reject MapType (no canonical entry
+    // order), so the row hash covers only hashable columns — rows
+    // identical everywhere but a map column still tie, which narrows
+    // the guarantee instead of throwing on map-carrying schemas.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val tieCols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name))
+    val rowTie =
+      if (tieCols.isEmpty) lit(0L) else xxhash64(struct(tieCols: _*))
     val w = Window.partitionBy(stratum)
-      .orderBy(decisionHex(key, seed).asc, key.asc,
-        xxhash64(struct(col("*"))).asc)
-    var rn = "__rn"
-    while (df.columns.contains(rn)) rn += "_"
+      .orderBy(decisionHex(key, seed).asc, key.asc, rowTie.asc)
+    val rn = graft.Names.fresh("__rn", df.columns)
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= k)
       .drop(rn)
@@ -207,20 +220,24 @@ object Sampling {
     val w = Window.partitionBy(part).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     // exclusive prefix sum: the first row of a part packs into shard
-    // 0 even if it alone blows the budget. The shard id divides in
-    // LONG arithmetic (IntegralDivide, same form as Temporal's bucket
-    // math): Column `/` is double division, which rounds once the
-    // cumulative weight per part passes 2^53 — real at 100 TB token
-    // budgets. Prefix sums are non-negative, so integral division
-    // equals the floor the docstring promises.
-    // the weight casts to LONG BEFORE the sum: summing a double
-    // weight column would accumulate in double and re-introduce the
-    // 2^53 rounding this IntegralDivide form exists to avoid
-    val prefix = coalesce(sum(weight.cast("long")).over(w), lit(0L)).cast("long")
+    // 0 even if it alone blows the budget. The shard id divides with
+    // IntegralDivide (exact integral quotient, same form as
+    // Temporal's bucket math): Column `/` is double division, which
+    // rounds once the cumulative weight per part passes 2^53 — real
+    // at 100 TB token budgets. Prefix sums are non-negative, so
+    // integral division equals the floor the docstring promises.
+    // The weight accumulates in DECIMAL: a double sum re-introduces
+    // the 2^53 rounding, and a per-row long cast (a prior fix for
+    // that) truncated fractional weights to 0 — all rows of a
+    // sub-1.0-weight corpus landed in shard 0. decimal(27,6) keeps
+    // fractional weights to micro-unit granularity and sums exactly.
+    val dec = "decimal(27,6)"
+    val prefix = coalesce(sum(weight.cast(dec)).over(w), lit(0).cast(dec))
     df.withColumn(as, {
       import org.apache.spark.sql.GraftColumnBridge.{column, expression}
       import org.apache.spark.sql.catalyst.expressions.IntegralDivide
-      column(IntegralDivide(expression(prefix), expression(lit(budget))))
+      column(IntegralDivide(expression(prefix),
+        expression(lit(budget).cast(dec))))
     })
   }
 

@@ -151,12 +151,22 @@ object Temporal {
     // Long.MaxValue "forever" — exactly the open-ended intervals the
     // maxBuckets guard exists to drop), killing the job before the
     // guard could count them. decimal(21,0) holds any long with
-    // headroom; the quotient's fractional part is k/b ≤ 1 − 1/b,
-    // far from the result-scale rounding boundary, so floor is
-    // exact. Bucket INDICES fit a long again (|t/b| ≤ 2^63/b).
-    def bucketOfDec(t: Column): Column =
-      floor(t.cast("decimal(21,0)") /
-        lit(bucket).cast("decimal(21,0)"))
+    // headroom. NOT floor(t/b) directly: the division result rounds
+    // HALF_UP at its result scale (17 fractional digits), and for
+    // b >= 2e17 a true quotient within 5e-18 below an integer rounds
+    // ACROSS it before floor() — off by one. (Join results would
+    // survive that via monotonicity — the point's bucket stays inside
+    // the interval's exploded range — but the maxBuckets span cap
+    // would wobble by one bucket.) Subtracting pmod first makes the
+    // numerator an exact multiple of b, the quotient an exact
+    // integer, and the result-scale rounding the identity. pmod >= 0,
+    // so this is floorDiv, not truncation, for negative t too.
+    // Bucket INDICES fit a long again (|t/b| <= 2^63/b).
+    val bd = lit(bucket).cast("decimal(21,0)")
+    def bucketOfDec(t: Column): Column = {
+      val td = t.cast("decimal(21,0)")
+      (td - pmod(td, bd)) / bd
+    }
     def bucketOf(t: Column): Column = bucketOfDec(t).cast("long")
     val p = graft.Names.fresh("__rj", points.columns, intervals.columns)
     // span in decimal too: with bucket=1 the index difference of a

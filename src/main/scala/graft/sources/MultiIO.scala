@@ -271,9 +271,20 @@ object MultiIO {
     val byPart = index.groupBy(_._2).toSeq.sortBy(_._1)
     spark.sparkContext.parallelize(byPart, nParts).foreach { case (pid, slice) =>
       val hconf = rebuildHadoopConf(confEntries)
-      val outPath = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$pid%05d")
-      val pfs = outPath.getFileSystem(hconf)
-      val out = pfs.create(outPath, true)
+      // write-to-attempt-temp then atomic rename: a retried or
+      // speculative attempt writing the final path directly would
+      // truncate-and-interleave with a concurrent attempt (the job
+      // still reports success over the corrupt blob). With the
+      // rename protocol each attempt owns a private temp; the first
+      // rename wins, losers see the destination exists (identical
+      // bytes — the input slice is deterministic) and discard.
+      val finalPath = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$pid%05d")
+      val tc = org.apache.spark.TaskContext.get()
+      val attempt = if (tc == null) 0L else tc.taskAttemptId()
+      val tmpPath = new org.apache.hadoop.fs.Path(
+        f"$dstBase%s.part-$pid%05d.attempt-$attempt")
+      val pfs = finalPath.getFileSystem(hconf)
+      val out = pfs.create(tmpPath, true)
       try slice.sortBy(_._3).foreach { case (rel, _, _, _) =>
         val inPath = new org.apache.hadoop.fs.Path(srcBase + rel)
         val in = inPath.getFileSystem(hconf).open(inPath)
@@ -283,7 +294,21 @@ object MultiIO {
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         } finally in.close()
       } finally out.close()
+      // a stale part from a previous pack into the same dir blocks
+      // rename — clear it first (a concurrent attempt racing into
+      // the gap commits the same bytes)
+      if (pfs.exists(finalPath)) pfs.delete(finalPath, false)
+      if (!pfs.rename(tmpPath, finalPath)) {
+        if (pfs.exists(finalPath)) pfs.delete(tmpPath, false)
+        else throw new java.io.IOException(
+          s"harPack: could not commit $tmpPath -> $finalPath")
+      }
     }
+    // sweep temp files of killed/superseded attempts (dot-prefixed,
+    // so readers never see them as parts)
+    fs.listStatus(dst).map(_.getPath)
+      .filter(_.getName.startsWith(".part-"))
+      .foreach(p => fs.delete(p, false))
     import spark.implicits._
     val idxDf = index.toDF("path", "part", "offset", "length")
     idxDf.repartition(1).write.mode(SaveMode.Overwrite)

@@ -269,6 +269,18 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
   import Dedup._
 
+  test("lshCandidates fails loudly when bands exceed the signature length") {
+    // regression: the guard once lived in a projected-then-dropped
+    // assert_true column, which column pruning removed — the
+    // degenerate all-docs-in-one-bucket case ran without error
+    val sigs = Seq((1L, Array(11L, 22L)), (2L, Array(33L, 44L)))
+      .toDF("doc_id", "sig")
+    val e = intercept[Exception] { lshCandidates(sigs, bands = 8).count() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("exceeds the signature length"), msgs)
+  }
+
   test("shingles produce distinct word n-grams; short docs collapse") {
     val df = Seq("a b c d", "x y").toDF("text")
     val got = df.select(shingles($"text", 3)).collect().map(_.getSeq[String](0).toSet)

@@ -110,6 +110,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("perStratumSample works on schemas carrying map columns") {
+    // regression: the whole-row tie-break hashed every column, and
+    // Spark's hash functions reject MapType — any metadata-map
+    // schema threw AnalysisException instead of sampling
+    val df = Seq((1L, "en", Map("k" -> "v")), (2L, "en", Map("k" -> "w")),
+        (3L, "de", Map.empty[String, String]))
+      .toDF("doc_id", "lang", "meta")
+    val got = perStratumSample(df, $"doc_id", $"lang", k = 1)
+    assert(got.count() == 2L) // one per stratum
+    assert(got.columns.toSeq == Seq("doc_id", "lang", "meta"))
+  }
+
+  test("packByBudget: fractional weights accumulate instead of truncating") {
+    // regression: a per-row long cast (guarding double 2^53 rounding)
+    // truncated sub-1.0 weights to 0 — the prefix sum never advanced
+    // and every row of the part landed in shard 0
+    val df = (1 to 30).map(i => ("a", i.toLong, 0.9)).toDF("part", "ord", "w")
+    val out = packByBudget(df, $"part", Seq($"ord"), $"w", budget = 9L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // prefix 0.9*(i-1): rows 1..11 -> shard 0 (prefix < 9 up to 9.0
+    // exclusive... row 11 has prefix 9.0 -> shard 1)
+    assert(out(1L) == 0L && out(10L) == 0L, out.toString)
+    assert(out(11L) == 1L, out.toString)
+    assert(out.values.toSet.size > 1, "sharding must progress")
+  }
+
   test("packByBudget: a multi-column order disambiguates ties deterministically") {
     // two rows tie on the primary order key with very different
     // weights — the id tie-break makes the assignment a function of

@@ -120,6 +120,22 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin bucket floor-div is exact at huge bucket widths") {
+    // regression: floor(t/b) over a plain decimal division rounds
+    // HALF_UP at scale 17 first, so t = b - 1 with b = 1e18 landed in
+    // bucket 1 instead of 0 — the single-bucket interval [0, b-1]
+    // appeared to span two buckets and a maxBuckets = 1 cap dropped
+    // it. The pmod floor-div form keeps the span exact.
+    val b = 1000000000000000000L
+    val points = Seq((1L, b - 1)).toDF("pid", "t")
+    val ivals = Seq((10L, 0L, b - 1)).toDF("iid", "s", "e")
+    val out = rangeJoin(points, $"t", ivals, $"s", $"e",
+        bucket = b, maxBuckets = 1)
+      .select($"pid", $"iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("rangeJoin survives sentinel open-ended intervals (Long.Min/Max bounds)") {
     // the exact case the maxBuckets guard exists for: an interval
     // encoded as "beginning of time .. forever". Long bucket math
