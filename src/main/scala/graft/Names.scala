@@ -15,7 +15,7 @@ private[graft] object Names {
     * (startsWith is deliberately stronger than exact equality: one
     * probe covers a whole family of derived names).
     */
-  def fresh(seed: String, cols: Seq[String]*): String = {
+  def fresh(seed: String, cols: Iterable[String]*): String = {
     var p = seed
     while (cols.exists(_.exists(_.startsWith(p)))) p += "_"
     p

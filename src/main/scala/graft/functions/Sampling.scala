@@ -180,7 +180,8 @@ object Sampling {
     val tieCols = df.schema.fields.filter(f => hashable(f.dataType))
       .map(f => col(f.name))
     val rowTie =
-      if (tieCols.isEmpty) lit(0L) else xxhash64(struct(tieCols: _*))
+      if (tieCols.isEmpty) lit(0L)
+      else xxhash64(struct(tieCols.toIndexedSeq: _*))
     val w = Window.partitionBy(stratum)
       .orderBy(decisionHex(key, seed).asc, key.asc, rowTie.asc)
     val rn = graft.Names.fresh("__rn", df.columns)

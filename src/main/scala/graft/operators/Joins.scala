@@ -204,7 +204,7 @@ object Joins {
       // buffer the (usually smaller) right side once, stream the left
       val rBuf = rs.toArray
       if (rBuf.isEmpty) Iterator.empty
-      else ls.flatMap(l => rBuf.iterator.map(r => Row.merge(l, r)))
+      else ls.flatMap(l => rBuf.iterator.map(r => Row.fromSeq(l.toSeq ++ r.toSeq)))
     }(Encoders.row(outSchema))
     out.toDF()
   }

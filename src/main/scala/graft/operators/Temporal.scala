@@ -56,7 +56,7 @@ object Temporal {
     val l = left.select(
       leftKey.as(s"${p}_k"), leftTime.as(s"${p}_t"),
       lit(true).as(s"${p}_isl"),
-      struct(leftCols.map(col): _*).as(s"${p}_row"),
+      struct(leftCols.toIndexedSeq.map(col): _*).as(s"${p}_row"),
       lit(null).cast(payloadType).as(s"${p}_p"))
     val r = right.select(
         rightKey.as(s"${p}_k"), rightTime.as(s"${p}_t"),

@@ -56,7 +56,7 @@ object MultiIO {
     val total = pinned.count()
     val numParts = math.max(1, ((total + n - 1) / n).toInt)
     val schema = pinned.schema
-    val rows = pinned.rdd.zipWithIndex
+    val rows = pinned.rdd.zipWithIndex()
       .map { case (r, i) => ((i / n).toInt, (i, r)) }
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = numParts
