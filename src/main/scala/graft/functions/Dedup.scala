@@ -79,7 +79,9 @@ object Dedup {
     // window partition, so a corpus slice with a large null-text
     // fraction would funnel through a single task just to compute a
     // row_number the filter then ignores. Splitting before the
-    // exchange keeps the pass-through class exchange-free.
+    // exchange keeps the pass-through class exchange-free. (The
+    // input is scanned once per branch — both scans push their
+    // filter; cache upstream plans that are expensive to recompute.)
     val p = graft.Names.fresh("__ded", df.columns)
     val w = Window.partitionBy(fp).orderBy(id.asc)
     val kept = df.filter(fp.isNotNull)
