@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{Dedup, Sampling}
+import graft.streaming.Heat
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence tests: each operator against an
+  * independent in-memory reference implementation over seeded
+  * random inputs (deterministic — same cases every run). Example
+  * specs pin the documented cases; these sweep the space between
+  * them: negative times, ties at bucket edges, empty groups,
+  * fractional weights, duplicate keys.
+  */
+class FuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = 12
+
+  test("rangeJoin equals the brute-force inequality join on random data") {
+    val rnd = new scala.util.Random(4242)
+    for (c <- 1 to cases) {
+      val nP = 1 + rnd.nextInt(40)
+      val nI = 1 + rnd.nextInt(40)
+      val bucket = Seq(1L, 3L, 97L, 1000L)(rnd.nextInt(4))
+      val points = (1 to nP).map(i => (i.toLong, rnd.nextLong(4001) - 2000))
+      val ivals = (1 to nI).map { i =>
+        val s = rnd.nextLong(4001) - 2000
+        // includes inverted (len < 0) intervals, which must match nothing
+        (i.toLong, s, s + rnd.nextLong(700) - 100)
+      }
+      val got = Temporal.rangeJoin(
+          points.toDF("pid", "t"), col("t"),
+          ivals.toDF("iid", "s", "e"), col("s"), col("e"),
+          bucket = bucket)
+        .select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, t) <- points
+        (iid, s, e) <- ivals
+        if s <= e && s <= t && t <= e
+      } yield (pid, iid)).toSet
+      assert(got == want, s"case $c (bucket=$bucket): " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("asOfJoin equals the per-row latest-preceding scan on random data") {
+    val rnd = new scala.util.Random(1717)
+    for (c <- 1 to cases) {
+      val keys = (1 to (1 + rnd.nextInt(5))).map(i => s"k$i")
+      val left = (1 to (1 + rnd.nextInt(30))).map(i =>
+        (i.toLong, keys(rnd.nextInt(keys.length)), rnd.nextLong(200)))
+      // unique (key, time) on the right — the documented contract
+      val right = rnd.shuffle(
+        (for (k <- keys; t <- 0L until 200L) yield (k, t)).toList)
+        .take(1 + rnd.nextInt(60))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i * 10L) }
+      val got = Temporal.asOfJoin(
+          left.toDF("lid", "lk", "lt"), col("lk"), col("lt"),
+          right.toDF("rk", "rt", "v"), col("rk"), col("rt"),
+          col("v"), "snap")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val want = left.map { case (lid, lk, lt) =>
+        val preceding = right.filter(r => r._1 == lk && r._2 <= lt)
+        lid -> (if (preceding.isEmpty) None
+                else Some(preceding.maxBy(_._2)._3))
+      }.toMap
+      assert(got == want, s"case $c: " +
+        (want.keySet ++ got.keySet).filter(k => got.get(k) != want.get(k))
+          .map(k => s"$k: got=${got.get(k)} want=${want.get(k)}").mkString(", "))
+    }
+  }
+
+  test("sessionize equals the sequential gap fold on random data") {
+    val rnd = new scala.util.Random(9090)
+    for (c <- 1 to cases) {
+      val gap = 1L + rnd.nextInt(20)
+      val rows = (1 to (2 + rnd.nextInt(40))).map(i =>
+        (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextLong(300)))
+        // unique time per key — ties make lag order nondeterministic
+        .groupBy(r => (r._2, r._3)).map(_._2.head).toSeq
+      val got = Temporal.sessionize(
+          rows.toDF("id", "k", "t"), col("k"), col("t"), gap)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._3)
+        var sess = 0L
+        sorted.zipWithIndex.map { case ((id, _, t), i) =>
+          if (i > 0 && t - sorted(i - 1)._3 > gap) sess += 1
+          id -> sess
+        }
+      }
+      assert(got == want, s"case $c (gap=$gap)")
+    }
+  }
+
+  test("packByBudget equals the decimal prefix-sum fold on random data") {
+    val rnd = new scala.util.Random(2626)
+    for (c <- 1 to cases) {
+      val budget = 1L + rnd.nextInt(50)
+      val rows = (1 to (1 + rnd.nextInt(50))).map(i =>
+        (s"p${rnd.nextInt(3)}", i.toLong,
+          // fractional, zero, and heavy weights all in range
+          math.abs(rnd.nextGaussian() * 10)))
+      val got = Sampling.packByBudget(
+          rows.toDF("part", "ord", "w"), col("part"), Seq(col("ord")),
+          col("w"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+      // reference: quantize to the operator's micro-unit decimal,
+      // exclusive prefix sum, integral division
+      val want = rows.groupBy(_._1).flatMap { case (p, rs) =>
+        var acc = BigDecimal(0)
+        rs.sortBy(_._2).map { case (_, ord, w) =>
+          val shard = (acc / budget).setScale(0, BigDecimal.RoundingMode.FLOOR)
+          acc += BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          (p, ord) -> shard.toLong
+        }
+      }
+      assert(got == want, s"case $c (budget=$budget): " +
+        want.collect { case (k, v) if got.get(k) != Some(v) =>
+          s"$k got=${got.get(k)} want=$v" }.mkString(", "))
+    }
+  }
+
+  test("globalRank equals the sorted index on random data with duplicates") {
+    val rnd = new scala.util.Random(3131)
+    for (c <- 1 to cases) {
+      val rows = (1 to (1 + rnd.nextInt(80))).map(i =>
+        (i.toLong, rnd.nextLong(20)))
+      val got = Heat.globalRank(
+          rows.toDF("id", "v"), Seq(col("v").asc, col("id").asc), "rnk")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      assert(got == want, s"case $c")
+    }
+  }
+
+  test("exactDedup keeps min-id per class plus all null-text rows") {
+    val rnd = new scala.util.Random(5050)
+    for (c <- 1 to cases) {
+      // single-token lowercase texts: fingerprint equality is plain
+      // string equality, so the reference needs no normalizer
+      val rows = (1 to (1 + rnd.nextInt(40))).map { i =>
+        val t = if (rnd.nextInt(5) == 0) None else Some(s"t${rnd.nextInt(8)}")
+        (i.toLong, t)
+      }
+      val got = Dedup.exactDedup(rows.toDF("id", "text"), col("id"), col("text"))
+        .collect().map(_.getLong(0)).toSet
+      val survivors = rows.collect { case (id, Some(t)) => (id, t) }
+        .groupBy(_._2).map(_._2.map(_._1).min).toSet
+      val nulls = rows.collect { case (id, None) => id }.toSet
+      assert(got == (survivors ++ nulls), s"case $c")
+    }
+  }
+}
