@@ -139,6 +139,72 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals union-find on random pair graphs") {
+    val rnd = new scala.util.Random(6161)
+    for (c <- 1 to cases) {
+      val nNodes = 2 + rnd.nextInt(30)
+      val pairs = (1 to (1 + rnd.nextInt(50))).map { _ =>
+        (rnd.nextLong(nNodes), rnd.nextLong(nNodes))
+      }.filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        assert(got == want, s"case $c: " +
+          want.collect { case (k, v) if got.get(k) != Some(v) =>
+            s"$k got=${got.get(k)} want=$v" }.mkString(", "))
+      }
+    }
+  }
+
+  test("boundedGroupPairs emits every unordered pair when no group tops the cap") {
+    val rnd = new scala.util.Random(7272)
+    for (c <- 1 to cases) {
+      val rows = (1 to (2 + rnd.nextInt(40))).map(i =>
+        (s"g${rnd.nextInt(6)}", i.toLong))
+      val got = Dedup.boundedGroupPairs(rows.toDF("g", "m"),
+          Seq(col("g")), col("m"), cap = 1000, site = "fuzz")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = rows.groupBy(_._1).values.flatMap { g =>
+        val ms = g.map(_._2).sorted
+        for (i <- ms.indices; j <- (i + 1) until ms.length)
+          yield (ms(i), ms(j))
+      }.toSet
+      assert(got == want, s"case $c: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("mgSketch holds the Misra-Gries bound on random streams") {
+    val rnd = new scala.util.Random(8383)
+    for (c <- 1 to cases) {
+      val cap = 1 + rnd.nextInt(8)
+      val stream = (1 to (10 + rnd.nextInt(300))).map(_ => s"i${rnd.nextInt(12)}")
+      val (n, sketch) = graft.functions.Sketches.mgSketch(stream.iterator, cap)
+      assert(n == stream.length.toLong)
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      // every estimate is a lower bound, within n/(cap+1) of truth
+      sketch.foreach { case (k, est) =>
+        val t = exact(k)
+        assert(est <= t && t - est <= n / (cap + 1), s"case $c: $k est=$est true=$t")
+      }
+      // every item with count > n/(cap+1) must be present
+      exact.foreach { case (k, t) =>
+        if (t > n / (cap + 1))
+          assert(sketch.contains(k), s"case $c: heavy $k ($t of $n) missing")
+      }
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
