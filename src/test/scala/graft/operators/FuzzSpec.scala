@@ -205,6 +205,75 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit is an exact partition; membership is rate-monotone") {
+    val rnd = new scala.util.Random(9494)
+    for (c <- 1 to cases) {
+      val rows = (1 to (1 + rnd.nextInt(60))).map { i =>
+        val k = if (rnd.nextInt(8) == 0) None else Some(s"k${rnd.nextInt(40)}")
+        (i.toLong, k)
+      }
+      val df = rows.toDF("id", "k")
+      val r1 = rnd.nextDouble()
+      val (a, b) = Sampling.hashSplit(df, col("k"), r1)
+      val (sa, sb) = (a.select("id").as[Long].collect().toSet,
+        b.select("id").as[Long].collect().toSet)
+      assert((sa & sb).isEmpty && (sa ++ sb) == rows.map(_._1).toSet,
+        s"case $c: not a partition")
+      // null keys always land in the complement
+      assert(rows.collect { case (id, None) => id }.forall(sb.contains),
+        s"case $c: null key sampled in")
+      // a higher rate's kept set contains a lower rate's (same seed)
+      val r2 = math.min(1.0, r1 + rnd.nextDouble() * (1 - r1))
+      val kept2 = Sampling.hashSplit(df, col("k"), r2)._1
+        .select("id").as[Long].collect().toSet
+      assert(sa.subsetOf(kept2), s"case $c: rate-monotonicity broken")
+    }
+  }
+
+  test("stratifiedHashSample agrees with hashSample per stratum") {
+    val rnd = new scala.util.Random(10101)
+    for (c <- 1 to cases) {
+      val strata = Seq("en", "de", "zh")
+      val rows = (1 to (1 + rnd.nextInt(80))).map(i =>
+        (i.toLong, s"k$i", strata(rnd.nextInt(3))))
+      val df = rows.toDF("id", "k", "lang")
+      val rates = Map("en" -> rnd.nextDouble(), "de" -> rnd.nextDouble())
+      val dflt = rnd.nextDouble()
+      val got = Sampling.stratifiedHashSample(df, col("k"), col("lang"),
+          rates, dflt)
+        .select("id").as[Long].collect().toSet
+      val want = strata.flatMap { s =>
+        Sampling.hashSample(df.filter(col("lang") === s), col("k"),
+            rates.getOrElse(s, dflt))
+          .select("id").as[Long].collect()
+      }.toSet
+      assert(got == want, s"case $c")
+    }
+  }
+
+  test("winnowing: docs sharing a long token run share a fingerprint") {
+    // the Schleimer/Wilkerson/Aiken guarantee: any shared substring
+    // of >= window + shingleN - 1 tokens yields a shared fingerprint
+    val rnd = new scala.util.Random(11111)
+    val (shingleN, window) = (3, 4)
+    val guarantee = window + shingleN - 1 // 6 tokens
+    for (c <- 1 to cases) {
+      def toks(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(50)}")
+      val shared = toks(guarantee + rnd.nextInt(4))
+      val a = (toks(rnd.nextInt(6)) ++ shared ++ toks(rnd.nextInt(6))).mkString(" ")
+      val b = (toks(rnd.nextInt(6)) ++ shared ++ toks(rnd.nextInt(6))).mkString(" ")
+      val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val fps = graft.functions.TextAnalysis
+        .winnowingFingerprints(df, col("doc_id"), col("text"),
+          shingleN, window)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val fa = fps.filter(_._1 == 1L).map(_._2).toSet
+      val fb = fps.filter(_._1 == 2L).map(_._2).toSet
+      assert((fa & fb).nonEmpty,
+        s"case $c: no shared fingerprint despite a $guarantee+-token overlap")
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
