@@ -13,11 +13,16 @@ private[graft] object Names {
     * returned prefix itself and any `prefix_suffix` name derived
     * from it are then guaranteed fresh in all the given frames
     * (startsWith is deliberately stronger than exact equality: one
-    * probe covers a whole family of derived names).
+    * probe covers a whole family of derived names). The probe is
+    * CASE-INSENSITIVE: Spark resolves column names case-
+    * insensitively by default (spark.sql.caseSensitive=false), so a
+    * user column differing only in case would still be replaced by
+    * withColumn — freshness must hold under the resolver's equality,
+    * not the JVM string's.
     */
   def fresh(seed: String, cols: Iterable[String]*): String = {
-    var p = seed
-    while (cols.exists(_.exists(_.startsWith(p)))) p += "_"
+    var p = seed.toLowerCase
+    while (cols.exists(_.exists(_.toLowerCase.startsWith(p)))) p += "_"
     p
   }
 }

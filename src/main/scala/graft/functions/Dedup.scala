@@ -74,21 +74,26 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
     val fp = TextAnalysis.fingerprint(text)
-    // null-fingerprint rows pass through WHOLESALE and never enter
-    // the window: partitionBy puts the entire null class into one
-    // window partition, so a corpus slice with a large null-text
+    // null-fingerprint rows must pass through wholesale, but they
+    // must NOT share one window partition: partitionBy groups all
+    // nulls together, so a corpus slice with a large null-text
     // fraction would funnel through a single task just to compute a
-    // row_number the filter then ignores. Splitting before the
-    // exchange keeps the pass-through class exchange-free. (The
-    // input is scanned once per branch — both scans push their
-    // filter; cache upstream plans that are expensive to recompute.)
+    // row_number the filter then ignores. Salting the partition key
+    // per-row for the null class gives each such row its own
+    // singleton partition (row_number 1 — survives naturally) while
+    // staying a SINGLE scan: a filter-and-union form would read a
+    // nondeterministic upstream twice and could classify a row
+    // differently per branch. The "null:" prefix cannot collide
+    // with a real fingerprint (md5 hex is exactly 32 [0-9a-f]
+    // chars; 'n' is not a hex digit). Rows need distinct ids — the
+    // same contract the min-id survivor rule already imposes.
     val p = graft.Names.fresh("__ded", df.columns)
-    val w = Window.partitionBy(fp).orderBy(id.asc)
-    val kept = df.filter(fp.isNotNull)
-      .withColumn(s"${p}_rn", row_number().over(w))
+    val part = coalesce(fp,
+      concat(lit("null:"), id.cast("string")))
+    val w = Window.partitionBy(part).orderBy(id.asc)
+    df.withColumn(s"${p}_rn", row_number().over(w))
       .filter(col(s"${p}_rn") === 1)
       .drop(s"${p}_rn")
-    kept.unionByName(df.filter(fp.isNull))
   }
 
   /** Spread a skinny-but-compute-heavy input across the cluster: a
@@ -552,8 +557,7 @@ object Dedup {
     val pinned = df.localCheckpoint()
     // join-column names grown past any caller column, so a user
     // 'class_rep' column is never shadowed or dropped
-    var p = "__cc"
-    while (pinned.columns.exists(_.startsWith(p))) p += "_"
+    val p = graft.Names.fresh("__cc", pinned.columns)
     val classes = connectedComponents(
       ngramJaccardPairs(pinned, id, text, shingleN, threshold))
       .select(col("doc_id").as(s"${p}_id"), col("class_rep").as(s"${p}_rep"))

@@ -177,8 +177,11 @@ object Sampling {
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
+    // backtick-quoted: a bare col("a.b") parses the dot as struct
+    // field access, so a top-level column literally named "a.b"
+    // would throw (or silently hash another column's nested field)
     val tieCols = df.schema.fields.filter(f => hashable(f.dataType))
-      .map(f => col(f.name))
+      .map(f => col("`" + f.name.replace("`", "``") + "`"))
     val rowTie =
       if (tieCols.isEmpty) lit(0L)
       else xxhash64(struct(tieCols.toIndexedSeq: _*))
@@ -264,8 +267,7 @@ object Sampling {
     require(!df.columns.contains(as),
       s"deterministicShuffle: output column '$as' already exists — " +
         "pass a free name via `as`")
-    var shuf = "__shuf"
-    while (df.columns.contains(shuf)) shuf += "_"
+    val shuf = graft.Names.fresh("__shuf", df.columns)
     val hashed = df.withColumn(shuf, decisionHex(key, seed))
     graft.streaming.Heat
       .globalRank(hashed, Seq(col(shuf), key.cast("string")), as)

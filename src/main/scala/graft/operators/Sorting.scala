@@ -213,8 +213,7 @@ object Sorting {
     // column names — e.g. post-join frames — still sort; the key
     // prefix is grown until it collides with nothing, so a caller's
     // own __sk columns are never shadowed or dropped
-    var prefix = "__sk"
-    while (df.columns.exists(_.startsWith(prefix))) prefix += "_"
+    val prefix = graft.Names.fresh("__sk", df.columns)
     val keyed = specs.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
       val f = parts.getItem(s.field - 1)
       d.withColumn(s"$prefix$i", if (s.numeric) f.cast("double") else f)

@@ -258,6 +258,14 @@ object MultiIO {
     val index = assigned.result()
     val dst = new org.apache.hadoop.fs.Path(dstDir)
     fs.mkdirs(dst)
+    // clear any previous pack's parts and orphaned attempt temps
+    // BEFORE the job: the task-side commit is a bare no-overwrite
+    // rename (first attempt wins), so stale destinations must not
+    // exist when the tasks run
+    fs.listStatus(dst).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") ||
+        p.getName.startsWith(".part-"))
+      .foreach(p => fs.delete(p, false))
     val srcBase = base
     val dstBase = fs.makeQualified(dst).toString.stripSuffix("/") + "/"
     // one task per part; each streams its own files into its blob.
@@ -294,10 +302,15 @@ object MultiIO {
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         } finally in.close()
       } finally out.close()
-      // a stale part from a previous pack into the same dir blocks
-      // rename — clear it first (a concurrent attempt racing into
-      // the gap commits the same bytes)
-      if (pfs.exists(finalPath)) pfs.delete(finalPath, false)
+      // commit = bare rename, NEVER delete-then-rename: a task-side
+      // delete would let a late zombie attempt remove a part another
+      // attempt already committed (and a kill between its delete and
+      // rename loses the part for good). Rename does not overwrite,
+      // so the first attempt wins; a loser's rename fails with the
+      // destination present and its (byte-identical) temp is dropped.
+      // Stale parts from a previous pack were cleared driver-side
+      // before the job, so a present destination here can only be a
+      // sibling attempt's commit.
       if (!pfs.rename(tmpPath, finalPath)) {
         if (pfs.exists(finalPath)) pfs.delete(tmpPath, false)
         else throw new java.io.IOException(
@@ -305,7 +318,10 @@ object MultiIO {
       }
     }
     // sweep temp files of killed/superseded attempts (dot-prefixed,
-    // so readers never see them as parts)
+    // so readers never see them as parts). Safe against a still-
+    // running zombie attempt: deleting its open temp only makes its
+    // eventual rename fail, and the commit block treats that as
+    // "another attempt won" — it can no longer touch committed parts.
     fs.listStatus(dst).map(_.getPath)
       .filter(_.getName.startsWith(".part-"))
       .foreach(p => fs.delete(p, false))

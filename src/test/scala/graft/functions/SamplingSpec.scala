@@ -110,6 +110,15 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("perStratumSample survives dotted column names in the row tie-break") {
+    // regression: a bare col("a.b") parses the dot as struct access
+    // — a top-level column literally named "meta.lang" threw
+    val df = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "de", "z"))
+      .toDF("doc_id", "lang", "meta.lang")
+    val got = perStratumSample(df, $"doc_id", $"lang", k = 1)
+    assert(got.count() == 2L)
+  }
+
   test("perStratumSample works on schemas carrying map columns") {
     // regression: the whole-row tie-break hashed every column, and
     // Spark's hash functions reject MapType — any metadata-map
