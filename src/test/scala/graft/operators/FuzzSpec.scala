@@ -274,6 +274,74 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("bruteForceTopK equals the in-memory cosine ranking on random vectors") {
+    val rnd = new scala.util.Random(12121)
+    for (c <- 1 to cases) {
+      val dim = 2 + rnd.nextInt(6)
+      def vec() = Array.fill(dim)((rnd.nextInt(11) - 5).toFloat)
+      val corpus = (1 to (3 + rnd.nextInt(25))).map(i => (i.toLong, vec()))
+      val queries = corpus.take(1 + rnd.nextInt(3))
+      val k = 1 + rnd.nextInt(4)
+      val got = graft.functions.Similarity.bruteForceTopK(
+          corpus.toDF("id", "v"), col("id"), col("v"),
+          queries.toDF("qid", "qv"), col("qid"), col("qv"), k)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        val den = math.sqrt(dot(a, a) * dot(b, b))
+        if (den == 0.0) 0.0 else dot(a, b) / den
+      }
+      val want = queries.flatMap { case (qid, qv) =>
+        corpus.filter(_._1 != qid)
+          .map { case (vid, v) =>
+            (vid, BigDecimal(cos(v, qv)).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          .sortBy { case (vid, s) => (-s, vid) }
+          .take(k).zipWithIndex
+          .map { case ((vid, _), i) => (qid, i + 1) -> vid }
+      }.toMap
+      assert(got == want, s"case $c: " +
+        (want.keySet ++ got.keySet).filter(x => got.get(x) != want.get(x))
+          .map(x => s"$x got=${got.get(x)} want=${want.get(x)}").mkString(", "))
+    }
+  }
+
+  test("aggregateReduce matches reference folds for the sum/max/min/uniq types") {
+    val rnd = new scala.util.Random(13131)
+    val types = Seq("LongValueSum", "DoubleValueSum", "LongValueMax",
+      "LongValueMin", "StringValueMax", "StringValueMin", "UniqValueCount")
+    for (c <- 1 to cases) {
+      // ids carry the type so output keys (which drop the type
+      // prefix, like the reference's AccumulatingReducer) stay unique
+      val kvs = (1 to (5 + rnd.nextInt(60))).map { _ =>
+        val t = types(rnd.nextInt(types.length))
+        val id = s"${t.toLowerCase}_k${rnd.nextInt(4)}"
+        (s"$t:$id", (rnd.nextInt(30) - 10).toString)
+      }
+      val got = AggregateLib.aggregateReduce(
+          kvs.toDF("k", "v"), col("k"), col("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = kvs.groupBy(r => r._1).map { case (tk, rows) =>
+        val Array(t, id) = tk.split(":", 2)
+        val vs = rows.map(_._2)
+        val out = t match {
+          case "LongValueSum"    => vs.map(_.toLong).sum.toString
+          case "DoubleValueSum"  => vs.map(_.toDouble).sum.toString
+          case "LongValueMax"    => vs.map(_.toLong).max.toString
+          case "LongValueMin"    => vs.map(_.toLong).min.toString
+          case "StringValueMax"  => vs.max
+          case "StringValueMin"  => vs.min
+          case "UniqValueCount"  => vs.distinct.size.toString
+        }
+        id -> out
+      }
+      assert(got == want, s"case $c: " +
+        (want.keySet ++ got.keySet).filter(k => got.get(k) != want.get(k))
+          .map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString(", "))
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
