@@ -134,4 +134,23 @@ class CountersSpec extends SparkSpec {
     assert(r.isDefined)
     assert(r.get.getLong(0) == 4L && r.get.getLong(1) == 10L)
   }
+
+  test("sessions are isolated: a clone's metrics never leak across") {
+    // the results map is weakly keyed BY SESSION OBJECT — two
+    // sessions using the same metric name must read their own rows
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val obs2 = Counters.observed(Seq(7, 8).toDF("n"), "counters_iso",
+      "rows" -> count(lit(1)))
+    obs2.collect()
+    var r2: Option[org.apache.spark.sql.Row] = None
+    val deadline = System.currentTimeMillis() + 10000
+    while (r2.isEmpty && System.currentTimeMillis() < deadline) {
+      r2 = Counters.lastObserved(s2, "counters_iso")
+      if (r2.isEmpty) Thread.sleep(100)
+    }
+    assert(r2.isDefined && r2.get.getLong(0) == 2L)
+    // the base session never observed this name
+    assert(Counters.lastObserved(spark, "counters_iso").isEmpty)
+  }
 }
