@@ -216,7 +216,11 @@ object Sorting {
     val prefix = graft.Names.fresh("__sk", df.columns)
     val keyed = specs.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
       val f = parts.getItem(s.field - 1)
-      d.withColumn(s"$prefix$i", if (s.numeric) f.cast("double") else f)
+      // try_cast, not cast: under ANSI (the session default) a plain
+      // cast THROWS on the first non-numeric field value — one stray
+      // line would kill a whole sort job. Malformed numerics order as
+      // null (first asc / last desc), the engine's null convention.
+      d.withColumn(s"$prefix$i", if (s.numeric) f.try_cast("double") else f)
     }
     val order = specs.zipWithIndex.map { case (s, i) =>
       if (s.reverse) col(s"$prefix$i").desc else col(s"$prefix$i").asc

@@ -342,6 +342,69 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("keyFieldSort equals the reference comparator on random tab lines") {
+    val rnd = new scala.util.Random(14141)
+    for (c <- 1 to cases) {
+      // 3-field lines; field 2 numeric-ish (sometimes not a number)
+      val lines = (1 to (2 + rnd.nextInt(40))).map { i =>
+        val f1 = s"a${rnd.nextInt(6)}"
+        val f2 = if (rnd.nextInt(6) == 0) "x" else (rnd.nextInt(50) - 25).toString
+        s"$f1\t$f2\t$i"
+      }
+      val spec = Seq("-k2,2nr -k1,1 -k3,3n", "-k1,1r -k3,3n", "-k2,2n -k3,3n")(
+        rnd.nextInt(3))
+      val got = Sorting.keyFieldSort(lines.toDF("value"), col("value"), spec)
+        .select("value").as[String].collect().toSeq
+      // reference comparator: numeric fields via toDouble (non-numeric
+      // -> null, which Spark sorts FIRST asc / LAST desc)
+      val specs = spec.trim.split("\\s+").map { tok =>
+        val m = "^-k(\\d+),\\d+([nr]*)$".r
+        tok match { case m(f, o) => (f.toInt, o.contains('n'), o.contains('r')) }
+      }
+      implicit val ord: Ordering[String] = (x: String, y: String) => {
+        val (fx, fy) = (x.split("\t"), y.split("\t"))
+        specs.iterator.map { case (f, num, rev) =>
+          val (a, b) = (fx(f - 1), fy(f - 1))
+          val cmp =
+            if (num) {
+              val (da, db) = (a.toDoubleOption, b.toDoubleOption)
+              (da, db) match {
+                case (None, None) => 0
+                case (None, _) => -1 // nulls first (asc)
+                case (_, None) => 1
+                case (Some(u), Some(v)) => java.lang.Double.compare(u, v)
+              }
+            } else a.compareTo(b)
+          if (rev) -cmp else cmp
+        }.find(_ != 0).getOrElse(0)
+      }
+      assert(got == lines.sorted(ord), s"case $c spec='$spec'")
+    }
+  }
+
+  test("ewmaBatch equals the sequential EWMA recurrence on random series") {
+    val rnd = new scala.util.Random(15151)
+    val alpha = 0.5
+    for (c <- 1 to cases) {
+      val rows = (1 to (2 + rnd.nextInt(30))).map(i =>
+        (s"k${rnd.nextInt(4)}", i.toLong, (rnd.nextInt(2000) - 1000) / 10.0))
+      val got = Heat.ewmaBatch(rows.toDF("k", "t", "v"), col("k"),
+          Seq(col("t").asc), col("v"), alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val vs = rs.sortBy(_._2).map(_._3)
+        k -> BigDecimal(vs.tail.foldLeft(vs.head)((e, x) => alpha * x + (1 - alpha) * e))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      got.foreach { case (k, v) =>
+        // the operator float-sums and rounds to 4dp; allow one ulp of
+        // the rounding quantum for order-dependent accumulation
+        assert(math.abs(v - want(k)) <= 1e-4 + 1e-9,
+          s"case $c: $k got=$v want=${want(k)}")
+      }
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
