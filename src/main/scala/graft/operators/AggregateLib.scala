@@ -133,6 +133,10 @@ object AggregateLib {
   }
 
   // -- the simple family: direct built-in mappings -------------------
+  // strict casts by design: the reference parses with Long.parseLong/
+  // Double.parseDouble and fails the job on malformed input — same
+  // contract here under ANSI. Callers needing tolerance route rows
+  // through Resilient.trySplit (or pre-try_cast) first.
   def longValueSum(c: Column): Column = sum(c.cast("long"))
   def doubleValueSum(c: Column): Column = sum(c.cast("double"))
   def longValueMax(c: Column): Column = max(c.cast("long"))
