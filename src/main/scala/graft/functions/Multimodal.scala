@@ -57,13 +57,6 @@ object Multimodal {
     (64 + (bytes.length % 577), 64 + ((bytes.length * 31) % 433), hex)
   }
 
-  /** REAL image header decode via the JDK's `javax.imageio`: true
-    * width/height/format for any format an installed ImageReader
-    * recognizes (PNG/JPEG/GIF/BMP/WBMP in a stock JDK). Header-only —
-    * `getWidth/getHeight(0)` parse the header; the pixel raster is
-    * never materialized, so cost is O(header), not O(pixels). None
-    * for unrecognized/corrupt payloads.
-    */
   /** Content-verified magic gate. PNG/JPEG magics start with
     * non-text bytes (0x89 / 0xFF), but "BM" and "GIF8" are plain
     * printable prefixes an ordinary TEXT payload can start with —
@@ -96,6 +89,13 @@ object Multimodal {
       bytes(2) == 'F' && bytes(3) == '8' &&
       (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
 
+  /** REAL image header decode via the JDK's `javax.imageio`: true
+    * width/height/format for any format an installed ImageReader
+    * recognizes (PNG/JPEG/GIF/BMP/WBMP in a stock JDK). Header-only —
+    * `getWidth/getHeight(0)` parse the header; the pixel raster is
+    * never materialized, so cost is O(header), not O(pixels). None
+    * for unrecognized/corrupt payloads.
+    */
   private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     // content-verified gate before consulting ImageIO: the JDK's WBMP
     // reader has NO magic number and would claim arbitrary binary

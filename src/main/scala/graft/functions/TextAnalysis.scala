@@ -160,33 +160,6 @@ object TextAnalysis {
       .withColumn("contaminated", col("overlap") >= threshold)
   }
 
-  /** Per-document repetition metrics — the Gopher-style "repetitious
-    * text" pre-filter of LLM data pipelines (docs dominated by a few
-    * repeated tokens/n-grams are low-quality boilerplate or spam).
-    * Output per doc:
-    *  - `n_tokens` — whitespace-token occurrences;
-    *  - `dup_token_frac` — fraction of token occurrences beyond the
-    *    first occurrence of each distinct token;
-    *  - `dup_token_char_frac` — same fraction weighted by token
-    *    length (chars in repeat occurrences / chars in all
-    *    occurrences; whitespace excluded from both sides);
-    *  - `top_ngram`, `top_ngram_cnt`, `top_ngram_frac` — the most
-    *    frequent word n-gram (ties broken toward the
-    *    lexicographically larger gram, so the arg-max is
-    *    deterministic and engine-portable), its occurrence count,
-    *    and the fraction of token characters its occurrences cover
-    *    (overlapping occurrences counted independently — the
-    *    standard cheap approximation).
-    *
-    * Docs with null text or no tokens are excluded (no denominators).
-    *
-    * Scale shape: two explodes (tokens, shingles) each followed by a
-    * key-partitioned groupBy on (doc, term) then (doc) — no per-doc
-    * arrays survive past the row they came from, no driver state, no
-    * self-joins; the n-gram arg-max is one partition-local window
-    * over the (doc, gram) counts. All fractions round(,4) for
-    * cross-engine compare.
-    */
   /** The unigram half of [[repetitionReport]] — (doc_id, n_tokens,
     * dup_token_frac, dup_token_char_frac, __tok_chars). Public as
     * [[tokenDupStats]] (without the internal chars column) for
@@ -218,6 +191,33 @@ object TextAnalysis {
       .select(id.as("doc_id"), text.as("__text")))
       .drop("__tok_chars")
 
+  /** Per-document repetition metrics — the Gopher-style "repetitious
+    * text" pre-filter of LLM data pipelines (docs dominated by a few
+    * repeated tokens/n-grams are low-quality boilerplate or spam).
+    * Output per doc:
+    *  - `n_tokens` — whitespace-token occurrences;
+    *  - `dup_token_frac` — fraction of token occurrences beyond the
+    *    first occurrence of each distinct token;
+    *  - `dup_token_char_frac` — same fraction weighted by token
+    *    length (chars in repeat occurrences / chars in all
+    *    occurrences; whitespace excluded from both sides);
+    *  - `top_ngram`, `top_ngram_cnt`, `top_ngram_frac` — the most
+    *    frequent word n-gram (ties broken toward the
+    *    lexicographically larger gram, so the arg-max is
+    *    deterministic and engine-portable), its occurrence count,
+    *    and the fraction of token characters its occurrences cover
+    *    (overlapping occurrences counted independently — the
+    *    standard cheap approximation).
+    *
+    * Docs with null text or no tokens are excluded (no denominators).
+    *
+    * Scale shape: two explodes (tokens, shingles) each followed by a
+    * key-partitioned groupBy on (doc, term) then (doc) — no per-doc
+    * arrays survive past the row they came from, no driver state, no
+    * self-joins; the n-gram arg-max is one partition-local window
+    * over the (doc, gram) counts. All fractions round(,4) for
+    * cross-engine compare.
+    */
   def repetitionReport(df: DataFrame, id: Column, text: Column,
                        n: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

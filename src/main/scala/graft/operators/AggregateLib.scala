@@ -194,16 +194,6 @@ object AggregateLib {
     ()
   }
 
-  /** ValueHistogram (reference: ValueHistogram.java:78-133): per group
-    * key, build the value→frequency table, then report
-    * (#distinct values, min/median/max/mean/stddev of the
-    * frequencies). Two cascaded hash aggregations — both get map-side
-    * partial aggregation; no collect, no per-group buffering.
-    *
-    * All stats derive from exact integer sums (population stddev via
-    * sum of squares), so the report is bit-reproducible across
-    * engines and partitionings.
-    */
   /** Sketch-path ValueHistogram for 100 TB: same report shape, but
     * the median of frequencies comes from `percentile_approx`
     * (KLL-style bounded state) instead of the exact
@@ -226,6 +216,16 @@ object AggregateLib {
         .as("stddev_freq"))
   }
 
+  /** ValueHistogram (reference: ValueHistogram.java:78-133): per group
+    * key, build the value→frequency table, then report
+    * (#distinct values, min/median/max/mean/stddev of the
+    * frequencies). Two cascaded hash aggregations — both get map-side
+    * partial aggregation; no collect, no per-group buffering.
+    *
+    * All stats derive from exact integer sums (population stddev via
+    * sum of squares), so the report is bit-reproducible across
+    * engines and partitionings.
+    */
   def valueHistogram(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
     val freq = df.groupBy(groupCols :+ value.cast("string").as("__v"): _*)
       .agg(count(lit(1)).as("__freq"))

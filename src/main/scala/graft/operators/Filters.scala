@@ -21,13 +21,10 @@ object Filters {
 
   /** PercentFilter: keep records where hash(key) % f == 0. The
     * reference uses Java `hashCode()`; for integral keys that is the
-    * value itself, which keeps the predicate engine-portable.
-    */
-  /** Keys must be numeric(-castable): the reference's PercentFilter
-    * hashes arbitrary keys via hashCode, this form keeps the numeric
-    * key directly (engine-portable, oracle-checkable). A non-numeric
-    * key fails the ANSI cast loudly rather than silently dropping
-    * every row.
+    * value itself, which keeps the predicate engine-portable and
+    * oracle-checkable. Keys must be numeric(-castable): a
+    * non-numeric key fails the ANSI cast loudly rather than silently
+    * dropping every row.
     */
   def percentFilter(df: DataFrame, key: Column, frequency: Int): DataFrame = {
     require(frequency >= 1, s"frequency must be >= 1, got $frequency")

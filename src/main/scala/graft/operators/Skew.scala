@@ -14,15 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted equi-join: the probe (large, skewed) side gets a
-    * deterministic salt in [0, salts); the build side is replicated
-    * once per salt value; the join key becomes (key, salt). Row
-    * multiplicity is preserved exactly — each probe row joins its
-    * single salted replica.
-    *
-    * Cost model: build side × salts extra rows shuffled, in exchange
-    * for the hot key fanning out over `salts` reducers.
-    */
   /** Salt = hash of (row content, per-partition row position): the
     * row hash alone is CONSTANT across identical duplicate rows —
     * exactly the shape a hot key often has (probe projected to the
@@ -39,6 +30,15 @@ object Skew {
       probe.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*)),
       lit(salts)).cast("int")
 
+  /** Salted equi-join: the probe (large, skewed) side gets a
+    * deterministic salt in [0, salts); the build side is replicated
+    * once per salt value; the join key becomes (key, salt). Row
+    * multiplicity is preserved exactly — each probe row joins its
+    * single salted replica.
+    *
+    * Cost model: build side × salts extra rows shuffled, in exchange
+    * for the hot key fanning out over `salts` reducers.
+    */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
