@@ -26,8 +26,16 @@ object Records {
   def fromCsv(c: Column, ddl: String, sep: String = ","): Column =
     from_csv(c, schemaOf(ddl), Map("sep" -> sep))
 
+  /** Serialize a struct to a CSV record. Whitespace-faithful: Spark's
+    * CSV WRITE path defaults ignoreLeading/TrailingWhiteSpace=true
+    * (silently trimming padded fields on serialization — the read
+    * path's defaults are false), which breaks round-trip fidelity the
+    * reference's record codecs guarantee.
+    */
   def toCsv(c: Column, sep: String = ","): Column =
-    to_csv(c, Map("sep" -> sep).asJava)
+    to_csv(c, Map("sep" -> sep,
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false").asJava)
 
   /** Parse a JSON record column against a DDL schema. */
   def fromJson(c: Column, ddl: String): Column = from_json(c, schemaOf(ddl))

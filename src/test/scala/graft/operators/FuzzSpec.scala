@@ -405,6 +405,37 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("record codecs round-trip adversarial strings (csv and json)") {
+    val rnd = new scala.util.Random(16161)
+    val nasty = Seq("plain", "with,comma", "with\"quote", "tab\there",
+      "new\nline", "  padded  ", "", "\\backslash", "semi;colon",
+      "uni→code", "'single'", "comma,\"and\",quote")
+    for (c <- 1 to cases) {
+      val rows = (1 to (1 + rnd.nextInt(20))).map(i =>
+        (i.toLong, nasty(rnd.nextInt(nasty.length)),
+          rnd.nextLong(1000000) - 500000))
+      val df = rows.toDF("k", "s", "n")
+      val ddl = "k BIGINT, s STRING, n BIGINT"
+      val viaJson = df
+        .select(graft.sources.Records.toJson(struct(col("k"), col("s"), col("n"))).as("j"))
+        .select(graft.sources.Records.fromJson(col("j"), ddl).as("r"))
+        .select(col("r.k"), col("r.s"), col("r.n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(viaJson == rows.toSet, s"case $c json")
+      val viaCsv = df
+        .select(graft.sources.Records.toCsv(struct(col("k"), col("s"), col("n"))).as("l"))
+        .select(graft.sources.Records.fromCsv(col("l"), ddl).as("r"))
+        .select(col("r.k"), col("r.s"), col("r.n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // CSV writers quote embedded separators/quotes; parsers must
+      // invert it — modulo the codec's documented empty-vs-null edge
+      val wantCsv = rows.map { case (k, s, n) =>
+        (k, if (s.isEmpty) null else s, n) }.toSet
+      assert(viaCsv == wantCsv, s"case $c csv: " +
+        s"missing=${wantCsv -- viaCsv} extra=${viaCsv -- wantCsv}")
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
