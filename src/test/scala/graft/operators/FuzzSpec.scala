@@ -436,6 +436,54 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("fieldSelection equals cut(1)-style projection on random specs") {
+    val rnd = new scala.util.Random(17171)
+    for (c <- 1 to cases) {
+      val width = 3 + rnd.nextInt(4)
+      val lines = (1 to (1 + rnd.nextInt(20))).map { i =>
+        (0 until width).map(f => s"r${i}f$f").mkString("\t")
+      }
+      // mix of single fields, closed ranges, and one open range
+      val maxF = width
+      val specs = Seq(
+        s"${rnd.nextInt(width)}",
+        s"${rnd.nextInt(width - 1)}-${width - 1}",
+        s"${rnd.nextInt(width)}-")
+      val spec = rnd.shuffle(specs).take(1 + rnd.nextInt(3)).mkString(",")
+      val got = TextOps.fieldSelection(lines.toDF("value"), col("value"),
+          spec, maxFields = maxF)
+        .collect().map(_.toSeq.map(_.asInstanceOf[String]).mkString("|"))
+        .sorted.toSeq
+      val idxs = spec.split(",").flatMap { tok =>
+        if (tok.endsWith("-")) tok.dropRight(1).toInt until maxF
+        else if (tok.contains("-")) {
+          val Array(a, b) = tok.split("-").map(_.toInt); a to b
+        } else Seq(tok.toInt)
+      }
+      val want = lines.map { l =>
+        val fs = l.split("\t"); idxs.map(fs).mkString("|")
+      }.sorted
+      assert(got == want, s"case $c spec='$spec' width=$width")
+    }
+  }
+
+  test("phiHeavyHitters returns exactly the items at or above ceil(phi*n)") {
+    val rnd = new scala.util.Random(18181)
+    for (c <- 1 to cases) {
+      val phi = 0.05 + rnd.nextDouble() * 0.3
+      val stream = (1 to (20 + rnd.nextInt(400))).map(_ => s"i${rnd.nextInt(15)}")
+      val got = graft.functions.Sketches.phiHeavyHitters(
+          stream.toDF("it"), col("it"), phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = stream.length
+      val minCnt = math.ceil(phi * n.toDouble).toLong
+      val want = stream.groupBy(identity).view
+        .mapValues(_.length.toLong).filter(_._2 >= minCnt).toMap
+      assert(got == want, s"case $c phi=$phi n=$n: " +
+        s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
