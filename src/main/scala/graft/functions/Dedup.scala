@@ -435,10 +435,11 @@ object Dedup {
 
   /** Blocking + rerank over a precomputed (doc_id, sig) table — lets
     * [[simhashValidate]] share one signature pass between the blocked
-    * and brute-force sides.
+    * and brute-force sides, and callers with persisted signature
+    * tables probe without re-signing the corpus.
     */
-  private def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int,
-                                      maxBucket: Int): DataFrame = {
+  def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int,
+                              maxBucket: Int = 4096): DataFrame = {
     // 64 one-bit chunks guarantee recall only up to radius 63; a
     // radius >= 64 means "every pair" — not a similarity query
     require(maxHamming >= 0 && maxHamming <= 63,

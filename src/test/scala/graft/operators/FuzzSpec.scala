@@ -484,6 +484,33 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("simhash blocking finds every within-radius pair (pigeonhole recall)") {
+    val rnd = new scala.util.Random(19191)
+    for (c <- 1 to cases) {
+      val maxHamming = 1 + rnd.nextInt(4)
+      // random 64-bit signatures plus planted near pairs: flip up to
+      // maxHamming random bits of an existing signature
+      val base = (1 to (5 + rnd.nextInt(25))).map(i => (i.toLong, rnd.nextLong()))
+      val planted = base.take(3 + rnd.nextInt(3)).zipWithIndex.map {
+        case ((_, sig), j) =>
+          val flips = rnd.nextInt(maxHamming + 1)
+          val flipped = (1 to flips).foldLeft(sig)((s, _) =>
+            s ^ (1L << rnd.nextInt(64)))
+          (1000L + j, flipped)
+      }
+      val sigs = base ++ planted
+      val got = Dedup.simhashNearDupsFromSigs(
+          sigs.toDF("doc_id", "sig"), maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+      } yield (ia, ib)).toSet
+      assert(got == want, s"case $c r=$maxHamming: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
