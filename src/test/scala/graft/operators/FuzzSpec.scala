@@ -511,6 +511,61 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain join for every allowed join type") {
+    val rnd = new scala.util.Random(20202)
+    val types = Seq("inner", "left", "left_semi", "left_anti")
+    for (c <- 1 to cases) {
+      // duplicate keys on BOTH sides — multiplicity must be exact
+      val probe = (1 to (1 + rnd.nextInt(40))).map(i =>
+        (s"k${rnd.nextInt(5)}", i.toLong))
+      val build = (1 to (1 + rnd.nextInt(15))).map(i =>
+        (s"k${rnd.nextInt(8)}", i * 100L))
+      val jt = types(rnd.nextInt(types.length))
+      val (p, b) = (probe.toDF("k", "pv"), build.toDF("k", "bv"))
+      val salted = Skew.saltedJoin(p, b, "k", salts = 1 + rnd.nextInt(6), jt)
+      val plain = p.join(b, Seq("k"), jt)
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      assert(bag(salted) == bag(plain), s"case $c type=$jt")
+    }
+  }
+
+  test("asOfJoin null keys and times: left rows survive, right rows drop") {
+    val rnd = new scala.util.Random(21212)
+    for (c <- 1 to cases) {
+      val left = (1 to (1 + rnd.nextInt(20))).map { i =>
+        val k = if (rnd.nextInt(4) == 0) None else Some(s"k${rnd.nextInt(3)}")
+        val t = if (rnd.nextInt(6) == 0) None else Some(rnd.nextLong(100))
+        (i.toLong, k, t)
+      }
+      // unique (key, time) — the operator's documented right-side
+      // contract; with ties "latest right row" is ill-defined
+      val right = (1 to (1 + rnd.nextInt(20))).map { i =>
+        val k = if (rnd.nextInt(4) == 0) None else Some(s"k${rnd.nextInt(3)}")
+        val t = if (rnd.nextInt(6) == 0) None else Some(rnd.nextLong(100))
+        (k, t, i * 10L)
+      }.groupBy(r => (r._1, r._2)).values.map(_.minBy(_._3)).toSeq
+      val got = Temporal.asOfJoin(
+          left.toDF("lid", "lk", "lt"), col("lk"), col("lt"),
+          right.toDF("rk", "rt", "v"), col("rk"), col("rt"),
+          col("v"), "snap")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      // EVERY left row must come out exactly once
+      assert(got.keySet == left.map(_._1).toSet, s"case $c: lost left rows")
+      val want = left.map { case (lid, lk, lt) =>
+        val matches = for {
+          (rk, rt, v) <- right
+          k <- lk; t <- lt; k2 <- rk; t2 <- rt
+          if k2 == k && t2 <= t
+        } yield (t2, v)
+        lid -> (if (matches.isEmpty) None else Some(matches.maxBy(_._1)._2))
+      }.toMap
+      assert(got == want, s"case $c")
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
