@@ -51,7 +51,10 @@ object Catalog {
     * keyed by the child prefix.
     */
   def du(files: DataFrame, dir: String): DataFrame = {
-    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    // normalize like ls/countSummary: "/a//" must mean "/a", not a
+    // prefix no path can start with (silently empty result)
+    val d = normDir(dir)
+    val prefix = if (d == "/") "/" else d + "/"
     val rest = expr(s"substring(path, ${prefix.length + 1})")
     files
       .filter(col("path").startsWith(prefix) && !col("is_dir"))
@@ -102,10 +105,14 @@ object Catalog {
     */
   def fsck(files: DataFrame, blockSize: Long, minRep: Int = 3): DataFrame =
     blocksOf(files, blockSize)
-      // two-component prefix when present; shallow paths fall back to
-      // their parent so nothing aggregates under an empty group
+      // two-component prefix only when it is a PROPER ANCESTOR (a
+      // third component follows) — without the trailing "/" anchor a
+      // depth-2 file like /logs/app.log grouped under its own full
+      // path, reported as if it were a directory. Shallower paths
+      // fall back to their parent so nothing aggregates under an
+      // empty group.
       .withColumn("dir", coalesce(
-        nullif(regexp_extract(col("path"), "^(/[^/]+/[^/]+)", 1), lit("")),
+        nullif(regexp_extract(col("path"), "^(/[^/]+/[^/]+)/", 1), lit("")),
         // a root-level file's parent is "" — report it under "/",
         // not an unnamed empty-string directory
         nullif(parent(col("path")), lit("")), lit("/")))

@@ -59,21 +59,25 @@ object Joins {
     }
     // presence flag per source: "rightmost source that HAS the key"
     // wins even when its value is null — a bare coalesce on the value
-    // would silently resurrect an overridden value
+    // would silently resurrect an overridden value. The flag's name
+    // is probed fresh (an output column named __has would otherwise
+    // make the r.__has reference ambiguous)
+    val has = graft.Names.fresh("__has",
+      Seq(key), outNames, dfs.flatMap(_.columns))
     val normalized = dfs.zip(valueCols).map { case (df, vcs) =>
       df.select(col(key) +:
         (vcs.zip(outNames).map { case (c, o) => col(c).as(o) } :+
-         lit(true).as("__has")): _*)
+         lit(true).as(has)): _*)
     }
     val folded = normalized.reduce { (acc, next) =>
       val joined = acc.alias("l").join(next.alias("r"), Seq(key), "full_outer")
-      val rHas = col("r.__has") === true
+      val rHas = col(s"r.$has") === true
       joined.select(
         (col(key) +:
          outNames.map(c => when(rHas, col(s"r.$c")).otherwise(col(s"l.$c")).as(c))) :+
-        lit(true).as("__has"): _*)
+        lit(true).as(has): _*)
     }
-    folded.drop("__has")
+    folded.drop(has)
   }
 
   /** Semi/anti joins — not named operators in the reference (hand-
@@ -148,13 +152,16 @@ object Joins {
         // offenders named. (override is exempt: positional alignment
         // with rightmost-wins is exactly the shared-name case.)
         if (op != "override") {
-          val dupes = aligned.flatMap(_.columns.drop(1))
+          // the key name participates too: a source value column named
+          // like the join key would otherwise die later with an opaque
+          // AMBIGUOUS_REFERENCE inside the join itself
+          val dupes = (key +: aligned.flatMap(_.columns.drop(1)))
             .groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
           require(dupes.isEmpty,
-            s"compositeJoin '$op': value column name(s) " +
-              s"${dupes.mkString(", ")} appear in more than one source — " +
-              "alias them apart first (the composed frame would carry " +
-              "ambiguous duplicate columns)")
+            s"compositeJoin '$op': column name(s) " +
+              s"${dupes.mkString(", ")} appear in more than one source " +
+              "(or collide with the join key) — alias them apart first " +
+              "(the composed frame would carry ambiguous duplicate columns)")
         }
         op match {
           case "inner" => innerJoin(aligned, key)

@@ -78,7 +78,21 @@ object Sorting {
           // binary columns surface as Array[Byte], whose == is
           // REFERENCE equality — comparing raw arrays would split
           // every row into its own group silently; normalize to an
-          // immutable Seq (value equality) for the run comparison
+          // immutable Seq (value equality) for the run comparison.
+          // NaN normalizes to a self-equal sentinel: boxed-primitive
+          // == follows primitive semantics (NaN != NaN), so a NaN
+          // group key would never match its own run head and the
+          // iterator would spin forever; Spark's own grouping treats
+          // all NaN as one key, which the sentinel reproduces.
+          groupIdx.map(r.get(_) match {
+            case b: Array[Byte] => b.toSeq
+            case d: java.lang.Double if d.isNaN => Sorting.NaNKey
+            case f: java.lang.Float if f.isNaN => Sorting.NaNKey
+            case v => v
+          })
+        // the key HANDED TO f keeps real values (NaN stays NaN);
+        // only the run-equality key above uses the sentinel
+        private def userKeyOf(r: org.apache.spark.sql.Row): Seq[Any] =
           groupIdx.map(r.get(_) match {
             case b: Array[Byte] => b.toSeq
             case v => v
@@ -92,12 +106,13 @@ object Sorting {
             buf.headOption.isDefined
           }) {
             val key = keyOf(buf.head)
+            val userKey = userKeyOf(buf.head)
             val run = new Iterator[org.apache.spark.sql.Row] {
               def hasNext: Boolean =
                 buf.headOption.exists(r => keyOf(r) == key)
               def next(): org.apache.spark.sql.Row = buf.next()
             }
-            current = f(key, run)
+            current = f(userKey, run)
             lastKey = key
           }
         }
@@ -125,21 +140,42 @@ object Sorting {
     * @return (isGloballySorted, rowCount)
     */
   def validateSorted(sorted: DataFrame, keys: Seq[String]): (Boolean, Long) = {
+    // atomic key types only: arrays/structs/maps surface as Scala
+    // collections that are not Comparable — the validator would die
+    // with an opaque ClassCastException mid-job instead of a verdict
+    keys.foreach { k =>
+      val dt = sorted.schema(k).dataType
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      require(!dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[MapType] &&
+        !dt.isInstanceOf[StructType],
+        s"validateSorted supports atomic sort-key types, got $dt for '$k'")
+    }
     val idx = keys.map(sorted.schema.fieldIndex)
+    def cmpUnsignedBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
     // type-aware ascending compare; nulls first (Spark's default)
     def cmpOne(x: Any, y: Any): Int = (x, y) match {
       // Spark orders binary lexicographically by UNSIGNED byte;
       // Array[Byte] is not Comparable, and a signed compare would
       // disagree with the engine's own order above 0x7f
-      case (a: Array[Byte], b: Array[Byte]) =>
-        val n = math.min(a.length, b.length)
-        var i = 0
-        while (i < n) {
-          val d = (a(i) & 0xff) - (b(i) & 0xff)
-          if (d != 0) return d
-          i += 1
-        }
-        a.length - b.length
+      case (a: Array[Byte], b: Array[Byte]) => cmpUnsignedBytes(a, b)
+      // Spark orders strings by UTF-8 BYTES (UTF8String.binaryCompare),
+      // which diverges from String.compareTo's UTF-16 code-unit order
+      // for supplementary characters (surrogates sort low in UTF-16
+      // but their UTF-8 bytes 0xF0.. sort above 3-byte sequences) —
+      // compareTo would flag correctly sorted emoji keys as unsorted
+      case (a: String, b: String) =>
+        cmpUnsignedBytes(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
     }
     def cmpKey(a: Seq[Any], b: Seq[Any]): Int =
@@ -243,11 +279,20 @@ object Sorting {
     val parts = split(value, java.util.regex.Pattern.quote(sep))
     val keys = parseKeyFieldSpecs(spec).map { s =>
       val f = parts.getItem(s.field - 1)
-      if (s.numeric) f.cast("double") else f
+      // try_cast, matching keyFieldSort: a plain cast throws under
+      // ANSI on non-numeric fields, and malformed rows must co-locate
+      // with the nulls the sort side groups them with
+      if (s.numeric) f.try_cast("double") else f
     }
     numPartitions match {
       case Some(n) => df.repartition(n, keys: _*)
       case None => df.repartition(keys: _*)
     }
   }
+
+  /** Self-equal stand-in for NaN in group-run equality (see
+    * [[reduceSortedGroups]]): all NaN values form ONE group, matching
+    * Spark's own grouping semantics.
+    */
+  private[operators] case object NaNKey
 }

@@ -33,6 +33,27 @@ class CatalogSpec extends SparkSpec {
     assert(got("/a/sub") == ((25L, 1L)))
   }
 
+  test("du normalizes doubled trailing slashes like ls/countSummary") {
+    // regression: du built its prefix from the raw string, so
+    // "/a//" produced a prefix no path starts with — silently empty
+    val got = Catalog.du(ns, "/a//").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("/a/f1" -> 100L, "/a/f2" -> 50L, "/a/sub" -> 25L))
+  }
+
+  test("fsck groups a depth-2 file under its parent, not under itself") {
+    // regression: the two-component prefix matched a depth-2 FILE's
+    // own full path, reporting the file as a directory row
+    val files = Seq(
+      ("/logs/app.log", false, 300L, 3),  // depth 2 -> dir /logs
+      ("/logs/sub/x", false, 100L, 3),    // depth 3 -> dir /logs/sub
+      ("/rootfile", false, 100L, 3)       // depth 1 -> dir /
+    ).toDF("path", "is_dir", "len", "replication")
+    val got = Catalog.fsck(files, blockSize = 256L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("/logs" -> 2L, "/logs/sub" -> 1L, "/" -> 1L), got.toString)
+  }
+
   test("countSummary counts dirs/files/bytes under prefix") {
     val r = Catalog.countSummary(ns, "/a").collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 3L, 175L))
@@ -57,11 +78,12 @@ class CatalogSpec extends SparkSpec {
     val got = Catalog.fsck(ns, blockSize = 40, minRep = 4).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
-    // /a/f1 rep3 (3 blocks under), /a/f2 rep4 (2 ok) -> dir /a/f1? dir
-    // regex takes two components: /a/f1, /a/f2, /a/sub, /b/f4
-    assert(got("/a/f1") == ((3L, 3L, 3.0)))
-    assert(got("/a/f2") == ((2L, 0L, 4.0)))
-    assert(got("/b/f4") == ((1L, 0L, 6.0)))
+    // depth-2 files group under their PARENT directory: /a/f1 (3
+    // blocks rep3, under) + /a/f2 (2 blocks rep4) -> /a; the depth-3
+    // file keeps its two-component ancestor /a/sub
+    assert(got("/a") == ((5L, 3L, 3.4)))
+    assert(got("/a/sub") == ((1L, 1L, 3.0)))
+    assert(got("/b") == ((1L, 0L, 6.0)))
   }
 
   test("setRep retargets files under a prefix, preview via usedBytes") {

@@ -129,6 +129,37 @@ class SortingSpec extends SparkSpec {
     assert(got == Map("a" -> 2, "b" -> 1), got.toString)
   }
 
+  test("reduceSortedGroups groups NaN keys as ONE group, no infinite loop") {
+    import spark.implicits._
+    // boxed-primitive == follows primitive NaN != NaN; without the
+    // sentinel a NaN group key never matched its own run head and
+    // the iterator spun forever
+    val df = Seq(("x", 1.0), ("y", Double.NaN), ("z", Double.NaN))
+      .toDF("tag", "k")
+      .select(col("tag"), col("k"))
+    val got = Sorting.reduceSortedGroups[(String, Int)](
+      df, Seq("k"), Seq(col("tag"))) { (key, rows) =>
+        Iterator.single((String.valueOf(key.head), rows.size))
+      }.collect().toMap
+    assert(got == Map("1.0" -> 1, "NaN" -> 2), got.toString)
+  }
+
+  test("validateSorted orders strings by UTF-8 bytes, like the engine") {
+    import spark.implicits._
+    // U+1F600 sorts AFTER U+FFFD in UTF-8 byte order (Spark's), but
+    // BEFORE it in UTF-16 code-unit order (String.compareTo) — the
+    // old comparator called this correctly sorted frame unsorted
+    val df = Seq("a", "�", "😀").toDF("s")
+      .repartitionByRange(2, col("s")).sortWithinPartitions("s")
+    val (ok, n) = Sorting.validateSorted(df, Seq("s"))
+    assert(ok && n == 3L)
+    // non-atomic keys are refused with a clear message, not a CCE
+    val arr = Seq(Seq(1, 2), Seq(3)).toDF("a")
+    intercept[IllegalArgumentException] {
+      Sorting.validateSorted(arr, Seq("a"))
+    }
+  }
+
   test("reduceSortedGroups handles partial consumers without bleeding runs") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (1, 30), (2, 40)).toDF("k", "v")
