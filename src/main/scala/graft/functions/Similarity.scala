@@ -36,8 +36,14 @@ object Similarity {
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
     val den = sqrt(dot(a, a) * dot(b, b))
-    // zero-norm guard, matching the native expression: 0.0, not NaN
-    when(den === lit(0.0), lit(0.0)).otherwise(dot(a, b) / den)
+    // mismatched lengths first: the native expression returns null
+    // there, and without this guard a zero-norm side would win (the
+    // den === 0 branch fires before the null numerator is consulted,
+    // yielding 0.0 where the native form says null)
+    when(size(a) =!= size(b), lit(null).cast("double"))
+      // zero-norm guard, matching the native expression: 0.0, not NaN
+      .when(den === lit(0.0), lit(0.0))
+      .otherwise(dot(a, b) / den)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k most

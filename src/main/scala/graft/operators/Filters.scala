@@ -36,7 +36,13 @@ object Filters {
     * `MD5(key) % f == 0`; we take the leading hex nibbles, same
     * uniform-slice effect, portable across engines).
     */
-  def md5Filter(df: DataFrame, key: Column, nibbles: Int = 1): DataFrame =
+  def md5Filter(df: DataFrame, key: Column, nibbles: Int = 1): DataFrame = {
+    // md5 hex is exactly 32 chars: nibbles > 32 could never match
+    // (silently empty), <= 0 matches everything (a sampling no-op) —
+    // both are caller bugs, fail loudly like percentFilter
+    require(nibbles >= 1 && nibbles <= 32,
+      s"nibbles must be in [1, 32], got $nibbles")
     df.filter(substring(md5(key.cast("string")), 1, nibbles) ===
       lit("0" * nibbles))
+  }
 }

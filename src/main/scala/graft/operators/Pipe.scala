@@ -29,7 +29,10 @@ object Pipe {
     // Streaming emits an empty field — coalesce each column to ""
     val lines = selected.select(
       concat_ws("\t", selected.columns.toIndexedSeq
-        .map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("line"))
+        // backtick-quoted: a bare col("a.b") would parse the dot as
+        // struct access and die on legal dotted column names
+        .map(c => coalesce(col("`" + c.replace("`", "``") + "`")
+          .cast("string"), lit(""))): _*).as("line"))
     lines.rdd.map(_.getString(0)).pipe(command).toDF("value")
   }
 

@@ -23,7 +23,9 @@ object Resilient {
     * or any expression wrapped to null on failure).
     */
   def applied(df: DataFrame, result: Column, as: String): DataFrame = {
-    require(!df.columns.contains(as),
+    // case-insensitive: Spark's default resolver is, so a name
+    // differing only in case would still be silently replaced
+    require(!df.columns.exists(_.equalsIgnoreCase(as)),
       s"applied: output column '$as' already exists — withColumn would " +
         "silently replace the user's data")
     df.withColumn(as, result).filter(col(as).isNotNull)

@@ -76,7 +76,11 @@ object TextOps {
       case (a, Some(b)) => a to b
       case (a, None)    => a until maxFields
     }
-    val cols = idxs.zipWithIndex.map { case (fi, i) => parts.getItem(fi).as(s"f$i") }
+    // get() (not getItem): null-safe under ANSI — a record narrower
+    // than the spec'd index yields null fields like cut(1), instead
+    // of an INVALID_ARRAY_INDEX crash on the first ragged row
+    val cols = idxs.zipWithIndex.map { case (fi, i) =>
+      get(parts, lit(fi)).as(s"f$i") }
     df.select(cols: _*)
   }
 }

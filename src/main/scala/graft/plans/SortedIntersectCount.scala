@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   * [[graft.functions.Dedup]] sorts the pinned shingle table once at
   * build). Both inputs must share one element type; the long form
   * exists because hashed shingle sets shuffle 8-byte elements where
-  * the raw strings are ~25 — see `Dedup.minhashNearDups`. An array
-  * containing a null element yields a null count — outside the
-  * contract, but defined rather than a task-killing NPE.
+  * the raw strings are ~25 — see `Dedup.minhashNearDups`. A null
+  * element VISITED by the merge yields a null count — outside the
+  * contract, but defined rather than a task-killing NPE. (A null
+  * positioned past the point where the merge exhausts the shorter
+  * side is never inspected, so the count returns normally — the
+  * null result is a best-effort tripwire, not a validator.)
   *
   * (Reference: scalar compute lives in user map functions, SURVEY
   * §2.8 — a Catalyst Expression is the Spark-native extension point.)

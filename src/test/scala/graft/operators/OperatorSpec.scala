@@ -27,6 +27,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq("c", "a", "d"))
   }
 
+  test("fieldSelection yields nulls for ragged records, like cut") {
+    import spark.implicits._
+    // regression: getItem threw INVALID_ARRAY_INDEX under ANSI when
+    // a record had fewer fields than the spec index
+    val df = Seq("a\tb\tc\td\te\tf", "x\ty").toDF("value")
+    val got = fieldSelection(df, col("value"), "2-", maxFields = 16)
+      .collect().map(_.toSeq)
+    // the 6-field row fills 2..5 then nulls; the 2-field row is all null
+    assert(got.exists(_.take(4) == Seq("c", "d", "e", "f")))
+    assert(got.exists(_.forall(_ == null)))
+  }
+
   test("wordCount ignores empty tokens") {
     import spark.implicits._
     val df = Seq("x  y", " x ").toDF("text")

@@ -22,6 +22,27 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("parity holds for zero-norm vs mismatched-length edge") {
+    import spark.implicits._
+    // regression: the composable witness's zero-norm guard fired
+    // before its (null) mismatched-length numerator, returning 0.0
+    // where the native expression returns null
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f)),       // zero norm AND mismatch -> null
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)), // zero norm, same len -> 0.0
+      (Seq(1.0f, 2.0f), Seq(3.0f))        // mismatch -> null
+    ).toDF("a", "b")
+    val rows = df.select(
+      Similarity.cosine(col("a"), col("b")).as("n"),
+      Similarity.cosineComposable(col("a"), col("b")).as("c")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+    assert(rows(0).isNullAt(0) && !rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
   test("native CosineSim participates in codegen (no fallback errors) and nulls propagate") {
     import spark.implicits._
     val df = Seq(
