@@ -1601,7 +1601,10 @@ object SparkEntry {
         |    AS chars_per_token,
         |  round(CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
         |        AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
-        |  round(CAST(len(list_filter(tk, x -> list_contains(
+        |  round(CAST(len(list_filter(
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                      x -> length(x) > 0),
+        |          x -> list_contains(
         |          ['the','a','and','of','to','in','is','it'], x)))
         |        AS DOUBLE) / greatest(len(tk), 1), 4) AS stopword_ratio
         |FROM t""".stripMargin,
@@ -1624,7 +1627,9 @@ object SparkEntry {
         |      ['le','la','de','et','un','est','que'], x))) AS s_fr
         |  FROM t)
         |SELECT doc_id, lang,
-        |  CASE WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+        |  CASE WHEN s_en IS NULL
+        |         OR greatest(s_en, s_de, s_es, s_fr) = 0 THEN NULL
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
         |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
         |       ELSE 'de' END AS pred_lang
@@ -1678,8 +1683,9 @@ object SparkEntry {
         |         AS total_chars,
         |       CAST(sum(CAST(ntok AS BIGINT)) AS BIGINT) AS total_tokens,
         |       count(DISTINCT digest) AS n_unique,
-        |       round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
-        |             / count(*), 4) AS dup_rate
+        |       round(coalesce(
+        |         1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+        |               / nullif(count(digest), 0), 0.0), 4) AS dup_rate
         |FROM t GROUP BY source""".stripMargin,
 
     // chunk starts are 0, stride, …, stopping once a window reaches
@@ -2221,7 +2227,7 @@ object SparkEntry {
         |stats AS (
         |  SELECT count(*) AS n_docs,
         |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
-        |  FROM toks),
+        |  FROM toks WHERE tk IS NOT NULL),
         |tf AS (
         |  SELECT doc_id, dl, term, count(*) AS tf
         |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
@@ -2255,7 +2261,7 @@ object SparkEntry {
         |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
         |                     x -> length(x) > 0) AS tk
         |  FROM documents),
-        |n AS (SELECT count(*) AS n_docs FROM toks),
+        |n AS (SELECT count(*) AS n_docs FROM toks WHERE tk IS NOT NULL),
         |tf AS (
         |  SELECT doc_id, term, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)

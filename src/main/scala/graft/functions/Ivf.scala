@@ -46,12 +46,20 @@ object Ivf {
     */
   def index(corpus: DataFrame, id: Column, vec: Column, k: Int,
             iters: Int = 2): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val c = corpus.select(id.as("vec_id"),
       transform(vec, x => x.cast("double")).as("v"))
     // deterministic seeds: the k lowest-id vectors
     var cents = c.orderBy(col("vec_id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    // the loop keeps stale centroids alive precisely so the index
+    // never silently shrinks below k (callers size nprobe against
+    // k) — seeding from a corpus SMALLER than k would shrink it
+    // before the loop gets a say; fail loudly instead
+    require(cents.size == k,
+      s"index: corpus has only ${cents.size} vectors for k=$k clusters " +
+        "— callers size nprobe against k; shrink k instead")
     var centsDf = centroidDf(c, cents)
     (1 to iters).foreach { _ =>
       // element-wise mean per cluster: one exchange on (cluster, pos)
@@ -95,6 +103,10 @@ object Ivf {
   def topK(indexed: DataFrame, centroids: DataFrame,
            queries: DataFrame, queryId: Column, queryVec: Column,
            k: Int, nprobe: Int): DataFrame = {
+    // fail fast like every sibling ranked API: k or nprobe <= 0
+    // would silently return an empty frame ("no neighbors found")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val q = queries.select(queryId.as("query_id"),
       transform(queryVec, x => x.cast("double")).as("qv"))
     val wq = Window.partitionBy(col("query_id"))

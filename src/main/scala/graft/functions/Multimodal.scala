@@ -43,7 +43,13 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaRow]
     df.select(col(id).cast("long").as("doc_id"),
         lit(mediaType).as("media_type"),
-        col(payload).cast("binary").as("bytes"))
+        // null payloads normalize to EMPTY bytes here, at the module
+        // boundary: MediaRow.bytes is non-null by contract — every
+        // decoder (digest, magic gates, grouped framing) would NPE
+        // on a single null row, killing the job the docs promise
+        // stays total via the stub fallback
+        coalesce(col(payload).cast("binary"),
+          lit(Array.emptyByteArray)).as("bytes"))
       .as[MediaRow]
   }
 
@@ -79,7 +85,7 @@ object Multimodal {
         bytes(3) == 'G') ||                                       // PNG
       (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
         bytes(2) == 0xff.toByte) ||                               // JPEG
-      (gifMagic(bytes) && bytes(bytes.length - 1) == 0x3b) ||     // GIF
+      gifStrict(bytes) ||                                         // GIF
       (bytes(0) == 'B' && bytes(1) == 'M' &&
         u32le(2) == bytes.length.toLong))                         // BMP
   }
@@ -88,6 +94,14 @@ object Multimodal {
     bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8' &&
       (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  /** The full structural GIF gate (version magic + mandatory 0x3b
+    * end-of-stream trailer) — ONE definition shared by decodeMeta's
+    * imageMagic and gifFrames, so a future hardening cannot make the
+    * two disagree on which payloads are GIFs.
+    */
+  private[graft] def gifStrict(bytes: Array[Byte]): Boolean =
+    gifMagic(bytes) && bytes(bytes.length - 1) == 0x3b
 
   /** REAL image header decode via the JDK's `javax.imageio`: true
     * width/height/format for any format an installed ImageReader
@@ -268,7 +282,7 @@ object Multimodal {
                                stride: Int): Option[Seq[(Int, Array[Byte])]] = {
     // same content-verified gate as decodeImage: the printable
     // "GIF8" prefix alone is text-impersonable
-    if (!(gifMagic(bytes) && bytes(bytes.length - 1) == 0x3b)) return None
+    if (!gifStrict(bytes)) return None
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {

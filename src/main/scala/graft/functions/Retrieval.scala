@@ -39,8 +39,14 @@ object Retrieval {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = queryTerms.map(_.toLowerCase)
+    // null-text docs carry no terms and must not skew the corpus
+    // stats: an unfiltered count(*) would count them into N (and
+    // into avgdl's denominator while sum skips their null size),
+    // inflating idf and deflating avgdl relative to the documents
+    // that actually exist for retrieval purposes
     val toks = docs.select(id.as("doc_id"),
       TextAnalysis.bpeishTokens(text).as("tk"))
+      .filter(col("tk").isNotNull)
     // One-row corpus stats: N docs and mean doc length. Computed
     // in-plan and broadcast — no driver-side action.
     val stats = toks.agg(
@@ -137,8 +143,12 @@ object Retrieval {
   def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
                     k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // N over docs that HAVE tokens: counting null-text docs into N
+    // breaks "a term in every document scores 0" — boilerplate
+    // present in all real docs would keep a positive idf
     val toks = docs.select(id.as("doc_id"),
       TextAnalysis.bpeishTokens(text).as("tk"))
+      .filter(col("tk").isNotNull)
     val stats = toks.agg(count(lit(1)).as("n_docs"))
     val tf = toks
       .select(col("doc_id"), explode(col("tk")).as("term"))

@@ -43,7 +43,14 @@ object TextAnalysis {
     val nChars = length(text)
     val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
     val stopSet = stopwords("en")
-    val nStop = size(filter(toks, t => t.isin(stopSet: _*)))
+    // stopwords match NORMALIZED tokens (lowercased, punctuation
+    // stripped — same stream langId scores): raw whitespace tokens
+    // never match sentence-initial "The" or trailing-punct "the,",
+    // biasing the ratio low on ordinary prose — exactly where a
+    // "too few stopwords" quality threshold would misfire. The
+    // denominator stays the whitespace token count (a document-length
+    // metric, like chars_per_token).
+    val nStop = size(filter(bpeishTokens(text), t => t.isin(stopSet: _*)))
     struct(
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
@@ -70,9 +77,13 @@ object TextAnalysis {
     // null text -> null label: every language's score is null there,
     // and array_max would otherwise tie-break purely on the lang
     // string, confidently labeling null docs with the
-    // lexicographically-last language
-    when(text.isNull, lit(null).cast("string"))
-      .otherwise(array_max(scored).getField("lang"))
+    // lexicographically-last language. Zero evidence (number-only /
+    // punctuation-only docs: every score 0) is the same all-tied
+    // case — also null, not a confident argmax of nothing.
+    val best = array_max(scored)
+    when(text.isNull || best.getField("score") === 0,
+        lit(null).cast("string"))
+      .otherwise(best.getField("lang"))
   }
 
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text
@@ -108,8 +119,15 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     // null text yields no fingerprints (the oracle's NULL shingle
     // list propagates to a NULL print; dropping the row keeps both
-    // engines agreeing instead of fingerprinting md5(""))
-    val inv = df.filter(text.isNotNull).repartition(id)
+    // engines agreeing instead of fingerprinting md5("")). The same
+    // applies to WHITESPACE-ONLY text: token-free docs shingle to
+    // [""], so two blank docs would otherwise share the md5("")
+    // fingerprint and contaminationReport would flag a blank test
+    // doc as 100% contaminated by any blank train doc.
+    // (token-emptiness via the tokenizer itself — trim() strips only
+    // spaces, not \n\t)
+    val inv = df.filter(text.isNotNull && size(tokens(text)) > 0)
+      .repartition(id)
       .select(id.as("doc_id"),
         posexplode(Dedup.shinglesRaw(text, shingleN)))
       .toDF("doc_id", "pos", "s")
@@ -378,8 +396,15 @@ object TextAnalysis {
         sum(col("nchars")).as("total_chars"),
         sum(col("ntok")).as("total_tokens"),
         countDistinct(col("digest")).as("n_unique"),
-        round(lit(1.0) - countDistinct(col("digest")).cast("double") /
-          count(lit(1)), 4).as("dup_rate"))
+        // dup_rate over COMPARABLE docs only: a null digest (null
+        // text) is excluded from countDistinct but a bare count(*)
+        // would include it — an all-null source would read as 100%
+        // duplicated when it has zero comparable content (same rule
+        // as Dedup.exactDupClasses). Zero comparable docs -> rate 0.
+        round(coalesce(
+          lit(1.0) - countDistinct(col("digest")).cast("double") /
+            nullif(count(col("digest")), lit(0L)),
+          lit(0.0)), 4).as("dup_rate"))
 
   /** Unigram language-model document scoring — the perplexity-bucket
     * quality signal of LLM data pipelines, with the model trained on

@@ -74,6 +74,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("en", "de", "es"))
   }
 
+  test("langId returns null for zero-evidence docs, not a confident argmax") {
+    // regression: '12345 !!!' scored 0 in every language and the
+    // struct tie-break confidently returned the lexicographically-
+    // last language
+    val got = Seq("12345 !!!", "qqq zzz www", "the cat and the dog")
+      .toDF("text")
+      .select(langId($"text")).collect().map(r => Option(r.getString(0)))
+    assert(got(0).isEmpty && got(1).isEmpty && got(2).contains("en"))
+  }
+
+  test("qualityMetrics counts sentence-initial and punct-adjacent stopwords") {
+    // regression: raw whitespace tokens never matched "The" or
+    // "the," against the lowercase stopword list
+    val df = Seq("The cat sat on the mat.").toDF("text")
+    val m = df.select(qualityMetrics($"text").as("m")).select("m.*")
+      .collect().head
+    // normalized hits: The, the -> 2 of 6 whitespace tokens (the old
+    // raw-token match found only the bare lowercase "the": 1 of 6)
+    assert(m.getAs[Double]("stopword_ratio") == 0.3333, m.toString)
+  }
+
+  test("winnowing emits nothing for whitespace-only docs") {
+    // regression: token-free text shingled to [""], so two blank
+    // docs shared the md5("") fingerprint — contaminationReport
+    // flagged a blank test doc as 100% contaminated
+    val df = Seq((1L, "  \n\t "), (2L, "real words here man")).toDF("id", "t")
+    val fps = TextAnalysis.winnowingFingerprints(df, $"id", $"t")
+      .collect().map(_.getLong(0)).toSet
+    assert(fps == Set(2L))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
     val r = df.select(fingerprint($"x").as("fx"), fingerprint($"y").as("fy"))
@@ -781,6 +812,21 @@ class IvfSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
   import Multimodal._
+
+  test("null payloads stay total through every operator (no NPE)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // regression: a single null payload row NPE'd the decoders —
+    // asMedia now normalizes null to empty bytes at the boundary
+    val docs = Seq((1L, Option("bytes")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val media = asMedia(docs, "doc_id", "text")
+    assert(decodeMeta(media).collect().length == 2)
+    assert(resizeImage(media, 16).collect().length == 2)
+    assert(resize(media, 4).collect().length == 2)
+    assert(sampleFrames(media, 2, 1).collect().nonEmpty)
+    assert(extractFeatures(media).collect().length == 2)
+  }
 
   test("media features flow into the similarity stack end-to-end") {
     import org.apache.spark.sql.functions._
