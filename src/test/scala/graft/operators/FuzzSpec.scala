@@ -566,6 +566,64 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokens covers every token exactly per the stride recurrence") {
+    val rnd = new scala.util.Random(23232)
+    for (c <- 1 to cases) {
+      val chunkSize = 2 + rnd.nextInt(8)
+      val stride = 1 + rnd.nextInt(chunkSize)
+      val docs = (1 to (1 + rnd.nextInt(10))).map { i =>
+        (i.toLong, (1 to (1 + rnd.nextInt(30))).map(t => s"t$t").mkString(" "))
+      }
+      val got = graft.functions.TextAnalysis.chunkByTokens(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          chunkSize, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+      val want = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ")
+        val n = tk.length
+        val nChunks =
+          if (n <= chunkSize) 1
+          else ((n - chunkSize + stride - 1) / stride) + 1
+        (0 until nChunks).map { j =>
+          val start = j * stride
+          (id, j.toLong) -> tk.slice(start, start + chunkSize).mkString(" ")
+        }
+      }.toMap
+      assert(got == want, s"case $c cs=$chunkSize st=$stride: " +
+        (want.keySet ++ got.keySet).filter(k => got.get(k) != want.get(k))
+          .take(3).map(k => s"$k got=${got.get(k)} want=${want.get(k)}")
+          .mkString(", "))
+      // coverage: every token index of every doc appears in >= 1 chunk
+      docs.foreach { case (id, text) =>
+        val n = text.split(" ").length
+        val covered = want.keys.filter(_._1 == id).flatMap { case (_, j) =>
+          val s = j * stride
+          s until math.min(s + chunkSize, n.toLong) }.toSet
+        assert(covered == (0L until n.toLong).toSet, s"doc $id gap")
+      }
+    }
+  }
+
+  test("scrubPii redacts generated PII and leaves near-miss text alone") {
+    val rnd = new scala.util.Random(24242)
+    for (c <- 1 to cases) {
+      val email = s"u${rnd.nextInt(99)}@ex${rnd.nextInt(9)}.com"
+      val ip = s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+      val phone = s"${100 + rnd.nextInt(900)}-${100 + rnd.nextInt(900)}-${1000 + rnd.nextInt(9000)}"
+      val clean = s"plain${rnd.nextInt(100)} text v${rnd.nextInt(10)}"
+      val doc = s"$clean contact $email at $ip or $phone end"
+      val out = Seq(doc).toDF("t")
+        .select(graft.functions.TextAnalysis.scrubPii(col("t")).as("s"))
+        .select(col("s.clean")).as[String].collect().head
+      assert(out.contains("<EMAIL>") && out.contains("<IP>") &&
+        out.contains("<PHONE>"), s"case $c: $out")
+      assert(!out.contains(email) && !out.contains(ip) && !out.contains(phone),
+        s"case $c leaked: $out")
+      assert(out.startsWith(clean), s"case $c clobbered clean text: $out")
+    }
+  }
+
   test("exactDedup keeps min-id per class plus all null-text rows") {
     val rnd = new scala.util.Random(5050)
     for (c <- 1 to cases) {
