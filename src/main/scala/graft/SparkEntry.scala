@@ -901,7 +901,7 @@ object SparkEntry {
           .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
             col("event_type"), col("value"))
         val agg = streaming.EventWindows.tumbling(
-          replayStream(s, batch), col("ts2"), "ts2",
+          replayStream(s, batch), "ts2",
           col("event_type"), "90 days", "1 day",
           col("value").cast("decimal(18,2)"))
         val q = agg.writeStream.outputMode("complete").format("memory")
@@ -948,7 +948,7 @@ object SparkEntry {
           .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
             col("user_id"), col("value"))
         val agg = streaming.EventWindows.sessions(
-          replayStream(s, batch), col("ts2"), "ts2",
+          replayStream(s, batch), "ts2",
           col("user_id"), "3650 days", "12 hours",
           col("value").cast("decimal(18,2)"))
         val q = agg.writeStream.outputMode("complete").format("memory")

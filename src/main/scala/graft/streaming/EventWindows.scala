@@ -15,20 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  /** Tumbling-window counts/sums per group. `ts` must be a timestamp
-    * column; `watermark` e.g. "10 minutes"; `windowLen` e.g.
-    * "5 minutes".
+  // a group column named like a fixed output would make the final
+  // select ambiguous — refuse with the offender named. (The window
+  // column is resolved via cheap analysis of a one-column select.)
+  private def requireGroupClear(events: DataFrame, group: Column,
+                                reserved: Set[String]): Unit = {
+    val g = events.select(group).columns.head
+    require(!reserved.contains(g.toLowerCase),
+      s"group column '$g' collides with a fixed output column " +
+        s"(${reserved.mkString(", ")}) — alias it first")
+  }
+
+  /** Tumbling-window counts/sums per group. `tsName` names the
+    * timestamp column — the watermark and the window are BOTH bound
+    * to it (a separate Column parameter let the two silently diverge,
+    * leaving watermark state that never evicts); `watermark` e.g.
+    * "10 minutes"; `windowLen` e.g. "5 minutes".
     */
-  def tumbling(events: DataFrame, ts: Column, tsName: String,
+  def tumbling(events: DataFrame, tsName: String,
                group: Column, watermark: String, windowLen: String,
-               value: Column): DataFrame =
+               value: Column): DataFrame = {
+    requireGroupClear(events, group, Set("w_start", "w_end", "n", "total"))
     events
       .withWatermark(tsName, watermark)
-      .groupBy(window(ts, windowLen), group)
+      .groupBy(window(col(tsName), windowLen), group)
       .agg(count(lit(1)).as("n"), sum(value).as("total"))
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"),
         group, col("n"), col("total"))
+  }
 
   /** Gap-based session aggregation — the streaming twin of
     * [[graft.operators.Temporal.sessionize]]: on a stream, session
@@ -44,14 +59,16 @@ object EventWindows {
     * strictly greater than `gap` — the same convention as a lag-form
     * sessionizer breaking on `diff > gap`.
     */
-  def sessions(events: DataFrame, ts: Column, tsName: String,
+  def sessions(events: DataFrame, tsName: String,
                group: Column, watermark: String, gap: String,
-               value: Column): DataFrame =
+               value: Column): DataFrame = {
+    requireGroupClear(events, group, Set("s_start", "s_end", "n", "total"))
     events
       .withWatermark(tsName, watermark)
-      .groupBy(session_window(ts, gap), group)
+      .groupBy(session_window(col(tsName), gap), group)
       .agg(count(lit(1)).as("n"), sum(value).as("total"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         group, col("n"), col("total"))
+  }
 }

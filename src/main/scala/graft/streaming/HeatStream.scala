@@ -32,7 +32,8 @@ object HeatStream {
       .flatMapGroupsWithState[HeatRecord, HeatRecord](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (path: String, batch: Iterator[Access], state: GroupState[HeatRecord]) =>
-          val prev = state.getOption.getOrElse(HeatRecord(path, 0.0, 0L))
+          val prev = state.getOption.getOrElse(
+            HeatRecord(path, 0.0, ReplicationPolicy.Unseeded))
           // within a micro-batch, apply accesses oldest-first
           var fs = ReplicationPolicy.FileState(
             path, blocks = 2, sizeBytes = 0L, rep = cfg.minRep,
@@ -53,13 +54,22 @@ object HeatStream {
   def run(spark: SparkSession, events: Dataset[Access], queryName: String,
           cfg: ReplicationPolicy.Config = ReplicationPolicy.Config()) = {
     import org.apache.spark.sql.functions.col
-    // unpersist the previous micro-batch's plan — without this the
-    // cached blocks accumulate for the stream's whole lifetime
-    var prevPlan: Option[org.apache.spark.sql.DataFrame] = None
-    var prevPrevPlan: Option[org.apache.spark.sql.DataFrame] = None
+    // unpersist the previous micro-batch's plan AND its upstream
+    // localCheckpoint blocks — without this the cached blocks
+    // accumulate for the stream's whole lifetime. The checkpoint
+    // RDDs (created inside replicationPlan's globalRank) are not
+    // released by DataFrame.unpersist; they are tracked by RDD id
+    // via a before/after diff of the context's persistent-RDD map.
+    // (That diff assumes no OTHER job persists RDDs concurrently in
+    // this SparkContext during the batch — true for the policy
+    // stream's intended one-query deployment.)
+    var prevGen: Option[(org.apache.spark.sql.DataFrame, Set[Int])] = None
+    var prevPrevGen: Option[(org.apache.spark.sql.DataFrame, Set[Int])] = None
     heatUpdates(events, cfg).writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[HeatRecord], _: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
         // quantile re-tier of the touched files this micro-batch.
         // cache+count materializes every partition — foreachBatch
         // must consume the whole batch or the state store commit
@@ -72,6 +82,7 @@ object HeatStream {
           cfg.minRep, cfg.maxRep).cache()
         plan.count()
         heat.unpersist()
+        val newRdds = (sc.getPersistentRDDs.keySet -- before).toSet
         // global view: foreachBatch runs on a cloned session, so a
         // plain temp view would be invisible to the caller's session
         plan.createOrReplaceGlobalTempView(s"${queryName}_plan")
@@ -80,10 +91,15 @@ object HeatStream {
         // the previous plan's cached blocks — dropping them mid-read
         // would force recomputation through localCheckpoint lineage
         // that is not guaranteed to survive executor loss. Two live
-        // generations bound the cache at 2× one (tiny) plan.
-        prevPrevPlan.foreach(_.unpersist())
-        prevPrevPlan = prevPlan
-        prevPlan = Some(plan)
+        // generations bound the cache at 2× one (tiny) plan plus its
+        // checkpointed heat slice.
+        prevPrevGen.foreach { case (p, ids) =>
+          p.unpersist()
+          ids.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        }
+        prevPrevGen = prevGen
+        prevGen = Some((plan, newRdds))
         ()
       }
       .queryName(queryName)

@@ -41,6 +41,12 @@ object ReplicationPolicy {
       atimePrecisionMs: Long = 30000 // capped access-time precision
   )
 
+  /** `lastUpdateMs` sentinel for "no access ever applied": a real
+    * applied update can legitimately carry timestamp 0 (epoch), so
+    * the unseeded marker must be a value no access can produce.
+    */
+  val Unseeded: Long = Long.MinValue
+
   final case class FileState(
       path: String,
       blocks: Int,
@@ -62,11 +68,11 @@ object ReplicationPolicy {
     * EWMA raw.
     */
   def access(s: FileState, nowMs: Long, cfg: Config): (FileState, Boolean) =
-    if (s.lastUpdateMs != 0L && nowMs <= s.ewma + cfg.atimePrecisionMs)
+    if (s.lastUpdateMs != Unseeded && nowMs <= s.ewma + cfg.atimePrecisionMs)
       (s, false)
     else {
       val heat =
-        if (s.lastUpdateMs == 0L) nowMs.toDouble
+        if (s.lastUpdateMs == Unseeded) nowMs.toDouble
         else (1 - cfg.alpha) * s.ewma + cfg.alpha * nowMs
       (s.copy(ewma = heat, lastUpdateMs = nowMs), true)
     }
@@ -109,7 +115,7 @@ object ReplicationPolicy {
     }
 
     def addFile(path: String, blocks: Int, sizeBytes: Long): Unit =
-      files(path) = FileState(path, blocks, sizeBytes, cfg.minRep, 0.0, 0L)
+      files(path) = FileState(path, blocks, sizeBytes, cfg.minRep, 0.0, Unseeded)
 
     /** Delete hook (FSNamesystem.java:4530-4545). */
     def deleteFile(path: String): Unit = files.remove(path)

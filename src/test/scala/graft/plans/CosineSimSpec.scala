@@ -83,7 +83,7 @@ class FileStreamSpec extends SparkSpec {
     // watermark must exceed the fixture's full time span (~30 days,
     // unordered): a shorter one would drop late rows if the replay
     // ever splits into multiple micro-batches
-    val agg = EventWindows.tumbling(stream, col("ts2"), "ts2",
+    val agg = EventWindows.tumbling(stream, "ts2",
       col("event_type"), "60 days", "1 day", col("value"))
     val q = agg.writeStream.outputMode("update")
       .format("memory").queryName("fs_win").start()
@@ -145,7 +145,7 @@ class EventWindowsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Ev]
-    val out = EventWindows.tumbling(input.toDF(), col("ts"), "ts",
+    val out = EventWindows.tumbling(input.toDF(), "ts",
       col("kind"), "10 seconds", "1 minute", col("v"))
     val q = out.writeStream.outputMode("update")
       .format("memory").queryName("win_test").start()

@@ -242,7 +242,7 @@ class SessionWindowSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Ev]
-    val q = EventWindows.sessions(input.toDS().toDF(), $"t", "t",
+    val q = EventWindows.sessions(input.toDS().toDF(), "t",
         $"user", watermark = "10 seconds", gap = "1 minute", $"v")
       .writeStream.outputMode("complete").format("memory")
       .queryName("sess_test").start()
@@ -275,7 +275,7 @@ class SessionWindowSpec extends SparkSpec {
       (1L, 0L, 1.0), (1L, 60000L, 2.0),     // exactly gap: same session
       (2L, 0L, 4.0), (2L, 60001L, 8.0)      // gap + 1 ms: two sessions
     ).map { case (u, ms, v) => Ev(u, ts(ms), v) }.toDF("user", "t", "v")
-    val got = EventWindows.sessions(df, $"t", "t", $"user",
+    val got = EventWindows.sessions(df, "t", $"user",
         watermark = "0 seconds", gap = "1 minute", $"v")
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
     assert(got == Set((1L, 2L, 3.0), (2L, 1L, 4.0), (2L, 1L, 8.0)), got.toString)
@@ -293,7 +293,7 @@ class SessionWindowSpec extends SparkSpec {
       (1L, 200000L, 4.0),                   // 150 s later: new session
       (2L, 10000L, 8.0)
     ).map { case (u, ms, v) => Ev(u, ts(ms), v) }.toDF("user", "t", "v")
-    val viaWindow = EventWindows.sessions(df, $"t", "t", $"user",
+    val viaWindow = EventWindows.sessions(df, "t", $"user",
         watermark = "0 seconds", gap = "1 minute", $"v")
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
     // lag-form sessions on epoch millis with the same 60 s gap
@@ -366,7 +366,7 @@ class HeatStreamSpec extends SparkSpec {
         .groupBy(_.path).map { case (p, rs) => p -> rs.maxBy(_.lastUpdateMs) }
 
       // oracle: pure state machine
-      var fa = ReplicationPolicy.FileState("/a", 2, 0, 3, 0.0, 0L)
+      var fa = ReplicationPolicy.FileState("/a", 2, 0, 3, 0.0, ReplicationPolicy.Unseeded)
       Seq(100000L, 200000L, 175000L).foreach { t =>
         fa = ReplicationPolicy.access(fa, t, ReplicationPolicy.Config())._1
       }

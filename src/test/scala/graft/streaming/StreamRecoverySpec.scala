@@ -94,7 +94,7 @@ class StreamRecoverySpec extends SparkSpec {
 
     // the pure state machine, run unbroken over all three accesses
     val cfg = ReplicationPolicy.Config()
-    var fs = ReplicationPolicy.FileState("f", 2, 0L, cfg.minRep, 0.0, 0L)
+    var fs = ReplicationPolicy.FileState("f", 2, 0L, cfg.minRep, 0.0, ReplicationPolicy.Unseeded)
     Seq(60000L, 120000L, 180000L).foreach { t =>
       fs = ReplicationPolicy.access(fs, t, cfg)._1
     }
