@@ -86,10 +86,17 @@ object Dedup {
     // differently per branch. The "null:" prefix cannot collide
     // with a real fingerprint (md5 hex is exactly 32 [0-9a-f]
     // chars; 'n' is not a hex digit). Rows need distinct ids — the
-    // same contract the min-id survivor rule already imposes.
+    // same contract the min-id survivor rule already imposes. A NULL
+    // id would make the salt itself null (concat propagates nulls),
+    // silently collapsing every null-text+null-id row into one class
+    // and dropping all but one; salting the null-id case with a
+    // per-row monotonic id keeps each such row a singleton partition
+    // so they all pass through, as the docstring promises.
     val p = graft.Names.fresh("__ded", df.columns)
     val part = coalesce(fp,
-      concat(lit("null:"), id.cast("string")))
+      concat(lit("null:"),
+        coalesce(id.cast("string"),
+          concat(lit("mono:"), monotonically_increasing_id()))))
     val w = Window.partitionBy(part).orderBy(id.asc)
     df.withColumn(s"${p}_rn", row_number().over(w))
       .filter(col(s"${p}_rn") === 1)

@@ -72,22 +72,28 @@ object Multimodal {
     * expects the stub. So the printable-prefix formats must prove
     * themselves structurally: BMP's header stores the file size at
     * offset 2 (little-endian u32) — require it to equal the payload
-    * length (true for every real encoder, ~2^-32 for text); GIF
-    * needs the full 6-byte "GIF87a"/"GIF89a" version magic AND the
-    * 0x3B trailer byte the format mandates at end-of-stream.
+    * length OR be 0 (some uncompressed-BMP encoders legally write 0
+    * in bfSize; the following 4 reserved bytes must then be 0 too,
+    * which text cannot fake); GIF needs the full 6-byte
+    * "GIF87a"/"GIF89a" version magic AND the 0x3B end-of-stream
+    * trailer within the last few bytes (encoders may append trailing
+    * padding after the trailer).
     */
   private[graft] def imageMagic(bytes: Array[Byte]): Boolean = {
     def u32le(o: Int): Long =
       (bytes(o) & 0xffL) | (bytes(o + 1) & 0xffL) << 8 |
         (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
-    bytes.length >= 8 && (
+    bytes.length >= 16 && (
       (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
         bytes(3) == 'G') ||                                       // PNG
       (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
         bytes(2) == 0xff.toByte) ||                               // JPEG
       gifStrict(bytes) ||                                         // GIF
       (bytes(0) == 'B' && bytes(1) == 'M' &&
-        u32le(2) == bytes.length.toLong))                         // BMP
+        (u32le(2) == bytes.length.toLong ||
+          // bfSize==0 is spec-legal; demand the reserved u32 at 6 be 0
+          // (three-plus NUL bytes — impossible in a text impersonator)
+          (u32le(2) == 0L && u32le(6) == 0L))))                   // BMP
   }
 
   private[graft] def gifMagic(bytes: Array[Byte]): Boolean =
@@ -98,10 +104,15 @@ object Multimodal {
   /** The full structural GIF gate (version magic + mandatory 0x3b
     * end-of-stream trailer) — ONE definition shared by decodeMeta's
     * imageMagic and gifFrames, so a future hardening cannot make the
-    * two disagree on which payloads are GIFs.
+    * two disagree on which payloads are GIFs. Real-world writers may
+    * append a few padding bytes after the trailer, so the trailer is
+    * accepted anywhere in the final 8 bytes.
     */
   private[graft] def gifStrict(bytes: Array[Byte]): Boolean =
-    gifMagic(bytes) && bytes(bytes.length - 1) == 0x3b
+    gifMagic(bytes) && {
+      val from = math.max(6, bytes.length - 8)
+      (from until bytes.length).exists(bytes(_) == 0x3b)
+    }
 
   /** REAL image header decode via the JDK's `javax.imageio`: true
     * width/height/format for any format an installed ImageReader
@@ -117,7 +128,7 @@ object Multimodal {
     // prefixes) — only structurally-verified headers get a real decode
     if (!imageMagic(bytes)) return None
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+      new java.io.ByteArrayInputStream(repairHeader(bytes)))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
@@ -132,6 +143,23 @@ object Multimodal {
       }
     } finally iis.close()
   }
+
+  /** Header repair for the one spec-legal quirk the JDK reader
+    * chokes on: a BMP with bfSize==0 (legal for uncompressed BMPs;
+    * some encoders write 0 there) makes BMPImageReader throw
+    * "Invalid width/height" because it derives the pixel-data size
+    * from bfSize. Patch the true payload length into a COPY before
+    * any reader sees it; all other payloads pass through untouched.
+    */
+  private[graft] def repairHeader(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 6 && bytes(0) == 'B' && bytes(1) == 'M' &&
+        bytes(2) == 0 && bytes(3) == 0 && bytes(4) == 0 && bytes(5) == 0) {
+      val c = bytes.clone()
+      val len = bytes.length
+      c(2) = (len & 0xff).toByte; c(3) = ((len >> 8) & 0xff).toByte
+      c(4) = ((len >> 16) & 0xff).toByte; c(5) = ((len >> 24) & 0xff).toByte
+      c
+    } else bytes
 
   /** Batch decode → metadata: one decoder per partition, rows
     * streamed through (mapPartitions = the mapInPandas batch shape).
@@ -192,7 +220,7 @@ object Multimodal {
         // (truncated raster, CMYK JPEG unsupported by the stock JDK
         // reader) — totality means pass-through, not a task failure
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+          new java.io.ByteArrayInputStream(repairHeader(bytes)))
         if (img == null) None
         else {
           val scale = maxDim.toDouble / math.max(w, h)
@@ -263,6 +291,8 @@ object Multimodal {
   def sampleFramesGif(media: Dataset[MediaRow], stride: Int,
                       fallbackFrameBytes: Int = 4096): Dataset[Frame] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(fallbackFrameBytes >= 1,
+      s"fallbackFrameBytes must be >= 1, got $fallbackFrameBytes")
     implicit val enc = Encoders.product[Frame]
     media.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -339,8 +369,12 @@ object Multimodal {
     * could parse the following text as a header (the same
     * impersonation class [[imageMagic]] guards against). Each
     * container must prove itself with a field text can't fake: WAV's
-    * RIFF size (little-endian u32 at 4) must equal payload−8 and
-    * bytes 8-11 must be "WAVE"; AIFF needs "FORM"+"AIFF" with the
+    * RIFF size (little-endian u32 at 4) must equal payload−8 (±1 for
+    * the even-byte chunk padding RIFF mandates) OR be one of the
+    * streaming-writer sentinels 0 / 0xFFFFFFFF — a sentinel alone is
+    * text-fakeable ("RIFF\0\0\0\0WAVE" needs NULs, "\xFF\xFF\xFF\xFF"
+    * is non-text, so both stay impersonation-proof — and bytes 8-11
+    * must still read "WAVE"); AIFF needs "FORM"+"AIFF" with the
     * big-endian size matching; AU's encoding word (big-endian u32 at
     * 12, value 1-27) forces three leading zero bytes — impossible in
     * text.
@@ -355,8 +389,11 @@ object Multimodal {
     def ascii(o: Int, s: String): Boolean =
       s.zipWithIndex.forall { case (c, i) => bytes(o + i) == c.toByte }
     bytes.length >= 16 && (
-      (ascii(0, "RIFF") && ascii(8, "WAVE") &&
-        u32le(4) == bytes.length.toLong - 8) ||
+      (ascii(0, "RIFF") && ascii(8, "WAVE") && {
+        val riffSize = u32le(4)
+        math.abs(riffSize - (bytes.length.toLong - 8)) <= 1 ||
+          riffSize == 0L || riffSize == 0xffffffffL
+      }) ||
       (ascii(0, "FORM") && ascii(8, "AIFF") &&
         u32be(4) == bytes.length.toLong - 8) ||
       (ascii(0, ".snd") && u32be(4) >= 24 && u32be(4) <= bytes.length &&

@@ -220,7 +220,15 @@ object MultiIO {
     * reference's archiver does in the JobTracker client); bytes move
     * task-side, one task per part, each streaming its own slice.
     * Files are name-sorted then first-fit into `partSizeBytes`
-    * budgets, so layout is deterministic and re-runs are idempotent.
+    * budgets, so the relative layout is deterministic.
+    *
+    * Crash consistency (generation protocol): a re-pack writes its
+    * parts under FRESH part numbers (continuing above any existing
+    * `part-N`), swaps the new `_index` in via temp+rename, and only
+    * THEN deletes the previous generation's parts. A failure at any
+    * point before the index swap leaves the old index + old parts
+    * fully readable; orphaned new-generation parts are swept by the
+    * next successful pack (their numbers sit below its generation).
     */
   def harPack(spark: SparkSession, srcDir: String, dstDir: String,
               partSizeBytes: Long = 64L * 1024 * 1024): DataFrame = {
@@ -248,24 +256,29 @@ object MultiIO {
         s"harPack: $p is $len bytes; files >= 2 GiB exceed the " +
           "(path, bytes) row model — split or store such files unpacked")
     }
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    fs.mkdirs(dst)
+    // GENERATION: new parts continue numbering above every existing
+    // part (committed or orphaned), so nothing already on disk is
+    // ever overwritten or deleted before the new index commits — a
+    // crash anywhere in this job leaves the previous archive intact.
+    // Orphaned attempt temps of dead runs are cleared now (readers
+    // never see dot-prefixed names; a single packer is the contract).
+    val existing = fs.listStatus(dst).map(_.getPath)
+    existing.filter(_.getName.startsWith(".part-"))
+      .foreach(p => fs.delete(p, false))
+    val partStart = existing.map(_.getName)
+      .filter(_.matches("part-\\d+"))
+      .map(_.stripPrefix("part-").toInt)
+      .foldLeft(-1)(math.max) + 1
     val assigned = Seq.newBuilder[(String, Int, Long, Long)]
-    var part = 0; var off = 0L
+    var part = partStart; var off = 0L
     files.foreach { case (p, len) =>
       if (off > 0 && off + len > partSizeBytes) { part += 1; off = 0L }
       assigned += ((p, part, off, len))
       off += len
     }
     val index = assigned.result()
-    val dst = new org.apache.hadoop.fs.Path(dstDir)
-    fs.mkdirs(dst)
-    // clear any previous pack's parts and orphaned attempt temps
-    // BEFORE the job: the task-side commit is a bare no-overwrite
-    // rename (first attempt wins), so stale destinations must not
-    // exist when the tasks run
-    fs.listStatus(dst).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") ||
-        p.getName.startsWith(".part-"))
-      .foreach(p => fs.delete(p, false))
     val srcBase = base
     val dstBase = fs.makeQualified(dst).toString.stripSuffix("/") + "/"
     // one task per part; each streams its own files into its blob.
@@ -275,7 +288,7 @@ object MultiIO {
     // on an executor knows none of it) — Configuration itself is not
     // serializable, so ship its entries and overlay them task-side.
     val confEntries = hadoopConfEntries(conf)
-    val nParts = part + 1
+    val nParts = part - partStart + 1
     val byPart = index.groupBy(_._2).toSeq.sortBy(_._1)
     spark.sparkContext.parallelize(byPart, nParts).foreach { case (pid, slice) =>
       val hconf = rebuildHadoopConf(confEntries)
@@ -308,9 +321,9 @@ object MultiIO {
       // rename loses the part for good). Rename does not overwrite,
       // so the first attempt wins; a loser's rename fails with the
       // destination present and its (byte-identical) temp is dropped.
-      // Stale parts from a previous pack were cleared driver-side
-      // before the job, so a present destination here can only be a
-      // sibling attempt's commit.
+      // This generation's part numbers are fresh (above every
+      // pre-existing part), so a present destination here can only
+      // be a sibling attempt's commit.
       if (!pfs.rename(tmpPath, finalPath)) {
         if (pfs.exists(finalPath)) pfs.delete(tmpPath, false)
         else throw new java.io.IOException(
@@ -326,9 +339,29 @@ object MultiIO {
       .filter(_.getName.startsWith(".part-"))
       .foreach(p => fs.delete(p, false))
     import spark.implicits._
+    // INDEX SWAP: write the new index to a temp dir first, then swap
+    // it in (delete-then-rename — HDFS rename won't replace a dir).
+    // Everything before the swap is additive, so a crash up to here
+    // leaves the old index + old parts fully consistent; the
+    // delete→rename window is the only residual exposure and it
+    // contains no data movement. Old-generation parts are deleted
+    // only AFTER the new index is live.
     val idxDf = index.toDF("path", "part", "offset", "length")
-    idxDf.repartition(1).write.mode(SaveMode.Overwrite)
-      .parquet(dstBase + "_index")
+    val idxTmp = dstBase + s"._index.tmp-gen$partStart"
+    idxDf.repartition(1).write.mode(SaveMode.Overwrite).parquet(idxTmp)
+    val idxFinal = new org.apache.hadoop.fs.Path(dstBase + "_index")
+    fs.delete(idxFinal, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(idxTmp), idxFinal))
+      throw new java.io.IOException(
+        s"harPack: could not commit index $idxTmp -> $idxFinal")
+    // previous generations (committed parts of the pack this one
+    // replaces, and orphans of crashed packs) all sit below partStart
+    fs.listStatus(dst).map(_.getPath)
+      .filter { p =>
+        p.getName.matches("part-\\d+") &&
+          p.getName.stripPrefix("part-").toInt < partStart
+      }
+      .foreach(p => fs.delete(p, false))
     spark.read.parquet(dstBase + "_index")
   }
 

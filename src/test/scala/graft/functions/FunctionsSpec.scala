@@ -335,6 +335,23 @@ class DedupSpec extends SparkSpec {
       classes.head.getLong(2) == 2L)
   }
 
+  test("null-text rows with NULL ids also all pass exactDedup (no silent drop)") {
+    import spark.implicits._
+    // regression: the null-fingerprint salt concat'd the id, and a
+    // null id made the salt itself null — every null-text+null-id
+    // row collapsed into one window partition and all but one were
+    // silently dropped
+    val df = Seq((Option(1L), Option("same")), (Option(2L), Option("same")),
+      (None: Option[Long], None: Option[String]),
+      (None: Option[Long], None: Option[String]),
+      (None: Option[Long], None: Option[String]))
+      .toDF("doc_id", "text")
+    val kept = exactDedup(df, $"doc_id", $"text").collect()
+    assert(kept.length == 4, s"expected 1 survivor + 3 null rows, got " +
+      s"${kept.length}: ${kept.mkString(";")}")
+    assert(kept.count(_.isNullAt(0)) == 3)
+  }
+
   test("minhashNearDups rejects band counts that break the LSH contract") {
     import spark.implicits._
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
@@ -912,6 +929,52 @@ class MultimodalSpec extends SparkSpec {
       assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
       assert(decodeImage(out.toByteArray).contains((9, 7, fmt)),
         s"real $fmt rejected by the structural gate")
+    }
+  }
+
+  test("gates tolerate spec-legal encoder quirks (bfSize=0, RIFF sentinels, GIF padding)") {
+    val img = new java.awt.image.BufferedImage(
+      9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // BMP with bfSize zeroed (spec-legal for uncompressed BMPs):
+    // still decodes, because the reserved u32 at offset 6 is 0
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bmpOut))
+    val bmp0 = bmpOut.toByteArray.clone()
+    bmp0(2) = 0; bmp0(3) = 0; bmp0(4) = 0; bmp0(5) = 0
+    assert(decodeImage(bmp0).contains((9, 7, "bmp")),
+      "bfSize==0 BMP rejected")
+    // GIF with trailing padding after the 0x3b trailer (real writers
+    // do this): trailer found within the final 8 bytes
+    val gifOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", gifOut))
+    val gifPadded = gifOut.toByteArray ++ Array[Byte](0, 0, 0)
+    assert(decodeImage(gifPadded).contains((9, 7, "gif")),
+      "trailer-padded GIF rejected")
+    // WAV with streaming-writer RIFF size sentinels 0 / 0xFFFFFFFF
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](80 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 80L)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    for (sentinel <- Seq(0x00, 0xff)) {
+      val wav = wavOut.toByteArray.clone()
+      wav(4) = sentinel.toByte; wav(5) = sentinel.toByte
+      wav(6) = sentinel.toByte; wav(7) = sentinel.toByte
+      assert(audioMagic(wav), f"RIFF sentinel 0x$sentinel%02x rejected")
+    }
+    // but an arbitrary wrong size (not sentinel, not ±1) still rejects
+    val wavBad = wavOut.toByteArray.clone()
+    wavBad(4) = 0x39; wavBad(5) = 0x30; wavBad(6) = 0x30; wavBad(7) = 0x00
+    assert(!audioMagic(wavBad), "non-sentinel wrong RIFF size admitted")
+    // sampleFramesGif rejects nonpositive fallbackFrameBytes loudly,
+    // driver-side (mirror of sampleFrames' require)
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val media = Seq(MediaRow(1L, "x", Array[Byte](1, 2, 3))).toDS()
+    intercept[IllegalArgumentException] {
+      sampleFramesGif(media, stride = 1, fallbackFrameBytes = 0)
     }
   }
 

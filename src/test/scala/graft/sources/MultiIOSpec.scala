@@ -260,6 +260,44 @@ class MultiIOSpec extends SparkSpec {
     assert(idx2.collect().map(_.toSeq).toSet ==
       idx.collect().map(_.toSeq).toSet)
   }
+
+  test("harPack re-pack into the same dir is crash-consistent (generations)") {
+    val base = Files.createTempDirectory("graft-har-gen").toString
+    val src = base + "/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def put(p: String, s: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, p),
+        s.getBytes("UTF-8"))
+    (0 until 6).foreach(i => put(s"f$i.txt", s"v1-content-$i-${"x" * 40}"))
+    MultiIO.harPack(spark, src, base + "/har", partSizeBytes = 64L)
+    val gen0Parts = new java.io.File(base, "har").listFiles()
+      .map(_.getName).filter(_.matches("part-\\d+")).toSet
+    assert(gen0Parts.nonEmpty)
+    // simulate a CRASHED earlier re-pack: an orphaned part with a
+    // number above gen 0, never referenced by the live index
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "har", "part-00042"),
+      "orphan-garbage".getBytes("UTF-8"))
+    // mutate the source, re-pack into the SAME archive dir
+    put("f0.txt", s"v2-CHANGED-${"y" * 50}")
+    MultiIO.harPack(spark, src, base + "/har", partSizeBytes = 64L)
+    val after = new java.io.File(base, "har").listFiles()
+      .map(_.getName).filter(_.matches("part-\\d+")).toSet
+    // new generation numbers sit above the orphan; every pre-existing
+    // part (gen 0 AND the orphan) was swept only after the index commit
+    assert(after.intersect(gen0Parts + "part-00042").isEmpty,
+      s"stale parts survived: ${after.intersect(gen0Parts + "part-00042")}")
+    assert(after.forall(_.stripPrefix("part-").toInt > 42), after.toString)
+    // the re-packed archive reads back the NEW content
+    val back = MultiIO.readHar(spark, base + "/har").collect()
+      .map(r => r.getString(0) -> new String(
+        r.getAs[Array[Byte]]("bytes"), "UTF-8")).toMap
+    assert(back("f0.txt").startsWith("v2-CHANGED"), back("f0.txt"))
+    assert(back.keySet == (0 until 6).map(i => s"f$i.txt").toSet)
+    // no temp index dirs left behind
+    assert(!new java.io.File(base, "har").listFiles()
+      .exists(_.getName.startsWith("._index.tmp")), "index temp leaked")
+  }
 }
 
 class PipeSpec extends SparkSpec {
