@@ -565,10 +565,20 @@ object SparkEntry {
         k = 10)
     }),
 
+    // exact-cosine near-dup pairs in the WEAK-similarity regime
+    // (0.4–0.6 — no LSH blocks it efficiently), graded SUBLINEARLY:
+    // every pair with >= 1 endpoint in a 500-vector md5-hash stratum
+    // is scored exactly against the FULL corpus (stratum broadcast,
+    // O(500·n) map-side — the last O(n²) graded plan, now gone; the
+    // full quadratic bruteForcePairs stays a library baseline for
+    // dim-sized inputs). One-sided membership keeps the witness
+    // density CONSTANT as the corpus grows; the oracle rederives the
+    // stratum from the same engine-portable md5 predicate and
+    // brute-forces only stratum × corpus.
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      functions.Similarity.bruteForcePairs(e, col("vec_id"), col("embedding"),
-        threshold = 0.4)
+      functions.Similarity.stratumPairs(e, col("vec_id"), col("embedding"),
+        threshold = 0.4, witnessSize = 500)
     }),
 
     // the SCALE path graded for set equality against a brute-force
@@ -1548,15 +1558,29 @@ object SparkEntry {
         |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
         |FROM s QUALIFY rnk <= 10""".stripMargin,
 
+    // the stratum threshold mirrors Sampling.rateThreshold exactly:
+    // rate = min(1, 500/n); hex = floor(rate * 2^32) as %08x (IEEE
+    // double arithmetic in the same order on both engines), compared
+    // lexicographically against substr(md5(id || ':42'), 1, 8)
     "q_embed_neardup" ->
       """WITH c AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |           FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |           FROM embeddings),
+        |thr AS (SELECT CASE WHEN least(1.0, 500.0 / greatest(count(*), 1))
+        |                         * 4294967296.0 >= 4294967296.0 THEN 'g'
+        |               ELSE printf('%08x', CAST(floor(
+        |                 least(1.0, 500.0 / greatest(count(*), 1))
+        |                 * 4294967296.0) AS BIGINT)) END AS t
+        |        FROM c),
+        |s AS (SELECT vec_id, cv FROM c, thr
+        |      WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 8) < t)
+        |SELECT DISTINCT
+        |       least(a.vec_id, b.vec_id) AS id_a,
+        |       greatest(a.vec_id, b.vec_id) AS id_b,
         |       round(list_dot_product(a.cv, b.cv) /
         |             sqrt(list_dot_product(a.cv, a.cv) *
         |                  list_dot_product(b.cv, b.cv)), 4) AS cos
-        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |FROM c a JOIN s b ON a.vec_id <> b.vec_id
         |WHERE round(list_dot_product(a.cv, b.cv) /
         |            sqrt(list_dot_product(a.cv, a.cv) *
         |                 list_dot_product(b.cv, b.cv)), 4) >= 0.4""".stripMargin,

@@ -319,6 +319,50 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
 
+  /** Exact embedding-cosine pairs restricted to a deterministic
+    * hash-sampled stratum: every pair with at least ONE endpoint in
+    * a `witnessSize`-vector stratum, each graded with exact cosine
+    * against the FULL corpus. The sublinear form of
+    * [[bruteForcePairs]] — cost is O(witnessSize · n) map-side (the
+    * stratum broadcasts; the corpus streams), never O(n²), so the
+    * weak-similarity regime (thresholds no LSH blocks efficiently)
+    * stays exactly auditable at any corpus size.
+    *
+    * One-sided membership matters: witness pairs survive at
+    * ~witnessSize · pairDensity — CONSTANT as the corpus grows — where
+    * a both-endpoints stratum decays as rate² and goes vacuous at
+    * exactly the scales a sublinear witness exists for (the
+    * [[Dedup.simhashValidate]] argument). Membership is a pure
+    * md5 hash of the id (engine-portable, stable under retries), so
+    * a pair missed here is missed at every scale — the gate's bite
+    * does not dilute, only its cost stops scaling quadratically.
+    */
+  def stratumPairs(corpus: DataFrame, id: Column, vec: Column,
+                   threshold: Double, witnessSize: Int = 500,
+                   seed: Long = 42L): DataFrame = {
+    require(witnessSize >= 1, s"witnessSize must be >= 1, got $witnessSize")
+    // pin the (id, vec) projection: the count, the stratum filter and
+    // the streamed side must all read the SAME materialized table —
+    // re-reading `corpus` would re-run its upstream three times
+    val vecs = corpus.select(id.as("vec_id"), vec.as("v")).localCheckpoint()
+    val n = vecs.count()
+    val rate = math.min(1.0, witnessSize.toDouble / math.max(n, 1L))
+    val strat = vecs.filter(Sampling.keepHash(col("vec_id"), rate, seed))
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    // a skinny corpus often arrives as one split; spread the streamed
+    // side so the O(witnessSize · n) kernel parallelizes (the
+    // broadcast side is the bounded stratum, NOT the corpus)
+    val c = vecs.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    c.join(broadcast(strat), col("vec_id") =!= col("sid"))
+      .withColumn("cos", round(cosine(col("v"), col("sv")), 4))
+      .filter(col("cos") >= threshold)
+      // canonicalize: a stratum-stratum pair appears once from each
+      // endpoint's perspective; least/greatest + distinct collapses it
+      .select(least(col("vec_id"), col("sid")).as("id_a"),
+        greatest(col("vec_id"), col("sid")).as("id_b"), col("cos"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs over banded LSH buckets
     * (the embedding variant of [[Dedup.minhashNearDups]]): one
     * `bits`-bit hyperplane signature per vector, split into

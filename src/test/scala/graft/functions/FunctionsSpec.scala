@@ -795,6 +795,33 @@ class IvfSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("stratumPairs = bruteForcePairs restricted to >=1 stratum endpoint") {
+    import spark.implicits._
+    val e = graft.Graft.table(spark, sf, "embeddings").limit(400)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.bruteForcePairs(
+        e, $"vec_id", $"embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // rate mirrors stratumPairs' internal arithmetic (witness 50/400)
+    val n = e.count()
+    val strat = e.filter(Sampling.keepHash(col("vec_id"),
+        math.min(1.0, 50.0 / n), 42L))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(strat.nonEmpty && strat.size < n, s"degenerate stratum: $strat")
+    val expected = exact.filter(p => strat(p._1) || strat(p._2))
+    val got = Similarity.stratumPairs(
+        e, $"vec_id", $"embedding", threshold = 0.4, witnessSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty, "vacuous witness: no pairs above threshold")
+    // witness-side broadcast: the big side streams, the stratum is the
+    // broadcast relation — no O(n^2) nested loop over the full corpus
+    val plan = Similarity.stratumPairs(
+      e, $"vec_id", $"embedding", 0.4, 50).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("writePartitioned probe is a partition-pruned scan with equal results") {
     val e = graft.Graft.table(spark, sf, "embeddings").limit(300)
     val (indexed, cents) = Ivf.index(e, col("vec_id"), col("embedding"),
