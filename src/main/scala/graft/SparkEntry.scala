@@ -1057,6 +1057,42 @@ object SparkEntry {
             col("m.lastUpdateMs").as("last_update_ms"))
     } }),
 
+    // the FULL §0.1 policy loop, streamed end-to-end and graded:
+    // ordered replay → the real flatMapGroupsWithState throttled-EWMA
+    // state machine (q_stream_heat's machinery) → settled per-file
+    // heat → tier assignment with the single-block exemption
+    // (user_id % 5 == 0 models the exempt files,
+    // FSNamesystem.java:4427-4430) → used-bytes capacity check →
+    // ONE demoteSweep (coldest half of every bucket down a level,
+    // FSNamesystem.java:4456-4480). Capacity = 3.5·n·size makes the
+    // 0.8-top breach PROVABLE at any sf (used ≥ 3·n·size > 2.8·n·size
+    // even if every file tiers at minRep), so the graded plan always
+    // contains a real sweep — the no-breach branch is spec-gated
+    // (ReplicationPolicySpec). The oracle replays the identical
+    // throttled fold as a recursive CTE (bit-exact dyadic blends),
+    // then mirrors tier/exempt/sweep in closed form.
+    "q_stream_replication" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        import s.implicits._
+        val batch = t(s, dir, "events")
+          .select(col("user_id").cast("string").as("path"),
+            expr("ts div 1000000").as("tsMs"))
+        val stream = replayStreamOrdered(s, batch, col("tsMs"))
+          .as[streaming.HeatStream.Access]
+        val q = streaming.HeatStream.heatUpdates(stream)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q_stream_repl_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        val heat = s.table("q_stream_repl_sink")
+          .groupBy(col("path"))
+          .agg(max(struct(col("lastUpdateMs"), col("ewma"))).as("m"))
+          .select(col("path").cast("long").as("user_id"),
+            col("m.ewma").as("ewma"))
+        val nFiles = heat.count()
+        streaming.Heat.policyLoopPlan(heat, col("user_id"), col("ewma"),
+          blocksCol = when(col("user_id") % 5 === 0, 1).otherwise(2),
+          sizeBytes = 1000L, capacityBytes = 3500L * math.max(nFiles, 1L))
+    } }),
+
     // ---- L4: retrieval scoring / frequency sketch / PII scrub -------
     // BM25 top-10 over a mixed rare+common term bag; scores are
     // ln/round(4) doubles derived from identical integer operands in
@@ -2200,6 +2236,52 @@ object SparkEntry {
         |    ON e2.user_id = s.user_id AND e2.rn = s.rn + 1)
         |SELECT s.user_id, s.ewma, s.last AS last_update_ms
         |FROM s JOIN mx ON s.user_id = mx.user_id AND s.rn = mx.n""".stripMargin,
+
+    // q_stream_replication: the q_stream_heat fold, then the policy
+    // tail in closed form — exempt files (user_id % 5 = 0) pin at 3;
+    // multi-block files ntile(4) into reps 6..3 by (ewma DESC, id);
+    // used = 1000·Σrep vs capacity 3500·n at top 0.8 always breaches
+    // (used ≥ 3000·n > 2800·n), so the coldest floor(half) of every
+    // bucket above 3 — ranked (ewma ASC, id ASC) within the ORIGINAL
+    // assignment, which equals the reference's ascending sweep over
+    // mutable buckets — drops one level
+    "q_stream_replication" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS t,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) // 1000) AS rn
+        |  FROM events),
+        |mx AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, rn, CAST(t AS DOUBLE) AS ewma, t AS last
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn + 1,
+        |         CASE WHEN e2.t <= s.ewma + 30000 THEN s.ewma
+        |              ELSE 0.5 * s.ewma + 0.5 * e2.t END,
+        |         CASE WHEN e2.t <= s.ewma + 30000 THEN s.last
+        |              ELSE e2.t END
+        |  FROM s JOIN ev e2
+        |    ON e2.user_id = s.user_id AND e2.rn = s.rn + 1),
+        |h AS (SELECT s.user_id, s.ewma
+        |      FROM s JOIN mx ON s.user_id = mx.user_id AND s.rn = mx.n),
+        |tiered AS (
+        |  SELECT user_id, ewma,
+        |         CAST(7 - ntile(4) OVER (ORDER BY ewma DESC, user_id ASC)
+        |              AS INT) AS tr
+        |  FROM h WHERE user_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT user_id, ewma, 3 AS tr FROM h WHERE user_id % 5 = 0),
+        |ranked AS (
+        |  SELECT user_id, ewma, tr,
+        |         row_number() OVER (PARTITION BY tr
+        |                            ORDER BY ewma ASC, user_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY tr) AS bn
+        |  FROM tiered)
+        |SELECT user_id, ewma,
+        |       CAST(CASE WHEN tr > 3 AND rk <= bn // 2 THEN tr - 1
+        |            ELSE tr END AS INT) AS target_rep
+        |FROM ranked""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),

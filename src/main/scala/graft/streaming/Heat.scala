@@ -170,6 +170,70 @@ object Heat {
       .drop(pid, rankCol)
   }
 
+  /** One capacity-pressure demotion sweep in batch (scan) form —
+    * exactly [[ReplicationPolicy.State.demoteSweep]]'s semantics
+    * (FSNamesystem.java:4456-4480): for every bucket above `minRep`,
+    * the coldest floor(half) by (heat asc, key asc) drops one level.
+    * The reference sweeps levels ASCENDING over mutable state, so a
+    * file demoted out of level L+1 lands in L *after* L's own sweep
+    * ran and is never re-swept — which makes the simultaneous
+    * closed form here (rank within the ORIGINAL bucket, demote iff
+    * rank <= floor(bucketSize/2)) exactly equal to the sequential
+    * fold; the equivalence is property-checked against the State
+    * machine in ReplicationPolicySpec. One partitioned window over
+    * the bucket key — no global sort, no driver state.
+    */
+  def demoteSweepBatch(assigned: DataFrame, key: Column, heatCol: Column,
+                       minRep: Int = 3): DataFrame = {
+    val p = graft.Names.fresh("__sw", assigned.columns)
+    val (rk, bn) = (s"${p}_rk", s"${p}_bn")
+    val w = Window.partitionBy(col("target_rep")).orderBy(heatCol.asc, key.asc)
+    val wAll = Window.partitionBy(col("target_rep"))
+    assigned
+      .withColumn(rk, row_number().over(w))
+      .withColumn(bn, count(lit(1)).over(wAll))
+      .withColumn("target_rep",
+        when(col("target_rep") > minRep &&
+          col(rk) <= floor(col(bn) / 2), col("target_rep") - 1)
+          .otherwise(col("target_rep")).cast("int"))
+      .drop(rk, bn)
+  }
+
+  /** The full §0.1 policy loop over a settled heat table — the batch
+    * tail of the streaming composition (heat stream → tier → capacity
+    * demotion → plan; reference FSNamesystem.java:4425-4484):
+    *  1. single-block files are EXEMPT — pinned at `minRep`
+    *     (FSNamesystem.java:4427-4430; they never enter a bucket),
+    *  2. multi-block files tier by exact heat quantile
+    *     ([[replicationPlan]] — the scan equivalent of
+    *     insertFileIntoNewSet's bucket landing),
+    *  3. if used bytes (Σ size·target_rep, the post-assignment
+    *     namespace footprint) exceed `capacityTop`·capacity, ONE
+    *     [[demoteSweepBatch]] runs (the monitor's sweep).
+    * Output: (heat columns…, target_rep). The used-bytes check is one
+    * O(1)-result aggregation; everything else is partitioned windows.
+    */
+  def policyLoopPlan(heat: DataFrame, key: Column, heatCol: Column,
+                     blocksCol: Column, sizeBytes: Long,
+                     capacityBytes: Long, capacityTop: Double = 0.8,
+                     minRep: Int = 3, maxRep: Int = 6): DataFrame = {
+    require(sizeBytes > 0 && capacityBytes > 0,
+      s"sizeBytes/capacityBytes must be positive, got $sizeBytes/$capacityBytes")
+    // pin once: the exempt split, the tiering (itself two passes) and
+    // the used-bytes check must read one materialized heat table
+    val pinned = heat.localCheckpoint()
+    val exempt = pinned.filter(blocksCol <= 1)
+      .withColumn("target_rep", lit(minRep).cast("int"))
+    val tiered = replicationPlan(pinned.filter(blocksCol >= 2),
+      key, heatCol, minRep, maxRep)
+    val assigned = tiered.unionByName(exempt).localCheckpoint()
+    val used = sizeBytes * assigned
+      .agg(sum(col("target_rep").cast("long"))).head.getLong(0)
+    if (used > (capacityBytes * capacityTop).toLong)
+      demoteSweepBatch(assigned, key, heatCol, minRep)
+    else assigned
+  }
+
   /** Scalable tiering: the global-window `ntile` above is exact but
     * single-partition (fine for heat tables up to ~10^7 files); this
     * variant computes approximate quantile cutoffs in one distributed

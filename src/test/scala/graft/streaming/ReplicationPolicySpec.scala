@@ -166,6 +166,62 @@ class HeatBatchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("demoteSweepBatch equals State.demoteSweep on random namespaces") {
+    val cfg = Config()
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(40)
+      val files = (0 until n).map { i =>
+        (f"/f$i%03d", rnd.nextDouble() * 1e6,
+          cfg.minRep + rnd.nextInt(cfg.maxRep - cfg.minRep + 1))
+      }
+      // sequential reference machine
+      val st = new State(cfg, Long.MaxValue / 4)
+      files.foreach { case (p, e, r) =>
+        st.files(p) = FileState(p, 2, 100, r, e, 0L) }
+      st.demoteSweep()
+      val want = st.files.view.mapValues(_.rep).toMap
+      // simultaneous closed form
+      val df = files.toDF("path", "ewma", "target_rep")
+      val got = Heat.demoteSweepBatch(df, col("path"), col("ewma"), cfg.minRep)
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      assert(got == want, s"seed $seed: " +
+        s"diff=${want.collect { case (k, v) if got(k) != v => (k, v, got(k)) }}")
+    }
+  }
+
+  test("policyLoopPlan: exemption pins, breach sweeps, no-breach is identity") {
+    // 20 files, ids 1..20; % 5 == 0 single-block (4 exempt files)
+    val heat = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("user_id", "ewma")
+    val blocks = when(col("user_id") % 5 === 0, 1).otherwise(2)
+    // capacity huge -> no breach: plan == plain tiering + pinned exempt
+    val calm = Heat.policyLoopPlan(heat, col("user_id"), col("ewma"),
+        blocks, sizeBytes = 1000L, capacityBytes = Long.MaxValue / 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((5 to 20 by 5).forall(i => calm(i.toLong) == 3),
+      s"exempt files not pinned: $calm")
+    assert(calm.values.max == 6 && calm.values.forall(r => r >= 3 && r <= 6))
+    // tight capacity -> exactly one sweep: hottest bucket (rep 6)
+    // loses its coldest floor(half), and no file drops more than one
+    val tight = Heat.policyLoopPlan(heat, col("user_id"), col("ewma"),
+        blocks, sizeBytes = 1000L, capacityBytes = 20L * 3500L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val demoted = calm.collect { case (k, v) if tight(k) < v => (k, v - tight(k)) }
+    assert(demoted.nonEmpty, "breach did not demote anything")
+    assert(demoted.values.forall(_ == 1), s"multi-level demotion: $demoted")
+    // exempt files untouched by the sweep (they sit in the unswept
+    // minRep bucket)
+    assert((5 to 20 by 5).forall(i => tight(i.toLong) == 3))
+    // per-bucket arithmetic: each original bucket above minRep lost
+    // exactly floor(size/2)
+    (4 to 6).foreach { level =>
+      val bucket = calm.filter(_._2 == level).keySet
+      val lost = bucket.count(k => tight(k) == level - 1)
+      assert(lost == bucket.size / 2,
+        s"level $level: lost $lost of ${bucket.size}")
+    }
+  }
+
   test("streaming run() emits a per-batch replication plan view") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import HeatStream._
