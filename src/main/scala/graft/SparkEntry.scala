@@ -1024,6 +1024,52 @@ object SparkEntry {
             col("minCount").as("min_count"), col("n"))
     } }),
 
+    // the Misra-Gries sketch UNDER DECREMENT PRESSURE, graded: the
+    // item universe is ~504 keys (5 heavy event_types on even
+    // event_ids + a 499-key tail on odd ones) against capacity 24,
+    // so the sketch decrements constantly inside every window state —
+    // then the phiHeavyHitters decide phase recounts the surviving
+    // candidates exactly and thresholds at ceil(φ·n). φ = 0.05 >
+    // 1/(capacity+1) = 0.04 keeps the no-false-negative guarantee
+    // (any item above n/25 survives the sketch), so the decided
+    // output provably equals the exact φ-heavy-hitters per closed
+    // window — which is precisely what the oracle computes with a
+    // plain GROUP BY. A sketch regression that drops a true heavy
+    // hitter under pressure loses a row and hash-mismatches.
+    "q_stream_heavy_pressure" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        import s.implicits._
+        val phi = 0.05
+        val base = t(s, dir, "events")
+          .select(expr("ts div 1000000000").cast("timestamp").as("ts"),
+            when(col("event_id") % 2 === 0, col("event_type"))
+              .otherwise(concat(lit("u"),
+                (col("event_id") % 499).cast("string"))).as("item"))
+          .filter(col("item").isNotNull && col("ts").isNotNull)
+        val stream = replayStreamOrdered(s, base, col("ts"))
+          .as[streaming.StreamHeavyHitters.Item]
+        val q = streaming.StreamHeavyHitters
+          .perWindow(stream, 86400000L, "0 seconds", capacity = 24)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q_stream_pressure_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        // decide phase: candidates (≤ capacity per window) broadcast
+        // against one exact recount of the same table — the sketch
+        // only proposes, exact counting decides (phiHeavyHitters'
+        // two-pass discipline, reference SortValidator.java's
+        // self-validating-job pattern)
+        val cands = s.table("q_stream_pressure_sink")
+          .select(expr("windowStart div 1000").as("w_start"), col("item"),
+            col("n"))
+        val counted = base
+          .select((expr("CAST(ts AS LONG) div 86400") * 86400).as("w_start"),
+            col("item"))
+          .groupBy(col("w_start"), col("item"))
+          .agg(count(lit(1)).as("cnt"))
+        counted.join(broadcast(cands), Seq("w_start", "item"))
+          .filter(col("cnt") >= ceil(lit(phi) * col("n")))
+          .select(col("w_start"), col("item"), col("cnt"), col("n"))
+    } }),
+
     // the §0.1 policy loop ITSELF as a graded stream: per-file
     // EWMA-with-atime-throttle state (HeatStream.heatUpdates — the
     // reference's FSDirectory EWMA + 30 s precision skip) over an
@@ -2210,6 +2256,30 @@ object SparkEntry {
         |SELECT g.w_start, g.item, g.min_count, tot.n
         |FROM g JOIN tot USING (w_start), (SELECT max(t) AS mt FROM e) mx
         |WHERE g.w_start + 86400 < mx.mt""".stripMargin,
+
+    // q_stream_heavy_pressure: the sketch only proposes and the exact
+    // recount decides, so the oracle is the plain per-closed-window
+    // φ-heavy-hitters GROUP BY — the Misra-Gries guarantee
+    // (φ = 0.05 > 1/(capacity+1) = 0.04) makes the decided output
+    // equal it even though the sketch decrements throughout
+    "q_stream_heavy_pressure" ->
+      """WITH e AS (
+        |  SELECT t, item FROM (
+        |    SELECT epoch_us(ts) // 1000000 AS t,
+        |           CASE WHEN event_id % 2 = 0 THEN event_type
+        |                ELSE 'u' || CAST(event_id % 499 AS VARCHAR) END
+        |             AS item
+        |    FROM events WHERE ts IS NOT NULL)
+        |  WHERE item IS NOT NULL),
+        |g AS (SELECT (t // 86400) * 86400 AS w_start, item,
+        |             count(*) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |tot AS (SELECT w_start, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM g GROUP BY 1)
+        |SELECT g.w_start, g.item, g.cnt, tot.n
+        |FROM g JOIN tot USING (w_start), (SELECT max(t) AS mt FROM e) mx
+        |WHERE g.w_start + 86400 < mx.mt
+        |  AND g.cnt >= ceil(0.05 * tot.n)""".stripMargin,
 
     // q_stream_heat: the throttled-EWMA policy fold replayed as a
     // recursive CTE — seed raw on first access, then skip when

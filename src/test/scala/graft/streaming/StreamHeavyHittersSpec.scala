@@ -68,6 +68,45 @@ class StreamHeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decide phase under decrement pressure recovers exact phi-heavy-hitters") {
+    implicit val sqlCtx = spark.sqlContext
+    // universe 105 items vs capacity 8: decrements fire constantly.
+    // phi = 0.15 > 1/(8+1): the MG guarantee still promises every
+    // item above n*0.15 survives, so candidates + exact recount must
+    // equal the exact phi-heavy-hitters despite the undercounting.
+    val heavy = Seq.tabulate(60)(i => Item(ts(1000L + i), s"h${i % 2}"))
+    val tail = Seq.tabulate(103)(i => Item(ts(3000L + i), s"t$i"))
+    val all = heavy ++ tail // n=163; heavy h0/h1 = 30 each (18.4%)
+    val input = MemoryStream[Item]
+    val q = perWindow(input.toDS(), windowMillis = 60000L,
+        watermark = "0 seconds", capacity = 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("shh_pressure").start()
+    try {
+      input.addData(all: _*)
+      q.processAllAvailable()
+      input.addData(Item(ts(300000L), "later"))
+      q.processAllAvailable()
+      val sink = spark.table("shh_pressure")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      // pressure evidence: far fewer survivors than distinct items,
+      // and at least one survivor's lower bound undercounts
+      assert(sink.length <= 8 && sink.length < 105,
+        s"no pressure: ${sink.length} survivors")
+      assert(sink.forall(_._3 == 163L))
+      val exact = all.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+      assert(sink.exists { case (i, c, _) => c < exact(i) },
+        s"no undercount observed: ${sink.mkString(",")}")
+      // decide: exact recount of candidates at ceil(phi*n)
+      val minCnt = math.ceil(0.15 * 163).toLong // = 25
+      val decided = sink.map(_._1).distinct
+        .map(i => i -> exact(i)).filter(_._2 >= minCnt).toMap
+      val want = exact.filter(_._2 >= minCnt)
+      assert(decided == want, s"decided=$decided want=$want")
+      assert(want == Map("h0" -> 30L, "h1" -> 30L))
+    } finally q.stop()
+  }
+
   test("null items are excluded like the batch twin, not NPE'd") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Item]
