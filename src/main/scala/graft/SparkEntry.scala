@@ -19,6 +19,15 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** Nanoseconds the CURRENT query spent writing its replay slice
+    * (the driver-side harness cost of the streaming queries — temp
+    * parquet write + mod-time stamping — NOT operator work; at
+    * deployment the ingest directory already exists). Bench resets
+    * this before each sample and subtracts it to report the
+    * stream-only cost separately from the harness.
+    */
+  val replayWriteNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
@@ -55,7 +64,9 @@ object SparkEntry {
   private def replayStream(s: SparkSession, batch: DataFrame,
                            nFiles: Int = 8): DataFrame = {
     val tmp = replayDir()
+    val t0 = System.nanoTime()
     batch.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    replayWriteNanos.addAndGet(System.nanoTime() - t0)
     s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
   }
@@ -125,6 +136,7 @@ object SparkEntry {
   private def replayStreamOrdered(s: SparkSession, batch: DataFrame,
                                   order: Column, nFiles: Int = 8): DataFrame = {
     val tmp = replayDir()
+    val t0 = System.nanoTime()
     batch.repartitionByRange(nFiles, order)
       .sortWithinPartitions(order)
       .write.mode("overwrite").parquet(tmp)
@@ -135,6 +147,7 @@ object SparkEntry {
       require(f.setLastModified(base + i * 2000L),
         s"cannot stamp replay mod-time on $f")
     }
+    replayWriteNanos.addAndGet(System.nanoTime() - t0)
     s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
   }
