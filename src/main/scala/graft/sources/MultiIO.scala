@@ -12,10 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object MultiIO {
 
-  /** One [[harPack]] index row: where an archived file's bytes live. */
-  final case class HarEntry(path: String, part: Int, offset: Long,
-                            length: Long)
-
   /** MultipleInputs: each source gets its own per-source transform
     * (the per-path Mapper), then all are unioned by column name.
     * Sources must produce union-compatible schemas; each branch keeps
@@ -379,15 +375,32 @@ object MultiIO {
     val dstBase = harDir.stripSuffix("/") + "/"
     val idx0 = spark.read.parquet(dstBase + "_index")
     val idx = pathFilter.map(idx0.filter).getOrElse(idx0)
+      .select(col("path"),
+        format_string("part-%05d", col("part")).as("part_file"),
+        col("offset"), col("length"))
+    rangedPartReads(spark, dstBase, idx)
+  }
+
+  /** One forward sequential scan per part blob, shared by the parquet
+    * and reference-text index paths: range-partition entries by
+    * (part file, offset), keep one open handle per task, seek forward
+    * only. Bytes never shuffle.
+    */
+  // public: the row encoder's generated code instantiates it — a
+  // private class fails janino compilation task-side
+  final case class PartEntry(path: String, part_file: String,
+                             offset: Long, length: Long)
+  private def rangedPartReads(spark: SparkSession, dstBase: String,
+                              idx: DataFrame): DataFrame = {
     val confEntries = hadoopConfEntries(
       spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
-    idx.repartitionByRange(col("part"), col("offset"))
-      .sortWithinPartitions(col("part"), col("offset"))
-      .as[HarEntry]
+    idx.repartitionByRange(col("part_file"), col("offset"))
+      .sortWithinPartitions(col("part_file"), col("offset"))
+      .as[PartEntry]
       .mapPartitions { rows =>
         val hconf = rebuildHadoopConf(confEntries)
-        var open: Option[(Int, org.apache.hadoop.fs.FSDataInputStream)] = None
+        var open: Option[(String, org.apache.hadoop.fs.FSDataInputStream)] = None
         // the handle must close even when the iterator is NOT drained
         // (limit/take, downstream failure) — tie it to task completion
         Option(org.apache.spark.TaskContext.get()).foreach {
@@ -395,20 +408,138 @@ object MultiIO {
             open.foreach(_._2.close()); open = None
           }
         }
-        rows.map { case HarEntry(path, part, offset, length) =>
-          if (!open.exists(_._1 == part)) {
+        rows.map { case PartEntry(path, partFile, offset, length) =>
+          // harPack enforces this at pack time; a foreign (reference-
+          // written) index must be re-checked at read time
+          require(length < Int.MaxValue.toLong,
+            s"$path is $length bytes; >= 2 GiB exceeds the (path, bytes) " +
+              "row model")
+          if (!open.exists(_._1 == partFile)) {
             open.foreach(_._2.close())
-            val p = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$part%05d")
-            open = Some((part, p.getFileSystem(hconf).open(p)))
+            val p = new org.apache.hadoop.fs.Path(dstBase + partFile)
+            open = Some((partFile, p.getFileSystem(hconf).open(p)))
           }
           val in = open.get._2
-          // length < Int.MaxValue is a harPack invariant (see require)
           val buf = new Array[Byte](length.toInt)
           in.seek(offset)
           in.readFully(buf)
           (path, buf)
         }
       }.toDF("path", "bytes")
+  }
+
+  /** Parse a STOCK-HADOOP archive's text `_index` (the reference
+    * layout this engine's parquet index deliberately diverges from —
+    * HarFileSystem.java:33-44; written by HadoopArchives.java:480-604
+    * as hash-sorted lines `<path> file <part-N> <offset> <length> `
+    * for files and `<path> dir none 0 0 <children...> ` for
+    * directories) into the same (path, part_file, offset, length)
+    * relation the ranged reader consumes. File entries only — HAR
+    * directories carry no bytes.
+    */
+  def readReferenceHarIndex(spark: SparkSession, harDir: String): DataFrame = {
+    val dstBase = harDir.stripSuffix("/") + "/"
+    // the underscore prefix marks the file HIDDEN to every Spark/
+    // Hadoop file-source listing (spark.read.text returns zero rows;
+    // FileInputFormat's glob refuses the explicit path), so the index
+    // is read driver-side through the raw FileSystem — exactly what
+    // the reference's HarFileSystem client does with this same file
+    // (HarFileSystem.java:386-398). The index is file METADATA (one
+    // line per archived file); a deployment archiving enough files
+    // for that to strain the driver should convert once to the
+    // parquet index (readReferenceHarIndex -> write), which
+    // thereafter scans distributed and predicate-pruned.
+    val idxPath = new org.apache.hadoop.fs.Path(dstBase + "_index")
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = {
+      val in = fs.open(idxPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }.filter(_.trim.nonEmpty)
+    val spark2 = spark
+    import spark2.implicits._
+    lines.toDF("value")
+      .select(split(col("value"), " ").as("f"))
+      .filter(col("f").getItem(1) === "file")
+      .select(col("f").getItem(0).as("path"),
+        col("f").getItem(2).as("part_file"),
+        col("f").getItem(3).cast("long").as("offset"),
+        col("f").getItem(4).cast("long").as("length"))
+  }
+
+  /** Read an archive produced by STOCK Hadoop (`hadoop archive`) —
+    * text `_index`/`_masterindex`, bare `part-N` names — back as
+    * (path, bytes), so reference-written archives are consumable
+    * without conversion. Same scan shape as [[readHar]]; the path
+    * filter prunes the (metadata-sized) index before any blob opens.
+    */
+  def readReferenceHar(spark: SparkSession, harDir: String,
+                       pathFilter: Option[Column] = None): DataFrame = {
+    val dstBase = harDir.stripSuffix("/") + "/"
+    val idx0 = readReferenceHarIndex(spark, harDir)
+    rangedPartReads(spark, dstBase,
+      pathFilter.map(idx0.filter).getOrElse(idx0))
+  }
+
+  /** The reference's path hash (HarFileSystem.java:360-362):
+    * `Path.toString().hashCode() & 0x7fffffff` — the `_index` sort
+    * key and the `_masterindex` range key.
+    */
+  private[graft] def harHash(path: String): Int =
+    new org.apache.hadoop.fs.Path(path).toString.hashCode & 0x7fffffff
+
+  /** Point lookup against a stock-Hadoop archive via the text
+    * `_masterindex`, mirroring HarFileSystem.fileStatusInIndex
+    * (HarFileSystem.java:386-448): hash the path, collect the index
+    * byte ranges whose [startHash, endHash] cover it, scan ONLY those
+    * `_index` slices for the entry, then one ranged read from its
+    * part blob — O(slice + file), never O(archive). Driver-side, like
+    * the reference's client path.
+    */
+  def referenceHarLookup(spark: SparkSession, harDir: String,
+                         path: String): Option[Array[Byte]] = {
+    val dstBase = harDir.stripSuffix("/") + "/"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val hash = harHash(path)
+    val masterPath = new org.apache.hadoop.fs.Path(dstBase + "_masterindex")
+    val fs = masterPath.getFileSystem(conf)
+    val master = {
+      val in = fs.open(masterPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    // first line is the version header ("1 "); store lines are
+    // "startHash endHash startPos endPos" into _index
+    val stores = master.drop(1).filter(_.trim.nonEmpty).map { line =>
+      val f = line.trim.split(" ")
+      (f(0).toInt, f(1).toInt, f(2).toLong, f(3).toLong)
+    }.filter { case (lo, hi, _, _) => lo <= hash && hash <= hi }
+    val idxPath = new org.apache.hadoop.fs.Path(dstBase + "_index")
+    val entry = stores.iterator.flatMap { case (_, _, begin, end) =>
+      val in = fs.open(idxPath)
+      try {
+        in.seek(begin)
+        val buf = new Array[Byte]((end - begin).toInt)
+        in.readFully(buf)
+        new String(buf, "UTF-8").split("\n").iterator.map(_.split(" "))
+          .filter(f => f.length >= 5 && f(1) == "file" &&
+            new org.apache.hadoop.fs.Path(f(0)).compareTo(target) == 0)
+          .map(f => (f(2), f(3).toLong, f(4).toLong)).toSeq
+      } finally in.close()
+    }.toSeq.headOption
+    entry.map { case (partFile, offset, length) =>
+      require(length < Int.MaxValue.toLong,
+        s"$path is $length bytes; >= 2 GiB exceeds the byte-array model")
+      val p = new org.apache.hadoop.fs.Path(dstBase + partFile)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        val buf = new Array[Byte](length.toInt)
+        in.seek(offset)
+        in.readFully(buf)
+        buf
+      } finally in.close()
+    }
   }
 
   /** Configuration is not serializable: ship its (k, v) entries and

@@ -298,6 +298,66 @@ class MultiIOSpec extends SparkSpec {
     assert(!new java.io.File(base, "har").listFiles()
       .exists(_.getName.startsWith("._index.tmp")), "index temp leaked")
   }
+
+  test("readReferenceHar consumes a stock-Hadoop text-layout archive") {
+    // hand-build the reference layout byte-for-byte
+    // (HarFileSystem.java:33-44, HadoopArchives.java:480-604):
+    // bare part-N names, text _index sorted by the path hash with
+    // trailing-space lines, _masterindex = version line + hash-range
+    // stores pointing at _index byte ranges
+    val base = Files.createTempDirectory("graft-refhar").toString
+    val har = java.nio.file.Paths.get(base, "x.har")
+    Files.createDirectories(har)
+    val contents = Map(
+      "/user/a.txt" -> "alpha-content".getBytes("UTF-8"),
+      "/user/b.bin" -> Array[Byte](0, 1, 0xff.toByte, 0x7f, 0x00, 9),
+      "/user/sub/c.txt" -> "ccc".getBytes("UTF-8"))
+    // part-0 holds a.txt then c.txt; part-1 holds b.bin (bare names)
+    val part0 = contents("/user/a.txt") ++ contents("/user/sub/c.txt")
+    java.nio.file.Files.write(har.resolve("part-0"), part0)
+    java.nio.file.Files.write(har.resolve("part-1"), contents("/user/b.bin"))
+    val entries = Seq(
+      ("/user", s"/user dir none 0 0 a.txt b.bin sub "),
+      ("/user/a.txt",
+        s"/user/a.txt file part-0 0 ${contents("/user/a.txt").length} "),
+      ("/user/b.bin",
+        s"/user/b.bin file part-1 0 ${contents("/user/b.bin").length} "),
+      ("/user/sub/c.txt",
+        s"/user/sub/c.txt file part-0 ${contents("/user/a.txt").length} " +
+          s"${contents("/user/sub/c.txt").length} "))
+      .sortBy { case (p, _) => MultiIO.harHash(p) }
+    val idxLines = entries.map(_._2 + "\n")
+    java.nio.file.Files.write(har.resolve("_index"),
+      idxLines.mkString.getBytes("UTF-8"))
+    // two masterindex stores (split after the second line) so the
+    // lookup's range selection is exercised, not just a full scan
+    val off = idxLines.map(_.getBytes("UTF-8").length.toLong)
+      .scanLeft(0L)(_ + _)
+    val hashes = entries.map { case (p, _) => MultiIO.harHash(p) }
+    val master = "1 \n" +
+      s"${hashes(0)} ${hashes(1)} ${off(0)} ${off(2)} \n" +
+      s"${hashes(2)} ${hashes(3)} ${off(2)} ${off(4)} \n"
+    java.nio.file.Files.write(har.resolve("_masterindex"),
+      master.getBytes("UTF-8"))
+    // bulk read: every file round-trips, the dir entry is excluded
+    val back = MultiIO.readReferenceHar(spark, har.toString).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(back.keySet == contents.keySet, back.keySet.toString)
+    contents.foreach { case (p, b) =>
+      assert(java.util.Arrays.equals(back(p), b), s"bytes differ for $p") }
+    // filtered read prunes to one entry
+    val one = MultiIO.readReferenceHar(spark, har.toString,
+      Some($"path" === "/user/b.bin")).collect()
+    assert(one.length == 1 &&
+      java.util.Arrays.equals(one.head.getAs[Array[Byte]]("bytes"),
+        contents("/user/b.bin")))
+    // point lookups via the masterindex hash ranges (both stores)
+    contents.foreach { case (p, b) =>
+      assert(MultiIO.referenceHarLookup(spark, har.toString, p)
+        .exists(java.util.Arrays.equals(_, b)), s"lookup failed for $p") }
+    assert(MultiIO.referenceHarLookup(spark, har.toString,
+      "/user/missing.txt").isEmpty)
+  }
 }
 
 class PipeSpec extends SparkSpec {
