@@ -1768,14 +1768,19 @@ object SparkEntry {
         |        FROM toks WHERE len(tk) > 0)
         |  GROUP BY 1, 2, 3),
         |cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
-        |tot AS (SELECT sum(cnt) AS total FROM cnt)
+        |tot AS (SELECT sum(cnt) AS total FROM cnt),
+        |sums AS (
+        |  SELECT doc_id, dl,
+        |         CAST(sum(tf * CAST(round(
+        |           ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |           * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM tf JOIN cnt USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id, dl)
         |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
-        |       round((CAST(sum(tf * CAST(round(
-        |                 ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-        |                 * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6)
-        |             / CAST(dl AS DOUBLE), 4) AS avg_logprob
-        |FROM tf JOIN cnt USING (term) CROSS JOIN tot
-        |GROUP BY doc_id, dl""".stripMargin,
+        |       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+        |            ((2 * abs(s) + 100 * dl) // (200 * dl)) AS BIGINT)
+        |         / 1e4 AS avg_logprob
+        |FROM sums""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH t AS (

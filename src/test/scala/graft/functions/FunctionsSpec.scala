@@ -471,6 +471,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash oversized buckets sub-block instead of dropping (cap-independent pair set)") {
+    // SimHash bits are biased by shared tokens, so real corpora
+    // overflow chunk buckets (measured: 6.5k docs in one 13-bit
+    // bucket at 50k docs — sf1's q_simhash recall regression when
+    // over-cap buckets were dropped). The cap must only route: with
+    // maxBucket=2 almost every bucket takes the remaining-bits
+    // sub-block path, and the pair set must EQUAL the effectively
+    // uncapped run — recall 1.0 is cap-independent by pigeonhole on
+    // the remaining bits.
+    val docs = graft.Graft.table(spark, sf, "documents").limit(300)
+    def pairs(cap: Int) =
+      simhashNearDups(docs, col("doc_id"), col("text"),
+        maxHamming = 4, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiny = pairs(2)
+    val roomy = pairs(1 << 20)
+    assert(tiny == roomy,
+      s"sub-blocked pair set diverges: only-tiny=${(tiny -- roomy).take(5)} " +
+        s"only-roomy=${(roomy -- tiny).take(5)}")
+    assert(roomy.nonEmpty, "vacuous: corpus has no pairs in radius")
+  }
+
   test("minhash bands=numHashes + exact rerank equals the exact jaccard pair set") {
     // the q_minhash_lsh oracle contract: with one hash row per band,
     // candidates cover every pair sharing any min value, and the
