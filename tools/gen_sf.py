@@ -54,8 +54,11 @@ def i32(a): return pa.array(np.asarray(a, dtype=np.int32), pa.int32())
 def i64(a): return pa.array(np.asarray(a, dtype=np.int64), pa.int64())
 def f64(a): return pa.array(np.asarray(a, dtype=np.float64), pa.float64())
 def s(a): return pa.array(list(a), pa.string())
-def ts_ms(a): return pa.array(np.asarray(a, np.int64), pa.timestamp("ms"))
-def ts_ns(a): return pa.array(np.asarray(a, np.int64), pa.timestamp("ns"))
+# the round-7 driver fixture stores every timestamp as timestamp[us]
+# (earlier rounds used ms for dates and ns for events.ts); helpers take
+# the same ms/ns integers and widen/truncate to us at write time
+def ts_ms(a): return pa.array(np.asarray(a, np.int64) * 1000, pa.timestamp("us"))
+def ts_ns(a): return pa.array(np.asarray(a, np.int64) // 1000, pa.timestamp("us"))
 
 
 def main(sf, out_dir):
