@@ -49,6 +49,17 @@ object Profile {
       return
     }
 
+    // --sweep: bucketed range join vs boundary-counting sweep on the
+    // same graded count-active-sessions workload (Bench's toRdd
+    // protocol so Catalyst can't prune either plan's work)
+    if (args.contains("--sweep")) {
+      for (q <- Seq("q_range_join", "q_active_count"); _ <- 1 to 2)
+        time(q)(SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.toRdd.count())
+      spark.stop()
+      return
+    }
+
     time("shingles explode")(docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 3)).as("s")).count())
     val sig = Dedup.minhashSignature(docs, col("doc_id"), col("text"))

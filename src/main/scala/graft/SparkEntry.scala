@@ -904,6 +904,28 @@ object SparkEntry {
         .groupBy(col("event_id")).agg(count(lit(1)).as("n_active"))
     }),
 
+    // the sweep twin of q_range_join: identical semantics (count of
+    // sessions active at each error event) through
+    // activeIntervalCount's boundary-counting plan — no candidate
+    // pairs at any scale, so this is the shape that survives a dense
+    // 100 TB timeline where the bucketed join's per-bucket population
+    // densifies quadratically. Zero-coverage errors surface with
+    // count 0 (the LEFT reading), which the oracle mirrors.
+    "q_active_count" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t"), col("event_type"), col("value"))
+      val sess = operators.Temporal.sessionSummary(
+          e.select(col("user_id"), col("t").as("ts"), col("value")),
+          col("user_id"), col("ts"), gap = 43200000000L,
+          col("value").cast("decimal(18,2)"))
+        .select(col("start_t"), col("end_t"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("t"))
+      operators.Temporal.activeIntervalCount(errors, col("t"), sess,
+          col("start_t"), col("end_t"))
+        .select(col("event_id"), col("n_active"))
+    }),
+
     // ---- §2.9 streaming twins, graded against BATCH oracles ---------
     // The events table is replayed through a real file-source stream
     // (8 parquet files, maxFilesPerTrigger=1 ⇒ 8 unordered
@@ -2407,6 +2429,27 @@ object SparkEntry {
         |        WHERE event_type = 'error')
         |SELECT e.event_id, count(*) AS n_active
         |FROM err e JOIN sess s ON e.t BETWEEN s.start_t AND s.end_t
+        |GROUP BY 1""".stripMargin,
+
+    // q_range_join's CTEs with a LEFT join: the sweep keeps
+    // zero-coverage points (count 0), the inner bucketed join drops
+    // them — count(s.start_t) makes the unmatched row count 0
+    "q_active_count" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |y AS (SELECT user_id, t,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  > 43200000000 THEN 1 ELSE 0 END AS nw
+        |      FROM x),
+        |z AS (SELECT user_id, t,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM y),
+        |sess AS (SELECT user_id, sid, min(t) AS start_t, max(t) AS end_t
+        |         FROM z GROUP BY 1, 2),
+        |err AS (SELECT event_id, epoch_us(ts) AS t FROM events
+        |        WHERE event_type = 'error')
+        |SELECT e.event_id, count(s.start_t) AS n_active
+        |FROM err e LEFT JOIN sess s ON e.t BETWEEN s.start_t AND s.end_t
         |GROUP BY 1""".stripMargin,
 
     // BM25 replayed termwise: identical integer operands (tf, dl, df,

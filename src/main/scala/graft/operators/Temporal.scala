@@ -197,6 +197,101 @@ object Temporal {
 
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-point active-interval COUNT via a distributed sweep — the
+    * scale path for the commonest [[rangeJoin]] specialization
+    * ("how many intervals cover each point"), where materializing the
+    * pairs is pure waste: the pair population grows as
+    * points × concurrent-intervals (quadratic in data scale on a
+    * densifying timeline) while the answer itself stays one row per
+    * point.
+    *
+    * Classic boundary-counting: active(t) = #(start <= t) − #(end < t).
+    * Interval bounds become +1/−1 boundary events, query points ride
+    * along at ord 1 (starts=0 sort first at equal time, end-removals=2
+    * last — both bounds inclusive, exactly `pt BETWEEN start AND end`),
+    * and one global running sum of the deltas reads the count off at
+    * every query row. Distribution is the two-phase prefix sum (the
+    * TeraSort shape: range-partition, local prefix, tiny per-partition
+    * totals to the driver, broadcast offsets back): one range exchange
+    * + one pid-local window — O((n+m) log) total, zero pair blowup, no
+    * single-reducer funnel. The range partitioning is pinned with an
+    * eager localCheckpoint so the offsets job and the window job see
+    * the same partition assignment (RangePartitioner re-samples per
+    * action otherwise).
+    *
+    * Query rows with a null time get a null count (coverage at an
+    * unknown time is unknown — the three-valued-logic reading of
+    * BETWEEN); invalid intervals (null/inverted bounds) are dropped
+    * and counted in an observed `graft.<site>.<n>` metric like
+    * [[rangeJoin]]'s. Points with no covering interval come out with
+    * count 0 (a LEFT-join reading — [[rangeJoin]]+groupBy loses them).
+    */
+  def activeIntervalCount(points: DataFrame, pt: Column,
+                          intervals: DataFrame, start: Column, end: Column,
+                          countCol: String = "n_active",
+                          partitions: Int = 0,
+                          site: String = "active_count"): DataFrame = {
+    require(!points.columns.contains(countCol),
+      s"output column '$countCol' already exists on the points side")
+    val spark = points.sparkSession
+    val nPart = if (partitions > 0) partitions
+                else spark.sessionState.conf.numShufflePartitions
+    val p = graft.Names.fresh("__aic", points.columns, intervals.columns)
+    val ptCols = points.columns.toIndexedSeq
+    val rowStruct = struct(ptCols.map(col): _*)
+    val rowType = points.select(rowStruct).schema.head.dataType
+    val q = points.filter(pt.isNotNull).select(
+      pt.as(s"${p}_t"), lit(1).as(s"${p}_o"), lit(0L).as(s"${p}_d"),
+      rowStruct.as(s"${p}_row"))
+    val valid = coalesce(end >= start, lit(false))
+    val iv = intervals
+      .observe(s"graft.$site.${obsId.incrementAndGet()}",
+        sum(when(!valid, 1L).otherwise(0L)).as("invalid_intervals"))
+      .filter(valid)
+    def bound(t: Column, ord: Int, delta: Long) = iv.select(
+      t.as(s"${p}_t"), lit(ord).as(s"${p}_o"), lit(delta).as(s"${p}_d"),
+      lit(null).cast(rowType).as(s"${p}_row"))
+    // pin the range partitioning: both downstream jobs (per-partition
+    // totals, windowed prefix) must agree on pid for the offsets to be
+    // exact, and RangePartitioner samples fresh bounds per action
+    val swept = q.unionByName(bound(start, 0, 1L))
+      .unionByName(bound(end, 2, -1L))
+      .repartitionByRange(nPart, col(s"${p}_t"), col(s"${p}_o"))
+      .localCheckpoint()
+    // per-partition delta totals -> driver (nPart rows) -> exclusive
+    // prefix offsets, broadcast back. Empty partitions surface no agg
+    // row; they contribute 0.
+    val totals = swept.groupBy(spark_partition_id().as(s"${p}_pid"))
+      .agg(sum(col(s"${p}_d")).as(s"${p}_tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPart).scanLeft(0L) {
+      (acc, i) => acc + totals.getOrElse(i, 0L)
+    }.init
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsets.zipWithIndex.map { case (off, i) => org.apache.spark.sql.Row(i, off) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(s"${p}_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(s"${p}_off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // the window's partition key IS the physical partition id: each
+    // window group is one range-partition's rows, so the sort is
+    // partition-local and group sizes are whatever the range
+    // partitioner balanced — no hot-key funnel
+    val w = Window.partitionBy(col(s"${p}_pid"))
+      .orderBy(col(s"${p}_t"), col(s"${p}_o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = swept.withColumn(s"${p}_pid", spark_partition_id())
+      .join(broadcast(offDf), s"${p}_pid")
+      .withColumn(countCol, sum(col(s"${p}_d")).over(w) + col(s"${p}_off"))
+      .filter(col(s"${p}_o") === 1)
+      .select(col(s"${p}_row.*"), col(countCol))
+    val nullPts = points.filter(pt.isNull)
+      .withColumn(countCol, lit(null).cast("long"))
+    counted.unionByName(nullPts)
+  }
+
   /** Per-session summary: the aggregate view of [[sessionize]]
     * (session bounds, event count, value total per key+session).
     * Pass `value` pre-cast to a decimal type when the result must be

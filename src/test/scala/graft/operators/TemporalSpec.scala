@@ -224,4 +224,60 @@ class TemporalSpec extends SparkSpec {
       (1L, 0L) -> (0L, 50L, 2L, 4.0),
       (1L, 1L) -> (500L, 500L, 1L, 4.0)))
   }
+
+  test("activeIntervalCount matches rangeJoin counting incl. boundaries and zeros") {
+    val points = Seq((1L, 100L), (2L, 150L), (3L, 200L), (4L, 999L))
+      .toDF("pid", "t")
+    val ivals = Seq((100L, 200L), (150L, 150L), (0L, 120L))
+      .toDF("s", "e")
+    val out = activeIntervalCount(points, $"t", ivals, $"s", $"e")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // t=100: [100,200] + [0,120] (start-inclusive); t=150: all except
+    // [0,120], incl the degenerate [150,150]; t=200: end-inclusive;
+    // t=999: covered by nothing -> 0, NOT dropped
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("activeIntervalCount equals the rangeJoin reference on randomized data") {
+    val rnd = new scala.util.Random(4207)
+    val points = (1 to 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val ivals = (1 to 120).map { _ =>
+      val s = rnd.nextInt(1000).toLong; (s, s + rnd.nextInt(200).toLong)
+    }
+    val pDf = points.toDF("pid", "t")
+    val iDf = ivals.toDF("s", "e")
+    val sweep = activeIntervalCount(pDf, $"t", iDf, $"s", $"e")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = points.map { case (id, t) =>
+      id -> ivals.count { case (s, e) => s <= t && t <= e }.toLong
+    }.toMap
+    assert(sweep == ref)
+    // every point surfaces exactly once, zero-coverage included
+    assert(sweep.size == points.size)
+  }
+
+  test("activeIntervalCount null/invalid handling and prefix-offset exactness") {
+    // force many range partitions so the broadcast-offset path (not a
+    // single local prefix) is what's being asserted
+    val points = (1 to 300).map(i => (i.toLong, Option(i.toLong * 10)))
+      .toDF("pid", "t")
+    val ivals = Seq((Option(0L), Option(3000L)),       // covers all
+      (Option(500L), Option(400L)),                    // inverted: dropped
+      (Option.empty[Long], Option(100L)),              // null start: dropped
+      (Option(100L), Option.empty[Long])               // null end: dropped
+    ).toDF("s", "e")
+    val out = activeIntervalCount(points, $"t", ivals, $"s", $"e",
+        partitions = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.size == 300 && out.values.forall(_ == 1L))
+    // a null query time yields a NULL count (unknown, not 0)
+    val nullPt = Seq((9L, Option.empty[Long])).toDF("pid", "t")
+    val rows = activeIntervalCount(nullPt, $"t", ivals, $"s", $"e").collect()
+    assert(rows.length == 1 && rows.head.isNullAt(2))
+    // output-column clash rejected
+    intercept[IllegalArgumentException] {
+      activeIntervalCount(points.withColumnRenamed("pid", "n_active"),
+        $"t", ivals, $"s", $"e")
+    }
+  }
 }
