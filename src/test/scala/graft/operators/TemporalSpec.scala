@@ -280,4 +280,22 @@ class TemporalSpec extends SparkSpec {
         $"t", ivals, $"s", $"e")
     }
   }
+
+  test("activeIntervalCount handles sentinel open-ended intervals exactly") {
+    // rangeJoin must DROP open-ended intervals (they would replicate
+    // into every bucket); the sweep carries them as ordinary boundary
+    // events — one +1 at the dawn of time, one -1 at the end — with
+    // plain long arithmetic (no decimal guard needed: nothing is
+    // multiplied or divided, only compared and summed)
+    val points = Seq((1L, Long.MinValue), (2L, -5L), (3L, 0L),
+      (4L, Long.MaxValue)).toDF("pid", "t")
+    val ivals = Seq(
+      (Long.MinValue, Long.MaxValue), // forever: covers every point
+      (Long.MinValue, -1L),           // open start
+      (0L, Long.MaxValue)             // open end
+    ).toDF("s", "e")
+    val out = activeIntervalCount(points, $"t", ivals, $"s", $"e")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
 }
