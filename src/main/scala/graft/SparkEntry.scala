@@ -31,6 +31,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** Shared prelude of q_range_join / q_active_count: error events
+    * as (event_id, t) points and 12-hour-gap session summaries as
+    * (start_t, end_t) intervals, both on the us timeline. One
+    * definition so the twins' "identical semantics" contract can't
+    * silently drift.
+    */
+  private def errorsAndSessions(s: SparkSession,
+                                dir: String): (DataFrame, DataFrame) = {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("t"), col("event_type"), col("value"))
+    val sess = operators.Temporal.sessionSummary(
+        e.select(col("user_id"), col("t").as("ts"), col("value")),
+        col("user_id"), col("ts"), gap = 43200000000L,
+        col("value").cast("decimal(18,2)"))
+      .select(col("start_t"), col("end_t"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("t"))
+    (errors, sess)
+  }
+
   /** Tab-separated KV corpus built from lineitem (FIXTURES.md §2):
     * fields 0..5 = orderkey, partkey, suppkey, linenumber, returnflag,
     * shipdate(date).
@@ -890,15 +910,7 @@ object SparkEntry {
     // timestamp — sessionization composed with the range join.
     // 1-day buckets ≈ the typical session span (p50 0.2 d, max 5.5 d)
     "q_range_join" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t"), col("event_type"), col("value"))
-      val sess = operators.Temporal.sessionSummary(
-          e.select(col("user_id"), col("t").as("ts"), col("value")),
-          col("user_id"), col("ts"), gap = 43200000000L,
-          col("value").cast("decimal(18,2)"))
-        .select(col("start_t"), col("end_t"))
-      val errors = e.filter(col("event_type") === "error")
-        .select(col("event_id"), col("t"))
+      val (errors, sess) = errorsAndSessions(s, dir)
       operators.Temporal.rangeJoin(errors, col("t"), sess,
           col("start_t"), col("end_t"), bucket = 86400000000L)
         .groupBy(col("event_id")).agg(count(lit(1)).as("n_active"))
@@ -910,18 +922,15 @@ object SparkEntry {
     // pairs at any scale, so this is the shape that survives a dense
     // 100 TB timeline where the bucketed join's per-bucket population
     // densifies quadratically. Zero-coverage errors surface with
-    // count 0 (the LEFT reading), which the oracle mirrors.
+    // count 0 (the LEFT reading), which the oracle mirrors. Null-time
+    // errors are filtered on BOTH sides: the operator reports them as
+    // NULL (unknown coverage) while a LEFT-join oracle would say 0 —
+    // a divergence no current fixture exercises, closed here so a
+    // fixture revision can't surface it as a hash mismatch.
     "q_active_count" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t"), col("event_type"), col("value"))
-      val sess = operators.Temporal.sessionSummary(
-          e.select(col("user_id"), col("t").as("ts"), col("value")),
-          col("user_id"), col("ts"), gap = 43200000000L,
-          col("value").cast("decimal(18,2)"))
-        .select(col("start_t"), col("end_t"))
-      val errors = e.filter(col("event_type") === "error")
-        .select(col("event_id"), col("t"))
-      operators.Temporal.activeIntervalCount(errors, col("t"), sess,
+      val (errors, sess) = errorsAndSessions(s, dir)
+      operators.Temporal.activeIntervalCount(
+          errors.filter(col("t").isNotNull), col("t"), sess,
           col("start_t"), col("end_t"))
         .select(col("event_id"), col("n_active"))
     }),
@@ -2447,7 +2456,7 @@ object SparkEntry {
         |sess AS (SELECT user_id, sid, min(t) AS start_t, max(t) AS end_t
         |         FROM z GROUP BY 1, 2),
         |err AS (SELECT event_id, epoch_us(ts) AS t FROM events
-        |        WHERE event_type = 'error')
+        |        WHERE event_type = 'error' AND ts IS NOT NULL)
         |SELECT e.event_id, count(s.start_t) AS n_active
         |FROM err e LEFT JOIN sess s ON e.t BETWEEN s.start_t AND s.end_t
         |GROUP BY 1""".stripMargin,

@@ -263,6 +263,12 @@ object MultiIO {
     val existing = fs.listStatus(dst).map(_.getPath)
     existing.filter(_.getName.startsWith(".part-"))
       .foreach(p => fs.delete(p, false))
+    // a crash between index-write and rename orphans a
+    // `._index.tmp-gen<N>` DIRECTORY; its N never matches a later
+    // pack's (partStart only grows), so sweep all of them here —
+    // dot-prefixed, so no reader ever saw them
+    existing.filter(_.getName.startsWith("._index.tmp-"))
+      .foreach(p => fs.delete(p, true))
     val partStart = existing.map(_.getName)
       .filter(_.matches("part-\\d+"))
       .map(_.stripPrefix("part-").toInt)
@@ -516,18 +522,23 @@ object MultiIO {
       (f(0).toInt, f(1).toInt, f(2).toLong, f(3).toLong)
     }.filter { case (lo, hi, _, _) => lo <= hash && hash <= hi }
     val idxPath = new org.apache.hadoop.fs.Path(dstBase + "_index")
-    val entry = stores.iterator.flatMap { case (_, _, begin, end) =>
+    // lazily: stop at the first store slice that holds the entry
+    // (iterator.toSeq would eagerly read EVERY covering slice), and
+    // seek one open stream instead of reopening _index per store
+    val entry = if (stores.isEmpty) None else {
       val in = fs.open(idxPath)
       try {
-        in.seek(begin)
-        val buf = new Array[Byte]((end - begin).toInt)
-        in.readFully(buf)
-        new String(buf, "UTF-8").split("\n").iterator.map(_.split(" "))
-          .filter(f => f.length >= 5 && f(1) == "file" &&
-            new org.apache.hadoop.fs.Path(f(0)).compareTo(target) == 0)
-          .map(f => (f(2), f(3).toLong, f(4).toLong)).toSeq
+        stores.iterator.map { case (_, _, begin, end) =>
+          in.seek(begin)
+          val buf = new Array[Byte]((end - begin).toInt)
+          in.readFully(buf)
+          new String(buf, "UTF-8").split("\n").iterator.map(_.split(" "))
+            .find(f => f.length >= 5 && f(1) == "file" &&
+              new org.apache.hadoop.fs.Path(f(0)).compareTo(target) == 0)
+            .map(f => (f(2), f(3).toLong, f(4).toLong))
+        }.collectFirst { case Some(e) => e }
       } finally in.close()
-    }.toSeq.headOption
+    }
     entry.map { case (partFile, offset, length) =>
       require(length < Int.MaxValue.toLong,
         s"$path is $length bytes; >= 2 GiB exceeds the byte-array model")

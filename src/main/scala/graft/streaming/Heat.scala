@@ -227,8 +227,12 @@ object Heat {
     val tiered = replicationPlan(pinned.filter(blocksCol >= 2),
       key, heatCol, minRep, maxRep)
     val assigned = tiered.unionByName(exempt).localCheckpoint()
-    val used = sizeBytes * assigned
-      .agg(sum(col("target_rep").cast("long"))).head.getLong(0)
+    // sum() over zero rows is SQL NULL — an empty heat table (no
+    // settled files yet) must yield an empty plan, not an NPE
+    val usedRow = assigned
+      .agg(sum(col("target_rep").cast("long"))).head
+    if (usedRow.isNullAt(0)) return assigned
+    val used = sizeBytes * usedRow.getLong(0)
     if (used > (capacityBytes * capacityTop).toLong)
       demoteSweepBatch(assigned, key, heatCol, minRep)
     else assigned

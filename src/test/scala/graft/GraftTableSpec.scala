@@ -44,19 +44,32 @@ class GraftTableSpec extends SparkSpec {
     } finally writer.close()
   }
 
-  private def writeMicrosLayout(dir: String): Unit =
+  // ntz=false: timestamp[us] with UTC adjustment (TimestampType);
+  // ntz=true: tz-NAIVE timestamp[us] (TimestampNTZType) — the layout
+  // the round-7 driver fixture actually uses (pyarrow tz=None), whose
+  // normalization depends on the UTC session zone during the
+  // NTZ→Timestamp cast
+  private def writeMicrosLayout(dir: String, ntz: Boolean): Unit = {
+    val ts = timestamp_micros(col("us"))
     instantsNs.zipWithIndex
       .map { case (ns, i) => (i.toLong, ns / 1000) }
       .toDF("event_id", "us")
-      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .select(col("event_id"),
+        (if (ntz) ts.cast("timestamp_ntz") else ts).as("ts"))
       .write.mode("overwrite").parquet(dir)
+  }
 
-  test("ts arrives as epoch-ns BIGINT from both NANOS and MICROS fixture layouts") {
+  test("ts arrives as epoch-ns BIGINT from NANOS, MICROS and MICROS-NTZ layouts") {
     val base = java.nio.file.Files.createTempDirectory("graft-tslayout").toString
     writeNanosLayout(s"$base/ns/events.parquet")
-    writeMicrosLayout(s"$base/us/events.parquet")
+    writeMicrosLayout(s"$base/us/events.parquet", ntz = false)
+    writeMicrosLayout(s"$base/us_ntz/events.parquet", ntz = true)
     val expected = instantsNs.zipWithIndex.map { case (ns, i) => i.toLong -> ns }
-    for (layout <- Seq("ns", "us")) {
+    // guard the guard: the naive layout must actually read back as
+    // NTZ, or this spec silently stops covering the live fixture path
+    assert(spark.read.parquet(s"$base/us_ntz/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    for (layout <- Seq("ns", "us", "us_ntz")) {
       val df = Graft.table(spark, s"$base/$layout", "events")
       assert(df.schema("ts").dataType == LongType,
         s"$layout layout: ts must load as BIGINT ns")

@@ -274,10 +274,18 @@ class MultiIOSpec extends SparkSpec {
       .map(_.getName).filter(_.matches("part-\\d+")).toSet
     assert(gen0Parts.nonEmpty)
     // simulate a CRASHED earlier re-pack: an orphaned part with a
-    // number above gen 0, never referenced by the live index
+    // number above gen 0, never referenced by the live index, AND the
+    // temp index DIRECTORY that a crash between index-write and
+    // rename leaves behind (its gen number never recurs, so only the
+    // pre-job sweep can ever reclaim it)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(base, "har", "part-00042"),
       "orphan-garbage".getBytes("UTF-8"))
+    Files.createDirectories(
+      java.nio.file.Paths.get(base, "har", "._index.tmp-gen7"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "har", "._index.tmp-gen7", "stale"),
+      "dead-index".getBytes("UTF-8"))
     // mutate the source, re-pack into the SAME archive dir
     put("f0.txt", s"v2-CHANGED-${"y" * 50}")
     MultiIO.harPack(spark, src, base + "/har", partSizeBytes = 64L)

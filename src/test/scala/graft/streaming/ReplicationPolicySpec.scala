@@ -220,6 +220,12 @@ class HeatBatchSpec extends SparkSpec {
       assert(lost == bucket.size / 2,
         s"level $level: lost $lost of ${bucket.size}")
     }
+    // an empty heat table (no files settled yet) yields an empty
+    // plan — sum() over zero rows is SQL NULL, which must not NPE
+    // the used-bytes check
+    val empty = Heat.policyLoopPlan(heat.limit(0), col("user_id"),
+      col("ewma"), blocks, sizeBytes = 1000L, capacityBytes = 3500L)
+    assert(empty.count() == 0L)
   }
 
   test("streaming run() emits a per-batch replication plan view") {
