@@ -49,6 +49,40 @@ object Profile {
       return
     }
 
+    // --langid: per-row HOF-filter scoring vs an explode+agg twin
+    if (args.contains("--langid")) {
+      import graft.functions.TextAnalysis
+      for (_ <- 1 to 2) {
+        time("langid current")(docs.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("pred"))
+          .queryExecution.toRdd.count())
+        // prototype: one tokenize, explode, conditional-count agg
+        val langs = Seq("en", "de", "es", "fr")
+        val tok = docs.select(col("doc_id"),
+          explode(TextAnalysis.bpeishTokens(col("text"))).as("tk"))
+        val agg = tok.groupBy(col("doc_id")).agg(
+          langs.map(l => sum(when(col("tk")
+            .isin(TextAnalysis.stopwords(l): _*), 1L).otherwise(0L))
+            .as(s"s_$l")).head,
+          langs.map(l => sum(when(col("tk")
+            .isin(TextAnalysis.stopwords(l): _*), 1L).otherwise(0L))
+            .as(s"s_$l")).tail: _*)
+        time("langid explode+agg")(agg.queryExecution.toRdd.count())
+        // prototype: tokenize once, ONE interpreted fold accumulating
+        // all four counts (still narrow/shuffle-free)
+        val folded = docs.select(col("doc_id"),
+          aggregate(TextAnalysis.bpeishTokens(col("text")),
+            struct(langs.map(l => lit(0L).as(l)): _*),
+            (acc, t) => struct(langs.map(l =>
+              (acc.getField(l) + when(t.isin(
+                TextAnalysis.stopwords(l): _*), 1L).otherwise(0L)).as(l)): _*))
+            .as("scores"))
+        time("langid single fold")(folded.queryExecution.toRdd.count())
+      }
+      spark.stop()
+      return
+    }
+
     // --sweep: bucketed range join vs boundary-counting sweep on the
     // same graded count-active-sessions workload (Bench's toRdd
     // protocol so Catalyst can't prune either plan's work)

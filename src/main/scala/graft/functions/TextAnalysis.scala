@@ -62,28 +62,40 @@ object TextAnalysis {
   /** N-gram-profile language ID: score each candidate language by its
     * stopword hit-rate over the token stream, pick the argmax
     * (deterministic tie-break on language code). Pure column
-    * expressions — the per-language scores are a handful of
-    * `size(filter(...))` passes over the token array.
+    * expressions, narrow and shuffle-free.
+    *
+    * Shaped as ONE `aggregate` fold accumulating every language's
+    * count in a single pass. The obvious per-language
+    * `size(filter(toks, ...))` form is 4-5× slower at scale:
+    * interpreted higher-order functions don't CSE, so |langs| filter
+    * passes each re-tokenize the document (measured 13.8 s → 2.9 s
+    * for 50k sf1 docs, `graft.Profile --langid`; the explode+agg
+    * variant is marginally faster still but buys a shuffle the
+    * per-row form doesn't need at 100 TB). Same no-CSE rule is why
+    * the fold result is bound ONCE via a single-element `transform`
+    * lambda — referencing it from each branch of the argmax would
+    * re-run the fold per reference.
     */
   def langId(text: Column, langs: Seq[String] = Seq("en", "de", "es", "fr")): Column = {
-    val toks = bpeishTokens(text)
-    // build (score, lang) structs, pick max by (score, lang desc) —
-    // array_max on structs compares fields in order
-    val scored = array(langs.map { l =>
-      struct(
-        size(filter(toks, t => t.isin(stopwords(l): _*))).as("score"),
-        lit(l).as("lang"))
-    }: _*)
-    // null text -> null label: every language's score is null there,
-    // and array_max would otherwise tie-break purely on the lang
-    // string, confidently labeling null docs with the
-    // lexicographically-last language. Zero evidence (number-only /
-    // punctuation-only docs: every score 0) is the same all-tied
-    // case — also null, not a confident argmax of nothing.
-    val best = array_max(scored)
-    when(text.isNull || best.getField("score") === 0,
-        lit(null).cast("string"))
-      .otherwise(best.getField("lang"))
+    val counts = aggregate(bpeishTokens(text),
+      struct(langs.map(l => lit(0L).as(l)): _*),
+      (acc, t) => struct(langs.map(l =>
+        (acc.getField(l) + when(t.isin(stopwords(l): _*), 1L)
+          .otherwise(0L)).as(l)): _*))
+    // argmax by (score, lang desc): array_max on structs compares
+    // fields in order. Zero evidence (number-only / punctuation-only
+    // docs: every score 0) is all-tied — null, not a confident argmax
+    // of nothing. Null text is guarded OUTSIDE (CaseWhen evaluates
+    // lazily, so the fold never runs on null docs — and array_max
+    // would otherwise tie-break purely on the lang string, confidently
+    // labeling null docs with the lexicographically-last language).
+    val pick = get(transform(array(counts), c => {
+      val best = array_max(array(langs.map(l =>
+        struct(c.getField(l).as("score"), lit(l).as("lang"))): _*))
+      when(best.getField("score") === 0, lit(null).cast("string"))
+        .otherwise(best.getField("lang"))
+    }), lit(0))
+    when(text.isNull, lit(null).cast("string")).otherwise(pick)
   }
 
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text
