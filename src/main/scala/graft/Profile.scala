@@ -78,6 +78,26 @@ object Profile {
                 TextAnalysis.stopwords(l): _*), 1L).otherwise(0L)).as(l)): _*))
             .as("scores"))
         time("langid single fold")(folded.queryExecution.toRdd.count())
+        time("quality metrics")(docs.select(col("doc_id"),
+          TextAnalysis.qualityMetrics(col("text")).as("q"))
+          .queryExecution.toRdd.count())
+        // the pre-round-7 form (unbound nToks: re-tokenizes per field)
+        val toksOld = TextAnalysis.tokens(col("text"))
+        val nToksOld = size(toksOld)
+        val nCharsOld = length(col("text"))
+        val punctOld = length(regexp_replace(col("text"),
+          "[^!-/:-@\\[-`{-~]", ""))
+        val nStopOld = size(filter(TextAnalysis.bpeishTokens(col("text")),
+          t => t.isin(TextAnalysis.stopwords("en"): _*)))
+        time("quality metrics unbound")(docs.select(col("doc_id"), struct(
+            nCharsOld.as("n_chars"), nToksOld.as("n_tokens"),
+            round(nCharsOld.cast("double") / greatest(nToksOld, lit(1)), 4)
+              .as("chars_per_token"),
+            round(punctOld.cast("double") / greatest(nCharsOld, lit(1)), 4)
+              .as("punct_ratio"),
+            round(nStopOld.cast("double") / greatest(nToksOld, lit(1)), 4)
+              .as("stopword_ratio")).as("q"))
+          .queryExecution.toRdd.count())
       }
       spark.stop()
       return

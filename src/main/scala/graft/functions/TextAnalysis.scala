@@ -39,6 +39,12 @@ object TextAnalysis {
     */
   def qualityMetrics(text: Column): Column = {
     val toks = tokens(text)
+    // nToks feeds three fields, but these are UNCONDITIONAL struct
+    // fields in one projection, which Spark's subexpression
+    // elimination dedups (measured: binding them via a transform
+    // lambda is ~5% SLOWER from the boxing). Contrast langId, whose
+    // repeats sat under CaseWhen branches — lazily evaluated, so CSE
+    // is disabled there and the fold rewrite was a real 4.7× win.
     val nToks = size(toks)
     val nChars = length(text)
     val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
