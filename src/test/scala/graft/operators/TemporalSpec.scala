@@ -298,4 +298,23 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
+
+  test("activeIntervalCount plans no pairwise join and one post-sweep exchange") {
+    // the whole point of the sweep: candidate pairs never exist in
+    // the plan. The range exchange is sealed inside the checkpointed
+    // scan; downstream there is exactly one hash exchange (the
+    // pid-window's) plus the offsets broadcast.
+    val points = Seq((1L, 100L)).toDF("pid", "t")
+    val ivals = Seq((0L, 200L)).toDF("s", "e")
+    val plan = activeIntervalCount(points, $"t", ivals, $"s", $"e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"sweep must never plan a pairwise join:\n$plan")
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected only the pid-window exchange, got $exchanges:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "partition offsets must broadcast, not shuffle")
+  }
 }
