@@ -299,6 +299,19 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("activeIntervalCount on empty inputs: empty points out, zero counts") {
+    val points = Seq((1L, 50L)).toDF("pid", "t")
+    val ivals = Seq((0L, 100L)).toDF("s", "e")
+    // no intervals -> every point counts 0 (LEFT reading, not dropped)
+    val noIv = activeIntervalCount(points, $"t", ivals.limit(0), $"s", $"e")
+      .collect()
+    assert(noIv.length == 1 && noIv.head.getLong(2) == 0L)
+    // no points -> empty result, schema intact
+    val noPts = activeIntervalCount(points.limit(0), $"t", ivals, $"s", $"e")
+    assert(noPts.columns.toSeq == Seq("pid", "t", "n_active"))
+    assert(noPts.count() == 0L)
+  }
+
   test("activeIntervalCount plans no pairwise join and one post-sweep exchange") {
     // the whole point of the sweep: candidate pairs never exist in
     // the plan. The range exchange is sealed inside the checkpointed
