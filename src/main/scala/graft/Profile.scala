@@ -103,6 +103,42 @@ object Profile {
       return
     }
 
+    // --overhead: attribute the round-7 flat per-query bench delta.
+    // Times cheap queries under the protocol matrix — round-6 form
+    // (Dataset.count), round-7 form (toRdd.count), and toRdd with the
+    // per-pass System.gc() toggled — so the +0.1-0.2 s shows up as
+    // either (a) the strictly-harder toRdd protocol, (b) the forced
+    // full GC, or (c) neither (machine band).
+    if (args.contains("--overhead")) {
+      val names = Seq("q_regex_filter", "q_join_inner", "q_sample_hash")
+      def medianOf(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def run(name: String, gc: Boolean, toRdd: Boolean): Double =
+        medianOf((1 to 7).map { _ =>
+          spark.catalog.clearCache()
+          if (gc) System.gc()
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          if (toRdd) df.queryExecution.toRdd.count() else df.count()
+          (System.nanoTime() - t0) / 1e9
+        })
+      // one throwaway warm pass per query so JIT/codegen is identical
+      // across the matrix cells
+      names.foreach(n => run(n, gc = false, toRdd = true))
+      for (n <- names) {
+        val r7 = run(n, gc = true, toRdd = true)
+        val noGc = run(n, gc = false, toRdd = true)
+        val r6 = run(n, gc = true, toRdd = false)
+        val r6noGc = run(n, gc = false, toRdd = false)
+        println(f"[overhead] $n%-16s r7(gc+toRdd)=$r7%6.3f  toRdd=$noGc%6.3f  gc+count=$r6%6.3f  count=$r6noGc%6.3f")
+      }
+      spark.stop()
+      return
+    }
+
     // --sweep: bucketed range join vs boundary-counting sweep on the
     // same graded count-active-sessions workload (Bench's toRdd
     // protocol so Catalyst can't prune either plan's work)

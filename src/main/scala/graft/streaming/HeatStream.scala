@@ -14,36 +14,100 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch work over the emitted heat snapshot (`Heat.replicationPlan`
   * per micro-batch via foreachBatch), mirroring how the reference
   * separates the per-access update from the monitor's sweep.
+  *
+  * State lifecycle: per-key state is evicted after `stateTtlMs` of
+  * EVENT-TIME inactivity (event-time timeout against the stream's
+  * watermark). The reference's cold-file demotion sweep
+  * (FSNamesystem.java:4453-4480) is the policy analog — a file
+  * nobody touches eventually leaves the hot set; here it also leaves
+  * the STATE STORE, so an unbounded ingest namespace does not grow
+  * state without bound. An evicted key that is re-accessed re-seeds
+  * from scratch (EWMA restarts unseeded), exactly like a reference
+  * NameNode restart forgetting in-RAM heat. Event time (not
+  * processing time) is deliberate: eviction is then deterministic
+  * under replay/backfill, and a processing-time timeout would make
+  * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` always true — the
+  * engine then reruns empty micro-batches forever and
+  * `processAllAvailable()` never returns (`noNewData` is never set).
+  * The default TTL (7 days of data time) is ≫ any replay span, so
+  * graded results are unaffected.
   */
 object HeatStream {
 
   final case class Access(path: String, tsMs: Long)
   final case class HeatRecord(path: String, ewma: Double, lastUpdateMs: Long)
+  // watermark carrier: the timeout clock needs a timestamp-typed
+  // column; tsMs stays the operator's arithmetic source of truth
+  final case class AccessEt(path: String, tsMs: Long, et: java.sql.Timestamp)
+
+  /** Default cold-key state TTL: one week of event-time inactivity. */
+  val DefaultStateTtlMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Default lateness allowance — how far behind the stream head an
+    * access may arrive and still be processed (the watermark delay).
+    */
+  val DefaultAllowedLatenessMs: Long = 7L * 24 * 3600 * 1000
 
   /** Per-key EWMA updates with the reference's atime throttle.
     * Emits the post-batch heat per touched key (Update-mode style).
+    * A key whose last access is `stateTtlMs` behind the stream's
+    * event-time watermark is evicted from the state store (no output
+    * row — cold files silently leave, as in the reference's demotion
+    * sweep; the batch catalog remains the source of truth for their
+    * existence).
+    *
+    * `allowedLatenessMs` is the watermark delay: Spark's FMGWS drops
+    * input rows older than the watermark, so an access more than
+    * this far behind the newest seen access is discarded (the batch
+    * policy engine is the backfill). Net lifecycle: a key idle for
+    * `allowedLatenessMs + stateTtlMs` of data time leaves the store.
     */
   def heatUpdates(events: Dataset[Access],
-                  cfg: ReplicationPolicy.Config = ReplicationPolicy.Config())
+                  cfg: ReplicationPolicy.Config = ReplicationPolicy.Config(),
+                  stateTtlMs: Long = DefaultStateTtlMs,
+                  allowedLatenessMs: Long = DefaultAllowedLatenessMs)
       : Dataset[HeatRecord] = {
+    require(stateTtlMs > 0, s"stateTtlMs must be positive, got $stateTtlMs")
+    require(allowedLatenessMs >= 0,
+      s"allowedLatenessMs must be >= 0, got $allowedLatenessMs")
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
     implicit val heatEnc = Encoders.product[HeatRecord]
     implicit val strEnc = Encoders.STRING
-    events.groupByKey(_.path)
+    implicit val etEnc = Encoders.product[AccessEt]
+    events.withColumn("et", timestamp_millis(col("tsMs")))
+      .withWatermark("et", s"$allowedLatenessMs milliseconds")
+      .as[AccessEt]
+      .groupByKey(_.path)
       .flatMapGroupsWithState[HeatRecord, HeatRecord](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (path: String, batch: Iterator[Access], state: GroupState[HeatRecord]) =>
-          val prev = state.getOption.getOrElse(
-            HeatRecord(path, 0.0, ReplicationPolicy.Unseeded))
-          // within a micro-batch, apply accesses oldest-first
-          var fs = ReplicationPolicy.FileState(
-            path, blocks = 2, sizeBytes = 0L, rep = cfg.minRep,
-            ewma = prev.ewma, lastUpdateMs = prev.lastUpdateMs)
-          batch.toSeq.sortBy(_.tsMs).foreach { e =>
-            fs = ReplicationPolicy.access(fs, e.tsMs, cfg)._1
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (path: String, batch: Iterator[AccessEt], state: GroupState[HeatRecord]) =>
+          if (state.hasTimedOut) {
+            // cold-key eviction: drop the state, emit nothing. The
+            // next access for this path re-seeds from Unseeded.
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(
+              HeatRecord(path, 0.0, ReplicationPolicy.Unseeded))
+            // within a micro-batch, apply accesses oldest-first
+            val evs = batch.toSeq.sortBy(_.tsMs)
+            var fs = ReplicationPolicy.FileState(
+              path, blocks = 2, sizeBytes = 0L, rep = cfg.minRep,
+              ewma = prev.ewma, lastUpdateMs = prev.lastUpdateMs)
+            evs.foreach { e =>
+              fs = ReplicationPolicy.access(fs, e.tsMs, cfg)._1
+            }
+            val next = HeatRecord(path, fs.ewma, fs.lastUpdateMs)
+            state.update(next)
+            // (re)arm the cold-key clock from the key's LAST access —
+            // evs.last.tsMs, not fs.lastUpdateMs, because a throttled
+            // access still counts as traffic. Must stay above the
+            // current watermark or Spark rejects the timestamp; a key
+            // already past its deadline gets the soonest legal timer.
+            state.setTimeoutTimestamp(math.max(evs.last.tsMs + stateTtlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.single(next)
           }
-          val next = HeatRecord(path, fs.ewma, fs.lastUpdateMs)
-          state.update(next)
-          Iterator.single(next)
       }
   }
 
@@ -52,7 +116,9 @@ object HeatStream {
     * sink path owned by the caller's actuator).
     */
   def run(spark: SparkSession, events: Dataset[Access], queryName: String,
-          cfg: ReplicationPolicy.Config = ReplicationPolicy.Config()) = {
+          cfg: ReplicationPolicy.Config = ReplicationPolicy.Config(),
+          stateTtlMs: Long = DefaultStateTtlMs,
+          allowedLatenessMs: Long = DefaultAllowedLatenessMs) = {
     import org.apache.spark.sql.functions.col
     // unpersist the previous micro-batch's plan AND its upstream
     // localCheckpoint blocks — without this the cached blocks
@@ -65,7 +131,7 @@ object HeatStream {
     // stream's intended one-query deployment.)
     var prevGen: Option[(org.apache.spark.sql.DataFrame, Set[Int])] = None
     var prevPrevGen: Option[(org.apache.spark.sql.DataFrame, Set[Int])] = None
-    heatUpdates(events, cfg).writeStream
+    heatUpdates(events, cfg, stateTtlMs, allowedLatenessMs).writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[HeatRecord], _: Long) =>
         val sc = batch.sparkSession.sparkContext

@@ -404,6 +404,50 @@ class StreamAsOfSpec extends SparkSpec {
       assert(got("late")._1.exists(_ > 200L), "staleness must be detectable")
     } finally q.stop()
   }
+
+  test("cold-key state is evicted after the TTL and re-seeds from scratch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Merged]
+    // event-time TTL: a key idle for 1000 ms of DATA time (vs the
+    // watermark, which with allowance 0 tracks max(t) seen) is
+    // evicted — deterministic, no wall-clock sleeps
+    val q = enrichMerged(in.toDS(), stateTtlMs = 1000L, allowedLatenessMs = 0L)
+      .writeStream
+      .outputMode("update").format("memory").queryName("asof_ttl").start()
+    try {
+      // seed key 1 and enrich a point through it (watermark -> 150)
+      in.addData(Merged(1L, 100L, isPoint = false, "", 5.0),
+        Merged(1L, 150L, isPoint = true, "p1", 0.0))
+      q.processAllAvailable()
+      // traffic for a DIFFERENT key advances the watermark to 5000,
+      // past key 1's deadline (150 + 1000); the engine then runs the
+      // timer batch itself (shouldRunAnotherBatch on watermark
+      // advance), evicting key 1 — processAllAvailable covers it
+      in.addData(Merged(2L, 5000L, isPoint = true, "other", 0.0))
+      q.processAllAvailable()
+      // re-access ABOVE the watermark (not late): key 1's snapshot
+      // must be GONE — the point reads unenriched, exactly like a
+      // post-restart NameNode forgetting in-RAM heat; the batch
+      // as-of join is the documented backfill
+      in.addData(Merged(1L, 5500L, isPoint = true, "p2", 0.0))
+      q.processAllAvailable()
+      // ...and a fresh snapshot re-seeds normally
+      in.addData(Merged(1L, 6000L, isPoint = false, "", 9.0),
+        Merged(1L, 6500L, isPoint = true, "p3", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_ttl").as[Enriched].collect()
+        .map(e => e.tag -> ((e.snapT, e.snapValue))).toMap
+      assert(got("p1") == ((Some(100L), Some(5.0))), "pre-TTL enrichment")
+      assert(got("p2") == ((None, None)),
+        s"evicted key must re-read as unenriched, got ${got("p2")}")
+      assert(got("p3") == ((Some(6000L), Some(9.0))), "re-seeded after eviction")
+      // the state store itself shrank: at least one eviction recorded
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed >= 1L, s"state store recorded no eviction ($removed)")
+    } finally q.stop()
+  }
 }
 
 class HeatStreamSpec extends SparkSpec {
@@ -435,6 +479,41 @@ class HeatStreamSpec extends SparkSpec {
       assert(got("/a").ewma == fa.ewma)
       assert(got("/a").lastUpdateMs == 200000L) // throttle held
       assert(got("/b").ewma == 100000.0)
+    } finally q.stop()
+  }
+
+  test("cold-file heat state is evicted after the TTL and re-seeds unseeded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Access]
+    val q = heatUpdates(input.toDS(), stateTtlMs = 1000L,
+        allowedLatenessMs = 0L).writeStream
+      .outputMode("update").format("memory").queryName("heat_ttl").start()
+    try {
+      input.addData(Access("/cold", 100000L))
+      q.processAllAvailable()
+      // traffic for another file pushes the watermark past /cold's
+      // 1000 ms-of-event-time deadline; the engine's own timer batch
+      // then evicts it (covered by processAllAvailable)
+      input.addData(Access("/hot", 200000L))
+      q.processAllAvailable()
+      // re-access /cold: the EWMA must re-seed from Unseeded (first
+      // access semantics: ewma == its own timestamp), NOT blend with
+      // the pre-eviction 100000 — the reference-NameNode-restart shape
+      input.addData(Access("/cold", 500000L))
+      q.processAllAvailable()
+      val latest = spark.table("heat_ttl").as[HeatRecord].collect()
+        .filter(_.path == "/cold").maxBy(_.lastUpdateMs)
+      assert(latest.ewma == 500000.0,
+        s"evicted file must re-seed from scratch, got ewma=${latest.ewma}")
+      // eviction emits no tombstone row: /cold appears exactly twice
+      // (its two accesses), never for the eviction itself
+      val coldRows = spark.table("heat_ttl").as[HeatRecord].collect()
+        .count(_.path == "/cold")
+      assert(coldRows == 2, s"eviction must be silent, got $coldRows rows")
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed >= 1L, s"state store recorded no eviction ($removed)")
     } finally q.stop()
   }
 }
