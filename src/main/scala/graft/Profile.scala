@@ -139,6 +139,16 @@ object Profile {
       return
     }
 
+    // --cc: the transitive-closure queries (pointer-doubling kernel
+    // check) under the bench protocol
+    if (args.contains("--cc")) {
+      for (qn <- Seq("q_dedup_classes", "q_pipeline_neardup"); _ <- 1 to 2)
+        time(qn)(SparkEntry.queries(qn)(spark, sfDir)
+          .queryExecution.toRdd.count())
+      spark.stop()
+      return
+    }
+
     // --sweep: bucketed range join vs boundary-counting sweep on the
     // same graded count-active-sessions workload (Bench's toRdd
     // protocol so Catalyst can't prune either plan's work)
