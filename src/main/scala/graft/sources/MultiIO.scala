@@ -228,6 +228,47 @@ object MultiIO {
     */
   def harPack(spark: SparkSession, srcDir: String, dstDir: String,
               partSizeBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val prep = packParts(spark, srcDir, dstDir, partSizeBytes,
+      partName = pid => f"part-$pid%05d")
+    import spark.implicits._
+    // INDEX SWAP: write the new index to a temp dir first, then swap
+    // it in (delete-then-rename — HDFS rename won't replace a dir).
+    // Everything before the swap is additive, so a crash up to here
+    // leaves the old index + old parts fully consistent; the
+    // delete→rename window is the only residual exposure and it
+    // contains no data movement. Old-generation parts are deleted
+    // only AFTER the new index is live.
+    val idxDf = prep.index.toDF("path", "part", "offset", "length")
+    val idxTmp = prep.dstBase + s"._index.tmp-gen${prep.partStart}"
+    idxDf.repartition(1).write.mode(SaveMode.Overwrite).parquet(idxTmp)
+    val fs = prep.fs
+    val idxFinal = new org.apache.hadoop.fs.Path(prep.dstBase + "_index")
+    fs.delete(idxFinal, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(idxTmp), idxFinal))
+      throw new java.io.IOException(
+        s"harPack: could not commit index $idxTmp -> $idxFinal")
+    deleteOldGenerations(prep)
+    spark.read.parquet(prep.dstBase + "_index")
+  }
+
+  /** Shared pack state: qualified src/dst bases, this generation's
+    * first part number, and the (relPath, part, offset, length)
+    * assignment with part blobs already committed.
+    */
+  private final case class PackPrep(
+      fs: org.apache.hadoop.fs.FileSystem, srcBase: String, dstBase: String,
+      partStart: Int, nextPart: Int, partName: Int => String,
+      index: Seq[(String, Int, Long, Long)])
+
+  /** Steps shared by both index layouts: walk the source, first-fit
+    * files into part budgets, stream the part blobs task-side under
+    * the crash-consistent generation/rename protocol. Everything
+    * here is ADDITIVE with respect to any previous generation; only
+    * the caller's index commit makes the new generation live.
+    */
+  private def packParts(spark: SparkSession, srcDir: String, dstDir: String,
+                        partSizeBytes: Long,
+                        partName: Int => String): PackPrep = {
     require(partSizeBytes > 0, s"partSizeBytes must be > 0, got $partSizeBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcDir)
@@ -264,10 +305,13 @@ object MultiIO {
     existing.filter(_.getName.startsWith(".part-"))
       .foreach(p => fs.delete(p, false))
     // a crash between index-write and rename orphans a
-    // `._index.tmp-gen<N>` DIRECTORY; its N never matches a later
-    // pack's (partStart only grows), so sweep all of them here —
-    // dot-prefixed, so no reader ever saw them
-    existing.filter(_.getName.startsWith("._index.tmp-"))
+    // `._index.tmp-gen<N>` DIRECTORY (parquet layout) or
+    // `._index.tmp-gen<N>`/`._masterindex.tmp-gen<N>` FILES (text
+    // layout); the N never matches a later pack's (partStart only
+    // grows), so sweep all of them here — dot-prefixed, so no reader
+    // ever saw them
+    existing.filter(p => p.getName.startsWith("._index.tmp-") ||
+        p.getName.startsWith("._masterindex.tmp-"))
       .foreach(p => fs.delete(p, true))
     val partStart = existing.map(_.getName)
       .filter(_.matches("part-\\d+"))
@@ -301,11 +345,11 @@ object MultiIO {
       // rename protocol each attempt owns a private temp; the first
       // rename wins, losers see the destination exists (identical
       // bytes — the input slice is deterministic) and discard.
-      val finalPath = new org.apache.hadoop.fs.Path(f"$dstBase%spart-$pid%05d")
+      val finalPath = new org.apache.hadoop.fs.Path(dstBase + partName(pid))
       val tc = org.apache.spark.TaskContext.get()
       val attempt = if (tc == null) 0L else tc.taskAttemptId()
       val tmpPath = new org.apache.hadoop.fs.Path(
-        f"$dstBase%s.part-$pid%05d.attempt-$attempt")
+        s"$dstBase.${partName(pid)}.attempt-$attempt")
       val pfs = finalPath.getFileSystem(hconf)
       val out = pfs.create(tmpPath, true)
       try slice.sortBy(_._3).foreach { case (rel, _, _, _) =>
@@ -340,31 +384,129 @@ object MultiIO {
     fs.listStatus(dst).map(_.getPath)
       .filter(_.getName.startsWith(".part-"))
       .foreach(p => fs.delete(p, false))
-    import spark.implicits._
-    // INDEX SWAP: write the new index to a temp dir first, then swap
-    // it in (delete-then-rename — HDFS rename won't replace a dir).
-    // Everything before the swap is additive, so a crash up to here
-    // leaves the old index + old parts fully consistent; the
-    // delete→rename window is the only residual exposure and it
-    // contains no data movement. Old-generation parts are deleted
-    // only AFTER the new index is live.
-    val idxDf = index.toDF("path", "part", "offset", "length")
-    val idxTmp = dstBase + s"._index.tmp-gen$partStart"
-    idxDf.repartition(1).write.mode(SaveMode.Overwrite).parquet(idxTmp)
-    val idxFinal = new org.apache.hadoop.fs.Path(dstBase + "_index")
-    fs.delete(idxFinal, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(idxTmp), idxFinal))
-      throw new java.io.IOException(
-        s"harPack: could not commit index $idxTmp -> $idxFinal")
-    // previous generations (committed parts of the pack this one
-    // replaces, and orphans of crashed packs) all sit below partStart
-    fs.listStatus(dst).map(_.getPath)
+    PackPrep(fs, srcBase, dstBase, partStart, part + 1, partName, index)
+  }
+
+  /** Previous generations (committed parts of the pack this one
+    * replaces, and orphans of crashed packs) all sit below the new
+    * generation's partStart — delete them only AFTER the new index
+    * is live.
+    */
+  private def deleteOldGenerations(prep: PackPrep): Unit =
+    prep.fs.listStatus(new org.apache.hadoop.fs.Path(prep.dstBase))
+      .map(_.getPath)
       .filter { p =>
         p.getName.matches("part-\\d+") &&
-          p.getName.stripPrefix("part-").toInt < partStart
+          p.getName.stripPrefix("part-").toInt < prep.partStart
       }
-      .foreach(p => fs.delete(p, false))
-    spark.read.parquet(dstBase + "_index")
+      .foreach(p => prep.fs.delete(p, false))
+
+  /** [[harPack]] with STOCK HADOOP's index layout: text `_index` /
+    * `_masterindex` exactly as `hadoop archive` writes them
+    * (HadoopArchives.java:480-604 — hash-sorted lines
+    * `<path> file <part-N> <offset> <length> ` for files and
+    * `<path> dir none 0 0 <children...> ` for directories;
+    * `_masterindex` = version line `1 ` then
+    * `<startHash> <endHash> <startPos> <endPos> ` stores, one per
+    * `entriesPerStore` index lines), bare `part-N` blob names.
+    * Archives this writes are consumable by a stock `HarFileSystem`
+    * client AND by [[readReferenceHar]]/[[referenceHarLookup]];
+    * use plain [[harPack]] when only this engine reads the archive
+    * (the parquet index scans distributed and predicate-pruned).
+    *
+    * Archive paths are rooted (`/<relative>`), mirroring the
+    * reference's `makeRelative` (HadoopArchives.java:451-455). The
+    * text format is space-delimited with no escaping — the same
+    * limitation the reference has — so paths containing whitespace
+    * are refused at pack time rather than corrupting the index.
+    *
+    * Crash consistency: part blobs follow [[harPack]]'s generation
+    * protocol (additive until index commit). The two index files
+    * commit via temp+rename, `_index` first: a crash between the
+    * two renames leaves bulk reads (index-driven) fully consistent
+    * and only `_masterindex`-driven point lookups stale until the
+    * next pack — the one residual window, and it moves no data.
+    */
+  def harPackReference(spark: SparkSession, srcDir: String, dstDir: String,
+                       partSizeBytes: Long = 64L * 1024 * 1024,
+                       entriesPerStore: Int = 1000): DataFrame = {
+    require(entriesPerStore >= 1,
+      s"entriesPerStore must be >= 1, got $entriesPerStore")
+    val prep = packParts(spark, srcDir, dstDir, partSizeBytes,
+      partName = pid => s"part-$pid")
+    prep.index.foreach { case (rel, _, _, _) =>
+      require(!rel.exists(c => c == ' ' || c == '\n' || c == '\r' || c == '\t'),
+        s"harPackReference: '$rel' contains whitespace; the stock " +
+          "text index format cannot encode it")
+    }
+    val fileLines = prep.index.map { case (rel, pid, off, len) =>
+      val p = "/" + rel
+      (p, s"$p file ${prep.partName(pid)} $off $len ")
+    }
+    // directory entries: every ancestor dir, children listed by NAME
+    // (the reference archiver receives them from its input listing;
+    // here they derive from the same walk the file entries came from)
+    val children = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.SortedSet[String]]
+    def parentOf(p: String): String = {
+      val i = p.lastIndexOf('/'); if (i <= 0) "/" else p.substring(0, i)
+    }
+    prep.index.foreach { case (rel, _, _, _) =>
+      var p = "/" + rel
+      while (p != "/") {
+        val par = parentOf(p)
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        children.getOrElseUpdate(par,
+          scala.collection.mutable.SortedSet.empty[String]) += name
+        p = par
+      }
+    }
+    val dirLines = children.toSeq.map { case (d, cs) =>
+      (d, s"$d dir none 0 0 " + cs.map(_ + " ").mkString)
+    }
+    // _index is hash-sorted (the reducer's input order); path as the
+    // tiebreak makes equal-hash layouts deterministic
+    val all = (fileLines ++ dirLines)
+      .sortBy { case (p, _) => (harHash(p), p) }
+    // _masterindex replays the reducer's store arithmetic
+    // (HadoopArchives.java:566-605): flush a store line every
+    // entriesPerStore index lines, endHash = the flushing line's
+    // hash; final partial store on close
+    val idxSb = new java.lang.StringBuilder
+    val stores = Seq.newBuilder[String]
+    var bytePos = 0L; var startPos = 0L
+    var startIndex = 0; var lastHash = 0; var written = 0
+    all.foreach { case (p, line) =>
+      idxSb.append(line).append('\n')
+      bytePos += line.getBytes("UTF-8").length + 1L
+      lastHash = harHash(p)
+      written += 1
+      if (written > entriesPerStore - 1) {
+        stores += s"$startIndex $lastHash $startPos $bytePos \n"
+        startPos = bytePos; startIndex = lastHash; written = 0
+      }
+    }
+    if (written > 0)
+      stores += s"$startIndex $lastHash $startPos $bytePos \n"
+    val masterContent = "1 \n" + stores.result().mkString
+    // temp+rename commit, _index first (see scaladoc). Recursive
+    // delete: the destination may be a previous PARQUET-layout
+    // `_index` directory being converted in place.
+    def commitTextFile(name: String, content: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${prep.dstBase}._$name.tmp-gen${prep.partStart}")
+      val fin = new org.apache.hadoop.fs.Path(prep.dstBase + "_" + name)
+      val out = prep.fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      prep.fs.delete(fin, true)
+      if (!prep.fs.rename(tmp, fin))
+        throw new java.io.IOException(
+          s"harPackReference: could not commit $tmp -> $fin")
+    }
+    commitTextFile("index", idxSb.toString)
+    commitTextFile("masterindex", masterContent)
+    deleteOldGenerations(prep)
+    readReferenceHarIndex(spark, dstDir)
   }
 
   /** Read a [[harPack]] archive back as (path, bytes): ranged reads

@@ -366,6 +366,99 @@ class MultiIOSpec extends SparkSpec {
     assert(MultiIO.referenceHarLookup(spark, har.toString,
       "/user/missing.txt").isEmpty)
   }
+
+  test("harPackReference writes a stock-consumable text-layout archive") {
+    val base = Files.createTempDirectory("graft-refpack")
+    val src = base.resolve("src")
+    java.nio.file.Files.createDirectories(src.resolve("sub"))
+    val contents = Map(
+      "a.txt" -> "alpha".getBytes("UTF-8"),
+      "b.bin" -> Array[Byte](0, 1, 0xff.toByte, 0x7f, 0x00, 9),
+      "sub/c.txt" -> "ccc".getBytes("UTF-8"),
+      "sub/d.txt" -> "dddd".getBytes("UTF-8"))
+    contents.foreach { case (p, b) =>
+      java.nio.file.Files.write(src.resolve(p), b) }
+    val har = base.resolve("out.har").toString
+    // small part budget -> several parts; entriesPerStore=2 -> the
+    // masterindex store arithmetic is exercised beyond one store
+    MultiIO.harPackReference(spark, src.toString, har,
+      partSizeBytes = 8, entriesPerStore = 2)
+
+    // bulk read through the stock-layout reader: rooted paths, bytes
+    val back = MultiIO.readReferenceHar(spark, har).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(back.keySet == contents.keySet.map("/" + _), back.keySet.toString)
+    contents.foreach { case (p, b) =>
+      assert(java.util.Arrays.equals(back("/" + p), b), s"bytes differ: $p") }
+    // point lookups via the masterindex hash ranges
+    contents.foreach { case (p, b) =>
+      assert(MultiIO.referenceHarLookup(spark, har, "/" + p)
+        .exists(java.util.Arrays.equals(_, b)), s"lookup failed for /$p") }
+    assert(MultiIO.referenceHarLookup(spark, har, "/missing").isEmpty)
+
+    // BYTE-LAYOUT: _index lines are `<path> <kind> ...` with the
+    // reference's trailing space, hash-sorted
+    val idxBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(har, "_index"))
+    val idxLines = new String(idxBytes, "UTF-8").split("\n").toSeq
+    assert(idxLines.nonEmpty && idxLines.forall(_.endsWith(" ")),
+      "every index line carries the reference's trailing space")
+    val hashes = idxLines.map(l => MultiIO.harHash(l.split(" ")(0)))
+    assert(hashes == hashes.sorted, "index must be hash-sorted")
+    // file lines: `<path> file part-N <offset> <length> `
+    val fileLines = idxLines.filter(_.split(" ")(1) == "file")
+    assert(fileLines.length == contents.size)
+    fileLines.foreach { l =>
+      val f = l.split(" ")
+      assert(f(2).matches("part-\\d+") && f(3).toLong >= 0 &&
+        f(4).toLong == contents(f(0).stripPrefix("/")).length.toLong, l)
+    }
+    // dir lines with child names
+    val dirs = idxLines.filter(_.split(" ")(1) == "dir")
+      .map { l => val f = l.split(" "); f(0) -> f.drop(5).toSet }.toMap
+    assert(dirs("/") == Set("a.txt", "b.bin", "sub"), dirs.toString)
+    assert(dirs("/sub") == Set("c.txt", "d.txt"), dirs.toString)
+
+    // _masterindex: version header, then stores whose byte ranges
+    // tile _index exactly and whose hash spans cover their lines
+    val master = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(har, "_masterindex")), "UTF-8").split("\n")
+    assert(master(0) == "1 ", s"version header, got '${master(0)}'")
+    val stores = master.drop(1).filter(_.trim.nonEmpty)
+      .map(_.trim.split(" ").map(_.toLong))
+    assert(stores.length >= 2, "entriesPerStore=2 over 6 lines must split")
+    assert(stores.head(2) == 0L, "first store starts at byte 0")
+    assert(stores.last(3) == idxBytes.length.toLong,
+      "last store ends at _index EOF")
+    stores.sliding(2).foreach {
+      case Array(a, b) => assert(a(3) == b(2), "stores must tile _index")
+      case _ => ()
+    }
+    stores.foreach { case Array(lo, hi, s, e) =>
+      val slice = new String(idxBytes.slice(s.toInt, e.toInt), "UTF-8")
+      assert(slice.endsWith("\n"), "store boundary splits a line")
+      slice.split("\n").foreach { l =>
+        val h = MultiIO.harHash(l.split(" ")(0))
+        assert(lo <= h && h <= hi, s"hash $h outside store [$lo,$hi]")
+      }
+    }
+
+    // re-pack: a fresh generation commits and stays readable
+    MultiIO.harPackReference(spark, src.toString, har,
+      partSizeBytes = 1024, entriesPerStore = 1000)
+    val again = MultiIO.readReferenceHar(spark, har).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    contents.foreach { case (p, b) =>
+      assert(java.util.Arrays.equals(again("/" + p), b),
+        s"re-pack bytes differ: $p") }
+    // whitespace in a path is refused, not silently corrupted
+    java.nio.file.Files.write(src.resolve("bad name.txt"),
+      "x".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      MultiIO.harPackReference(spark, src.toString,
+        base.resolve("bad.har").toString)
+    }
+  }
 }
 
 class PipeSpec extends SparkSpec {
