@@ -106,4 +106,68 @@ class StreamRecoverySpec extends SparkSpec {
     assert(last == ((fs.ewma, fs.lastUpdateMs)),
       s"got $last want (${fs.ewma}, ${fs.lastUpdateMs})")
   }
+
+  test("the full policy loop resumes mid-replay with an identical plan") {
+    // q_stream_replication's composition (throttled-EWMA state ->
+    // settled heat -> tier/exempt/capacity-demote plan), run twice
+    // over the SAME access log: once uninterrupted, once with a hard
+    // kill between micro-batches and a checkpoint resume. The final
+    // REPLICATION PLAN — the thing the policy loop exists to emit —
+    // must be identical; only recovered per-file EWMA state can make
+    // the resumed fold land on the same numbers.
+    import spark.implicits._
+
+    // 10 files ("0".."9"), every 5th single-block (exempt), accesses
+    // spaced 60 s (> the 30 s throttle) so every access applies; hot
+    // files get more accesses so the tiering is non-degenerate
+    val accesses: Seq[HeatStream.Access] =
+      (0 until 10).flatMap { f =>
+        val n = 1 + f % 4
+        (0 until n).map(k =>
+          HeatStream.Access(f.toString, 60000L * (1 + f + 13 * k)))
+      }.sortBy(_.tsMs)
+    val (phase1, phase2) = accesses.splitAt(accesses.size / 2)
+
+    def runReplay(phases: Seq[Seq[HeatStream.Access]]): Set[(Long, Int)] = {
+      val src = Files.createTempDirectory("graft-policy-src").toString
+      val ckpt = Files.createTempDirectory("graft-policy-ckpt").toString
+      val sink = Files.createTempDirectory("graft-policy-sink").toString
+      def start() = HeatStream.heatUpdates(
+          spark.readStream.schema("path string, tsMs bigint")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .as[HeatStream.Access],
+          stateTtlMs = 1000000000000L,
+          allowedLatenessMs = 1000000000000L)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[HeatStream.HeatRecord], _: Long) =>
+            b.write.mode("append").parquet(sink); ()
+        }.start()
+      // each phase: two files -> two micro-batches; a HARD stop
+      // between phases kills the query mid-replay
+      phases.foreach { rows =>
+        rows.grouped(math.max(1, rows.size / 2 + 1)).foreach { slice =>
+          slice.toDS().coalesce(1).write.mode("append").parquet(src)
+        }
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val heat = spark.read.parquet(sink)
+        .groupBy($"path")
+        .agg(max(struct($"lastUpdateMs", $"ewma")).as("m"))
+        .select($"path".cast("long").as("file_id"), $"m.ewma".as("ewma"))
+      Heat.policyLoopPlan(heat, col("file_id"), col("ewma"),
+          blocksCol = when(col("file_id") % 5 === 0, 1).otherwise(2),
+          sizeBytes = 1000L, capacityBytes = 3500L * 10)
+        .select(col("file_id"), col("target_rep"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+
+    val uninterrupted = runReplay(Seq(accesses))
+    val resumed = runReplay(Seq(phase1, phase2))
+    assert(uninterrupted == resumed,
+      s"plan diverged after mid-replay restart:\n  clean=$uninterrupted\n  resumed=$resumed")
+    assert(uninterrupted.nonEmpty, "vacuous plan — the dial produced no rows")
+  }
 }
