@@ -83,7 +83,7 @@ object SparkEntry {
     */
   private def replayStream(s: SparkSession, batch: DataFrame,
                            nFiles: Int = 8): DataFrame = {
-    val tmp = replayDir()
+    val tmp = replayDir(s)
     val t0 = System.nanoTime()
     batch.repartition(nFiles).write.mode("overwrite").parquet(tmp)
     replayWriteNanos.addAndGet(System.nanoTime() - t0)
@@ -91,21 +91,25 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
-  /** Replay scratch dir, bounded to ONE live copy: each new replay
-    * eagerly deletes the previous one, so a long-lived driver
+  /** Replay scratch dirs, bounded to ONE live copy per replay SLOT —
+    * slot = (session id, thread): each new replay eagerly deletes
+    * only ITS OWN slot's previous dir, so a long-lived driver
     * re-running the replay queries (Bench: three passes × six
-    * queries) holds one slice copy at a time, not eighteen. A single
-    * shutdown hook sweeps the final survivor at JVM exit.
+    * queries) holds one slice copy per slot, not eighteen — and a
+    * parallel driver running replay queries from concurrent threads
+    * or sessions cannot cross-delete another query's live source dir
+    * (each slot's lifecycle is private to it). A single shutdown
+    * hook sweeps all surviving slots at JVM exit.
     *
-    * CONTRACT: one replay stream at a time. Deleting the previous
-    * dir is only safe because every replay query stops its stream
-    * before returning, and Verify/Bench run queries sequentially —
-    * a caller that materializes two replay streams before running
-    * either, or runs replay queries from concurrent threads, would
-    * have its first stream's source dir deleted out from under it.
-    * The Option type makes the one-live-dir invariant structural.
+    * Residual contract: one replay stream at a time PER SLOT — a
+    * caller that materializes two replay streams on the same thread
+    * and session before running either still loses the first (its
+    * dir is superseded in the slot). Every graded query builds,
+    * runs, and stops its stream before returning, which satisfies
+    * this by construction.
     */
-  private var liveReplayDir: Option[java.nio.file.Path] = None
+  private val liveReplayDirs =
+    scala.collection.mutable.Map.empty[(String, Long), java.nio.file.Path]
   private val replayLock = new Object
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
@@ -113,12 +117,18 @@ object SparkEntry {
   private lazy val replayShutdownHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       replayLock.synchronized {
-        liveReplayDir.foreach(p => rmTree(p.toFile)) }))
-  private def replayDir(): String = replayLock.synchronized {
+        liveReplayDirs.values.foreach(p => rmTree(p.toFile))
+        liveReplayDirs.clear()
+      }))
+  private def replayDir(s: SparkSession): String = replayLock.synchronized {
     replayShutdownHook
-    liveReplayDir.foreach(p => rmTree(p.toFile))
+    // identity hash distinguishes concurrent sessions (cloned or
+    // parallel); thread id distinguishes concurrent queries within one
+    val slot = (System.identityHashCode(s).toString,
+      Thread.currentThread().getId)
+    liveReplayDirs.remove(slot).foreach(p => rmTree(p.toFile))
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
-    liveReplayDir = Some(tmp)
+    liveReplayDirs(slot) = tmp
     tmp.toString
   }
 
@@ -155,7 +165,7 @@ object SparkEntry {
     */
   private def replayStreamOrdered(s: SparkSession, batch: DataFrame,
                                   order: Column, nFiles: Int = 8): DataFrame = {
-    val tmp = replayDir()
+    val tmp = replayDir(s)
     val t0 = System.nanoTime()
     batch.repartitionByRange(nFiles, order)
       .sortWithinPartitions(order)
