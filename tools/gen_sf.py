@@ -16,6 +16,13 @@ marginals (see SCALE.md "sf1 fixture" for the derivation):
 
 Deterministic: seed fixed per table. Usage:
   python3 tools/gen_sf.py <sf> <outDir>     e.g.  1 testdata/sf1
+
+Every run ends with a SCHEMA GUARD: the generated tables' arrow
+schemas are diffed field-by-field (name, type, order) against the
+driver's /root/testdata/sf0.01 fixture, and any mismatch fails the
+run loudly. Round 7's lesson: the driver regenerated its fixture with
+every timestamp as timestamp[us] and this generator silently drifted,
+which surfaced as 11 red queries instead of one schema diff.
 """
 import os
 import sys
@@ -170,5 +177,41 @@ def main(sf, out_dir):
         "label": i32(label)})
 
 
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+DRIVER_FIXTURE = "/root/testdata/sf0.01"
+
+
+def check_schemas(out_dir, ref_dir=DRIVER_FIXTURE):
+    """Diff generated schemas against the driver fixture's; return a
+    list of human-readable drift lines (empty = no drift)."""
+    drift = []
+    for t in TABLES:
+        got_path = os.path.join(out_dir, t + ".parquet")
+        ref_path = os.path.join(ref_dir, t + ".parquet")
+        if not os.path.exists(ref_path):
+            drift.append(f"{t}: driver fixture missing at {ref_path}")
+            continue
+        if not os.path.exists(got_path):
+            drift.append(f"{t}: generator produced no table")
+            continue
+        got, ref = pq.read_schema(got_path), pq.read_schema(ref_path)
+        if got.names != ref.names:
+            drift.append(f"{t}: column names/order {got.names} != {ref.names}")
+            continue
+        for name in ref.names:
+            gt, rt = got.field(name).type, ref.field(name).type
+            if gt != rt:
+                drift.append(f"{t}.{name}: type {gt} != driver's {rt}")
+    return drift
+
+
 if __name__ == "__main__":
     main(float(sys.argv[1]), sys.argv[2])
+    problems = check_schemas(sys.argv[2])
+    if problems:
+        print("SCHEMA DRIFT vs " + DRIVER_FIXTURE + ":", file=sys.stderr)
+        for p in problems:
+            print("  " + p, file=sys.stderr)
+        sys.exit(1)
+    print(f"schema guard: all {len(TABLES)} tables match {DRIVER_FIXTURE}")
