@@ -225,6 +225,22 @@ object Temporal {
     * and counted in an observed `graft.<site>.<n>` metric like
     * [[rangeJoin]]'s. Points with no covering interval come out with
     * count 0 (a LEFT-join reading — [[rangeJoin]]+groupBy loses them).
+    *
+    * EXECUTION CAVEATS (unlike every other operator in this file):
+    * this function executes EAGERLY at DataFrame-construction time —
+    * the localCheckpoint materializes the swept union and the
+    * per-partition totals run as a driver-side collect — and the
+    * result is a SNAPSHOT over that pinned partitioning, not a lazy
+    * plan that re-derives from source on each action. And because
+    * `localCheckpoint` stores blocks on executors WITHOUT lineage,
+    * losing an executor after construction permanently fails
+    * downstream actions (Spark cannot recompute truncated lineage).
+    * Fine on local[N] and for run-once batch jobs; a long-lived
+    * cluster deployment that must survive executor loss should swap
+    * the pin for a reliable `checkpoint()` (same plan shape, one
+    * extra write to the checkpoint dir) — the pinned-partitioning
+    * requirement itself is non-negotiable, since the offsets job and
+    * the window job must observe identical range-partition bounds.
     */
   def activeIntervalCount(points: DataFrame, pt: Column,
                           intervals: DataFrame, start: Column, end: Column,

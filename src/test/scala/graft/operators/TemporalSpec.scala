@@ -4,6 +4,35 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import graft.operators.Temporal._
 
+/** Plan-shape helpers: count exchange NODES in the physical tree
+  * (descending through the AQE wrapper) instead of regexing the plan
+  * string — node class names and toString formats drift across Spark
+  * versions, the tree does not.
+  */
+object PlanShape {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+  private def walk(p: SparkPlan)(hit: SparkPlan => Int): Int = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    hit(inner) + inner.children.map(walk(_)(hit)).sum
+  }
+
+  def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    walk(df.queryExecution.executedPlan) {
+      case _: ShuffleExchangeLike => 1; case _ => 0
+    }
+
+  def broadcasts(df: org.apache.spark.sql.DataFrame): Int =
+    walk(df.queryExecution.executedPlan) {
+      case _: BroadcastExchangeLike => 1; case _ => 0
+    }
+}
+
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -190,10 +219,9 @@ class TemporalSpec extends SparkSpec {
   test("asOfJoin plans exactly one shuffle (union-and-sweep, not a range join)") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "s")
     val right = Seq((1L, 5L, 1.5)).toDF("k", "t", "v")
-    val plan = asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "snap")
-      .queryExecution.executedPlan.toString
-    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
-      .findAllIn(plan).length
+    val df = asOfJoin(left, $"k", $"t", right, $"k", $"t", $"v", "snap")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = PlanShape.shuffles(df)
     assert(exchanges == 1, s"expected the single union exchange, got $exchanges:\n$plan")
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       "as-of must never plan a pairwise join")
@@ -319,15 +347,14 @@ class TemporalSpec extends SparkSpec {
     // pid-window's) plus the offsets broadcast.
     val points = Seq((1L, 100L)).toDF("pid", "t")
     val ivals = Seq((0L, 200L)).toDF("s", "e")
-    val plan = activeIntervalCount(points, $"t", ivals, $"s", $"e")
-      .queryExecution.executedPlan.toString
+    val df = activeIntervalCount(points, $"t", ivals, $"s", $"e")
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"sweep must never plan a pairwise join:\n$plan")
-    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
-      .findAllIn(plan).length
+    val exchanges = PlanShape.shuffles(df)
     assert(exchanges == 1,
       s"expected only the pid-window exchange, got $exchanges:\n$plan")
-    assert(plan.contains("BroadcastExchange"),
+    assert(PlanShape.broadcasts(df) >= 1,
       "partition offsets must broadcast, not shuffle")
   }
 }
