@@ -1228,6 +1228,22 @@ object SparkEntry {
       functions.Retrieval.invertedIndex(t(s, dir, "documents"),
         col("doc_id"), col("text"), maxPostings = 10)),
 
+    // the contrib/index analog, graded END-TO-END: build the sharded
+    // searchable-index ARTIFACT (posting lists bucketed by term, 8
+    // shards, parquet bloom), then answer a five-term query bag via
+    // bucket-pruned point probes — build once, probe the shards, as
+    // the reference's IndexUpdater + distribution-policy pipeline
+    // does. The oracle recomputes the probed terms' posting lists
+    // directly; ScaleSpec asserts the probes' SelectedBucketsCount
+    // plan contract
+    "q_search_index" -> ((s, dir) => {
+      val tbl = "graft_q_search_index"
+      functions.Retrieval.buildSearchIndex(t(s, dir, "documents"),
+        col("doc_id"), col("text"), tbl, shards = 8, maxPostings = 10)
+      functions.Retrieval.probeSearchIndex(s, tbl,
+        Seq("dup", "spark", "vector", "the", "window"))
+    }),
+
     // exact phi-heavy-hitters: capacity 30 < the corpus' 31-token
     // vocabulary, so the Misra-Gries decrement path genuinely runs;
     // phi=0.0335 > 1/31 keeps the no-missed-hitter guarantee
@@ -2569,6 +2585,29 @@ object SparkEntry {
         |SELECT term, CAST(max(dfc) AS BIGINT) AS df,
         |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         |FROM ranked WHERE rn <= 10 GROUP BY term""".stripMargin,
+
+    // the probe terms' posting lists, recomputed directly — the
+    // sharded artifact must answer exactly what a fresh index build
+    // would
+    "q_search_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)),
+        |ranked AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY term) AS dfc
+        |  FROM dt)
+        |SELECT term, CAST(max(dfc) AS BIGINT) AS df,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM ranked
+        |WHERE rn <= 10 AND term IN ('dup', 'spark', 'vector', 'the', 'window')
+        |GROUP BY term""".stripMargin,
 
     // exact phi-heavy-hitters: the sketch only proposes candidates,
     // exact counting decides — so plain GROUP BY + HAVING is the oracle

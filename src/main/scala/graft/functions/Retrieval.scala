@@ -119,6 +119,46 @@ object Retrieval {
           .as("postings"))
   }
 
+  /** Build and PERSIST the inverted index as a sharded, probe-able
+    * artifact — the reference contrib/index pipeline (a MapReduce job
+    * building sharded Lucene indexes: src/contrib/index/.../mapred/
+    * IndexUpdater.java:40, shard routing in
+    * example/HashingDistributionPolicy.java:29-37) re-expressed as a
+    * bucketed table: [[invertedIndex]]'s posting lists written
+    * `bucketBy(shards, term).sortBy(term)` with a parquet bloom on
+    * the term ([[graft.sources.Bucketing.writeBucketed]]).
+    *
+    * The distribution policy IS the bucket hash (term -> 1 of
+    * `shards`, exactly HashingDistributionPolicy's
+    * `term.hashCode % numShards` role); a probe routes to ONE bucket
+    * (`SelectedBucketsCount: 1 out of n`) and the bloom skips
+    * non-matching row groups inside it. At 100 TB the index is built
+    * once (one term-keyed exchange) and every later probe touches
+    * O(1/shards) of it, with no shuffle — the same build-once/
+    * probe-many economics the reference's sharded indexes exist for.
+    */
+  def buildSearchIndex(docs: DataFrame, id: Column, text: Column,
+                       table: String, shards: Int = 8,
+                       maxPostings: Int = 10): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    graft.sources.Bucketing.writeBucketed(
+      invertedIndex(docs, id, text, maxPostings), table, "term", shards)
+  }
+
+  /** Probe a [[buildSearchIndex]] artifact for a bag of terms: one
+    * bucket-pruned point lookup per term (the reference's
+    * shard-routed query path), results unioned as
+    * (term, df, postings). Terms absent from the corpus contribute
+    * no row. Each lookup is O(one bucket) driver-side — the probe
+    * shape is interactive, not a scan.
+    */
+  def probeSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "probeSearchIndex needs at least one term")
+    terms.map(t => graft.sources.Bucketing.lookup(spark, table, "term", t))
+      .reduce(_.unionByName(_))
+  }
+
   /** TF-IDF keyword extraction: the top `k` terms of every document
     * by `tf · ln(N/df)` (classic idf — a term present in every
     * document scores 0), score rounded to 4 decimals, ties broken by

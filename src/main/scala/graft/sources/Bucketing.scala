@@ -27,6 +27,19 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, bloom: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog dies with the JVM but the managed table's
+    // warehouse directory survives — a fresh session's CREATE then
+    // fails with LOCATION_ALREADY_EXISTS. Drop the catalog entry and
+    // sweep any orphaned location so a rebuild is always idempotent.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val db = spark.catalog.currentDatabase
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = new org.apache.hadoop.fs.Path(
+      if (db == "default") s"$wh/${table.toLowerCase}"
+      else s"$wh/$db.db/${table.toLowerCase}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")

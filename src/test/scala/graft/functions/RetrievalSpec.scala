@@ -115,4 +115,26 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Int, String, Long, Double)].collect().sortBy(_._1)
     assert(got.map(_._3).toSeq == Seq("a", "c"))
   }
+
+  test("search index artifact: sharded build, bucket-pruned probes") {
+    val docs = Seq(
+      (1L, "spark joins data"), (2L, "spark windows"),
+      (3L, "data quality"), (4L, "spark data spark")).toDF("doc_id", "text")
+    Retrieval.buildSearchIndex(docs, $"doc_id", $"text",
+      "ret_search_idx", shards = 8, maxPostings = 2)
+    // probes answer exactly what a fresh index build would
+    val got = Retrieval.probeSearchIndex(spark, "ret_search_idx",
+        Seq("spark", "data", "missing"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "spark" -> ((3L, "1,2")),   // df counts docs, postings capped at 2
+      "data" -> ((3L, "1,3"))),   // absent term -> no row
+      got.toString)
+    // the probe path is shard-routed: one bucket of eight, the
+    // reference's HashingDistributionPolicy economics
+    val (_, plan) = graft.sources.Bucketing.lookupWithPlan(
+      spark, "ret_search_idx", "term", "spark")
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+  }
 }
