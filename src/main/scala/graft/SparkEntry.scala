@@ -572,6 +572,21 @@ object SparkEntry {
       functions.Dedup.segmentDedup(t(s, dir, "documents"),
         col("doc_id"), col("text"), segTokens = 5)),
 
+    // incremental ingest dedup: a delta (doc_id % 4 >= 2 — the split
+    // is sf-independent) deduped within itself AND against the
+    // standing corpus's fingerprint set; the corpus is probed, never
+    // re-shuffled
+    "q_delta_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusFps = docs.filter(col("doc_id") % 4 < 2 &&
+          col("text").isNotNull)
+        .select(functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+      functions.Dedup.deltaDedup(docs.filter(col("doc_id") % 4 >= 2),
+          col("doc_id"), col("text"), corpusFps)
+        .select(col("doc_id"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
@@ -1651,6 +1666,28 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q_delta_dedup: within-delta min-id dedup (null-text rows all
+    // pass — no content to compare), then an anti-probe of the
+    // standing corpus's fingerprint set; md5 of NULL propagates NULL,
+    // which matches nothing
+    "q_delta_dedup" ->
+      """WITH corp AS (
+        |  SELECT DISTINCT
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 4 < 2 AND text IS NOT NULL),
+        |delta AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 4 >= 2),
+        |win AS (
+        |  SELECT doc_id, fp,
+        |         CASE WHEN fp IS NULL THEN 1
+        |              ELSE row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+        |         END AS rn
+        |  FROM delta)
+        |SELECT doc_id FROM win
+        |WHERE rn = 1 AND (fp IS NULL OR fp NOT IN (SELECT fp FROM corp))""".stripMargin,
 
     // segment dedup: DuckDB elects winners on the raw segment text
     // (engine-local), Spark on md5(segment) — identical winners up

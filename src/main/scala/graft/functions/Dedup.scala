@@ -103,6 +103,32 @@ object Dedup {
       .drop(s"${p}_rn")
   }
 
+  /** Incremental ingest dedup — the daily-batch form: within the
+    * delta keep one row per content class ([[exactDedup]] semantics:
+    * min-id survivor, null-text rows pass through wholesale), then
+    * drop every survivor whose fingerprint already exists in the
+    * reference corpus. The corpus is PROBED, never re-deduped or
+    * re-shuffled — the asymmetry that makes ingest dedup affordable
+    * when the corpus is 1000× the delta.
+    *
+    * `corpusFps` is the corpus projected to its fingerprint column
+    * (`fp`). At production scale persist it bucketed with a parquet
+    * bloom on fp ([[graft.sources.Bucketing.writeBucketed]]): the
+    * anti-join then hash-exchanges the (small) delta against a
+    * pre-bucketed scan with row-group bloom skipping, and the only
+    * bytes in motion are 16-byte digests — never corpus text.
+    */
+  def deltaDedup(delta: DataFrame, id: Column, text: Column,
+                 corpusFps: DataFrame): DataFrame = {
+    val p = graft.Names.fresh("__dd", delta.columns)
+    // a null fingerprint (null text) never equals a probe row, so
+    // null-text rows pass the anti-join — same pass-through contract
+    // as exactDedup's
+    exactDedup(delta, id, text).join(
+      corpusFps.select(col("fp").as(s"${p}_fp")),
+      TextAnalysis.fingerprint(text) === col(s"${p}_fp"), "left_anti")
+  }
+
   /** Spread a skinny-but-compute-heavy input across the cluster: a
     * small parquet scan arrives in few partitions; hash-repartition
     * on the id so (a) the per-row shingle/hash work parallelizes and

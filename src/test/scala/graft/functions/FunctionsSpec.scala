@@ -625,6 +625,21 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 20 * 19 / 2)
   }
 
+  test("deltaDedup: within-delta min-id, corpus probe, null pass-through") {
+    val delta = Seq(
+      (10L, Option("same text")),
+      (11L, Option("same text")),      // within-delta dup: 10 survives
+      (12L, Option("already known")),  // in the corpus: dropped
+      (13L, None: Option[String]),     // null text: passes wholesale
+      (14L, Option("fresh content")))
+      .toDF("doc_id", "text")
+    val corpusFps = Seq("already known").toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("fp"))
+    val kept = deltaDedup(delta, $"doc_id", $"text", corpusFps)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 13L, 14L), kept.toString)
+  }
+
   test("duplicateSpanStats: cross-doc grams count, within-doc repeats don't") {
     val df = Seq(
       (1L, Option("a b c d e f")),   // grams: "a b c d e", "b c d e f"
