@@ -598,6 +598,30 @@ object SparkEntry {
       functions.Dedup.duplicateSpanStats(t(s, dir, "documents"),
         col("doc_id"), col("text"), n = 5)),
 
+    // which sources are re-scrapes of each other: shared distinct
+    // 5-gram count + gram-set Jaccard per source pair — output is
+    // |sources|² rows max, never document pairs
+    "q_source_overlap" -> ((s, dir) =>
+      functions.Dedup.sourceOverlap(t(s, dir, "documents"),
+        col("source"), col("text"), n = 5)),
+
+    // "keep the best 20%" as a global RANK cut (one range exchange,
+    // no zero-partition percent_rank window); score = token count,
+    // tie-broken on doc_id; survivors carry their curriculum rank
+    "q_quality_gate" -> ((s, dir) =>
+      functions.Sampling.topFraction(
+        t(s, dir, "documents").select(col("doc_id"),
+          functions.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        Seq(col("n_tokens").desc, col("doc_id")), frac = 0.2)),
+
+    // first-touch conversion funnel view -> click -> purchase with a
+    // 1-day per-step window (ts is epoch-ns; window in ns)
+    "q_funnel" -> ((s, dir) =>
+      operators.Temporal.funnel(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), window = 86400000000000L)),
+
     // pairwise candidates -> transitive duplicate classes (a≈b, b≈c
     // must form ONE class); min-label propagation vs the oracle's
     // recursive-CTE closure over the same pair set
@@ -1752,6 +1776,78 @@ object SparkEntry {
         |            THEN round(CAST(p.dup_spans AS DOUBLE) / p.n_spans, 4)
         |            ELSE 0.0 END AS dup_frac
         |FROM toks t LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // q_source_overlap: same tokenization/gram space as q_dup_spans
+    // (docs under 5 tokens emit no grams), distinct per (source,
+    // gram), then the pair join — DuckDB carries gram strings where
+    // Spark carries 8-byte hashes; counts agree absent collisions
+    // (same trade q_dup_spans documents)
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT source,
+        |         unnest([array_to_string(tk[i+1:i+5], ' ')
+        |                 for i in range(greatest(len(tk) - 4, 0))]) AS g
+        |  FROM toks),
+        |sg AS (SELECT DISTINCT source, g FROM pos),
+        |cs AS (SELECT source, count(*) AS c FROM sg GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS shared
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pr.source_a, pr.source_b,
+        |       CAST(pr.shared AS BIGINT) AS shared_grams,
+        |       round(CAST(pr.shared AS DOUBLE)
+        |             / (ca.c + cb.c - pr.shared), 4) AS jaccard
+        |FROM pr
+        |JOIN cs ca ON ca.source = pr.source_a
+        |JOIN cs cb ON cb.source = pr.source_b""".stripMargin,
+
+    // q_quality_gate: rank cut re-derived with a window row_number —
+    // tiny in DuckDB, a single-partition funnel Spark must avoid
+    // (which is exactly what topFraction's range-exchange kernel does)
+    "q_quality_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> length(x) > 0)) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+        |              AS BIGINT) AS rnk,
+        |         count(*) OVER () AS n
+        |  FROM s)
+        |SELECT doc_id, n_tokens, rnk
+        |FROM r WHERE rnk <= floor(0.2 * n)""".stripMargin,
+
+    // q_funnel: the same greedy first-touch chain as chained CTEs —
+    // each step anchors at its first event strictly after the
+    // previous match and within the 1-day window (oracle time unit is
+    // epoch-us, Spark's is epoch-ns; only counts cross the boundary)
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |r1 AS (SELECT u, min(t) AS mt FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |r2 AS (SELECT e.u, min(e.t) AS mt FROM e JOIN r1 USING (u)
+        |       WHERE e.event_type = 'click' AND e.t > r1.mt
+        |         AND e.t <= r1.mt + 86400000000 GROUP BY 1),
+        |r3 AS (SELECT e.u, min(e.t) AS mt FROM e JOIN r2 USING (u)
+        |       WHERE e.event_type = 'purchase' AND e.t > r2.mt
+        |         AND e.t <= r2.mt + 86400000000 GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+        |       CAST((SELECT count(*) FROM r1) AS BIGINT) AS users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT count(*) FROM r2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT count(*) FROM r3)""".stripMargin,
 
     // q_dedup_classes: the same pair set as q_ngram_jaccard, closed
     // transitively — DuckDB walks the closure with a recursive CTE,

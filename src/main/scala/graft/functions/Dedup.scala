@@ -446,6 +446,59 @@ object Dedup {
         .otherwise(lit(0.0)))
   }
 
+  /** Cross-source content-overlap matrix: for every pair of sources,
+    * how many DISTINCT word n-grams they share, and the n-gram
+    * Jaccard between the two sources' gram sets — the dataset-card
+    * diagnostic that tells a curator which crawls/dumps are
+    * re-scrapes of each other before any doc-level dedup runs
+    * (whole-document fingerprints miss re-chunked or re-wrapped
+    * copies; shared-shingle mass does not).
+    *
+    * Returns one row per unordered source pair that shares at least
+    * one gram: (source_a, source_b, shared_grams, jaccard), with
+    * source_a < source_b.
+    *
+    * Shape (the 100 TB contract): explode n-grams once, hash to
+    * 8 bytes BEFORE any exchange, distinct per (source, hash) —
+    * the shuffle key is the composite so a boilerplate gram does not
+    * skew a partition — then one self-equi-join on the hash. Per-gram
+    * join fan-out is bounded by the number of sources carrying it, so
+    * the pair explosion is at most |sources|² per gram and the OUTPUT
+    * is at most |sources|² rows total: sublinear in corpus size, the
+    * pair set here is source pairs, never document pairs. Per-source
+    * gram totals (|sources| rows) attach via broadcast joins.
+    * Documents shorter than `n` tokens contribute no grams — the same
+    * gate [[duplicateSpanStats]] applies, so both operators see the
+    * identical gram space. Hash-collision trade as documented there.
+    */
+  def sourceOverlap(df: DataFrame, source: Column, text: Column,
+                    n: Int = 5): DataFrame = {
+    val sg = df
+      .select(source.as("src"),
+        explode(when(TextAnalysis.tokenCount(text) >= n,
+            shinglesRaw(text, n))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("src"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val perSource = sg.groupBy(col("src")).agg(count(lit(1)).as("c"))
+    // self-join: rename the hash on one side so the equi-key is
+    // unambiguous (a("gh") === b("gh") on a common lineage resolves
+    // to a trivially-true same-attribute compare)
+    val a = sg.select(col("src").as("source_a"), col("gh"))
+    val b = sg.select(col("src").as("source_b"), col("gh").as("gh_b"))
+    a.join(b, col("gh") === col("gh_b") &&
+        col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(perSource.select(col("src").as("source_a"),
+        col("c").as("ca"))), Seq("source_a"))
+      .join(broadcast(perSource.select(col("src").as("source_b"),
+        col("c").as("cb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("ca") + col("cb") - col("shared_grams")), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash over tokens: per bit, sum +1/-1 of each token
     * hash's bit, take the sign. Column-expression form — fine for
     * ad-hoc use on a few rows; bulk pipelines should use

@@ -273,4 +273,40 @@ object Sampling {
       .globalRank(hashed, Seq(col(shuf), key.cast("string")), as)
       .drop(shuf)
   }
+
+  /** Global quantile gate: keep exactly `floor(frac * n)` rows — the
+    * top fraction of the corpus under `order` (score descending plus
+    * a deterministic tie-break, supplied by the caller). The
+    * quality-filtering step of a curation pipeline stated as a RANK
+    * cut rather than a score threshold: "keep the best 20%" holds by
+    * construction whatever the score distribution looks like, where
+    * a fixed threshold drifts with every re-crawl.
+    *
+    * The kept rows come back with their 1-based global rank in column
+    * `as` — the downstream curriculum order for free.
+    *
+    * Scale shape: [[graft.streaming.Heat.globalRank]] — one
+    * range-exchange on the order key (pivots sampled exactly like the
+    * reference's TotalOrderPartitioner + InputSampler,
+    * src/mapred/org/apache/hadoop/mapred/lib/InputSampler.java:88),
+    * partition-local row_number, O(partitions) driver longs for the
+    * offsets. The alternative everyone writes first —
+    * `percent_rank() OVER (ORDER BY score)` — funnels the entire
+    * corpus through ONE window partition; this never does. The cutoff
+    * itself is one driver long derived from the already-collected
+    * partition histogram, so no second pass over the data. Like
+    * [[graft.streaming.Heat.replicationPlan]], the rank kernel pins
+    * its exchange with an eager localCheckpoint — the gate runs the
+    * upstream plan once, and a lost executor re-runs the gate
+    * wholesale.
+    */
+  def topFraction(df: DataFrame, order: Seq[Column], frac: Double,
+                  as: String = "rnk"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0,
+      s"frac must be in [0,1], got $frac")
+    val (ranked, n, pid) =
+      graft.streaming.Heat.globalRankWithCount(df, order, as)
+    val keep = math.floor(frac * n).toLong
+    ranked.filter(col(as) <= keep).drop(pid)
+  }
 }

@@ -321,4 +321,52 @@ object Temporal {
       .agg(min(time).as("start_t"), max(time).as("end_t"),
         count(lit(1)).as("n_events"),
         round(sum(value).cast("double"), 4).as("sum_value"))
+
+  /** First-touch funnel: how many keys (users) complete each prefix
+    * of an ordered step sequence, where step i+1 must occur STRICTLY
+    * after the matched step-i event and within `window` time units of
+    * it. Returns one row per step:
+    * (step_idx 1-based, step, users).
+    *
+    * Semantics are the greedy first-touch anchoring every analytics
+    * product documents: the matched time for step 1 is the key's
+    * FIRST step-1 event, and each later step matches its first
+    * occurrence inside the previous match's window. (With a window
+    * constraint, greedy anchoring is a semantics choice, not an
+    * optimization: a later step-1 event could open a window an
+    * earlier one misses. First-touch is the convention because it
+    * answers "what happened after the user first arrived".)
+    * `window <= 0` disables the window (pure ordering funnel).
+    *
+    * Shape (the 100 TB contract): per step, one conditional min
+    * aggregation hash-partitioned on the key, joined to the previous
+    * step's reach table — K steps ⇒ K aggregations all shuffling on
+    * the SAME key, and the reach tables only shrink (reach_{i+1} ⊆
+    * reach_i), so AQE broadcasts the survivors once attrition bites.
+    * No per-key event buffering, no window over an unpartitioned
+    * frame, no driver state; the K per-step counts are computed as a
+    * lazy union of single-row aggregates, not driver-side counts.
+    */
+  def funnel(df: DataFrame, key: Column, time: Column, step: Column,
+             steps: Seq[String], window: Long = 0L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val spark = df.sparkSession
+    val e = df.select(key.as("u"), time.as("t"), step.as("s"))
+    val first = e.filter(col("s") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("mt"))
+    val reaches = steps.tail.scanLeft(first) { (prev, st) =>
+      val cand = e.filter(col("s") === st)
+        .join(prev.select(col("u"), col("mt").as("pt")), Seq("u"))
+        .filter(col("t") > col("pt") &&
+          (if (window > 0L) col("t") <= col("pt") + window else lit(true)))
+      cand.groupBy(col("u")).agg(min(col("t")).as("mt"))
+    }
+    reaches.zip(steps).zipWithIndex.map { case ((r, st), i) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step_idx"), lit(st).as("step"),
+          col("users"))
+    }.reduce(_.unionAll(_))
+  }
 }

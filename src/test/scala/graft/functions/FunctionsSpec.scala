@@ -674,6 +674,34 @@ class DedupSpec extends SparkSpec {
     assert(got(10L)._2 == 2L, got(10L).toString) // both positions dup
     assert(got(11L) == ((1L, 1L)), got(11L).toString)
   }
+
+  test("sourceOverlap: shared DISTINCT grams per pair, gram-set jaccard") {
+    val df = Seq(
+      ("s1", Option("a b c d e f")), // grams: "a b c d e", "b c d e f"
+      ("s1", Option("a b c d e")),   // "a b c d e" again — distinct per source
+      ("s2", Option("a b c d e x")), // "a b c d e", "b c d e x"
+      ("s3", Option("q r s t u")),   // disjoint gram set
+      ("s2", Option("zz")),          // < 5 tokens: no grams
+      ("s3", None: Option[String]))  // null text: no grams
+      .toDF("source", "text")
+    val got = sourceOverlap(df, $"source", $"text", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // s1 = {abcde, bcdef}, s2 = {abcde, bcdex}: 1 shared, union 3
+    assert(got.keySet == Set(("s1", "s2")),
+      s"pairs sharing no gram must not appear: ${got.keySet}")
+    assert(got(("s1", "s2")) == ((1L, 0.3333)), got(("s1", "s2")).toString)
+  }
+
+  test("sourceOverlap pairs are unordered (source_a < source_b once)") {
+    val df = Seq(("b_src", "m n o p q"), ("a_src", "m n o p q"))
+      .toDF("source", "text")
+    val rows = sourceOverlap(df, $"source", $"text", n = 5).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "a_src" && r.getString(1) == "b_src")
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 1.0, r.toString)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -223,4 +223,37 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
     assert(one == many)
   }
+
+  test("topFraction keeps exactly floor(frac*n) best rows, ranked") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "score")
+    val got = topFraction(df, Seq($"score".desc, $"id"), frac = 0.25)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.length == 25)
+    // best score first: id 100 at rank 1 down to id 76 at rank 25
+    assert(got.map(_._1).toSeq == (100L to 76L by -1L).toSeq)
+    assert(got.map(_._3).toSeq == (1L to 25L).toSeq,
+      "survivors carry their 1-based global rank")
+  }
+
+  test("topFraction tie-break makes the cut deterministic") {
+    // constant score: only the caller's tie-break orders the cut
+    val df = (1L to 50L).map(i => (i, 7L)).toDF("id", "score")
+    val a = topFraction(df.repartition(11), Seq($"score".desc, $"id"), 0.2)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).map(_._1).toSeq
+    val b = topFraction(df.repartition(3), Seq($"score".desc, $"id"), 0.2)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).map(_._1).toSeq
+    assert(a == b && a == (1L to 10L).toSeq, s"got $a")
+  }
+
+  test("topFraction edges: frac 0 keeps none, frac 1 keeps all, bad frac rejected") {
+    val df = (1L to 20L).map(i => (i, i)).toDF("id", "score")
+    assert(topFraction(df, Seq($"score".desc, $"id"), 0.0).count() == 0)
+    val all = topFraction(df, Seq($"score".desc, $"id"), 1.0)
+      .as[(Long, Long, Long)].collect()
+    assert(all.length == 20)
+    assert(all.map(_._3).sorted.toSeq == (1L to 20L).toSeq)
+    intercept[IllegalArgumentException] {
+      topFraction(df, Seq($"score".desc), 1.5)
+    }
+  }
 }

@@ -357,4 +357,49 @@ class TemporalSpec extends SparkSpec {
     assert(PlanShape.broadcasts(df) >= 1,
       "partition offsets must broadcast, not shuffle")
   }
+
+  test("funnel: strict ordering, windowed attrition, first-touch anchoring") {
+    val e = Seq(
+      // u1 completes all three inside the window
+      ("u1", 10L, "view"), ("u1", 15L, "click"), ("u1", 20L, "purchase"),
+      // u2's click precedes its first view — ordering fails
+      ("u2", 5L, "click"), ("u2", 10L, "view"),
+      // u3's click is AT the view instant — strictly-after fails
+      ("u3", 10L, "view"), ("u3", 10L, "click"),
+      // u4's purchase misses the window (100 > 15 + 10)
+      ("u4", 10L, "view"), ("u4", 15L, "click"), ("u4", 100L, "purchase"),
+      // u5: first-touch anchors at view@0, whose window (0,10] holds
+      // no click — the later view@40 must NOT re-anchor
+      ("u5", 0L, "view"), ("u5", 40L, "view"), ("u5", 45L, "click")
+    ).toDF("u", "t", "s")
+    val got = funnel(e, $"u", $"t", $"s",
+      Seq("view", "click", "purchase"), window = 10L)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "view", 5L), (2, "click", 2L),
+      (3, "purchase", 1L)), got.toSeq.toString)
+  }
+
+  test("funnel: window <= 0 disables the per-step deadline") {
+    val e = Seq(
+      ("a", 0L, "view"), ("a", 1000000L, "click"),
+      ("b", 0L, "click")) // never views — counted nowhere
+      .toDF("u", "t", "s")
+    val got = funnel(e, $"u", $"t", $"s", Seq("view", "click"))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "view", 1L), (2, "click", 1L)))
+    // degenerate single-step funnel is the per-type reach count
+    val one = funnel(e, $"u", $"t", $"s", Seq("click"))
+      .as[(Int, String, Long)].collect()
+    assert(one.toSeq == Seq((1, "click", 2L)))
+  }
+
+  test("funnel rejects empty or repeated step lists") {
+    val e = Seq(("a", 0L, "view")).toDF("u", "t", "s")
+    intercept[IllegalArgumentException] {
+      funnel(e, $"u", $"t", $"s", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      funnel(e, $"u", $"t", $"s", Seq("view", "view"))
+    }
+  }
 }
