@@ -102,20 +102,51 @@ object MultiIO {
   }
 
   /** TextOutputFormat: `key<sep>value` line sink (reference:
-    * TextOutputFormat.java; separator configurable).
+    * TextOutputFormat.java; separator configurable). `codec` mirrors
+    * the reference's `mapred.output.compress` +
+    * CompressionCodecFactory surface (TextInputFormat.java:47
+    * isSplitable consults the codec): "none", "gzip", "bzip2", ...
+    * — any name Spark's text sink accepts. Reading compressed text
+    * back needs no flag (codec inferred from the extension, exactly
+    * like the reference's factory), but the SPLIT story differs by
+    * codec: a .gz file is one split forever — a 100 TB pipeline that
+    * must re-read its text artifacts in parallel wants bzip2 (or
+    * plain) text, never gzip.
     */
-  def writeText(df: DataFrame, path: String, sep: String = "\t"): Unit =
+  def writeText(df: DataFrame, path: String, sep: String = "\t",
+                codec: String = "none"): Unit =
     df.select(concat_ws(sep,
         df.columns.toIndexedSeq.map(c =>
           coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
-      .write.mode(SaveMode.Overwrite).text(path)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", codec).text(path)
 
-  /** SequenceFile sink (reference: SequenceFileOutputFormat). */
+  /** SequenceFile sink (reference: SequenceFileOutputFormat).
+    * `codec` compresses record values (the reference's
+    * SequenceFileOutputFormat.setOutputCompressionType RECORD form);
+    * [[readSequenceFile]] decompresses transparently — the codec is
+    * in the file header, as in the reference.
+    */
   def writeSequenceFile(df: DataFrame, keyCol: String, valueCol: String,
-                        path: String): Unit =
-    df.select(col(keyCol).cast("string"), col(valueCol).cast("string"))
+                        path: String, codec: Option[String] = None): Unit = {
+    val pairs = df.select(col(keyCol).cast("string"),
+        col(valueCol).cast("string"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
-      .saveAsSequenceFile(path)
+    codec match {
+      case None => pairs.saveAsSequenceFile(path)
+      case Some(c) =>
+        val cls = c.toLowerCase match {
+          case "gzip" => classOf[org.apache.hadoop.io.compress.GzipCodec]
+          case "bzip2" => classOf[org.apache.hadoop.io.compress.BZip2Codec]
+          case "deflate" =>
+            classOf[org.apache.hadoop.io.compress.DeflateCodec]
+          case other => throw new IllegalArgumentException(
+            s"unsupported sequence-file codec '$other' " +
+              "(gzip, bzip2, deflate)")
+        }
+        pairs.saveAsSequenceFile(path, Some(cls))
+    }
+  }
 
   /** Raw-bytes SequenceFile source (reference:
     * SequenceFileAsBinaryInputFormat.java — K/V handed to the job as

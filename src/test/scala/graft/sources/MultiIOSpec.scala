@@ -33,6 +33,69 @@ class MultiIOSpec extends SparkSpec {
     assert(back == Set("k1\tv1", "k2\t"))
   }
 
+  test("compressed text round-trips; files carry the codec's magic bytes") {
+    val base = Files.createTempDirectory("graft-wtc").toString
+    val df = Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")).toDF("k", "v")
+    for ((codec, ext, magic) <- Seq(
+        ("gzip", ".gz", Array(0x1f.toByte, 0x8b.toByte)),
+        ("bzip2", ".bz2", "BZh".getBytes("US-ASCII")))) {
+      val dir = s"$base/$codec"
+      MultiIO.writeText(df, dir, codec = codec)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty && parts.forall(_.getName.endsWith(ext)),
+        s"$codec: ${parts.map(_.getName).toSeq}")
+      val head = Files.readAllBytes(parts.head.toPath).take(magic.length)
+      assert(head.sameElements(magic),
+        s"$codec part must start with the codec magic, got " +
+          head.map(b => f"$b%02x").mkString(" "))
+      // decompression is extension-inferred — no read-side flag
+      val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
+      assert(back == Set("k1\tv1", "k2\tv2", "k3\tv3"), s"$codec: $back")
+    }
+  }
+
+  test("bzip2 text splits into parallel read partitions; gzip cannot") {
+    // the 100 TB reason to pick the codec: one 3 MB high-entropy file
+    // per codec, read under a small maxPartitionBytes — the splittable
+    // codec fans out, the stream codec is pinned to one partition
+    val base = Files.createTempDirectory("graft-split").toString
+    val big = spark.range(100000)
+      .select(md5(col("id").cast("string")).as("line")).repartition(1)
+    MultiIO.writeText(big, s"$base/bz", codec = "bzip2")
+    MultiIO.writeText(big, s"$base/gz", codec = "gzip")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val bzParts = spark.read.text(s"$base/bz").rdd.getNumPartitions
+      val gzParts = spark.read.text(s"$base/gz").rdd.getNumPartitions
+      assert(bzParts > 1, s"bzip2 must split, got $bzParts partition(s)")
+      assert(gzParts == 1, s"gzip must not split, got $gzParts")
+      assert(spark.read.text(s"$base/bz").count() == 100000L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("sequence file compresses per codec header and round-trips") {
+    val dir = Files.createTempDirectory("graft-seqc").toString + "/sf"
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    MultiIO.writeSequenceFile(df, "key", "value", dir, codec = Some("gzip"))
+    // the codec rides in the file header (as in the reference) — the
+    // class name is embedded as a header string
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val header = new String(
+      Files.readAllBytes(part.toPath).take(200), "ISO-8859-1")
+    assert(header.contains("org.apache.hadoop.io.compress.GzipCodec"),
+      s"header must name the codec: $header")
+    val back = MultiIO.readSequenceFile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set("k1" -> "v1", "k2" -> "v2"))
+    intercept[IllegalArgumentException] {
+      MultiIO.writeSequenceFile(df, "key", "value", dir + "2",
+        codec = Some("zstd-nope"))
+    }
+  }
+
   test("sequence file round-trips (legacy-format compat)") {
     val dir = Files.createTempDirectory("graft-seq").toString + "/sf"
     val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
