@@ -587,6 +587,21 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // bloom-prefiltered twin of q_delta_dedup: same corpus/delta
+    // split, same EXACT semantics (bloom positives verified by the
+    // anti-join, negatives skip it map-side) — graded against the
+    // identical oracle
+    "q_delta_dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusFps = docs.filter(col("doc_id") % 4 < 2 &&
+          col("text").isNotNull)
+        .select(functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+      functions.Dedup.deltaDedupBloom(docs.filter(col("doc_id") % 4 >= 2),
+          col("doc_id"), col("text"), corpusFps, fpp = 0.01)
+        .select(col("doc_id"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
@@ -1696,6 +1711,27 @@ object SparkEntry {
     // standing corpus's fingerprint set; md5 of NULL propagates NULL,
     // which matches nothing
     "q_delta_dedup" ->
+      """WITH corp AS (
+        |  SELECT DISTINCT
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 4 < 2 AND text IS NOT NULL),
+        |delta AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 4 >= 2),
+        |win AS (
+        |  SELECT doc_id, fp,
+        |         CASE WHEN fp IS NULL THEN 1
+        |              ELSE row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+        |         END AS rn
+        |  FROM delta)
+        |SELECT doc_id FROM win
+        |WHERE rn = 1 AND (fp IS NULL OR fp NOT IN (SELECT fp FROM corp))""".stripMargin,
+
+    // q_delta_dedup_bloom: the bloom prefilter is exact by
+    // construction (negatives definitive, positives re-verified), so
+    // the oracle is q_delta_dedup's verbatim
+    "q_delta_dedup_bloom" ->
       """WITH corp AS (
         |  SELECT DISTINCT
         |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

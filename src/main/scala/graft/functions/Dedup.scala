@@ -129,6 +129,67 @@ object Dedup {
       TextAnalysis.fingerprint(text) === col(s"${p}_fp"), "left_anti")
   }
 
+  /** [[deltaDedup]] with a bloom prefilter — the shape for when the
+    * standing corpus is 1000× the delta and even an anti-join against
+    * its digest table is a scan you'd rather not pay daily. One
+    * aggregation pass summarizes the corpus fingerprints into a
+    * compact bitmap ([[graft.plans.BloomProbe]] — the reference's
+    * BloomMapFile membership test, BloomMapFile.java:46, lifted from
+    * file metadata to a column); the delta probes it MAP-SIDE with a
+    * codegen'd expression, and only bloom-positive suspects (true
+    * dups + fpp false positives) reach the exact anti-join. Rows the
+    * bloom clears are definitively new — no join, no shuffle, no
+    * corpus scan for them.
+    *
+    * EXACT output: identical to [[deltaDedup]] for every fpp, because
+    * bloom positives are verified by the anti-join and bloom
+    * negatives cannot be false. fpp only tunes how much of the delta
+    * pays the join.
+    *
+    * Eager step: the bloom build runs one job and the driver holds
+    * `numBits/8` bytes (≈1.2 bytes/item at 1% fpp) — fine to ~10⁹
+    * corpus docs; past that, keep the plain [[deltaDedup]] whose
+    * state is zero, or shard the corpus and probe per shard. numBits
+    * is clamped to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumBits` (raise it for big corpora); clamping degrades fpp,
+    * never correctness. The fresh/suspect split reads the
+    * within-delta dedup twice — the delta-is-small premise this
+    * operator exists under (the plan is deterministic, so both reads
+    * classify identically).
+    *
+    * `expectedItems <= 0` derives the build size from one
+    * `corpusFps.count()` job.
+    */
+  def deltaDedupBloom(delta: DataFrame, id: Column, text: Column,
+                      corpusFps: DataFrame, expectedItems: Long = 0L,
+                      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val items = math.max(1L,
+      if (expectedItems > 0L) expectedItems else corpusFps.count())
+    val maxBits = scala.util.Try(delta.sparkSession.conf
+        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong)
+      .getOrElse(67108864L)
+    val bits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
+      maxBits)
+    val bytes = corpusFps
+      .agg(graft.plans.BloomProbe.agg(col("fp"), items, bits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val within = exactDedup(delta, id, text)
+    if (bytes == null) return within // empty corpus: nothing to drop
+    val fpCol = TextAnalysis.fingerprint(text)
+    val hit = graft.plans.BloomProbe.mightContain(lit(bytes), fpCol)
+    // null-fp rows always route to the suspect branch (their probe
+    // hash is the hash of "no input" — meaningless either way) and
+    // pass the anti-join per the null contract above
+    val fresh = within.filter(fpCol.isNotNull && !hit)
+    val p = graft.Names.fresh("__ddb", delta.columns)
+    val suspects = within.filter(fpCol.isNull || hit)
+      .join(corpusFps.select(col("fp").as(s"${p}_fp")),
+        fpCol === col(s"${p}_fp"), "left_anti")
+    fresh.unionAll(suspects)
+  }
+
   /** Spread a skinny-but-compute-heavy input across the cluster: a
     * small parquet scan arrives in few partitions; hash-repartition
     * on the id so (a) the per-row shingle/hash work parallelizes and

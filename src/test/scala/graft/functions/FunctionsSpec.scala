@@ -640,6 +640,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 13L, 14L), kept.toString)
   }
 
+  test("deltaDedupBloom equals deltaDedup at every fpp, probe in plan") {
+    val delta = Seq(
+      (10L, Option("same text")),
+      (11L, Option("same text")),
+      (12L, Option("already known")),
+      (13L, None: Option[String]),
+      (14L, Option("fresh content")))
+      .toDF("doc_id", "text")
+    val corpusFps = (Seq("already known") ++
+        (1 to 200).map(i => s"corpus doc $i")).toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("fp"))
+    // aggressive fpp floods the suspect branch with false positives;
+    // the verification join must keep the output exact regardless
+    for (fpp <- Seq(0.01, 0.4)) {
+      val out = deltaDedupBloom(delta, $"doc_id", $"text", corpusFps,
+        fpp = fpp)
+      val kept = out.select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(10L, 13L, 14L), s"fpp=$fpp: $kept")
+      assert(out.queryExecution.executedPlan.toString
+          .contains("might_contain"),
+        "the map-side bloom probe must be in the physical plan")
+    }
+  }
+
+  test("deltaDedupBloom: empty corpus keeps the within-delta dedup") {
+    val delta = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val empty = Seq.empty[String].toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("fp"))
+    val kept = deltaDedupBloom(delta, $"doc_id", $"text", empty)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("duplicateSpanStats: cross-doc grams count, within-doc repeats don't") {
     val df = Seq(
       (1L, Option("a b c d e f")),   // grams: "a b c d e", "b c d e f"
