@@ -620,6 +620,13 @@ object SparkEntry {
       functions.Dedup.sourceOverlap(t(s, dir, "documents"),
         col("source"), col("text"), n = 5)),
 
+    // deterministic 4-fold assignment (cross-validation shards): a
+    // pure function of (doc_id, seed), re-derivable by any engine
+    "q_kfold" -> ((s, dir) =>
+      functions.Sampling.kFold(
+        t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), k = 4)),
+
     // "keep the best 20%" as a global RANK cut (one range exchange,
     // no zero-partition percent_rank window); score = token count,
     // tie-broken on doc_id; survivors carry their curriculum rank
@@ -1843,6 +1850,20 @@ object SparkEntry {
         |FROM pr
         |JOIN cs ca ON ca.source = pr.source_a
         |JOIN cs cb ON cb.source = pr.source_b""".stripMargin,
+
+    // q_kfold: the fold thresholds are exact hex eighths of the md5
+    // space (0.25 * 2^32 = 0x40000000 ...), so the oracle re-derives
+    // every assignment with plain string compares
+    "q_kfold" ->
+      """SELECT doc_id,
+        |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |                            1, 8) < '40000000' THEN 0
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |                            1, 8) < '80000000' THEN 1
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |                            1, 8) < 'c0000000' THEN 2
+        |            ELSE 3 END AS fold
+        |FROM documents""".stripMargin,
 
     // q_quality_gate: rank cut re-derived with a window row_number —
     // tiny in DuckDB, a single-partition funnel Spark must avoid

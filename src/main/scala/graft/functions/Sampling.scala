@@ -274,6 +274,34 @@ object Sampling {
       .drop(shuf)
   }
 
+  /** Deterministic k-fold assignment: a `fold` column in [0, k) that
+    * is a pure function of (key, seed) — the cross-validation /
+    * mutually-exclusive-shard generalization of [[hashSplit]]. Every
+    * engine with md5() re-derives the same folds; new rows land in a
+    * fold without moving old ones; fold f at k folds is EXACTLY the
+    * set difference of the nested [[hashSample]] thresholds (fold 0
+    * == hashSample at rate 1/k, same seed), so a 2-fold split agrees
+    * with [[hashSplit]].
+    *
+    * Map-side only — a CASE over k-1 hex-threshold compares fused
+    * into the scan, no shuffle. k is capped: a CASE is a linear
+    * branch scan per row, fine for fold counts (5/10/100), wrong for
+    * thousands (use a partitioner then). Null keys hash to null,
+    * match no threshold, and land deterministically in the LAST fold
+    * ([[hashSplit]]'s complement-side contract).
+    */
+  def kFold(df: DataFrame, key: Column, k: Int, seed: Long = 42L,
+            as: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1024, s"k must be in [2, 1024], got $k")
+    require(!df.columns.contains(as),
+      s"kFold: output column '$as' already exists — pass a free name")
+    val hex = decisionHex(key, seed)
+    val first = when(hex < lit(rateThreshold(1.0 / k)), lit(0))
+    val chain = (2 until k).foldLeft(first)((c, i) =>
+      c.when(hex < lit(rateThreshold(i.toDouble / k)), lit(i - 1)))
+    df.withColumn(as, chain.otherwise(lit(k - 1)))
+  }
+
   /** Global quantile gate: keep exactly `floor(frac * n)` rows — the
     * top fraction of the corpus under `order` (score descending plus
     * a deterministic tie-break, supplied by the caller). The

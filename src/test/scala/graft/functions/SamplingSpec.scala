@@ -224,6 +224,36 @@ class SamplingSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("kFold partitions completely; fold 0 IS hashSample at 1/k") {
+    val df = ids(4000)
+    val folds = kFold(df, $"id", k = 5)
+      .as[(Long, Int)].collect()
+    assert(folds.length == 4000, "every row gets exactly one fold")
+    val byFold = folds.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byFold.keySet == Set(0, 1, 2, 3, 4))
+    // rough balance (md5 uniformity)
+    byFold.values.foreach(s =>
+      assert(math.abs(s.size - 800) < 120, s"fold size ${s.size}"))
+    // threshold nesting: fold 0 is exactly the 1/k hash sample
+    val sample = hashSample(df, $"id", 0.2).as[Long].collect().toSet
+    assert(byFold(0) == sample)
+    // folds 0..1 together are exactly the 2/k sample
+    val s2 = hashSample(df, $"id", 0.4).as[Long].collect().toSet
+    assert(byFold(0) ++ byFold(1) == s2)
+  }
+
+  test("kFold: null keys land in the last fold; bad k rejected") {
+    val df = Seq(Option(1L), Option(2L), None).toDF("id")
+    val got = kFold(df, $"id", k = 3).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getInt(1))
+      .toMap
+    assert(got(-1L) == 2, s"null key must take fold k-1, got ${got(-1L)}")
+    intercept[IllegalArgumentException] { kFold(df, $"id", k = 1) }
+    intercept[IllegalArgumentException] {
+      kFold(df.withColumnRenamed("id", "fold"), $"fold", k = 3)
+    }
+  }
+
   test("topFraction keeps exactly floor(frac*n) best rows, ranked") {
     val df = (1L to 100L).map(i => (i, i)).toDF("id", "score")
     val got = topFraction(df, Seq($"score".desc, $"id"), frac = 0.25)
