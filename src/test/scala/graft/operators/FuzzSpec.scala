@@ -641,4 +641,76 @@ class FuzzSpec extends SparkSpec {
       assert(got == (survivors ++ nulls), s"case $c")
     }
   }
+
+  test("funnel equals the sequential first-touch chase on random streams") {
+    val rnd = new scala.util.Random(8686)
+    val types = Seq("a", "b", "c", "d")
+    for (c <- 1 to cases) {
+      val nUsers = 1 + rnd.nextInt(8)
+      val events = (1 to (5 + rnd.nextInt(80))).map { _ =>
+        (s"u${rnd.nextInt(nUsers)}", rnd.nextLong(50),
+          types(rnd.nextInt(types.length)))
+      }
+      val steps = rnd.shuffle(types).take(1 + rnd.nextInt(3))
+      val window = Seq(0L, 3L, 10L, 1000L)(rnd.nextInt(4))
+      val got = Temporal.funnel(events.toDF("u", "t", "s"),
+          col("u"), col("t"), col("s"), steps, window)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // reference: per user, greedily chase each step's first
+      // occurrence after the previous match (within the window)
+      val reached = events.groupBy(_._1).values.map { es =>
+        var depth = 0
+        var prev = Long.MinValue
+        var going = true
+        for (st <- steps if going) {
+          val cand = es.filter(e => e._3 == st &&
+            (depth == 0 || (e._2 > prev &&
+              (window <= 0 || e._2 <= prev + window))))
+          if (cand.isEmpty) going = false
+          else { prev = cand.map(_._2).min; depth += 1 }
+        }
+        depth
+      }.toSeq
+      val want = steps.indices.map(i =>
+        (i + 1) -> reached.count(_ >= i + 1).toLong).toMap
+      assert(got == want, s"case $c steps=$steps window=$window: " +
+        s"got $got want $want")
+    }
+  }
+
+  test("topFraction equals the sorted prefix on random scores with ties") {
+    val rnd = new scala.util.Random(9889)
+    for (c <- 1 to cases) {
+      val n = 1 + rnd.nextInt(120)
+      val frac = Seq(0.0, 0.1, 0.33, 0.5, 1.0)(rnd.nextInt(5))
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextLong(7)))
+      val got = Sampling.topFraction(rows.toDF("id", "score"),
+          Seq(col("score").desc, col("id")), frac)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val want = rows.sortBy { case (id, s) => (-s, id) }
+        .take(math.floor(frac * n).toInt)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }.toSet
+      assert(got == want, s"case $c n=$n frac=$frac")
+    }
+  }
+
+  test("kFold folds tile the hashSample thresholds on random keys") {
+    val rnd = new scala.util.Random(2424)
+    for (c <- 1 to 6) {
+      val k = 2 + rnd.nextInt(9)
+      val keys = (1 to (50 + rnd.nextInt(200)))
+        .map(_ => rnd.nextLong(100000)).distinct
+      val df = keys.toDF("id")
+      val folds = Sampling.kFold(df, col("id"), k)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(folds.keySet == keys.toSet)
+      assert(folds.values.forall(f => f >= 0 && f < k))
+      // prefix property: folds < j  ==  hashSample at rate j/k
+      val j = 1 + rnd.nextInt(k - 1)
+      val sample = Sampling.hashSample(df, col("id"), j.toDouble / k)
+        .collect().map(_.getLong(0)).toSet
+      assert(folds.filter(_._2 < j).keySet == sample,
+        s"case $c k=$k j=$j")
+    }
+  }
 }
