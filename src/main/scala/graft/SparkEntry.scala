@@ -606,6 +606,15 @@ object SparkEntry {
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
 
+    // prefix-filtered EXACT Jaccard (PPJoin-style): candidates only
+    // from each doc's globally-rarest shingles, then exact rerank —
+    // same answer as q_ngram_jaccard at a candidate count that
+    // shrinks as the threshold rises; the graded scale twin for the
+    // exact (non-LSH) near-dup path
+    "q_ngram_prefix" -> ((s, dir) =>
+      functions.Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
+
     // span-level duplication diagnostic: per doc, the fraction of
     // 5-gram positions whose gram occurs in >= 2 distinct docs — the
     // cross-doc boilerplate signal exact-substring dedup keys on
@@ -1787,6 +1796,35 @@ object SparkEntry {
         |FROM nseg n LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // q_ngram_prefix: TRUE exact pairs — no document-frequency prune
+    // (the prefix filter needs none; its rerank scores full sets), so
+    // the oracle drops ngramJaccardSql's `keep` CTE and adds the
+    // Spark side's blank/null-doc exclusion explicitly.
+    "q_ngram_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin,
 
     // q_dup_spans: the oracle builds each doc's 5-gram positions with
     // a list comprehension (ZERO spans under 5 tokens — range() of a

@@ -362,34 +362,46 @@ object Dedup {
       s"bands ($bands) must be in [1, numHashes=$numHashes] and divide it " +
         "evenly: bands > numHashes makes every band slice empty (all docs " +
         "one bucket); a non-divisor silently ignores trailing hashes")
-    // pin the per-doc shingle sets once (SORTED — the rerank kernel
-    // is a linear merge over sorted sets): the rerank joins them on
-    // id_a AND id_b, and aliased subtrees defeat exchange reuse — so
-    // without the pin the tokenize+shingle pass (the most expensive
-    // stage, ~half the pipeline) runs twice more. localCheckpoint is
-    // disk-backed block storage, the 100 TB-safe form of "write the
-    // shingle index once, read it per rerank side".
-    //
-    // The sets carry xxhash64(shingle), not the shingle strings: the
-    // two rerank joins shuffle every candidate pair's full set, and
-    // 8-byte elements cut those bytes ~4× (measured 4.5s -> 1.7s at
-    // sf0.1) with primitive compares in the merge kernel. Intersection
-    // counts are identical unless two distinct shingles of one corpus
-    // collide in 64 bits (P ≈ n²/2⁶⁵; DedupSpec pins zero collisions
-    // on the graded corpora, so the oracle-equality contract with
-    // [[ngramJaccardPairs]] is unaffected).
     // blank/null docs all share the single shingle "" — k of them
     // would emit k²/2 degenerate jaccard-1.0 pairs (the same
     // degeneracy simhashSigsNonEmpty excludes); exact dedup owns
     // identical-empty duplicates
     val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
+    val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes),
+      bands, maxBucket)
+    rerankExact(nonBlank, id, text, shingleN, threshold, cands)
+  }
+
+  /** Exact Jaccard rerank of candidate pairs against pinned per-doc
+    * sorted shingle-hash sets — the shared verify kernel of the
+    * candidate-generating near-dup paths ([[minhashNearDups]],
+    * [[prefixJaccardPairs]]). `cands` must expose (id_a, id_b).
+    *
+    * The per-doc sets are pinned once (SORTED — the kernel is a
+    * linear merge over sorted sets): the rerank joins them on id_a
+    * AND id_b, and aliased subtrees defeat exchange reuse — so
+    * without the pin the tokenize+shingle pass (the most expensive
+    * stage, ~half the pipeline) runs twice more. localCheckpoint is
+    * disk-backed block storage, the 100 TB-safe form of "write the
+    * shingle index once, read it per rerank side".
+    *
+    * The sets carry xxhash64(shingle), not the shingle strings: the
+    * two rerank joins shuffle every candidate pair's full set, and
+    * 8-byte elements cut those bytes ~4× (measured 4.5s -> 1.7s at
+    * sf0.1) with primitive compares in the merge kernel. Intersection
+    * counts are identical unless two distinct shingles of one corpus
+    * collide in 64 bits (P ≈ n²/2⁶⁵; DedupSpec pins zero collisions
+    * on the graded corpora, so the oracle-equality contract with
+    * [[ngramJaccardPairs]] is unaffected).
+    */
+  private def rerankExact(nonBlank: DataFrame, id: Column, text: Column,
+                          shingleN: Int, threshold: Double,
+                          cands: DataFrame): DataFrame = {
     val docs = spread(nonBlank, id)
       .select(id.as("doc_id"),
         sort_array(transform(shingles(text, shingleN),
           s => xxhash64(s))).as("sh"))
       .localCheckpoint()
-    val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes),
-      bands, maxBucket)
     val a = docs.alias("da")
     val b = docs.alias("db")
     cands.join(a, col("id_a") === col("da.doc_id"))
@@ -450,6 +462,71 @@ object Dedup {
         (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Prefix-filtered EXACT Jaccard pairs — the sublinear-candidate
+    * twin of [[ngramJaccardPairs]], via the prefix filtering
+    * principle of the set-similarity-join literature (SSJoin /
+    * AllPairs / PPJoin): order every doc's shingles by global
+    * document frequency (rarest first; ties on the hash), and for
+    * Jaccard threshold `t` index only the first
+    * `n_sh - ceil(t * n_sh) + 1` shingles of each doc. Any pair with
+    * Jaccard >= t shares at least one PREFIX shingle (J >= t implies
+    * overlap >= ceil(t * max(|x|,|y|)), which cannot fit in either
+    * doc's suffix), so blocking on the prefix alone loses nothing —
+    * while a stopword shingle shared by half the corpus almost never
+    * ranks inside anyone's prefix. Candidates then pass a size filter
+    * (J >= t implies min(n)/max(n) >= t) and the shared
+    * [[rerankExact]] verify, so the output is the TRUE exact pair set
+    * — no maxDf recall trade like [[ngramJaccardPairs]] — at a
+    * candidate count that shrinks as the threshold rises.
+    *
+    * Scale shape: the df pass and the per-doc rank reuse the hashed
+    * inverted index (8-byte keys); the only new exchange is the df
+    * join. `maxGroup` is the same skew guard every blocking path
+    * carries (a prefix token in more than `maxGroup` docs is dropped
+    * with an observed-metric trace) — by construction prefix tokens
+    * are each doc's RAREST, so real corpora never hit it.
+    */
+  def prefixJaccardPairs(df: DataFrame, id: Column, text: Column,
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         maxGroup: Int = 4096): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
+        "is the whole set and the candidate set is all co-occurring pairs")
+    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
+    val inv = spread(nonBlank, id)
+      .select(id.as("doc_id"),
+        explode(shinglesRaw(text, shingleN)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+    // global token order = (document frequency asc, hash asc); one
+    // agg on the 8-byte key, then a hash join back to the index
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__dfreq"))
+    // prefix length n_sh - ceil(t*n_sh) + 1; the 1e-9 nudge keeps an
+    // exactly-integer t*n_sh from rounding UP on float error (a
+    // too-short prefix silently loses recall; too long only costs)
+    val prefix = inv.join(dfreq, "s")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("__dfreq"), col("s"))))
+      .filter(col("__rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+    val cands = boundedGroupPairs(prefix, Seq(col("s")),
+        struct(col("doc_id"), col("n_sh")), maxGroup, "prefix_tokens")
+      .select(col("__a.doc_id").as("id_a"), col("__a.n_sh").as("na"),
+        col("__b.doc_id").as("id_b"), col("__b.n_sh").as("nb"))
+      // size filter: J >= t forces min/max set sizes >= t (the
+      // intersection is bounded by the smaller set and the union by
+      // the larger) — prunes cross-size candidates before the
+      // pair-distinct exchange
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    rerankExact(nonBlank, id, text, shingleN, threshold, cands)
   }
 
   /** Cross-document duplicated-span statistics — the span-level

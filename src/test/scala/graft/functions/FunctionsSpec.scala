@@ -625,6 +625,47 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 20 * 19 / 2)
   }
 
+  test("prefixJaccardPairs equals uncapped ngramJaccardPairs on a seeded corpus") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 27).map(i => s"w$i") ++ Seq("zz", "qq", "pp")).mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, near), (3L, base),                 // near + exact dup
+      (4L, (100 to 130).map(i => s"v$i").mkString(" ")),  // disjoint
+      (5L, "a b"), (6L, ""), (7L, null.asInstanceOf[String]) // short + blank + null
+    ).toDF("id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val want = ngramJaccardPairs(df, $"id", $"text", threshold = t,
+          maxDf = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = prefixJaccardPairs(df, $"id", $"text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("prefixJaccardPairs at threshold 1 blocks on one shingle per doc") {
+    // t=1.0 -> prefix length n - n + 1 = 1: only each doc's single
+    // rarest shingle is indexed, and only identical sets pair
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"))
+      .toDF("id", "text")
+    val got = prefixJaccardPairs(df, $"id", $"text", threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("prefixJaccardPairs: a corpus-wide stopword shingle stays out of prefixes") {
+    // every doc shares 'alpha beta gamma'; with rarest-first ordering
+    // that shingle ranks LAST per doc, so no prefix contains it and
+    // no candidate blowup occurs — yet true pairs still surface
+    val common = "alpha beta gamma"
+    val df = (1 to 20).map(i => (i.toLong, s"$common w$i x$i y$i"))
+      .toDF("id", "text") union
+      Seq((100L, "alpha beta gamma w1 x1 y1")).toDF("id", "text")
+    val got = prefixJaccardPairs(df, $"id", $"text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L)), got.mkString(","))
+  }
+
   test("deltaDedup: within-delta min-id, corpus probe, null pass-through") {
     val delta = Seq(
       (10L, Option("same text")),

@@ -694,6 +694,41 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs equals the in-memory exact jaccard on random corpora") {
+    // dense-overlap regime (tiny vocab, short docs) — the worst case
+    // for prefix filtering's recall guarantee: many true pairs, heavy
+    // shingle sharing, size-filter edges at every threshold
+    val rnd = new scala.util.Random(5151)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def sh(s: String): Set[String] = {
+      val tk = s.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.length >= 2) tk.sliding(2).map(_.mkString(" ")).toSet
+      else Set(tk.mkString(" "))
+    }
+    for (c <- 1 to cases) {
+      val n = 3 + rnd.nextInt(18)
+      val docs = (1 to n).map { i =>
+        val len = rnd.nextInt(12)
+        (i.toLong,
+          (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val t = Seq(0.2, 0.4, 0.6, 0.9)(rnd.nextInt(4))
+      val got = Dedup.prefixJaccardPairs(docs.toDF("id", "text"),
+          col("id"), col("text"), shingleN = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val nonBlank = docs.filter(_._2.trim.nonEmpty)
+      val want = (for {
+        (ia, ta) <- nonBlank; (ib, tb) <- nonBlank if ia < ib
+        sa = sh(ta); sb = sh(tb)
+        inter = (sa & sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (ia, ib, j)).toSet
+      assert(got == want, s"case $c t=$t")
+    }
+  }
+
   test("kFold folds tile the hashSample thresholds on random keys") {
     val rnd = new scala.util.Random(2424)
     for (c <- 1 to 6) {
