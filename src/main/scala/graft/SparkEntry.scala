@@ -1397,6 +1397,20 @@ object SparkEntry {
           functions.TextAnalysis.bpeishTokens(col("text"))).as("item")),
         col("item"), phi = 0.0335, capacity = 30)),
 
+    // Unicode NFC canonicalization over a corpus decorated with
+    // doc_id-keyed DECOMPOSED sequences (the fixture text is pure
+    // ASCII, where NFC is identity by construction — the decoration
+    // makes the compose step observable): native codegen'd
+    // expression, graded against DuckDB's nfc_normalize
+    "q_nfc" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
+            .when(col("doc_id") % 3 === 1, lit(" u\u0308ber"))
+            .otherwise(lit(" pin\u0303a"))).as("raw"))
+        .select(col("doc_id"),
+          functions.TextAnalysis.nfc(col("raw")).as("norm"))),
+
     // PII scrub over a corpus with synthetic doc_id-derived contact
     // lines (the plain documents text contains no PII to redact)
     "q_scrub_pii" -> ((s, dir) =>
@@ -1796,6 +1810,16 @@ object SparkEntry {
         |FROM nseg n LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // q_nfc: DuckDB composes the same decomposed decorations via
+    // chr() codepoints (769/776/771 = combining acute/diaeresis/tilde)
+    "q_nfc" ->
+      """SELECT doc_id,
+        |       nfc_normalize(text || CASE doc_id % 3
+        |         WHEN 0 THEN ' cafe' || chr(769)
+        |         WHEN 1 THEN ' u' || chr(776) || 'ber'
+        |         ELSE ' pin' || chr(771) || 'a' END) AS norm
+        |FROM documents""".stripMargin,
 
     // q_ngram_prefix: TRUE exact pairs — no document-frequency prune
     // (the prefix filter needs none; its rerank scores full sets), so

@@ -112,6 +112,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Unicode NFC normalization (native codegen'd expression with an
+    * ASCII fast path — [[graft.plans.UnicodeNormalize]]): composes
+    * decomposed sequences ("e" + U+0301 → "é") so byte-level dedup
+    * and fingerprinting see one representation per grapheme. Other
+    * forms via `UnicodeNormalize(text, "NFKC")` etc.
+    */
+  def nfc(text: Column): Column =
+    graft.plans.UnicodeNormalize(text, "NFC")
+
+  /** Canonical text for dedup keying: NFC, lowercase, whitespace
+    * runs squashed, trimmed — [[fingerprint]]'s normalization with
+    * the Unicode step a real crawl needs in front of it. Use
+    * `md5(canonicalText(...))` as the cross-representation exact-dup
+    * key.
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(nfc(text)), "\\s+", " "))
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's local
     * document fingerprinting, the standard overlap/decontamination
     * probe): hash every k-token shingle, slide a window of `w`
