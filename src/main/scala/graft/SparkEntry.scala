@@ -566,6 +566,18 @@ object SparkEntry {
       functions.Dedup.exactDupClasses(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    // quality-aware retention: same duplicate classes as
+    // q_dedup_exact, but the survivor is the BEST-scoring member
+    // (score = doc_id % 7, a deterministic stand-in that disagrees
+    // with min-id inside the fixture's planted dup classes — the
+    // policy difference is observable), ties -> smallest id
+    "q_keep_best" -> ((s, dir) =>
+      functions.Dedup.keepBest(t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 7).as("score")),
+        col("doc_id"), col("text"), col("score"))
+        .select(col("doc_id"), col("score"))),
+
     // sub-document dedup: 5-token segments deduped corpus-wide,
     // first (doc_id, seg_idx) occurrence wins, survivors reassembled
     "q_segment_dedup" -> ((s, dir) =>
@@ -1735,6 +1747,21 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q_keep_best: best-score survivor per fingerprint class; the
+    // fixture has no null-text docs, so the pass-through leg is
+    // covered by the spec, not the oracle
+    "q_keep_best" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, doc_id % 7 AS score,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (PARTITION BY fp
+        |           ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT doc_id, score FROM ranked WHERE rn = 1""".stripMargin,
 
     // q_delta_dedup: within-delta min-id dedup (null-text rows all
     // pass — no content to compare), then an anti-probe of the

@@ -103,6 +103,33 @@ object Dedup {
       .drop(s"${p}_rn")
   }
 
+  /** Quality-aware retention: [[exactDedup]] with an explicit
+    * survivor policy — per duplicate class keep the row with the
+    * HIGHEST `score` (a quality signal: length, langid confidence,
+    * source trust), ties broken on the smallest id so the survivor
+    * stays deterministic. The LLM-pipeline shape of "dedup then
+    * filter": when near-identical docs differ in quality (a clean
+    * article vs its ad-littered re-scrape), min-id retention keeps an
+    * arbitrary one; this keeps the best one. Null-text rows pass
+    * through wholesale ([[exactDedup]]'s contract); a null score
+    * sorts LAST (any scored duplicate beats an unscored one).
+    * Same single-scan salted-window shape as [[exactDedup]] — one
+    * exchange on the fingerprint, full schema preserved.
+    */
+  def keepBest(df: DataFrame, id: Column, text: Column,
+               score: Column): DataFrame = {
+    val fp = TextAnalysis.fingerprint(text)
+    val p = graft.Names.fresh("__ded", df.columns)
+    val part = coalesce(fp,
+      concat(lit("null:"),
+        coalesce(id.cast("string"),
+          concat(lit("mono:"), monotonically_increasing_id()))))
+    val w = Window.partitionBy(part).orderBy(score.desc_nulls_last, id.asc)
+    df.withColumn(s"${p}_rn", row_number().over(w))
+      .filter(col(s"${p}_rn") === 1)
+      .drop(s"${p}_rn")
+  }
+
   /** Incremental ingest dedup — the daily-batch form: within the
     * delta keep one row per content class ([[exactDedup]] semantics:
     * min-id survivor, null-text rows pass through wholesale), then

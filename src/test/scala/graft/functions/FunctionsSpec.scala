@@ -625,6 +625,21 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 20 * 19 / 2)
   }
 
+  test("keepBest: best score survives, ties to min id, null text passes") {
+    val df = Seq(
+      (1L, Option("same text"), Option(5L)),
+      (2L, Option("Same  TEXT"), Option(9L)), // fingerprint-equal variant, best score
+      (3L, Option("same text"), None),        // null score loses to any scored dup
+      (10L, Option("other doc"), Option(4L)),
+      (11L, Option("other doc"), Option(4L)), // tie -> smaller id survives
+      (20L, None: Option[String], Option(1L)),
+      (21L, None: Option[String], Option(2L)) // null-text rows all pass
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.keepBest(df, $"doc_id", $"text", $"score")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L, 21L), kept.toString)
+  }
+
   test("prefixJaccardPairs equals uncapped ngramJaccardPairs on a seeded corpus") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = ((1 to 27).map(i => s"w$i") ++ Seq("zz", "qq", "pp")).mkString(" ")
