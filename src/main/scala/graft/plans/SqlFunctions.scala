@@ -60,5 +60,15 @@ object SqlFunctions {
       case args => throw new IllegalArgumentException(
         s"int8_dot expects 2 arguments, got ${args.length}")
     })
+    GraftColumnBridge.registerFunction(spark, "unicode_normalize", {
+      case Seq(t) => UnicodeNormalize(t, "NFC")
+      case Seq(t, f) => UnicodeNormalize(t, f match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a string literal, got $other")
+      })
+      case args => throw new IllegalArgumentException(
+        s"unicode_normalize expects 1-2 arguments, got ${args.length}")
+    })
   }
 }

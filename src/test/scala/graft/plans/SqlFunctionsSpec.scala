@@ -14,7 +14,9 @@ class SqlFunctionsSpec extends SparkSpec {
         |  word_shingles('x y x y', 2, true) AS shd,
         |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
         |  int8_dot(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
-        |           array(CAST(10 AS TINYINT), CAST(5 AS TINYINT))) AS i8
+        |           array(CAST(10 AS TINYINT), CAST(5 AS TINYINT))) AS i8,
+        |  unicode_normalize('café') AS nfc,
+        |  unicode_normalize('\uff21', 'NFKC') AS nfkc
         |""".stripMargin).collect().head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     // same signature the Column API computes
@@ -28,6 +30,8 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](3) == Seq("x y", "y x"))
     assert(r.getInt(4) == 2)
     assert(r.getLong(5) == 20L) // 3*10 + (-2)*5
+    assert(r.getString(6) == "caf\u00e9")
+    assert(r.getString(7) == "A")
   }
 
   test("bad arity / non-literal params fail at registration-time analysis") {
