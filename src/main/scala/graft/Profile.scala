@@ -149,6 +149,17 @@ object Profile {
       return
     }
 
+    // --prefix: inverted-index exact Jaccard vs prefix-filtered exact
+    // Jaccard head-to-head on the graded workload (same threshold,
+    // same output set) — the candidate-pruning payoff measurement
+    if (args.contains("--prefix")) {
+      for (q <- Seq("q_ngram_jaccard", "q_ngram_prefix"); _ <- 1 to 2)
+        time(q)(SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.toRdd.count())
+      spark.stop()
+      return
+    }
+
     // --sweep: bucketed range join vs boundary-counting sweep on the
     // same graded count-active-sessions workload (Bench's toRdd
     // protocol so Catalyst can't prune either plan's work)

@@ -665,6 +665,13 @@ object SparkEntry {
         col("ts"), col("event_type"),
         Seq("view", "click", "purchase"), window = 86400000000000L)),
 
+    // retention cohort matrix: weekly buckets over the 30-day event
+    // window — cohort = first active week, one row per
+    // (cohort, period) with active-user counts
+    "q_retention" -> ((s, dir) =>
+      operators.Temporal.retentionCohorts(t(s, dir, "events"),
+        col("user_id"), col("ts"), bucket = 604800000000000L)),
+
     // pairwise candidates -> transitive duplicate classes (a≈b, b≈c
     // must form ONE class); min-label propagation vs the oracle's
     // recursive-CTE closure over the same pair set
@@ -716,6 +723,28 @@ object SparkEntry {
         e, col("vec_id"), col("embedding"),
         e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
         k = 10)
+    }),
+
+    // hard-negative mining: per query, top-10 most-similar vectors
+    // whose LABEL disagrees — the contrastive-training counterpart
+    // of q_embed_topk
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.hardNegatives(
+        e, col("vec_id"), col("embedding"), col("label"),
+        e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        col("label"), k = 10)
+    }),
+
+    // nearest-class-mean classification: integer micro-unit label
+    // prototypes (exact, order-independent sums — engine-portable
+    // where a float mean is not), every vector assigned to its
+    // nearest prototype
+    "q_prototype" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.prototypePredict(
+        e, col("embedding"), col("label"),
+        e, col("vec_id"), col("embedding"))
     }),
 
     // exact-cosine near-dup pairs in the WEAK-similarity regime
@@ -1977,6 +2006,19 @@ object SparkEntry {
     // each step anchors at its first event strictly after the
     // previous match and within the 1-day window (oracle time unit is
     // epoch-us, Spark's is epoch-ns; only counts cross the boundary)
+    // q_retention: weekly cohort buckets in µs (the ns bucket / 1000);
+    // DuckDB's // is integer floor division on BIGINT
+    "q_retention" ->
+      """WITH ub AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         epoch_us(ts) // 604800000000 AS b
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT u, min(b) AS cohort FROM ub GROUP BY u)
+        |SELECT c.cohort, ub.b - c.cohort AS period, count(*) AS users
+        |FROM ub JOIN coh c USING (u)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_funnel" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type
         |           FROM events),
@@ -2094,6 +2136,55 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
         |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    // q_hard_negatives: q_embed_topk's oracle with the label-
+    // disagreement filter under the cross join (self never appears:
+    // it shares its own label)
+    "q_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |           FROM embeddings WHERE label IS NOT NULL),
+        |q AS (SELECT vec_id AS query_id, label AS qlbl, cv AS qv
+        |      FROM c WHERE vec_id < 3),
+        |s AS (SELECT query_id, vec_id,
+        |        round(list_dot_product(cv, qv) /
+        |              sqrt(list_dot_product(cv, cv) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM c CROSS JOIN q WHERE label <> qlbl)
+        |SELECT query_id, vec_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
+        |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+    // q_prototype: per-label integer micro-unit component sums (exact
+    // 64-bit arithmetic — order-independent, so engine-portable where
+    // a float mean is not; cosine is scale-invariant so the
+    // un-divided sum ranks identically to the mean), then
+    // nearest-prototype assignment
+    "q_prototype" ->
+      """WITH ex AS (
+        |  SELECT label AS lbl,
+        |         unnest([{'p': i, 'v': CAST(round(
+        |             CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)}
+        |                 for i in range(len(embedding))],
+        |                recursive := true)
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |ps AS (SELECT lbl, p, sum(v) AS s FROM ex GROUP BY 1, 2),
+        |protos AS (SELECT lbl,
+        |             list_transform(list(s ORDER BY p),
+        |                            x -> CAST(x AS DOUBLE)) AS proto
+        |           FROM ps GROUP BY lbl),
+        |q AS (SELECT vec_id AS query_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, lbl,
+        |        round(list_dot_product(proto, qv) /
+        |              sqrt(list_dot_product(proto, proto) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM q CROSS JOIN protos)
+        |SELECT query_id, lbl AS pred_label, cos
+        |FROM s QUALIFY row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, lbl ASC) = 1""".stripMargin,
 
     "q_embed_topk" ->
       """WITH c AS (SELECT vec_id,

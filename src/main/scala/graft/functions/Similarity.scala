@@ -204,6 +204,83 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * `k` most-similar corpus vectors with a DIFFERENT label — the
+    * near-misses a retrieval model must learn to push away. Same
+    * broadcast-queries shape as [[bruteForceTopK]] with the label
+    * disagreement pushed below the cross join (filtered before the
+    * rank window buffers anything); unlabeled rows drop on both
+    * sides (no label, no agreement to test).
+    */
+  def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    corpusLabel: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    queryLabel: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.filter(corpusLabel.isNotNull)
+      .select(corpusId.as("vec_id"), corpusVec.as("cv"),
+        corpusLabel.as("lbl"))
+    val q = queries.filter(queryLabel.isNotNull)
+      .select(queryId.as("query_id"), queryVec.as("qv"),
+        queryLabel.as("qlbl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("lbl") =!= col("qlbl"))
+      .withColumn("cos", round(cosine(col("cv"), col("qv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Per-label prototype vectors (class centroids up to scale) in
+    * integer micro-units: each component is the SUM over the label's
+    * vectors of `round(x * unit)` — exact 64-bit integer arithmetic,
+    * so the result is order-independent and engine-portable (a
+    * float-mean prototype is neither: FP summation order varies per
+    * run and per engine). Cosine is scale-invariant, so the un-divided
+    * sum ranks identically to the mean — division never happens and
+    * exactness is free. Returns (lbl, proto: array<double>).
+    *
+    * Scale shape: posexplode + one hash exchange on (lbl, pos) with
+    * map-side partial sums (the [[Ivf.index]] centroid idiom), then
+    * an O(labels) re-assembly — no per-vector state anywhere.
+    */
+  def labelPrototypes(corpus: DataFrame, vec: Column, label: Column,
+                      unit: Double = 1e6): DataFrame =
+    corpus.filter(label.isNotNull && vec.isNotNull)
+      .select(label.as("lbl"), posexplode(vec))
+      .select(col("lbl"), col("pos"),
+        round(col("col").cast("double") * unit).cast("long").as("mq"))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("mq")).as("s"))
+      .groupBy(col("lbl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("lbl"),
+        transform(col("ps"), x => x.getField("s").cast("double")).as("proto"))
+
+  /** Nearest-class-mean classification: assign each query to the
+    * [[labelPrototypes]] prototype with the highest cosine (ties →
+    * smaller label). The O(labels) classifier that needs no
+    * per-vector scan at query time — the 100 TB counterpart of
+    * [[knnPredict]] when labels are few and queries are many.
+    */
+  def prototypePredict(corpus: DataFrame, vec: Column, label: Column,
+                       queries: DataFrame, queryId: Column,
+                       queryVec: Column, unit: Double = 1e6): DataFrame = {
+    val protos = labelPrototypes(corpus, vec, label, unit)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("lbl").asc)
+    queries.select(queryId.as("query_id"),
+        transform(queryVec, x => x.cast("double")).as("qv"))
+      .crossJoin(broadcast(protos))
+      .withColumn("cos", round(cosine(col("proto"), col("qv")), 4))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("lbl").as("pred_label"), col("cos"))
+  }
+
   /** Scalar (int8) quantization of an embedding vector: per-vector
     * max-abs scaling to the symmetric byte range [-127, 127].
     * Returns a struct:

@@ -369,4 +369,45 @@ object Temporal {
           col("users"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Retention cohort matrix — the classic activity-analytics roll-up
+    * (the reference era ran exactly this class of job over HDFS
+    * clickstreams; reference: the log-analysis examples family,
+    * src/examples/org/apache/hadoop/examples/ — per-key time rollups
+    * as MR jobs): cohort = a user's first active time bucket, period
+    * = bucket offset since that cohort; one output row per
+    * (cohort, period) with the count of users active in it.
+    * `period = 0` rows are the cohort sizes; retention(p) per cohort
+    * is `users(p) / users(0)` downstream.
+    *
+    * Bucket indices are exact decimal floorDiv (same rationale as
+    * [[rangeJoin]]: a nanos timeline is above 2^53, double math
+    * misbuckets boundaries; pmod-subtract-first keeps the quotient
+    * an exact integer). Null users/times drop — no activity to
+    * place.
+    *
+    * Scale shape: ONE hash exchange on user (the per-user fold:
+    * min bucket + distinct active-bucket set — bounded by the
+    * timeline span / bucket, e.g. ≤ 366 for daily buckets of a
+    * year, never by event count), then one on (cohort, period) for
+    * the final count. No joins, no windows, no per-event shuffle
+    * after the fold: the map side pre-aggregates (user, bucket)
+    * pairs, so the user exchange carries at most users × buckets
+    * rows of three longs.
+    */
+  def retentionCohorts(events: DataFrame, user: Column, time: Column,
+                       bucket: Long, origin: Long = 0L): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
+    val bd = lit(bucket).cast("decimal(21,0)")
+    val td = (time.cast("decimal(21,0)") - lit(origin).cast("decimal(21,0)"))
+    val b = ((td - pmod(td, bd)) / bd).cast("long")
+    events.filter(user.isNotNull && time.isNotNull)
+      .select(user.as("u"), b.as("b"))
+      // map-side partial distinct, then the single user exchange
+      .groupBy(col("u")).agg(min(col("b")).as("cohort"),
+        collect_set(col("b")).as("bs"))
+      .select(col("cohort"), explode(col("bs")).as("b"))
+      .groupBy(col("cohort"), (col("b") - col("cohort")).as("period"))
+      .agg(count(lit(1)).as("users"))
+  }
 }

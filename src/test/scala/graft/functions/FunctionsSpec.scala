@@ -818,6 +818,54 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last.getLong(1) == 3L && top.last.getDouble(2) == 0.0)
   }
 
+  test("hardNegatives: only other-label neighbors, ranked like topK") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.99f, 0.14f), 7),  // same label: excluded however close
+      (3L, Array(0.9f, 0.44f), 8),   // best other-label
+      (4L, Array(0.0f, 1.0f), 8),
+      (5L, Array(0.5f, 0.87f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = hardNegatives(corpus, $"vec_id", $"embedding", $"label",
+        corpus.filter($"vec_id" === 1L), $"vec_id", $"embedding", $"label",
+        k = 2)
+      .orderBy($"rnk").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((3L, 1), (5L, 2)), got.mkString(","))
+    // parity with bruteForceTopK restricted to other-label rows
+    val ref = bruteForceTopK(corpus.filter($"label" =!= 7), $"vec_id",
+        $"embedding", corpus.filter($"vec_id" === 1L), $"vec_id",
+        $"embedding", k = 2)
+      .select($"query_id", $"vec_id", $"cos", $"rnk").collect().toSet
+    val full = hardNegatives(corpus, $"vec_id", $"embedding", $"label",
+        corpus.filter($"vec_id" === 1L), $"vec_id", $"embedding", $"label",
+        k = 2).collect().toSet
+    assert(full == ref)
+  }
+
+  test("labelPrototypes sums exact micro-units; prototypePredict assigns nearest") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.8f, 0.2f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val protos = labelPrototypes(corpus, $"embedding", $"label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(protos(0) == Seq(1800000.0, 200000.0))
+    assert(protos(1) == Seq(100000.0, 1900000.0))
+    val preds = prototypePredict(corpus, $"embedding", $"label",
+        corpus, $"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(preds == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    // unlabeled queries still classify; unlabeled corpus rows are
+    // excluded from the prototypes
+    val mixed = corpus.unionByName(
+      Seq((9L, Array(0.9f, 0.1f), null.asInstanceOf[Integer]))
+        .toDF("vec_id", "embedding", "label"))
+    val p9 = prototypePredict(mixed, $"embedding", $"label",
+        mixed.filter($"vec_id" === 9L), $"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(p9 == Map(9L -> 0))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
       .toDF("a", "b", "c")

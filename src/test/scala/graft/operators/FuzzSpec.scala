@@ -694,6 +694,26 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("retentionCohorts equals the per-user first-bucket rollup on random events") {
+    val rnd = new scala.util.Random(6363)
+    for (c <- 1 to cases) {
+      val nUsers = 1 + rnd.nextInt(10)
+      val bucket = Seq(1L, 5L, 97L)(rnd.nextInt(3))
+      // negative times exercise the decimal floorDiv (NOT truncation)
+      val events = (1 to (5 + rnd.nextInt(80))).map { _ =>
+        (rnd.nextInt(nUsers).toLong, rnd.nextLong(1000) - 200) }
+      val got = Temporal.retentionCohorts(events.toDF("u", "t"),
+          col("u"), col("t"), bucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val byUser = events.groupBy(_._1).view
+        .mapValues(_.map(e => Math.floorDiv(e._2, bucket)).toSet)
+      val want = byUser.values
+        .flatMap { bs => val c0 = bs.min; bs.map(b => (c0, b - c0)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"case $c bucket=$bucket")
+    }
+  }
+
   test("prefixJaccardPairs equals the in-memory exact jaccard on random corpora") {
     // dense-overlap regime (tiny vocab, short docs) — the worst case
     // for prefix filtering's recall guarantee: many true pairs, heavy
