@@ -618,6 +618,13 @@ object SparkEntry {
       functions.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
 
+    // asymmetric containment near-dup (quote/subset detection —
+    // |A∩B|/|A| high where Jaccard is tiny); threshold 0.5 so the
+    // fixture's partial-overlap planted dups surface
+    "q_containment" -> ((s, dir) =>
+      functions.Dedup.containmentPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
+
     // prefix-filtered EXACT Jaccard (PPJoin-style): candidates only
     // from each doc's globally-rarest shingles, then exact rerank —
     // same answer as q_ngram_jaccard at a candidate count that
@@ -1184,6 +1191,29 @@ object SparkEntry {
             col("s_end").cast("long").as("s_end"),
             col("user_id"), col("n"),
             col("total").cast("double").as("total"))
+    } }),
+
+    // streaming retention cohorts: the per-user fold (min bucket +
+    // active-bucket set) runs as ONE complete-mode streaming
+    // aggregation across 8 unordered micro-batches — set state
+    // bounded by buckets/user, never events — and the (cohort,
+    // period) matrix is the batch rollup of the sink. Same oracle
+    // as q_retention: the stream must converge to the batch answer.
+    "q_stream_retention" -> ((s, dir) => { withShufflePartitions(s, 8) {
+        val batch = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id").as("u"),
+            operators.Temporal.timeBucket(col("ts"), 604800000000000L)
+              .as("b"))
+        val agg = replayStream(s, batch).groupBy(col("u"))
+          .agg(min(col("b")).as("cohort"), collect_set(col("b")).as("bs"))
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName("q_stream_retention_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_retention_sink")
+          .select(col("cohort"), explode(col("bs")).as("b"))
+          .groupBy(col("cohort"), (col("b") - col("cohort")).as("period"))
+          .agg(count(lit(1)).as("users"))
     } }),
 
     // streaming as-of enrichment (StreamAsOf.enrichMerged): the
@@ -1876,6 +1906,39 @@ object SparkEntry {
         |         WHEN 1 THEN ' u' || chr(776) || 'ber'
         |         ELSE ' pin' || chr(771) || 'a' END) AS norm
         |FROM documents""".stripMargin,
+
+    // q_containment: ngramJaccardSql's blocking with the asymmetric
+    // per-side ratios; n_sh counts pre-prune distinct shingles (the
+    // Spark window runs before the df cap) while inter counts only
+    // kept ones — both engines agree on that asymmetry
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
+        |keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+        |pr AS (SELECT i.* FROM inv i JOIN keep USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
+        |       round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
+        |FROM pairs
+        |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
+        |               round(CAST(inter AS DOUBLE) / nb, 4)) >= 0.5""".stripMargin,
 
     // q_ngram_prefix: TRUE exact pairs — no document-frequency prune
     // (the prefix filter needs none; its rerank scores full sets), so
@@ -2808,6 +2871,19 @@ object SparkEntry {
     // EXACTLY gap distance (merge condition start <= current end), so
     // the break is strictly greater-than; session end = last event +
     // gap.
+    // q_stream_retention: the streamed fold must converge to the
+    // batch cohort matrix — q_retention's oracle verbatim
+    "q_stream_retention" ->
+      """WITH ub AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         epoch_us(ts) // 604800000000 AS b
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT u, min(b) AS cohort FROM ub GROUP BY u)
+        |SELECT c.cohort, ub.b - c.cohort AS period, count(*) AS users
+        |FROM ub JOIN coh c USING (u)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
         |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),

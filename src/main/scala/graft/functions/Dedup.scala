@@ -491,6 +491,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment pairs — the ASYMMETRIC near-dup Jaccard misses: a
+    * short quote fully contained in a long article has containment
+    * |A∩B|/|A| ≈ 1 from the quote's side while the pair's Jaccard is
+    * tiny. The standard web-data signal for "page = article +
+    * boilerplate" and "doc B quotes doc A". Emits one row per
+    * ordered pair (id_a < id_b) whose larger-side containment
+    * reaches `threshold`, with BOTH directions reported:
+    * (id_a, id_b, cont_a = inter/|A|, cont_b = inter/|B|).
+    *
+    * Same inverted-index blocking + group-local pair counting as
+    * [[ngramJaccardPairs]] (one exchange, skew-capped); prefix
+    * filtering does NOT apply here — containment can be high at
+    * arbitrarily low Jaccard, so every shared shingle is a valid
+    * block. `maxDf` is the same recall-vs-blowup dial.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame = {
+    val inv = spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
+      .select(id.as("doc_id"),
+        explode(shinglesRaw(text, shingleN)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+    boundedGroupPairs(inv, Seq(col("s")),
+        struct(col("doc_id"), col("n_sh")), maxDf, "containment_shingles")
+      .select(col("__a.doc_id").as("id_a"), col("__a.n_sh").as("na"),
+        col("__b.doc_id").as("id_b"), col("__b.n_sh").as("nb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_a",
+        round(col("inter").cast("double") / col("na"), 4))
+      .withColumn("cont_b",
+        round(col("inter").cast("double") / col("nb"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** Prefix-filtered EXACT Jaccard pairs — the sublinear-candidate
     * twin of [[ngramJaccardPairs]], via the prefix filtering
     * principle of the set-similarity-join literature (SSJoin /
@@ -548,9 +587,12 @@ object Dedup {
       // size filter: J >= t forces min/max set sizes >= t (the
       // intersection is bounded by the smaller set and the union by
       // the larger) — prunes cross-size candidates before the
-      // pair-distinct exchange
+      // pair-distinct exchange. The 1e-6 slack keeps float error in
+      // t*max from excluding an exact-boundary TRUE pair (na=4,
+      // nb=5, t=0.8: 0.8*5 computes as 4.0000000000000002 > 4);
+      // over-inclusion is harmless — the rerank is exact
       .filter(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6))
       .select(col("id_a"), col("id_b"))
       .distinct()
     rerankExact(nonBlank, id, text, shingleN, threshold, cands)

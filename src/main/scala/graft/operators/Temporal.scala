@@ -395,12 +395,22 @@ object Temporal {
     * pairs, so the user exchange carries at most users × buckets
     * rows of three longs.
     */
-  def retentionCohorts(events: DataFrame, user: Column, time: Column,
-                       bucket: Long, origin: Long = 0L): DataFrame = {
+  /** Exact long floor-division time bucketing as a column (decimal
+    * arithmetic — see [[rangeJoin]]'s rationale: a nanos timeline is
+    * above 2^53, double math misbuckets boundaries; pmod-subtract
+    * first keeps the quotient an exact integer, and pmod >= 0 makes
+    * this floorDiv, not truncation, for negative times).
+    */
+  def timeBucket(time: Column, bucket: Long, origin: Long = 0L): Column = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
     val bd = lit(bucket).cast("decimal(21,0)")
-    val td = (time.cast("decimal(21,0)") - lit(origin).cast("decimal(21,0)"))
-    val b = ((td - pmod(td, bd)) / bd).cast("long")
+    val td = time.cast("decimal(21,0)") - lit(origin).cast("decimal(21,0)")
+    ((td - pmod(td, bd)) / bd).cast("long")
+  }
+
+  def retentionCohorts(events: DataFrame, user: Column, time: Column,
+                       bucket: Long, origin: Long = 0L): DataFrame = {
+    val b = timeBucket(time, bucket, origin)
     events.filter(user.isNotNull && time.isNotNull)
       .select(user.as("u"), b.as("b"))
       // map-side partial distinct, then the single user exchange

@@ -640,6 +640,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 20L, 21L), kept.toString)
   }
 
+  test("containmentPairs finds a quote inside a long doc that jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 20).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long), (2L, quote), (3L, other)).toDF("id", "text")
+    val got = containmentPairs(df, $"id", $"text", threshold = 0.9)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1, got.mkString(","))
+    val (a, b, ca, cb) = got.head
+    assert((a, b) == (1L, 2L))
+    // the quote (smaller set) is fully contained; the article is not
+    assert(cb == 1.0 && ca < 0.3)
+    // symmetric jaccard at a LOWER threshold still misses the pair
+    assert(ngramJaccardPairs(df, $"id", $"text", threshold = 0.3)
+      .count() == 0)
+  }
+
   test("prefixJaccardPairs equals uncapped ngramJaccardPairs on a seeded corpus") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = ((1 to 27).map(i => s"w$i") ++ Seq("zz", "qq", "pp")).mkString(" ")
@@ -656,6 +674,18 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == want, s"threshold $t")
     }
+  }
+
+  test("prefixJaccardPairs keeps the exact-boundary pair (size-filter slack)") {
+    // na=4, nb=5, inter=4 -> jaccard exactly 0.8; the size filter's
+    // t*max in floats is 4.0000000000000002, which without slack
+    // would drop this TRUE pair before the rerank ever saw it
+    val a = "w1 w2 w3 w4 w5 w6"        // 4 distinct 3-gram shingles
+    val b = "w1 w2 w3 w4 w5 w6 w7"     // 5, superset of a's
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val got = prefixJaccardPairs(df, $"id", $"text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.8)), got.mkString(","))
   }
 
   test("prefixJaccardPairs at threshold 1 blocks on one shingle per doc") {
