@@ -150,12 +150,16 @@ object Profile {
     }
 
     // --prefix: inverted-index exact Jaccard vs prefix-filtered exact
-    // Jaccard head-to-head on the graded workload (same threshold,
-    // same output set) — the candidate-pruning payoff measurement
+    // Jaccard across thresholds (same output set at each t) — the
+    // candidate-pruning payoff scales as (1-t), so the gap should
+    // widen as the threshold rises
     if (args.contains("--prefix")) {
-      for (q <- Seq("q_ngram_jaccard", "q_ngram_prefix"); _ <- 1 to 2)
-        time(q)(SparkEntry.queries(q)(spark, sfDir)
-          .queryExecution.toRdd.count())
+      for (th <- Seq(0.5, 0.7, 0.9); _ <- 1 to 2) {
+        time(f"ngram  jaccard t=$th%.1f")(Dedup.ngramJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, th).count())
+        time(f"prefix jaccard t=$th%.1f")(Dedup.prefixJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, th).count())
+      }
       spark.stop()
       return
     }

@@ -227,6 +227,19 @@ class TemporalSpec extends SparkSpec {
       "as-of must never plan a pairwise join")
   }
 
+  test("retentionCohorts plans exactly two shuffles (user fold, matrix rollup)") {
+    val df = Seq((1L, 10L), (1L, 110L), (2L, 50L)).toDF("u", "t")
+    val m = retentionCohorts(df, $"u", $"t", bucket = 100L)
+    val exchanges = PlanShape.shuffles(m)
+    assert(exchanges == 2,
+      s"expected user + (cohort, period) exchanges, got $exchanges:\n" +
+        m.queryExecution.executedPlan)
+    // and the matrix itself: u1 cohort 0 active in {0, 1}; u2 cohort 0
+    val got = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L))
+  }
+
   test("sessionize splits on gap strictly greater than the threshold") {
     val df = Seq(
       (1L, 0L), (1L, 100L), (1L, 200L),   // gaps 100 == gap -> same session
