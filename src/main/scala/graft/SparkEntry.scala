@@ -992,6 +992,23 @@ object SparkEntry {
         functions.Multimodal.asMedia(t(s, dir, "documents"),
           "doc_id", "text")).toDF()),
 
+    // image near-dup end-to-end with REAL codecs: each doc_id < 40
+    // becomes a deterministic 9x8 pattern PNG whose decoded dHash is
+    // doc_id % 5's designed bit pattern — so the full decode →
+    // perceptual-hash → Hamming-block → pair path must recover
+    // exactly the same-class pairs the oracle derives from doc_id
+    // arithmetic (PNG is lossless; distinct classes differ in >= 2
+    // gradient signs per row, far outside maxHamming = 0)
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => functions.Multimodal.MediaRow(
+          id, "image/png",
+          functions.Multimodal.patternPng((id % 5).toInt))))
+      functions.Multimodal.imageNearDups(media, maxHamming = 0)
+    }),
+
     // ---- L4: deterministic sampling / export (InputSampler made
     // content-level: reference lib/InputSampler.java samples splits;
     // a training mix samples rows, reproducibly) ---------------------
@@ -2682,6 +2699,18 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |       CAST(sum(CAST(nt AS BIGINT)) AS BIGINT) AS n_tokens
         |FROM survivors GROUP BY lang""".stripMargin,
+
+    // q_image_neardup: the engine must recover exactly the same-class
+    // pairs (class = doc_id % 5) among the 40 synthesized PNGs, each
+    // at Hamming 0 — pure doc_id arithmetic on the oracle side, a
+    // real decode + perceptual hash + blocking pipeline on the Spark
+    // side. hamming is Spark's bit_count type (INT).
+    "q_image_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,

@@ -414,6 +414,106 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Perceptual difference hash (dHash) of an image payload: REAL
+    * decode (same magic-byte gate as [[decodeMeta]]), rescale to a
+    * 9x8 grayscale grid, and emit 64 bits of horizontal luminance
+    * gradient — bit (r*8+c) set iff gray(c,r) < gray(c+1,r). The
+    * standard near-dup fingerprint of image-dedup pipelines
+    * (re-encodes, resizes, and mild recompression preserve gradient
+    * signs, so perceptual duplicates land within a small Hamming
+    * radius). None for payloads the gate rejects or the reader
+    * cannot decode — undecodable bytes are not "similar" to
+    * anything.
+    */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (!imageMagic(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(repairHeader(bytes)))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        def gray(x: Int, y: Int): Int = {
+          val p = small.getRGB(x, y)
+          (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+            (p & 0xff) * 114) / 1000
+        }
+        var bits = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (gray(c, r) < gray(c + 1, r)) bits |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** dHash signatures as a (doc_id, sig) table — undecodable rows
+    * drop (logged by the caller's row-count delta, same contract as
+    * every gate in this module). Narrow map; bytes never shuffle.
+    */
+  def dHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => dHash64(r.bytes).map(s => (r.doc_id, s)))
+    }.toDF("doc_id", "sig")
+  }
+
+  /** Image near-dup pairs: dHash signatures through the SAME
+    * pigeonhole Hamming blocking as text SimHash
+    * ([[Dedup.simhashNearDupsFromSigs]] — maxHamming+1 chunks, chunk-
+    * local pairs, map-side bit_count rerank). Returns
+    * (id_a, id_b, hamming), recall 1.0 within the radius among
+    * decodable payloads. The image twin of the text near-dup family:
+    * the only image-specific work is the fingerprint.
+    */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 8,
+                    maxBucket: Int = 4096): DataFrame =
+    Dedup.simhashNearDupsFromSigs(dHashes(media), maxHamming, maxBucket)
+
+  /** Deterministic 9x8 synthetic pattern image (PNG), one visually
+    * distinct horizontal-gradient pattern per `k`: column brightness
+    * walks +/-24 per step following bit c of (k+1), so the decoded
+    * dHash is the 8-bit pattern (k+1) repeated in every row —
+    * distinct `k` < 255 give distinct hashes, identical `k` give
+    * identical ones. The witness generator for grading the image
+    * near-dup path end-to-end without fixture images (PNG is
+    * lossless: decode returns exactly the designed raster).
+    */
+  def patternPng(k: Int): Array[Byte] = {
+    require(k >= 0 && k < 255, s"k must be in [0, 255), got $k")
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val p = k + 1
+    val bright = new Array[Int](9)
+    // +/-15 keeps the walk inside [0, 240] for all 8 steps — a clamp
+    // would flatten an adjacent pair and flip its designed bit
+    bright(0) = 120
+    for (c <- 0 until 8)
+      bright(c + 1) = bright(c) + (if (((p >> c) & 1) == 1) 15 else -15)
+    for (c <- 0 until 9; r <- 0 until 8) {
+      val b = bright(c)
+      img.setRGB(c, r, (b << 16) | (b << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Feature extraction stub: fixed-width deterministic "embedding"
     * from the bytes (replace with a model runtime at deployment).
     * Output shape matches the `embeddings` table contract.

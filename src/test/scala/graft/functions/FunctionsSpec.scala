@@ -1171,6 +1171,53 @@ class MultimodalSpec extends SparkSpec {
     assert(extractFeatures(media).collect().length == 2)
   }
 
+  test("dHash of patternPng(k) is the designed bit pattern in every row") {
+    for (k <- Seq(0, 1, 7, 100, 254)) {
+      val sig = Multimodal.dHash64(Multimodal.patternPng(k))
+      val expected = (k + 1).toLong * 0x0101010101010101L
+      assert(sig.contains(expected), s"k=$k: $sig vs $expected")
+    }
+    // distinct k -> distinct hashes (pairwise, over a sample)
+    val sigs = (0 until 16).map(k => Multimodal.dHash64(Multimodal.patternPng(k)).get)
+    assert(sigs.distinct.length == sigs.length)
+  }
+
+  test("dHash survives a bilinear resize (perceptual invariance)") {
+    // a 10x upscale + PNG re-encode is the canonical perceptual
+    // duplicate; its gradient signs — and so the dHash — must hold
+    val base = Multimodal.patternPng(5)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val big = new java.awt.image.BufferedImage(90, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = big.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 90, 80, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val hBig = Multimodal.dHash64(bos.toByteArray).get
+    val hBase = Multimodal.dHash64(base).get
+    val hamming = java.lang.Long.bitCount(hBig ^ hBase)
+    assert(hamming <= 4, s"10x upscale moved the perceptual hash by $hamming bits")
+  }
+
+  test("dHashes drops undecodable payloads; imageNearDups pairs by pattern") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", Multimodal.patternPng(3)),
+      Multimodal.MediaRow(2L, "image/png", Multimodal.patternPng(3)),
+      Multimodal.MediaRow(3L, "image/png", Multimodal.patternPng(4)),
+      Multimodal.MediaRow(4L, "text/plain",
+        "not an image at all".getBytes("UTF-8"))
+    ).toDS()
+    assert(Multimodal.dHashes(media).count() == 3)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
+  }
+
   test("media features flow into the similarity stack end-to-end") {
     import org.apache.spark.sql.functions._
     // the media -> embedding -> ANN composition: extractFeatures'
