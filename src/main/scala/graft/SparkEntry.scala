@@ -1009,6 +1009,20 @@ object SparkEntry {
       functions.Multimodal.imageNearDups(media, maxHamming = 0)
     }),
 
+    // audio near-dup end-to-end with REAL codecs (javax.sound PCM
+    // decode): same witness scheme as q_image_neardup — doc_id % 5
+    // selects a deterministic amplitude-modulation pattern, the
+    // energy-envelope hash recovers exactly the same-class pairs
+    "q_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => functions.Multimodal.MediaRow(
+          id, "audio/wav",
+          functions.Multimodal.patternWav((id % 5).toInt))))
+      functions.Multimodal.audioNearDups(media, maxHamming = 0)
+    }),
+
     // ---- L4: deterministic sampling / export (InputSampler made
     // content-level: reference lib/InputSampler.java samples splits;
     // a training mix samples rows, reproducibly) ---------------------
@@ -2706,6 +2720,16 @@ object SparkEntry {
     // real decode + perceptual hash + blocking pipeline on the Spark
     // side. hamming is Spark's bit_count type (INT).
     "q_image_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40""".stripMargin,
+
+    // q_audio_neardup: same doc_id-arithmetic oracle as
+    // q_image_neardup — the engine side swaps codec and fingerprint,
+    // the truth set does not change
+    "q_audio_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b

@@ -485,6 +485,130 @@ object Multimodal {
                     maxBucket: Int = 4096): DataFrame =
     Dedup.simhashNearDupsFromSigs(dHashes(media), maxHamming, maxBucket)
 
+  /** Perceptual audio hash: REAL PCM decode (same structural gate as
+    * [[audioMeta]]), mean-|amplitude| energy over 65 equal time
+    * windows, and 64 bits of energy gradient — bit i set iff
+    * energy(i) < energy(i+1). The audio analog of [[dHash64]]:
+    * re-encodes, resampling, and level changes preserve the energy
+    * ENVELOPE's shape, so perceptual duplicates land within a small
+    * Hamming radius, and [[Dedup.simhashNearDupsFromSigs]] blocks
+    * them identically to images and text. Supports the PCM the JDK
+    * decodes (8/16-bit, any channel count — channels average into
+    * one envelope); None for anything the gate or decoder rejects
+    * and for clips shorter than 65 frames (no envelope to compare).
+    */
+  private[graft] def audioHash64(bytes: Array[Byte]): Option[Long] = {
+    if (!audioMagic(bytes)) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val bits = f.getSampleSizeInBits
+        val enc = f.getEncoding
+        val pcmSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!pcmSigned && !pcmUnsigned) return None
+        if (bits != 8 && bits != 16) return None
+        val data = ais.readAllBytes()
+        val frameSize = f.getFrameSize
+        val nFrames = data.length / frameSize
+        if (nFrames < 65) return None
+        val channels = f.getChannels
+        val big = f.isBigEndian
+        // mean |amplitude| per frame, channels averaged
+        def frameAbs(fr: Int): Double = {
+          var s = 0.0
+          var ch = 0
+          while (ch < channels) {
+            val o = fr * frameSize + ch * (bits / 8)
+            val v =
+              if (bits == 8) {
+                if (pcmSigned) data(o).toDouble
+                else (data(o) & 0xff) - 128.0
+              } else {
+                val (b0, b1) = if (big) (data(o), data(o + 1))
+                               else (data(o + 1), data(o))
+                val raw = (b0 << 8) | (b1 & 0xff)
+                if (pcmSigned) raw.toDouble else (raw & 0xffff) - 32768.0
+              }
+            s += math.abs(v)
+            ch += 1
+          }
+          s / channels
+        }
+        val energy = new Array[Double](65)
+        val counts = new Array[Long](65)
+        var fr = 0
+        while (fr < nFrames) {
+          // window index by exact long arithmetic (fr * 65 / n) — a
+          // double ratio would misbin boundary frames on long clips
+          val w = ((fr.toLong * 65) / nFrames).toInt
+          energy(w) += frameAbs(fr)
+          counts(w) += 1
+          fr += 1
+        }
+        var out = 0L
+        var i = 0
+        while (i < 64) {
+          val a = if (counts(i) == 0) 0.0 else energy(i) / counts(i)
+          val b = if (counts(i + 1) == 0) 0.0 else energy(i + 1) / counts(i + 1)
+          if (a < b) out |= 1L << i
+          i += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio-hash signatures as a (doc_id, sig) table — the audio
+    * counterpart of [[dHashes]].
+    */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => audioHash64(r.bytes).map(s => (r.doc_id, s)))
+    }.toDF("doc_id", "sig")
+  }
+
+  /** Audio near-dup pairs — [[audioHash64]] through the shared
+    * pigeonhole Hamming blocking. Returns (id_a, id_b, hamming).
+    */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 8,
+                    maxBucket: Int = 4096): DataFrame =
+    Dedup.simhashNearDupsFromSigs(audioHashes(media), maxHamming, maxBucket)
+
+  /** Deterministic synthetic WAV (PCM16 mono 8 kHz, ~0.8 s): a
+    * 440 Hz carrier amplitude-modulated at `k + 1` cycles over the
+    * clip, so the 65-window energy envelope's gradient signs — and
+    * with them [[audioHash64]] — differ across small `k` and match
+    * exactly for equal `k`. The audio witness generator, mirroring
+    * [[patternPng]].
+    */
+  def patternWav(k: Int): Array[Byte] = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val rate = 8000f
+    val n = 6500
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / n
+      val env = 0.5 + 0.45 * math.sin(2 * math.Pi * (k + 1) * t)
+      val v = (env * math.sin(2 * math.Pi * 440 * i / rate) * 32000).toInt
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic 9x8 synthetic pattern image (PNG), one visually
     * distinct horizontal-gradient pattern per `k`: column brightness
     * walks +/-24 per step following bit c of (k+1), so the decoded

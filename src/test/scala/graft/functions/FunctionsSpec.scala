@@ -1218,6 +1218,50 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
   }
 
+  test("audioHash64: distinct patterns distinct, equal equal, invariances hold") {
+    import spark.implicits._
+    val sigs = (0 until 5).map(k => Multimodal.audioHash64(Multimodal.patternWav(k)).get)
+    assert(sigs.distinct.length == sigs.length, s"collision in $sigs")
+    assert(Multimodal.audioHash64(Multimodal.patternWav(3)) ==
+      Multimodal.audioHash64(Multimodal.patternWav(3)))
+    // level invariance: halving the volume preserves gradient signs
+    val base = Multimodal.patternWav(2)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(base))
+    val fmt = ais.getFormat
+    val data = ais.readAllBytes()
+    var i = 0
+    while (i < data.length) {
+      val v = (((data(i + 1) << 8) | (data(i) & 0xff)) / 2).toShort
+      data(i) = (v & 0xff).toByte
+      data(i + 1) = ((v >> 8) & 0xff).toByte
+      i += 2
+    }
+    val quiet = {
+      val a2 = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, data.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(a2,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val h1 = Multimodal.audioHash64(base).get
+    val h2 = Multimodal.audioHash64(quiet).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4,
+      s"volume change moved the hash ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+    // non-audio payloads drop; pairs form by pattern class
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.patternWav(1)),
+      Multimodal.MediaRow(2L, "audio/wav", Multimodal.patternWav(1)),
+      Multimodal.MediaRow(3L, "audio/wav", Multimodal.patternWav(2)),
+      Multimodal.MediaRow(4L, "text/plain", "nope".getBytes("UTF-8"))
+    ).toDS()
+    assert(Multimodal.audioHashes(media).count() == 3)
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
+  }
+
   test("media features flow into the similarity stack end-to-end") {
     import org.apache.spark.sql.functions._
     // the media -> embedding -> ANN composition: extractFeatures'
