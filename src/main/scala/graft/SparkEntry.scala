@@ -1009,6 +1009,19 @@ object SparkEntry {
       functions.Multimodal.imageNearDups(media, maxHamming = 0)
     }),
 
+    // video near-dup end-to-end (GIF frames, real codecs): doc_id % 5
+    // selects a 3-frame pattern clip; frame-level dHash containment
+    // must recover the same-class pairs with every frame shared
+    "q_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => functions.Multimodal.MediaRow(
+          id, "image/gif",
+          functions.Multimodal.patternGif((id % 5).toInt))))
+      functions.Multimodal.videoNearDups(media, minOverlap = 0.9)
+    }),
+
     // audio near-dup end-to-end with REAL codecs (javax.sound PCM
     // decode): same witness scheme as q_image_neardup — doc_id % 5
     // selects a deterministic amplitude-modulation pattern, the
@@ -2722,6 +2735,16 @@ object SparkEntry {
     "q_image_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40""".stripMargin,
+
+    // q_video_neardup: doc_id arithmetic again — all 3 designed
+    // frames shared within a class, none across classes
+    "q_video_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(3 AS BIGINT) AS shared,
+        |       round(CAST(1 AS DOUBLE), 4) AS overlap
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
         |WHERE a.doc_id < 40 AND b.doc_id < 40""".stripMargin,

@@ -579,6 +579,95 @@ object Multimodal {
                     maxBucket: Int = 4096): DataFrame =
     Dedup.simhashNearDupsFromSigs(audioHashes(media), maxHamming, maxBucket)
 
+  /** Frame-level video near-dup (GIF = this container's decodable
+    * video stand-in, same stance as [[sampleFramesGif]]): decode
+    * frames, fingerprint each with [[dHash64]], and pair documents by
+    * SHARED DISTINCT frame hashes — containment of the smaller frame
+    * set, so a clip re-posted inside a longer compilation still pairs
+    * (the video analog of [[Dedup.containmentPairs]]' asymmetry).
+    * Returns (id_a, id_b, shared, overlap) with
+    * overlap = shared / min(|frames_a|, |frames_b|), kept at
+    * >= `minOverlap`. Non-GIF payloads contribute no real frames and
+    * drop at the decode gate (fallback byte-chunks are not images,
+    * so dHash rejects them).
+    *
+    * Scale shape: frames never shuffle — the per-frame decode+hash
+    * is a narrow map; the exchanges carry (doc_id, 8-byte sig) pairs
+    * through the same skew-capped group-pair kernel as every
+    * blocking path.
+    */
+  def videoNearDups(media: Dataset[MediaRow], minOverlap: Double = 0.8,
+                    stride: Int = 1, maxDf: Int = 4096): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = sampleFramesGif(media, stride).mapPartitions { fs =>
+      fs.flatMap(f => dHash64(f.bytes).map(s => (f.doc_id, s)))
+    }.toDF("doc_id", "s")
+      .dropDuplicates("doc_id", "s")
+      .withColumn("n_fr", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))).cast("int"))
+    Dedup.boundedGroupPairs(sigs, Seq(col("s")),
+        struct(col("doc_id"), col("n_fr")), maxDf, "video_frames")
+      .select(col("__a.doc_id").as("id_a"), col("__a.n_fr").as("na"),
+        col("__b.doc_id").as("id_b"), col("__b.n_fr").as("nb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap", round(col("shared").cast("double") /
+        least(col("na"), col("nb")), 4))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("shared"), col("overlap"))
+  }
+
+  /** Deterministic multi-frame GIF: `frames` frames, frame i carrying
+    * [[patternPng]]'s brightness walk for pattern `k + 50 * i` —
+    * written with an exact 256-gray palette (raster samples set
+    * directly; no colorspace conversion), so each decoded frame's
+    * dHash is the designed pattern. The video witness generator.
+    */
+  def patternGif(k: Int, frames: Int = 3): Array[Byte] = {
+    require(k >= 0 && k + 50 * (frames - 1) < 255,
+      s"k=$k frames=$frames exceeds the designed pattern space")
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (i <- 0 until frames) {
+        val img = patternRaster(k + 50 * i)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** The 9x8 brightness-walk raster shared by [[patternPng]] and
+    * [[patternGif]] — grayscale samples written directly (no sRGB
+    * conversion), so encoders with exact gray palettes round-trip
+    * the designed values and any monotone palette still preserves
+    * every gradient sign (the walk steps +/-15, never 0).
+    */
+  private def patternRaster(k: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val p = k + 1
+    val bright = new Array[Int](9)
+    bright(0) = 120
+    for (c <- 0 until 8)
+      bright(c + 1) = bright(c) + (if (((p >> c) & 1) == 1) 15 else -15)
+    val raster = img.getRaster
+    for (c <- 0 until 9; r <- 0 until 8)
+      raster.setSample(c, r, 0, bright(c))
+    img
+  }
+
   /** Deterministic synthetic WAV (PCM16 mono 8 kHz, ~0.8 s): a
     * 440 Hz carrier amplitude-modulated at `k + 1` cycles over the
     * clip, so the 65-window energy envelope's gradient signs — and
@@ -620,21 +709,8 @@ object Multimodal {
     */
   def patternPng(k: Int): Array[Byte] = {
     require(k >= 0 && k < 255, s"k must be in [0, 255), got $k")
-    val img = new java.awt.image.BufferedImage(9, 8,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val p = k + 1
-    val bright = new Array[Int](9)
-    // +/-15 keeps the walk inside [0, 240] for all 8 steps — a clamp
-    // would flatten an adjacent pair and flip its designed bit
-    bright(0) = 120
-    for (c <- 0 until 8)
-      bright(c + 1) = bright(c) + (if (((p >> c) & 1) == 1) 15 else -15)
-    for (c <- 0 until 9; r <- 0 until 8) {
-      val b = bright(c)
-      img.setRGB(c, r, (b << 16) | (b << 8) | b)
-    }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(patternRaster(k), "png", bos)
     bos.toByteArray
   }
 

@@ -1262,6 +1262,24 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
   }
 
+  test("videoNearDups: identical clips pair, and a clip inside a longer cut pairs") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/gif", Multimodal.patternGif(0)),
+      Multimodal.MediaRow(2L, "image/gif", Multimodal.patternGif(0)),
+      Multimodal.MediaRow(3L, "image/gif", Multimodal.patternGif(1)),
+      // the 3-frame clip re-posted inside a 4-frame compilation:
+      // containment (overlap of the SMALLER set) must still pair it
+      Multimodal.MediaRow(4L, "image/gif", Multimodal.patternGif(0, frames = 4))
+    ).toDS()
+    val pairs = Multimodal.videoNearDups(media, minOverlap = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(pairs == Set((1L, 2L, 3L, 1.0), (1L, 4L, 3L, 1.0),
+      (2L, 4L, 3L, 1.0)), pairs.toString)
+  }
+
   test("media features flow into the similarity stack end-to-end") {
     import org.apache.spark.sql.functions._
     // the media -> embedding -> ANN composition: extractFeatures'
