@@ -59,6 +59,43 @@ class StreamRecoverySpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), got.toString)
   }
 
+  test("streaming retention cohorts survive a stop/restart from checkpoint") {
+    val src = Files.createTempDirectory("graft-ret-src").toString
+    val ckpt = Files.createTempDirectory("graft-ret-ckpt").toString
+    import spark.implicits._
+
+    def writeFile(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("u", "b").coalesce(1).write.mode("append").parquet(src)
+
+    def start(name: String) =
+      spark.readStream.schema("u bigint, b bigint")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .groupBy($"u")
+        .agg(min($"b").as("cohort"), collect_set($"b").as("bs"))
+        .writeStream.outputMode("complete").queryName(name)
+        .option("checkpointLocation", ckpt).format("memory").start()
+
+    // phase 1: user 1 active in buckets 0 and 1; user 2 in 5
+    writeFile(Seq((1L, 0L), (1L, 1L), (2L, 5L)))
+    val q1 = start("ret_rec_1")
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 (hard stop between): user 1 RETURNS in bucket 3 — only
+    // recovered agg state still knows its cohort is 0, not 3 — and a
+    // new user 3 appears
+    writeFile(Seq((1L, 3L), (3L, 0L)))
+    val q2 = start("ret_rec_2")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val m = spark.table("ret_rec_2")
+      .select($"cohort", explode($"bs").as("b"))
+      .groupBy($"cohort", ($"b" - $"cohort").as("period"))
+      .agg(count(lit(1)).as("users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (5L, 0L) -> 1L), m.toString)
+  }
+
   test("HeatStream EWMA state survives a stop/restart from checkpoint") {
     val src = Files.createTempDirectory("graft-heat-src").toString
     val ckpt = Files.createTempDirectory("graft-heat-ckpt").toString
