@@ -1512,6 +1512,24 @@ object SparkEntry {
           functions.TextAnalysis.bpeishTokens(col("text"))).as("item")),
         col("item"), phi = 0.0335, capacity = 30)),
 
+    // HTML boilerplate stripping over a corpus wrapped in a
+    // deterministic page skeleton (script/style/comment/tag noise +
+    // entity escapes) — the crawl-extraction step, graded against
+    // the same regex chain in DuckDB (patterns kept RE2-compatible
+    // on purpose: no backreferences, no lookaround)
+    "q_strip_html" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script>var x=1 && y<2;</script></head><body>" +
+            "<!-- crawler noise --><p class=\"main\">"),
+          col("text"),
+          lit("</p><br/>&amp; more &lt;tags&gt; id="),
+          col("doc_id").cast("string"),
+          lit("</body></html>")).as("page"))
+        .select(col("doc_id"),
+          functions.TextAnalysis.stripHtml(col("page")).as("clean"))),
+
     // Unicode NFC canonicalization over a corpus decorated with
     // doc_id-keyed DECOMPOSED sequences (the fixture text is pure
     // ASCII, where NFC is identity by construction — the decoration
@@ -1940,6 +1958,32 @@ object SparkEntry {
         |FROM nseg n LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // q_strip_html: the same RE2-compatible regex chain and
+    // amp-last entity order as TextAnalysis.stripHtml
+    "q_strip_html" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |         '<html><head><style>p{color:red}</style><script>var x=1 && y<2;</script></head><body><!-- crawler noise --><p class="main">'
+        |         || text || '</p><br/>&amp; more &lt;tags&gt; id='
+        |         || CAST(doc_id AS VARCHAR) || '</body></html>' AS p
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(p,
+        |         '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS p FROM page),
+        |s2 AS (SELECT doc_id, regexp_replace(p,
+        |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS p FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(p,
+        |         '(?s)<!--.*?-->', ' ', 'g') AS p FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(p,
+        |         '<[^>]+>', ' ', 'g') AS p FROM s3),
+        |s5 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(replace(p,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+        |           '&amp;', '&') AS p
+        |       FROM s4)
+        |SELECT doc_id, trim(regexp_replace(p, '\s+', ' ', 'g')) AS clean
+        |FROM s5""".stripMargin,
 
     // q_nfc: DuckDB composes the same decomposed decorations via
     // chr() codepoints (769/776/771 = combining acute/diaeresis/tilde)

@@ -121,6 +121,30 @@ object TextAnalysis {
   def nfc(text: Column): Column =
     graft.plans.UnicodeNormalize(text, "NFC")
 
+  /** HTML boilerplate stripping — the extraction step between a raw
+    * crawl and every text operator in this module: drop script/style
+    * blocks wholesale (their content is code, not prose), drop
+    * comments, drop tags, decode the basic entities (`&amp;` LAST,
+    * so `&amp;lt;` correctly yields the literal `&lt;`), squash
+    * whitespace. Deliberately regex-engine-portable: no
+    * backreferences, no lookaround — the same patterns run under
+    * Java regex and RE2, which is what makes the operator
+    * oracle-checkable.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+        "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Canonical text for dedup keying: NFC, lowercase, whitespace
     * runs squashed, trimmed — [[fingerprint]]'s normalization with
     * the Unicode step a real crawl needs in front of it. Use

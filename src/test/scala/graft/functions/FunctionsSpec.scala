@@ -13,6 +13,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(3, 0))
   }
 
+  test("stripHtml drops script/style/comments/tags and decodes entities") {
+    val html = """<html><head><style>body{x:1}</style>
+      |<script>if (a<b && c>d) alert("hi");</script></head>
+      |<body><!-- note --><p id="p1">Hello <b>world</b></p>
+      |&amp;lt; stays escaped; &lt;em&gt; decodes; a&nbsp;b &#39;q&#39;
+      |</body></html>""".stripMargin
+    val got = Seq(html).toDF("h").select(stripHtml($"h")).as[String].head()
+    assert(got ==
+      "Hello world &lt; stays escaped; <em> decodes; a b 'q'", got)
+    // null propagates; plain text unchanged beyond whitespace squash
+    val more = Seq(Option("  just   text  "), None).toDF("h")
+      .select(stripHtml($"h")).collect()
+    assert(more(0).getString(0) == "just text" && more(1).isNullAt(0))
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint") {
     // guarantee: a common run of >= window + shingleN - 1 tokens (here
     // 4 + 3 - 1 = 6) forces a shared window minimum
