@@ -1512,6 +1512,19 @@ object SparkEntry {
           functions.TextAnalysis.bpeishTokens(col("text"))).as("item")),
         col("item"), phi = 0.0335, capacity = 30)),
 
+    // URL canonicalization over doc_id-derived messy URLs (mixed
+    // case, default port, unsorted params, fragment) — the crawl
+    // frontier / source-dedup key
+    "q_canonical_url" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          lit("HTTP://Example"), (col("doc_id") % 7).cast("string"),
+          lit(".COM:80/Path"), (col("doc_id") % 3).cast("string"),
+          lit("?b="), (col("doc_id") % 5).cast("string"),
+          lit("&a=1#sec"), col("doc_id").cast("string")).as("url"))
+        .select(col("doc_id"),
+          functions.TextAnalysis.canonicalUrl(col("url")).as("canon"))),
+
     // HTML boilerplate stripping over a corpus wrapped in a
     // deterministic page skeleton (script/style/comment/tag noise +
     // entity escapes) — the crawl-extraction step, graded against
@@ -1958,6 +1971,40 @@ object SparkEntry {
         |FROM nseg n LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // q_canonical_url: the same extract/sort/reassemble chain in
+    // DuckDB (both engines return '' on a no-match extract)
+    "q_canonical_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '.COM:80/Path' || CAST(doc_id % 3 AS VARCHAR)
+        |         || '?b=' || CAST(doc_id % 5 AS VARCHAR)
+        |         || '&a=1#sec' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hp,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |norm AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_extract(hp, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN path = '' THEN '/' ELSE path END AS path, q
+        |  FROM parts)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |       ELSE ':' || port END ||
+        |  path ||
+        |  CASE WHEN q = '' THEN ''
+        |       ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+        |  END AS canon
+        |FROM norm""".stripMargin,
 
     // q_strip_html: the same RE2-compatible regex chain and
     // amp-last entity order as TextAnalysis.stripHtml

@@ -145,6 +145,37 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** URL canonicalization — the dedup key for crawl frontiers and
+    * source-level dedup, where `HTTP://Example.COM:80/a?b=2&a=1#x`
+    * and `http://example.com/a?a=1&b=2` are the same resource:
+    * lowercase scheme and host, strip the scheme's default port
+    * (80/443), drop the fragment, sort query parameters, and root an
+    * empty path at `/`. Pure composable built-ins (regexp_extract /
+    * array_sort / split), engine-portable by construction — both
+    * engines return '' for a no-match extract, which the CASE logic
+    * leans on. Non-URL strings (no scheme) canonicalize to
+    * `://<empty-host>/...` degenerately rather than erroring — gate
+    * upstream if the column may hold junk.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val normPath = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQ = when(query === "", lit(""))
+      .otherwise(concat(lit("?"),
+        array_join(array_sort(split(query, "&")), "&")))
+    concat(scheme, lit("://"), host, keepPort, normPath, sortedQ)
+  }
+
   /** Canonical text for dedup keying: NFC, lowercase, whitespace
     * runs squashed, trimmed — [[fingerprint]]'s normalization with
     * the Unicode step a real crawl needs in front of it. Use

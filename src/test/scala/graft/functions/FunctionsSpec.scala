@@ -28,6 +28,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(more(0).getString(0) == "just text" && more(1).isNullAt(0))
   }
 
+  test("canonicalUrl: case, default ports, params, fragments, empty path") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/a?b=2&a=1#x" -> "http://example.com/a?a=1&b=2",
+      "https://Host.io:443/" -> "https://host.io/",
+      "https://host.io:8443/x" -> "https://host.io:8443/x", // non-default port kept
+      "http://h" -> "http://h/",                            // empty path roots
+      "ftp://H/p?z=1" -> "ftp://h/p?z=1",                   // unknown scheme: port rules only for http(s)
+      "http://h/p#only-frag" -> "http://h/p"
+    )
+    val got = cases.map(_._1).toDF("u")
+      .select(canonicalUrl($"u")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.mkString(","))
+    val n = Seq(Option.empty[String]).toDF("u").select(canonicalUrl($"u")).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint") {
     // guarantee: a common run of >= window + shingleN - 1 tokens (here
     // 4 + 3 - 1 = 6) forces a shared window minimum
