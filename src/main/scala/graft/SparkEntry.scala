@@ -566,6 +566,20 @@ object SparkEntry {
       functions.Dedup.exactDupClasses(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    // corpus snapshot diff: old = ids not divisible by 5, new = ids
+    // not divisible by 3 with every 7th text rewritten — every status
+    // class populated, fingerprint-level change detection
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldV = docs.filter(col("doc_id") % 5 =!= 0)
+      val newV = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" revised"))).otherwise(col("text"))
+            .as("text"))
+      functions.Dedup.snapshotDiff(oldV, newV, col("doc_id"), col("text"))
+    }),
+
     // quality-aware retention: same duplicate classes as
     // q_dedup_exact, but the survivor is the BEST-scoring member
     // (score = doc_id % 7, a deterministic stand-in that disagrees
@@ -1881,6 +1895,26 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q_snapshot_diff: status from id membership + fingerprint
+    // comparison of the same decorated new version
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(
+        |           CASE WHEN doc_id % 7 = 0 THEN text || ' revised'
+        |                ELSE text END), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // q_keep_best: best-score survivor per fingerprint class; the
     // fixture has no null-text docs, so the pass-through leg is

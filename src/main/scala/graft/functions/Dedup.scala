@@ -103,6 +103,29 @@ object Dedup {
       .drop(s"${p}_rn")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: given
+    * two corpus versions keyed by `id`, classify every id as
+    * `added` (new only), `removed` (old only), `changed` (both, but
+    * content fingerprints differ — including a text that became or
+    * stopped being null), or `unchanged`. One full-outer join on the
+    * id carrying 16-byte fingerprints, never text — the shuffle cost
+    * of diffing two 100 TB snapshots is two digest projections.
+    * Returns (doc_id, status).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   id: Column, text: Column): DataFrame = {
+    val o = oldDf.select(id.as("doc_id"),
+      TextAnalysis.fingerprint(text).as("__ofp"), lit(true).as("__in_old"))
+    val n = newDf.select(id.as("doc_id"),
+      TextAnalysis.fingerprint(text).as("__nfp"), lit(true).as("__in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__ofp") <=> col("__nfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Quality-aware retention: [[exactDedup]] with an explicit
     * survivor policy — per duplicate class keep the row with the
     * HIGHEST `score` (a quality signal: length, langid confidence,

@@ -656,6 +656,21 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 20 * 19 / 2)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged incl. null flips") {
+    val oldV = Seq(
+      (1L, Option("same")), (2L, Option("will change")),
+      (3L, Option("gone")), (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val newV = Seq(
+      (1L, Option("same")), (2L, Option("did change")),
+      (4L, Option("fresh")), (5L, Option("now has text"))
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldV, newV, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed"), got.toString)
+  }
+
   test("keepBest: best score survives, ties to min id, null text passes") {
     val df = Seq(
       (1L, Option("same text"), Option(5L)),
