@@ -746,6 +746,20 @@ object SparkEntry {
         k = 10)
     }),
 
+    // model-free text embedding (feature hashing): md5-bucketed
+    // token counts, L2-normalized, fed straight into the cosine
+    // top-k stack — grades the text -> vector bridge end-to-end
+    // (fixture docs all tokenize non-empty, so the oracle can build
+    // vectors from the sparse counts alone)
+    "q_hash_embed" -> ((s, dir) => {
+      val emb = functions.TextAnalysis.hashEmbedding(
+        t(s, dir, "documents"), col("doc_id"), col("text"), dim = 16)
+      functions.Similarity.bruteForceTopK(
+        emb, col("doc_id"), col("embedding"),
+        emb.filter(col("doc_id") < 3), col("doc_id"), col("embedding"),
+        k = 5)
+    }),
+
     // hard-negative mining: per query, top-10 most-similar vectors
     // whose LABEL disagrees — the contrastive-training counterpart
     // of q_embed_topk
@@ -2364,6 +2378,40 @@ object SparkEntry {
         |              sqrt(list_dot_product(cv, cv) *
         |                   list_dot_product(qv, qv)), 4) AS cos
         |      FROM c CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
+        |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    // q_hash_embed: the same md5-bucket counts assembled densely IN
+    // INDEX ORDER, normalized with the same 0 + x*x fold, scored with
+    // q_embed_topk's exact cosine formula — bit-identical FP both
+    // sides, so the hash compare holds on raw doubles
+    "q_hash_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(text, '\s+'),
+        |                x -> length(x) > 0)) AS tk
+        |  FROM documents),
+        |bc AS (SELECT doc_id,
+        |         CAST(CAST(('0x' || substr(md5(tk || ':42'), 1, 8)) AS BIGINT)
+        |              % 16 AS INT) AS b,
+        |         count(*) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |lst AS (SELECT doc_id, list({'b': b, 'c': c}) AS l FROM bc GROUP BY doc_id),
+        |raw AS (SELECT doc_id,
+        |          [CAST(coalesce(list_sum([s.c for s in l if s.b = i]), 0) AS DOUBLE)
+        |           for i in range(16)] AS r
+        |        FROM lst),
+        |emb AS (SELECT doc_id,
+        |          list_transform(r, x -> x / sqrt(list_dot_product(r, r))) AS cv
+        |        FROM raw),
+        |q AS (SELECT doc_id AS query_id, cv AS qv FROM emb WHERE doc_id < 3),
+        |s AS (SELECT query_id, doc_id AS vec_id,
+        |        round(list_dot_product(cv, qv) /
+        |              sqrt(list_dot_product(cv, cv) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM emb CROSS JOIN q WHERE doc_id <> query_id)
         |SELECT query_id, vec_id, cos,
         |       CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk

@@ -121,6 +121,48 @@ object TextAnalysis {
   def nfc(text: Column): Column =
     graft.plans.UnicodeNormalize(text, "NFC")
 
+  /** Hashed bag-of-tokens embedding (the fastText/feature-hashing
+    * trick): bucket = md5-derived hash of the token mod `dim`,
+    * value = token count, L2-normalized — a deterministic,
+    * model-free text vector that feeds the ENTIRE embedding stack
+    * (cosine top-k, ANN, SemDeDup) with no model runtime in the
+    * container. md5 (not xxhash) keys the buckets so the vector is
+    * engine-portable and the operator oracle-checkable; hashing is
+    * per-token, so the cost is one explode + two exchanges (token
+    * counts per (doc, bucket), then the per-doc assembly — the
+    * [[graft.functions.Similarity.labelPrototypes]] idiom). Docs
+    * with no tokens emit the zero vector (cosine guards zero norms
+    * downstream).
+    */
+  def hashEmbedding(df: DataFrame, id: Column, text: Column,
+                    dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val toks = df.select(id.as("doc_id"), tokens(text).as("tks"))
+      .select(col("doc_id"), explode_outer(col("tks")).as("tk"))
+    val bucket = (conv(substring(md5(concat(col("tk"), lit(s":$seed"))),
+      1, 8), 16, 10).cast("long") % dim).cast("int")
+    toks
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(col("b")).as("c"))
+      .groupBy(col("doc_id"))
+      // explode_outer keeps token-less docs as one null-bucket row
+      // (they must emit the ZERO vector, not vanish); the null entry
+      // is filtered before map_from_entries, which rejects null keys
+      .agg(map_from_entries(
+        filter(collect_list(struct(col("b"), col("c"))),
+          e => e.getField("b").isNotNull)).as("m"))
+      .select(col("doc_id"), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+        .as("raw"))
+      .select(col("doc_id"),
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x))
+          .as("nrm"), col("raw"))
+      .select(col("doc_id"), when(col("nrm") === 0.0, col("raw"))
+        .otherwise(transform(col("raw"), x => x / col("nrm")))
+        .as("embedding"))
+  }
+
   /** HTML boilerplate stripping — the extraction step between a raw
     * crawl and every text operator in this module: drop script/style
     * blocks wholesale (their content is code, not prose), drop

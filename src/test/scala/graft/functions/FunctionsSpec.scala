@@ -28,6 +28,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(more(0).getString(0) == "just text" && more(1).isNullAt(0))
   }
 
+  test("hashEmbedding: deterministic, count-sensitive, unit-norm, zero for empty") {
+    val df = Seq(
+      (1L, "spark rows spark"), (2L, "spark rows spark"),
+      (3L, "rows spark"), (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val vecs = TextAnalysis.hashEmbedding(df, $"doc_id", $"text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(vecs(1L) == vecs(2L), "identical texts must embed identically")
+    assert(vecs(1L) != vecs(3L), "token counts must matter (2x spark vs 1x)")
+    assert(vecs(4L).forall(_ == 0.0) && vecs(5L).forall(_ == 0.0))
+    val norm = math.sqrt(vecs(1L).map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-12, s"norm $norm")
+    // feeds the similarity stack: the identical pair is cosine 1.0
+    val emb = TextAnalysis.hashEmbedding(df.filter($"doc_id" <= 3),
+      $"doc_id", $"text", dim = 8)
+    val top = Similarity.bruteForceTopK(emb, $"doc_id", $"embedding",
+        emb.filter($"doc_id" === 1L), $"doc_id", $"embedding", k = 1)
+      .collect().head
+    assert(top.getLong(1) == 2L && top.getDouble(2) == 1.0)
+  }
+
   test("canonicalUrl: case, default ports, params, fragments, empty path") {
     val cases = Seq(
       "HTTP://Example.COM:80/a?b=2&a=1#x" -> "http://example.com/a?a=1&b=2",
