@@ -1072,6 +1072,13 @@ object SparkEntry {
         col("doc_id"), rate = 0.25)
         .select(col("doc_id"), col("lang"))),
 
+    // deterministic weighted sample (Efraimidis-Spirakis A-ES):
+    // longer docs proportionally likelier, yet the draw is a pure
+    // function of (doc_id, seed) — top-20 by u^(1/n_chars)
+    "q_weighted_sample" -> ((s, dir) =>
+      functions.Sampling.weightedSample(t(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), k = 20)),
+
     // deterministic global shuffle: content-hash training order,
     // reproducible across retries/engines/cluster sizes
     "q_shuffle" -> ((s, dir) =>
@@ -2988,6 +2995,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
         |      < '40000000'""".stripMargin,
+
+    // q_weighted_sample: the oracle re-derives the exact A-ES draw —
+    // same md5 uniform, same pow; both engines' libm pow agree on
+    // these inputs and the 9-sig-fig compare absorbs ulp noise
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT *,
+        |    pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |                             1, 8)) AS BIGINT) / 4294967296.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS draw
+        |  FROM documents)
+        |SELECT doc_id, text, lang, source, n_chars, draw
+        |FROM d ORDER BY draw DESC, doc_id LIMIT 20""".stripMargin,
 
     // deterministic shuffle: the permutation is a pure function of
     // (content hash, seed) — one window re-derives it exactly

@@ -144,6 +144,38 @@ object Sampling {
     }
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis-
+    * Spirakis A-ES): draw key u^(1/w) per row with u the md5-derived
+    * uniform in [0, 1), keep the `k` largest keys — each subset's
+    * inclusion probability is exactly the weighted-sampling law, yet
+    * the draw is a pure function of (row key, seed): reproducible
+    * across retries, engines, and cluster sizes, like every sampler
+    * here. Rows with null/zero/negative weight never win (their draw
+    * is 0 — u < 1 raised to +inf); a null row-key draws null and is
+    * dropped. Ties (FP-equal draws) break on the row key ascending.
+    *
+    * Scale shape: the draw is map-side; the top-k is a single
+    * TakeOrderedAndProject — O(k) per partition, O(k) driver, no
+    * shuffle of the corpus. Returns the full schema plus the draw
+    * (`__wkey` renamed `draw`) for auditability.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = conv(decisionHex(key, seed), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val w = weight.cast("double")
+    val draw = when(key.isNull, lit(null).cast("double"))
+      .when(w.isNull || w <= 0.0, lit(0.0))
+      .otherwise(pow(u, lit(1.0) / w))
+    val p = graft.Names.fresh("__ws", df.columns)
+    df.withColumn(s"${p}_draw", draw)
+      .filter(col(s"${p}_draw").isNotNull)
+      .orderBy(col(s"${p}_draw").desc, key.asc)
+      .limit(k)
+      .withColumnRenamed(s"${p}_draw", "draw")
+  }
+
   /** Deterministic fixed-size-per-stratum sample: the `k` rows of
     * each stratum with the smallest decision hashes — a reproducible
     * stand-in for per-key reservoir sampling (the reservoir's "k

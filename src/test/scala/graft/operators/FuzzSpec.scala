@@ -749,6 +749,29 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample equals the in-memory A-ES top-k on random weights") {
+    val rnd = new scala.util.Random(7474)
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    for (c <- 1 to cases) {
+      val n = 2 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(n)
+      // weights include zero and negative (never sampled while any
+      // positive-weight row remains: their draw is 0)
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextLong(20) - 2))
+      val got = Sampling.weightedSample(rows.toDF("id", "w"),
+          col("id"), col("w"), k)
+        .collect().map(_.getLong(0)).toSet
+      val want = rows.map { case (id, w) =>
+        val u = java.lang.Long.parseLong(md5hex8(s"$id:42"), 16) / 4294967296.0
+        val draw = if (w <= 0) 0.0 else math.pow(u, 1.0 / w)
+        (id, draw)
+      }.sortBy { case (id, d) => (-d, id) }.take(k).map(_._1).toSet
+      assert(got == want, s"case $c n=$n k=$k")
+    }
+  }
+
   test("kFold folds tile the hashSample thresholds on random keys") {
     val rnd = new scala.util.Random(2424)
     for (c <- 1 to 6) {
