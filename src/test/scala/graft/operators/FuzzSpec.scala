@@ -772,6 +772,40 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs equals the in-memory asymmetric overlap on random corpora") {
+    val rnd = new scala.util.Random(8642)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def sh(s: String): Set[String] = {
+      val tk = s.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.length >= 2) tk.sliding(2).map(_.mkString(" ")).toSet
+      else Set(tk.mkString(" "))
+    }
+    for (c <- 1 to cases) {
+      val n = 3 + rnd.nextInt(14)
+      val docs = (1 to n).map { i =>
+        (i.toLong, (1 to rnd.nextInt(10))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val t = Seq(0.3, 0.6, 0.9)(rnd.nextInt(3))
+      val got = Dedup.containmentPairs(docs.toDF("id", "text"),
+          col("id"), col("text"), shingleN = 2, threshold = t,
+          maxDf = 1000000)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val nonBlank = docs.filter(_._2.trim.nonEmpty)
+      def rd(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = (for {
+        (ia, ta) <- nonBlank; (ib, tb) <- nonBlank if ia < ib
+        sa = sh(ta); sb = sh(tb)
+        inter = (sa & sb).size if inter > 0
+        ca = rd(inter.toDouble / sa.size); cb = rd(inter.toDouble / sb.size)
+        if math.max(ca, cb) >= t
+      } yield (ia, ib, ca, cb)).toSet
+      assert(got == want, s"case $c t=$t")
+    }
+  }
+
   test("kFold folds tile the hashSample thresholds on random keys") {
     val rnd = new scala.util.Random(2424)
     for (c <- 1 to 6) {
