@@ -920,6 +920,13 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         functions.TextAnalysis.langId(col("text")).as("pred_lang"))),
 
+    // interpolated bigram LM: per-doc mean position log-probability
+    // under lambda*bigram + (1-lambda)*unigram — the fluency signal
+    // unigrams can't see (word salad scores low even on common words)
+    "q_bigram_lm" -> ((s, dir) =>
+      functions.TextAnalysis.bigramLogProb(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     // self-scored unigram LM: per-doc mean token log-probability
     // under the corpus' own unigram distribution
     "q_unigram_lm" -> ((s, dir) =>
@@ -2620,6 +2627,47 @@ object SparkEntry {
 
     // unigram LM: identical tokenization and ln arithmetic; the
     // per-doc sum of tf·ln(p) rounds to 4 decimals on both engines
+    // q_bigram_lm: unigram counts from every tokenizable doc, bigram
+    // instances from docs with >= 2 tokens; the interpolation weight
+    // is written (1.0 - 0.7), NOT 0.3 — Spark computes 1-lambda and
+    // the two literals differ in their last IEEE bit
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |uni AS (SELECT term, count(*) AS ucnt
+        |        FROM (SELECT unnest(tk) AS term FROM toks WHERE len(tk) > 0)
+        |        GROUP BY 1),
+        |tot AS (SELECT sum(ucnt) AS total FROM uni),
+        |inst AS (
+        |  SELECT doc_id, dl,
+        |         unnest([{'p': tk[i+1], 'c': tk[i+2]} for i in range(dl - 1)],
+        |                recursive := true)
+        |  FROM (SELECT doc_id, len(tk) AS dl, tk FROM toks
+        |        WHERE len(tk) >= 2)),
+        |bf AS (SELECT doc_id, dl, p, c, count(*) AS bf
+        |       FROM inst GROUP BY 1, 2, 3, 4),
+        |cbg AS (SELECT p, c, sum(bf) AS cbg FROM bf GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT doc_id, dl,
+        |         CAST(sum(bf * CAST(round(ln(
+        |             0.7 * (CAST(cbg AS DOUBLE) / CAST(up.ucnt AS DOUBLE)) +
+        |             (1.0 - 0.7) * (CAST(uc.ucnt AS DOUBLE) /
+        |                            CAST(total AS DOUBLE))
+        |           ) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM bf JOIN cbg USING (p, c)
+        |       JOIN uni up ON up.term = bf.p
+        |       JOIN uni uc ON uc.term = bf.c
+        |       CROSS JOIN tot
+        |  GROUP BY doc_id, dl)
+        |SELECT doc_id, CAST(dl - 1 AS BIGINT) AS n_bigrams,
+        |       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+        |            ((2 * abs(s) + 100 * (dl - 1)) // (200 * (dl - 1)))
+        |         AS BIGINT) / 1e4 AS avg_logprob
+        |FROM sums""".stripMargin,
+
     "q_unigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id,

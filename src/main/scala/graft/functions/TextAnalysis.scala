@@ -576,6 +576,73 @@ object TextAnalysis {
     * distinct term). Resolution loss is ≤ 5e-7 nat/token — invisible
     * at the 4-decimal output scale.
     */
+  /** Interpolated bigram LM scoring — [[unigramLogProb]]'s fluency
+    * upgrade: per doc, the average over positions 2..n of
+    * ln(λ·c(w₁w₂)/c(w₁) + (1-λ)·c(w₂)/N), with counts from the whole
+    * corpus (the self-scored quality signal real pipelines threshold
+    * on; word-salad scores low under the bigram term even when its
+    * unigrams are common). Docs with fewer than two tokens have no
+    * bigram positions and are omitted.
+    *
+    * Same cross-engine determinism contract as [[unigramLogProb]]:
+    * each position's ln P quantizes to integer micro-nats, per-doc
+    * sums are exact integer aggregation, and the final 4-decimal
+    * average is the exact-BIGINT div trick over n-1 positions. The
+    * interpolation is evaluated in ONE fixed operation order —
+    * λ·(cbg/cprev) + (1-λ)·(cw/N) — from identical integer-derived
+    * doubles on both engines.
+    *
+    * Scale shape: bigram instances explode map-side from a
+    * slice-zip (no self-join on position); counts are two hash aggs
+    * (bigram, unigram) joined back by key; the grand total is a
+    * one-row broadcast. Skewed stopword bigrams are just large count
+    * rows — no group ever buffers instances.
+    */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1), got $lambda — 1 drops unseen-bigram " +
+        "smoothing (ln 0), 0 degenerates to the unigram model")
+    val toked = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))
+    // unigram counts + total from EVERY tokenizable doc (corpus
+    // stats), instances only from docs long enough to have bigrams
+    val uni = toked.filter(size(col("tk")) > 0)
+      .select(explode(col("tk")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum(col("ucnt")).as("total"))
+    val inst = toked.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("doc_id"), col("dl"),
+        col("bg.0").as("prev"), col("bg.1").as("cur"))
+    val bf = inst.groupBy(col("doc_id"), col("dl"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("bf"))
+    val cbg = bf.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("bf")).as("cbg"))
+    val p = lit(lambda) *
+        (col("cbg").cast("double") / col("cprev").cast("double")) +
+      lit(1.0 - lambda) *
+        (col("cw").cast("double") / col("total").cast("double"))
+    val micro = sum(col("bf") *
+      round(log(p) * lit(1e6), 0).cast("long")).cast("long")
+    val np = col("dl").cast("long") - lit(1L)
+    val q4 = call_function("div",
+      lit(2L) * abs(col("__micro")) + lit(100L) * np, lit(200L) * np)
+    bf.join(cbg, Seq("prev", "cur"))
+      .join(uni.select(col("term").as("prev"), col("ucnt").as("cprev")),
+        Seq("prev"))
+      .join(uni.select(col("term").as("cur"), col("ucnt").as("cw")),
+        Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(micro.as("__micro"))
+      .select(col("doc_id"), np.as("n_bigrams"),
+        (when(col("__micro") < 0, -q4).otherwise(q4).cast("double") /
+          lit(1e4)).as("avg_logprob"))
+  }
+
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))
       .filter(size(col("tk")) > 0)

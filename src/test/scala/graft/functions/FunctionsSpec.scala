@@ -13,6 +13,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(3, 0))
   }
 
+  test("bigramLogProb: fluency-sensitive where unigrams are blind; short docs omitted") {
+    // the salad doc carries the SAME token multiset as one fluent
+    // repetition — a unigram model scores them identically; only the
+    // bigram term separates them
+    val fluent = (1 to 8).map(i => (i.toLong, "the cat sat on the mat"))
+    val salad = Seq((100L, "mat the on sat cat the"))
+    val short_ = Seq((200L, "one"), (201L, ""))
+    val df = (fluent ++ salad ++ short_).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(200L) && !got.contains(201L),
+      "docs without a bigram position must be omitted")
+    assert(got(1L) > got(100L),
+      s"fluent ${got(1L)} must outscore word salad ${got(100L)}")
+    assert(got(100L) < 0 && !got(100L).isNegInfinity)
+  }
+
   test("stripHtml drops script/style/comments/tags and decodes entities") {
     val html = """<html><head><style>body{x:1}</style>
       |<script>if (a<b && c>d) alert("hi");</script></head>
