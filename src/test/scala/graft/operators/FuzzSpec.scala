@@ -806,6 +806,58 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff equals the in-memory classification on random versions") {
+    val rnd = new scala.util.Random(3131)
+    val texts = Vector("aa", "bb", "cc", null)
+    for (c <- 1 to cases) {
+      val ids = (1 to (3 + rnd.nextInt(20))).map(_.toLong)
+      def version(): Map[Long, String] =
+        ids.filter(_ => rnd.nextBoolean())
+          .map(i => i -> texts(rnd.nextInt(texts.size))).toMap
+      val oldV = version(); val newV = version()
+      val got = Dedup.snapshotDiff(
+          oldV.toSeq.toDF("doc_id", "text"),
+          newV.toSeq.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = (oldV.keySet ++ newV.keySet).map { id =>
+        id -> ((oldV.get(id), newV.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      assert(got == want, s"case $c")
+    }
+  }
+
+  test("keepBest equals the in-memory argmax retention on random corpora") {
+    val rnd = new scala.util.Random(7272)
+    for (c <- 1 to cases) {
+      val n = 2 + rnd.nextInt(25)
+      val rows = (1 to n).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(8) == 0) null
+          else s"t${rnd.nextInt(5)}",
+          if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextLong(10)))
+      }
+      val got = Dedup.keepBest(rows.toDF("id", "text", "score"),
+          col("id"), col("text"), col("score"))
+        .collect().map(_.getLong(0)).toSet
+      val (nulls, texted) = rows.partition(_._2 == null)
+      val want = nulls.map(_._1).toSet ++
+        texted.groupBy(_._2).values.map { grp =>
+          grp.minBy { case (id, _, s) =>
+            // score desc (nulls last), then id asc
+            (if (s == null) (1, 0L) else (0, -s.longValue()), id)
+          }._1
+        }
+      assert(got == want, s"case $c")
+    }
+  }
+
   test("kFold folds tile the hashSample thresholds on random keys") {
     val rnd = new scala.util.Random(2424)
     for (c <- 1 to 6) {
