@@ -162,6 +162,10 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
                      seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("draw"),
+      "weightedSample appends a 'draw' column; rename the input's " +
+        "existing 'draw' first (a silent duplicate column would break " +
+        "downstream by-name selection)")
     val u = conv(decisionHex(key, seed), 16, 10).cast("double") /
       lit(4294967296.0)
     val w = weight.cast("double")
