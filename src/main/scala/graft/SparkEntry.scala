@@ -566,6 +566,18 @@ object SparkEntry {
       functions.Dedup.exactDupClasses(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    // quality-aware near-dup retention: transitive classes from the
+    // exact pair graph, survivor = best score per CLASS (not min id),
+    // unpaired docs pass — the "keep the clean re-scrape" policy
+    "q_keep_best_neardup" -> ((s, dir) =>
+      functions.Dedup.nearDupDedupBest(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 7).as("score")),
+        col("doc_id"), col("text"), col("score"),
+        shingleN = 3, threshold = 0.5)
+        .select(col("doc_id"), col("score"))),
+
     // corpus snapshot diff: old = ids not divisible by 5, new = ids
     // not divisible by 3 with every 7th text rewritten — every status
     // class populated, fingerprint-level change detection
@@ -2311,6 +2323,27 @@ object SparkEntry {
          |  SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.id)
          |SELECT id AS doc_id, min(r) AS class_rep
          |FROM walk GROUP BY id""".stripMargin,
+
+    // q_keep_best_neardup: the recursive closure over the same pair
+    // set, then per-class argmax (score desc, id asc) with unpaired
+    // docs in salted singleton partitions
+    "q_keep_best_neardup" ->
+      s"""WITH RECURSIVE pr AS ($ngramJaccardSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |walk(id, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.id),
+         |classes AS (SELECT id AS doc_id, min(r) AS class_rep
+         |            FROM walk GROUP BY id),
+         |scored AS (SELECT doc_id, doc_id % 7 AS score FROM documents)
+         |SELECT doc_id, score
+         |FROM scored LEFT JOIN classes USING (doc_id)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY coalesce(CAST(class_rep AS VARCHAR),
+         |                        'solo:' || CAST(doc_id AS VARCHAR))
+         |  ORDER BY score DESC, doc_id) = 1""".stripMargin,
 
     // q_minhash_lsh: with bands = numHashes the LSH candidates cover
     // every pair sharing any min value (miss p = 0.5^32 at J >= 0.5)

@@ -1025,6 +1025,35 @@ object Dedup {
       .drop(s"${p}_id", s"${p}_rep")
   }
 
+  /** Quality-aware near-dup retention — [[nearDupDedup]] with
+    * [[keepBest]]'s survivor policy: close the near-dup pair graph
+    * transitively, then keep each CLASS's highest-`score` member
+    * (ties → smallest id) instead of the min-id representative, plus
+    * every unpaired row. The composition real pipelines run: "of the
+    * near-identical re-scrapes, keep the clean one".
+    *
+    * Same shape as nearDupDedup (input pinned once; pair graph +
+    * survivor selection read it) with one salted window for the
+    * class-argmax — unpaired rows get singleton partitions, so a
+    * mostly-unique corpus never funnels through a skewed key.
+    */
+  def nearDupDedupBest(df: DataFrame, id: Column, text: Column,
+                       score: Column, shingleN: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val pinned = df.localCheckpoint()
+    val p = graft.Names.fresh("__cb", pinned.columns)
+    val classes = connectedComponents(
+      ngramJaccardPairs(pinned, id, text, shingleN, threshold))
+      .select(col("doc_id").as(s"${p}_id"), col("class_rep").as(s"${p}_rep"))
+    val part = coalesce(col(s"${p}_rep").cast("string"),
+      concat(lit("solo:"), id.cast("string")))
+    val w = Window.partitionBy(part).orderBy(score.desc_nulls_last, id.asc)
+    pinned.join(classes, id === col(s"${p}_id"), "left_outer")
+      .withColumn(s"${p}_rn", row_number().over(w))
+      .filter(col(s"${p}_rn") === 1)
+      .drop(s"${p}_id", s"${p}_rep", s"${p}_rn")
+  }
+
   /** Free a `localCheckpoint` DataFrame's materialized blocks
     * eagerly instead of waiting for ContextCleaner GC — superseded
     * iteration state would otherwise accumulate in the block manager

@@ -710,6 +710,27 @@ class DedupSpec extends SparkSpec {
       4L -> "added", 5L -> "changed"), got.toString)
   }
 
+  test("nearDupDedupBest keeps the best-scoring member of each transitive class") {
+    // three overlapping near-dups form ONE transitive class; only
+    // its best-scoring member may survive
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 27).map(i => s"w$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val c = ((1 to 24).map(i => s"w$i") ++
+      Seq("x", "y", "z", "p", "q", "r")).mkString(" ")
+    val df = Seq(
+      (1L, a, 5L), (2L, b, 9L), (3L, c, 1L),       // one class; 2 wins on score
+      (4L, (100 to 130).map(i => s"v$i").mkString(" "), 0L) // unpaired: passes
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.nearDupDedupBest(df, $"doc_id", $"text", $"score",
+        threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), kept.toString)
+    // sanity: under min-id retention doc 1 would have survived instead
+    val minId = Dedup.nearDupDedup(df, $"doc_id", $"text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L), minId.toString)
+  }
+
   test("keepBest: best score survives, ties to min id, null text passes") {
     val df = Seq(
       (1L, Option("same text"), Option(5L)),
