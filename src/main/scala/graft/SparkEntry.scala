@@ -783,6 +783,17 @@ object SparkEntry {
         col("label"), k = 10)
     }),
 
+    // embedding drift monitor: per-label prototype cosine between
+    // the even-id and odd-id halves of the corpus (two pseudo-
+    // snapshots) — near 1 for a stationary distribution
+    "q_embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      functions.Similarity.prototypeDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        col("embedding"), col("label"))
+    }),
+
     // nearest-class-mean classification: integer micro-unit label
     // prototypes (exact, order-independent sums — engine-portable
     // where a float mean is not), every vector assigned to its
@@ -2482,6 +2493,30 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
         |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+    // q_embed_drift: the q_prototype sum CTEs once per half, joined
+    // per label, scored with the same in-order cosine formula
+    "q_embed_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id % 2 AS half, label AS lbl,
+        |         unnest([{'p': i, 'v': CAST(round(
+        |             CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)}
+        |                 for i in range(len(embedding))],
+        |                recursive := true)
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |ps AS (SELECT half, lbl, p, sum(v) AS s FROM ex GROUP BY 1, 2, 3),
+        |protos AS (SELECT half, lbl,
+        |             list_transform(list(s ORDER BY p),
+        |                            x -> CAST(x AS DOUBLE)) AS proto
+        |           FROM ps GROUP BY half, lbl),
+        |o AS (SELECT lbl, proto AS po FROM protos WHERE half = 0),
+        |n AS (SELECT lbl, proto AS pn FROM protos WHERE half = 1)
+        |SELECT coalesce(o.lbl, n.lbl) AS lbl,
+        |       CASE WHEN po IS NULL OR pn IS NULL THEN NULL
+        |            ELSE round(list_dot_product(po, pn) /
+        |                   sqrt(list_dot_product(po, po) *
+        |                        list_dot_product(pn, pn)), 4) END AS drift_cos
+        |FROM o FULL OUTER JOIN n ON o.lbl = n.lbl""".stripMargin,
 
     // q_prototype: per-label integer micro-unit component sums (exact
     // 64-bit arithmetic — order-independent, so engine-portable where

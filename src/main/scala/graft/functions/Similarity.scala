@@ -281,6 +281,31 @@ object Similarity {
       .select(col("query_id"), col("lbl").as("pred_label"), col("cos"))
   }
 
+  /** Embedding drift monitor: per label, the cosine between the two
+    * snapshots' [[labelPrototypes]] — the "did my embedding
+    * distribution move between dumps" check a production pipeline
+    * alarms on (cos near 1 = stable; a drop flags upstream model or
+    * corpus change for that class). Labels present in only one
+    * snapshot report null drift (nothing to compare — appearance/
+    * disappearance is its own signal, visible in the full-outer
+    * row). Exact integer prototype sums make the drift value
+    * engine-portable like the prototypes themselves.
+    */
+  def prototypeDrift(oldCorpus: DataFrame, newCorpus: DataFrame,
+                     vec: Column, label: Column,
+                     unit: Double = 1e6): DataFrame = {
+    val o = labelPrototypes(oldCorpus, vec, label, unit)
+      .select(col("lbl"), col("proto").as("po"))
+    val n = labelPrototypes(newCorpus, vec, label, unit)
+      .select(col("lbl"), col("proto").as("pn"))
+    o.join(n, Seq("lbl"), "full_outer")
+      .select(col("lbl"),
+        when(col("po").isNull || col("pn").isNull,
+          lit(null).cast("double"))
+          .otherwise(round(cosine(col("po"), col("pn")), 4))
+          .as("drift_cos"))
+  }
+
   /** Scalar (int8) quantization of an embedding vector: per-vector
     * max-abs scaling to the symmetric byte range [-127, 127].
     * Returns a struct:

@@ -1002,6 +1002,24 @@ class SimilaritySpec extends SparkSpec {
     assert(p9 == Map(9L -> 0))
   }
 
+  test("prototypeDrift: identical halves 1.0, rotated drift < 1, lone labels null") {
+    val oldC = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.8f, 0.2f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.5f, 0.5f), 7)   // label 7 only in the old snapshot
+    ).toDF("vec_id", "embedding", "label")
+    val newC = Seq(
+      (11L, Array(1.0f, 0.0f), 0), (12L, Array(0.8f, 0.2f), 0), // same mix
+      (13L, Array(0.7f, 0.7f), 1)  // label 1 rotated ~45 degrees
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.prototypeDrift(oldC, newC, $"embedding", $"label")
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(0).contains(1.0), got.toString)
+    assert(got(1).exists(d => d > 0.5 && d < 0.9), got.toString)
+    assert(got(7).isEmpty, "old-only label must report null drift")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
       .toDF("a", "b", "c")
