@@ -3121,7 +3121,7 @@ object SparkEntry {
         |    pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
         |                             1, 8)) AS BIGINT) / 4294967296.0,
         |        1.0 / CAST(n_chars AS DOUBLE)) AS draw
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, text, lang, source, n_chars, draw
         |FROM d ORDER BY draw DESC, doc_id LIMIT 20""".stripMargin,
 

@@ -111,6 +111,12 @@ object Dedup {
     * id carrying 16-byte fingerprints, never text — the shuffle cost
     * of diffing two 100 TB snapshots is two digest projections.
     * Returns (doc_id, status).
+    *
+    * Contract: `id` must be unique within EACH version (the same
+    * rows-need-distinct-ids rule as [[exactDedup]]); a duplicated id
+    * multiplies through the full-outer join and emits one status row
+    * per matched pair. Run [[exactDedup]] (or key on a real primary
+    * key) first if a version may carry duplicate ids.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    id: Column, text: Column): DataFrame = {
@@ -466,18 +472,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** N-gram Jaccard pairs via shingle-inverted-index self-join —
-    * the oracle-checkable (LSH-free) near-dup: pairs sharing >= 1
-    * shingle, scored exactly up to 64-bit shingle-hash collisions
-    * (the index keys on xxhash64(shingle), P ≈ n²/2⁶⁵ per corpus —
-    * see the inline note). The shingle join IS the blocking — all
-    *-pairs never materializes; skew guard: drop shingles appearing in
-    * more than `maxDf` docs (stopword shingles would quadratically
-    * blow up a 100 TB run).
+  /** N-gram Jaccard pairs — the exact (LSH-free) near-dup entry
+    * point. DEFAULT ROUTING: at `threshold >= routeThreshold` this
+    * DELEGATES to [[prefixJaccardPairs]], the scale-safe exact plan.
+    * The inverted-index general form below blocks on EVERY shared
+    * shingle, so its candidate population is threshold-independent
+    * (flat cost as t rises) and grows ~quadratically as a corpus
+    * densifies; the prefix-filtered plan indexes only each doc's
+    * `n - ceil(t*n) + 1` globally-rarest shingles, so candidates
+    * collapse as t rises. Measured head-to-head (sf1, warm, same
+    * exact output at every t): 14.8 vs 17.4 s at t=0.5, 6.7 vs
+    * 16.0 s at t=0.7, 3.5 vs 15.7 s at t=0.9 — the prefix plan wins
+    * everywhere in the routed range, hence routeThreshold = 0.5.
+    *
+    * Semantics when routed: the output is the TRUE exact pair set —
+    * `maxDf` is NOT applied (the prefix path needs no df prune; its
+    * own `maxGroup` guard caps only prefix tokens, each doc's
+    * rarest). That set is a superset-or-equal of the df-capped
+    * result: on a corpus where a stopword shingle exceeds `maxDf`,
+    * routing RESTORES the pairs the cap would silently lose. Callers
+    * that specifically want the df-capped inverted-index blocking
+    * (e.g. to bound worst-case cost below exactness) pass
+    * `routeThreshold = 2.0` to disable routing.
+    *
+    * The general form: pairs sharing >= 1 shingle via
+    * shingle-inverted-index self-join, scored exactly up to 64-bit
+    * shingle-hash collisions (the index keys on xxhash64(shingle),
+    * P ≈ n²/2⁶⁵ per corpus — see the inline note). The shingle join
+    * IS the blocking — all-pairs never materializes; skew guard:
+    * drop shingles appearing in more than `maxDf` docs (stopword
+    * shingles would quadratically blow up a 100 TB run). Candidate
+    * growth is observable: [[boundedGroupPairs]]'s
+    * `graft.ngram_shingles.<n>` metric reports max group size and
+    * capped-row counts per run.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, threshold: Double = 0.5,
-                        maxDf: Int = 1000): DataFrame = {
+                        maxDf: Int = 1000,
+                        routeThreshold: Double = 0.5): DataFrame = {
+    if (threshold >= routeThreshold)
+      return prefixJaccardPairs(df, id, text, shingleN, threshold)
     // raw shingles exploded, then a distributed distinct — cheaper
     // than per-row interpreted array_distinct; n_sh (distinct shingle
     // count per doc) via window on the dedup'd index. The index keys

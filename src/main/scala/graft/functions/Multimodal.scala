@@ -700,7 +700,7 @@ object Multimodal {
 
   /** Deterministic 9x8 synthetic pattern image (PNG), one visually
     * distinct horizontal-gradient pattern per `k`: column brightness
-    * walks +/-24 per step following bit c of (k+1), so the decoded
+    * walks +/-15 per step following bit c of (k+1), so the decoded
     * dHash is the 8-bit pattern (k+1) repeated in every row —
     * distinct `k` < 255 give distinct hashes, identical `k` give
     * identical ones. The witness generator for grading the image

@@ -150,9 +150,12 @@ object Sampling {
     * inclusion probability is exactly the weighted-sampling law, yet
     * the draw is a pure function of (row key, seed): reproducible
     * across retries, engines, and cluster sizes, like every sampler
-    * here. Rows with null/zero/negative weight never win (their draw
-    * is 0 — u < 1 raised to +inf); a null row-key draws null and is
-    * dropped. Ties (FP-equal draws) break on the row key ascending.
+    * here. Rows with null/zero/negative weight never win — their draw
+    * is null and they are dropped before the top-k, even when fewer
+    * than `k` positive-weight rows exist (the result is then smaller
+    * than `k`, per the A-ES law where weight 0 means probability 0).
+    * A null row-key likewise draws null and is dropped. Ties
+    * (FP-equal draws) break on the row key ascending.
     *
     * Scale shape: the draw is map-side; the top-k is a single
     * TakeOrderedAndProject — O(k) per partition, O(k) driver, no
@@ -169,8 +172,8 @@ object Sampling {
     val u = conv(decisionHex(key, seed), 16, 10).cast("double") /
       lit(4294967296.0)
     val w = weight.cast("double")
-    val draw = when(key.isNull, lit(null).cast("double"))
-      .when(w.isNull || w <= 0.0, lit(0.0))
+    val draw = when(key.isNull || w.isNull || w <= 0.0,
+        lit(null).cast("double"))
       .otherwise(pow(u, lit(1.0) / w))
     val p = graft.Names.fresh("__ws", df.columns)
     df.withColumn(s"${p}_draw", draw)

@@ -122,10 +122,12 @@ object MultiIO {
       .option("compression", codec).text(path)
 
   /** SequenceFile sink (reference: SequenceFileOutputFormat).
-    * `codec` compresses record values (the reference's
-    * SequenceFileOutputFormat.setOutputCompressionType RECORD form);
-    * [[readSequenceFile]] decompresses transparently — the codec is
-    * in the file header, as in the reference.
+    * `codec` enables the reference's
+    * SequenceFileOutputFormat.setOutputCompressionType BLOCK form
+    * (Spark's saveAsSequenceFile sets compress.type=BLOCK: batches
+    * of records compressed together — the better ratio at scale);
+    * [[readSequenceFile]] decompresses transparently — codec and
+    * type are in the file header, as in the reference.
     */
   def writeSequenceFile(df: DataFrame, keyCol: String, valueCol: String,
                         path: String, codec: Option[String] = None): Unit = {

@@ -773,13 +773,39 @@ class DedupSpec extends SparkSpec {
       (5L, "a b"), (6L, ""), (7L, null.asInstanceOf[String]) // short + blank + null
     ).toDF("id", "text")
     for (t <- Seq(0.3, 0.5, 0.8)) {
+      // routeThreshold = 2.0 pins the inverted-index GENERAL form:
+      // the default would route t >= 0.5 to prefixJaccardPairs and
+      // make this equality vacuous
       val want = ngramJaccardPairs(df, $"id", $"text", threshold = t,
-          maxDf = 1000000)
+          maxDf = 1000000, routeThreshold = 2.0)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val got = prefixJaccardPairs(df, $"id", $"text", threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == want, s"threshold $t")
     }
+  }
+
+  test("ngramJaccardPairs default-routes t >= 0.5 to the prefix plan") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "text")
+    // the two plans carry distinct observe sites: the prefix path
+    // registers graft.prefix_tokens.<n>, the inverted-index general
+    // form graft.ngram_shingles.<n> — the CollectMetrics name in the
+    // analyzed plan is the routing witness
+    def site(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.analyzed.toString
+    val routed = site(ngramJaccardPairs(df, $"id", $"text", threshold = 0.5))
+    assert(routed.contains("graft.prefix_tokens.") &&
+      !routed.contains("graft.ngram_shingles."), routed.take(2000))
+    val general = site(ngramJaccardPairs(df, $"id", $"text",
+      threshold = 0.5, routeThreshold = 2.0))
+    assert(general.contains("graft.ngram_shingles."), general.take(2000))
+    val low = site(ngramJaccardPairs(df, $"id", $"text", threshold = 0.3))
+    assert(low.contains("graft.ngram_shingles."), low.take(2000))
+    // and the routed result is still the exact pair set
+    val got = ngramJaccardPairs(df, $"id", $"text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // shingles: {abc,bcd,cde} vs {abc,bcd,cdf} -> inter 2, union 4
+    assert(got == Set((1L, 2L, 0.5)), got.toString)
   }
 
   test("prefixJaccardPairs keeps the exact-boundary pair (size-filter slack)") {

@@ -278,20 +278,24 @@ class SamplingSpec extends SparkSpec {
   test("weightedSample: edge weights, determinism, and the O(k) plan") {
     val df = Seq((1L, Option(5L)), (2L, Option(0L)), (3L, None),
       (4L, Option(-3L)), (5L, Option(100L))).toDF("id", "w")
-    // k >= positive-weight rows: zero/negative/null-weight rows can
-    // only fill AFTER every positive-weight row (draw 0 vs > 0)
+    // k >= positive-weight rows: zero/negative/null-weight rows are
+    // dropped outright — the sample is SMALLER than k, never padded
     val four = weightedSample(df, $"id", $"w", k = 4)
       .select($"id", $"draw").collect()
     val byId = four.map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(byId.keySet.intersect(Set(1L, 5L)) == Set(1L, 5L))
-    assert(byId.filter(kv => Set(2L, 3L, 4L)(kv._1)).values.forall(_ == 0.0))
+    assert(byId.keySet == Set(1L, 5L), byId.toString)
+    assert(byId.values.forall(_ > 0.0))
     // deterministic: same call, same sample
     val again = weightedSample(df, $"id", $"w", k = 4)
       .select($"id").as[Long].collect().toSet
     assert(again == byId.keySet)
     // scale contract: orderBy+limit must plan TakeOrderedAndProject
-    // (O(k) per partition), never a global sort exchange
-    val plan = weightedSample(df, $"id", $"w", k = 2)
+    // (O(k) per partition), never a global sort exchange. Needs a df
+    // with > k surviving rows: on the 5-row edge fixture only 2
+    // positive-weight rows survive, EliminateLimits drops the limit
+    // (child maxRows <= k) and no top-k node can appear
+    val wide = (1L to 40L).map(i => (i, Option(i))).toDF("id", "w")
+    val plan = weightedSample(wide, $"id", $"w", k = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }

@@ -757,16 +757,15 @@ class FuzzSpec extends SparkSpec {
     for (c <- 1 to cases) {
       val n = 2 + rnd.nextInt(60)
       val k = 1 + rnd.nextInt(n)
-      // weights include zero and negative (never sampled while any
-      // positive-weight row remains: their draw is 0)
+      // weights include zero and negative (never sampled: their draw
+      // is null and they are dropped, even when that leaves < k rows)
       val rows = (1 to n).map(i => (i.toLong, rnd.nextLong(20) - 2))
       val got = Sampling.weightedSample(rows.toDF("id", "w"),
           col("id"), col("w"), k)
         .collect().map(_.getLong(0)).toSet
-      val want = rows.map { case (id, w) =>
+      val want = rows.filter(_._2 > 0).map { case (id, w) =>
         val u = java.lang.Long.parseLong(md5hex8(s"$id:42"), 16) / 4294967296.0
-        val draw = if (w <= 0) 0.0 else math.pow(u, 1.0 / w)
-        (id, draw)
+        (id, math.pow(u, 1.0 / w))
       }.sortBy { case (id, d) => (-d, id) }.take(k).map(_._1).toSet
       assert(got == want, s"case $c n=$n k=$k")
     }

@@ -297,6 +297,67 @@ class TemporalSpec extends SparkSpec {
     assert(sweep.size == points.size)
   }
 
+  test("rangeJoinCount delegates to the sweep and keeps zero-coverage points") {
+    val points = Seq((1L, 100L), (2L, 150L), (3L, 200L), (4L, 999L))
+      .toDF("pid", "t")
+    val ivals = Seq((100L, 200L), (150L, 150L), (0L, 120L))
+      .toDF("s", "e")
+    val out = rangeJoinCount(points, $"t", ivals, $"s", $"e")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // same answer as rangeJoin + groupBy count on covered points,
+    // PLUS pid=4 at count 0 (which the pair form silently drops)
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    val pairForm = rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 50L)
+      .groupBy($"pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairForm == out.filter(_._2 > 0L))
+    // no bucket dial: open-ended sentinel intervals are COUNTED by
+    // the sweep (rangeJoin's maxBuckets guard would drop them)
+    val open = Seq((Long.MinValue, Long.MaxValue)).toDF("s", "e")
+    val cov = rangeJoinCount(points, $"t", open, $"s", $"e")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov.values.forall(_ == 1L))
+  }
+
+  test("rangeJoin surfaces the candidate-pair population as an observed metric") {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    val seen = scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => seen(n) = r }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // mid-plan observations are not traversed through AQE's
+      // re-planned stages (same caveat as boundedGroupPairs')
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // one bucket [0,100): 3 points × 2 intervals = 6 candidates,
+      // but only 2 true pairs survive the between-filter — exactly
+      // the candidates-vs-output gap the metric exists to expose
+      val points = Seq((1L, 10L), (2L, 50L), (3L, 90L)).toDF("pid", "t")
+      val ivals = Seq((5L, 12L), (45L, 55L)).toDF("s", "e")
+      val n = rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 100L)
+        .count()
+      assert(n == 2L)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var m = Option.empty[org.apache.spark.sql.Row]
+      while (m.isEmpty && System.nanoTime() < deadline) {
+        m = seen.collectFirst {
+          case (k, r) if k.startsWith("graft.range_join.cand.") &&
+            r.getAs[Long]("candidate_pairs") == 6L => r
+        }
+        if (m.isEmpty) Thread.sleep(50)
+      }
+      assert(m.isDefined, s"no range_join.cand metric with 6 candidates in $seen")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("activeIntervalCount null/invalid handling and prefix-offset exactness") {
     // force many range partitions so the broadcast-offset path (not a
     // single local prefix) is what's being asserted
