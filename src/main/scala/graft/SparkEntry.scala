@@ -561,6 +561,59 @@ object SparkEntry {
         meta.Catalog.fromDocuments(t(s, dir, "documents")),
         blockSize = 256L)),
 
+    // DistCh (distributed chmod/chown batch): recursive owner/perm
+    // edits over the modeled namespace, ordered ops with later-wins
+    // overlap — here "/corpus" re-owned wholesale, then src1's tree
+    // overridden, plus a perm-only op leaving owners alone
+    "q_distch" -> ((s, dir) =>
+      meta.Catalog.distCh(
+        meta.Catalog.fromDocuments(t(s, dir, "documents"))
+          .withColumn("owner", lit("root"))
+          .withColumn("perm", lit("644")),
+        Seq(meta.Catalog.ChOp("/corpus", owner = Some("etl")),
+          meta.Catalog.ChOp("/corpus/src1", owner = Some("curator"),
+            perm = Some("600")),
+          meta.Catalog.ChOp("/corpus/src2", perm = Some("400"))))
+        .select(col("path"), col("owner"), col("perm"))),
+
+    // Logalyzer (grep + column-sort over logs): whole lines matching
+    // the pattern with occurrence counts — doc text stands in for
+    // log lines; dedup'd lines sum their counts
+    "q_logalyze" -> ((s, dir) =>
+      operators.TextOps.logalyze(t(s, dir, "documents"),
+        col("text"), "data", sortCols = Seq(0))),
+
+    // vaidya analog (post-hoc job diagnostics): run a deliberately
+    // pathological pipeline — an md5-wrapped filter that defeats
+    // pushdown, a 99%-hot-key repartition, a broadcast nested-loop
+    // cross join — and grade the advisor's triggered rule set. Only
+    // the scale-invariant rules are graded (small_files_scan etc.
+    // legitimately depend on the fixture's file layout); the oracle
+    // is the constant triggered set. AQE is pinned off for the
+    // fixture: coalesced/skew-split partitions would change the
+    // task-level statistics the skew rule reads (diagnose is eager,
+    // so the conf is restored before any other query plans).
+    "q_advisor" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val ev = t(s, dir, "events")
+          .filter(substring(md5(col("event_id").cast("string")), 1, 1)
+            === "0")
+        val sk = ev.withColumn("k",
+            when(col("event_id") % 100 === 0, col("event_id"))
+              .otherwise(lit(0L)))
+          .repartition(col("k"))
+        val fixture = sk.crossJoin(
+          broadcast(t(s, dir, "region").select(col("r_regionkey"))))
+        meta.Advisor.diagnose(fixture)
+          .filter(col("rule").isin("balanced_shuffle_partitioning",
+            "cartesian_join", "unpushed_filter"))
+          .select(col("rule"), col("severity"))
+          .distinct()
+      } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }),
+
     // ---- L4: dedup --------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       functions.Dedup.exactDupClasses(t(s, dir, "documents"),
@@ -1884,6 +1937,38 @@ object SparkEntry {
         |       count(*) AS file_count,
         |       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS content_size
         |FROM documents""".stripMargin,
+
+    // q_distch: tree-scoped CASE edits in op order (later wins);
+    // src1x/src2x sources exist at no fixture, but the LIKE guards
+    // mirror the operator's /a-vs-/abc tree semantics anyway
+    "q_distch" ->
+      """SELECT '/corpus/' || source || '/doc_' || doc_id AS path,
+        |       CASE WHEN source = 'src1' THEN 'curator'
+        |            ELSE 'etl' END AS owner,
+        |       CASE WHEN source = 'src1' THEN '600'
+        |            WHEN source = 'src2' THEN '400'
+        |            ELSE '644' END AS perm
+        |FROM documents""".stripMargin,
+
+    // q_logalyze: per-line occurrence counts of the pattern, summed
+    // over duplicate lines (rows are compared sorted, so the
+    // column-sort itself is exercised by the spec, not the hash)
+    "q_logalyze" ->
+      """WITH m AS (
+        |  SELECT text AS line,
+        |         len(regexp_extract_all(text, 'data')) AS c
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT line, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM m WHERE c > 0 GROUP BY line""".stripMargin,
+
+    // q_advisor: the triggered rule set is a CONSTANT of the fixture
+    // design (99%-hot key -> one busy reducer of N >= 4 -> impact
+    // >= 0.75; md5 filter keeps ~1/16 -> impact ~0.94; BNLJ present
+    // -> impact 1.0 — all 'high' at every scale and partition count)
+    "q_advisor" ->
+      """SELECT 'balanced_shuffle_partitioning' AS rule, 'high' AS severity
+        |UNION ALL SELECT 'cartesian_join', 'high'
+        |UNION ALL SELECT 'unpushed_filter', 'high'""".stripMargin,
 
     "q_meta_fsck" ->
       """WITH blocks AS (

@@ -134,6 +134,59 @@ object Catalog {
       when(col("path").startsWith(pathPrefix) && !col("is_dir"), lit(rep))
         .otherwise(col("replication")))
 
+  /** One DistCh operation: the reference's `path:owner:group:perm`
+    * tuple (DistCh.java:64 — "The values of owner, group and
+    * permission can be empty", empty = leave unchanged; permission
+    * is an octal number). `group` applies only when the namespace
+    * carries a `group` column (the base [[fileSchema]] models
+    * owner+perm).
+    */
+  final case class ChOp(path: String, owner: Option[String] = None,
+                        group: Option[String] = None,
+                        perm: Option[String] = None) {
+    perm.foreach(p => require(p.matches("[0-7]{3,4}"),
+      s"permission must be a 3-4 digit octal number, got '$p'"))
+  }
+
+  /** DistCh (reference: src/tools/org/apache/hadoop/tools/
+    * DistCh.java:55 — "A Map-reduce program to recursively change
+    * files properties such as owner, group and permission"): apply
+    * each op to every inode at or under its `path` (tree semantics —
+    * `/a` matches `/a` and `/a/...`, never `/abc`). A pure transform
+    * over the namespace DataFrame — row count and every untouched
+    * column conserved.
+    *
+    * Overlap semantics: ops apply in ORDER, later ops win — a
+    * deterministic refinement of the reference, whose per-tree map
+    * tasks run the overlapping ops in unspecified order. Unlike the
+    * reference there is no per-op FAIL counter: a prefix matching
+    * nothing simply changes nothing (compose with [[ls]] to
+    * pre-check existence).
+    *
+    * Scale shape: the whole batch folds into one map-side projection
+    * (chained `when`s, no shuffle, no driver iteration over files) —
+    * a billion-inode namespace re-permissions in a single narrow
+    * stage.
+    */
+  def distCh(files: DataFrame, ops: Seq[ChOp]): DataFrame = {
+    require(ops.nonEmpty, "distCh needs at least one op")
+    def hit(op: ChOp): Column =
+      col("path") === op.path ||
+        col("path").startsWith(op.path.stripSuffix("/") + "/")
+    ops.foldLeft(files) { (df, op) =>
+      val withOwner = op.owner.fold(df)(o =>
+        df.withColumn("owner",
+          when(hit(op), lit(o)).otherwise(col("owner"))))
+      val withGroup = op.group.filter(_ => df.columns.contains("group"))
+        .fold(withOwner)(g =>
+          withOwner.withColumn("group",
+            when(hit(op), lit(g)).otherwise(col("group"))))
+      op.perm.fold(withGroup)(p =>
+        withGroup.withColumn("perm",
+          when(hit(op), lit(p)).otherwise(col("perm"))))
+    }
+  }
+
   /** Balancer plan (reference: src/hdfs/org/apache/hadoop/hdfs/
     * server/balancer/Balancer.java — compute cluster-average
     * utilization, classify each datanode against a ± `threshold`

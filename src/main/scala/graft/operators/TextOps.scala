@@ -28,6 +28,32 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("match").asc)
 
+  /** Logalyzer analysis pass (reference: src/tools/.../Logalyzer.java:64
+    * — LogRegexMapper emits the whole LINE once per regex occurrence,
+    * LongSumReducer totals per line, LogComparator sorts the output on
+    * `sortCols` (0-based column indices of the `sep`-split line,
+    * string ascending)): lines matching `pattern`, with their
+    * occurrence counts, column-sorted. Composition of the existing
+    * kernels — a codegen'd per-row match count + one partial/final
+    * aggregation on the line, then [[graft.operators.Sorting
+    * .keyFieldSort]]'s range-partitioned sort (the reference funnels
+    * through one reducer; this scales out).
+    */
+  def logalyze(df: DataFrame, line: Column, pattern: String,
+               sortCols: Seq[Int], sep: String = "\t"): DataFrame = {
+    require(sortCols.nonEmpty && sortCols.forall(_ >= 0),
+      s"sortCols must be non-empty 0-based column indices, got $sortCols")
+    val counted = df
+      .select(line.as("line"),
+        size(regexp_extract_all(line, lit(pattern), lit(0)))
+          .cast("long").as("cnt"))
+      .filter(col("cnt") > 0)
+      .groupBy(col("line")).agg(sum(col("cnt")).as("cnt"))
+    // the reference's 0-based columns in keyFieldSort's 1-based DSL
+    val spec = sortCols.map(c => s"-k${c + 1},${c + 1}").mkString(" ")
+    Sorting.keyFieldSort(counted, col("line"), spec, sep)
+  }
+
   /** WordCount (reference: lib/TokenCountMapper.java:41 +
     * lib/LongSumReducer.java:39): whitespace tokenize -> (token, 1) ->
     * sum. Map-side partial aggregation is automatic (HashAggregate

@@ -1,0 +1,156 @@
+package graft.meta
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One test per Advisor rule (the vaidya rule-test layout:
+  * tests/BalancedReducePartitioning.java etc.), each with a firing
+  * and a non-firing side where the rule allows it.
+  */
+class AdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(findings: DataFrame): Map[String, String] =
+    findings.select("rule", "severity").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def withAqeOff[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("balanced_shuffle_partitioning fires on a hot-key shuffle, not a balanced one") {
+    withAqeOff {
+      // 99% of rows on one key -> one of 4 shuffle partitions carries
+      // >= 90% of records -> impact 1 - 1/4 = 0.75 (high)
+      val skewed = (1L to 2000L)
+        .map(i => (if (i % 100 == 0) i else 0L, i)).toDF("k", "v")
+        .repartition(col("k"))
+      val got = rules(Advisor.diagnose(skewed))
+      assert(got.get("balanced_shuffle_partitioning").contains("high"), got)
+      // uniform keys -> every partition busy -> no finding
+      val flat = (1L to 2000L).map(i => (i, i)).toDF("k", "v")
+        .repartition(col("k"))
+      val none = rules(Advisor.diagnose(flat))
+      assert(!none.contains("balanced_shuffle_partitioning"), none)
+    }
+  }
+
+  test("cartesian_join fires on cross joins (both physical forms)") {
+    val a = (1L to 10L).toDF("x")
+    val b = (1L to 10L).toDF("y")
+    val got = rules(Advisor.diagnose(a.crossJoin(b)))
+    assert(got.get("cartesian_join").contains("high"), got)
+    val equi = rules(Advisor.diagnose(
+      a.join(b.withColumnRenamed("y", "x"), "x")))
+    assert(!equi.contains("cartesian_join"), equi)
+  }
+
+  test("unpushed_filter fires when the predicate defeats pushdown") {
+    withAqeOff {
+      val dir = java.nio.file.Files.createTempDirectory("adv").toString
+      (1L to 4000L).toDF("id").write.mode("overwrite")
+        .parquet(s"$dir/t")
+      // md5-wrapped predicate: nothing pushes, scan decodes all rows
+      val wrapped = spark.read.parquet(s"$dir/t")
+        .filter(substring(md5(col("id").cast("string")), 1, 1) === "0")
+      val got = rules(Advisor.diagnose(wrapped))
+      assert(got.get("unpushed_filter").contains("high"), got)
+      // the same selectivity as a plain comparison pushes fine
+      val plain = spark.read.parquet(s"$dir/t").filter(col("id") < 250)
+      val none = rules(Advisor.diagnose(plain))
+      assert(!none.contains("unpushed_filter"), none)
+    }
+  }
+
+  test("small_files_scan fires on a fragmented write, not a compact one") {
+    val dir = java.nio.file.Files.createTempDirectory("adv").toString
+    (1L to 1000L).toDF("id").repartition(16).write
+      .mode("overwrite").parquet(s"$dir/frag")
+    val got = rules(Advisor.diagnose(spark.read.parquet(s"$dir/frag")))
+    assert(got.get("small_files_scan").exists(Set("high", "medium")), got)
+    (1L to 1000L).toDF("id").repartition(1).write
+      .mode("overwrite").parquet(s"$dir/compact")
+    // 1 file < minFiles -> silent regardless of size
+    val none = rules(Advisor.diagnose(spark.read.parquet(s"$dir/compact")))
+    assert(!none.contains("small_files_scan"), none)
+  }
+
+  test("broadcast_candidate fires on an SMJ with a tiny side") {
+    withAqeOff {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // force SMJ by disabling auto-broadcast at plan time...
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val big = (1L to 5000L).map(i => (i, s"p$i")).toDF("k", "pay")
+        val small = (1L to 50L).toDF("k")
+        val joined = big.join(small, "k")
+        val qe = joined.queryExecution
+        assert(qe.executedPlan.toString.contains("SortMergeJoin"))
+        // ...then judge with the default threshold back on: the rule
+        // reads the session conf at findings time
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        val got = rules(Advisor.diagnose(joined))
+        assert(got.get("broadcast_candidate").contains("medium"), got)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("candidate_pair_blowup reads graft observe sites") {
+    withAqeOff {
+      // one wide bucket over many points x many intervals -> candidates
+      // >> the 0 rows that survive an impossible between-filter...
+      // actually keep a tiny surviving set: points at t=500k only
+      val points = (1L to 400L).map(i => (i, i)).toDF("pid", "t")
+      val ivals = (1L to 400L).map(i => (1000000L + i, 1000000L + i))
+        .toDF("s", "e")
+      val rj = graft.operators.Temporal.rangeJoin(
+        points, col("t"), ivals, col("s"), col("e"),
+        bucket = 10000000L)
+      val got = rules(Advisor.diagnose(rj))
+      assert(got.contains("candidate_pair_blowup"), got)
+    }
+  }
+
+  test("disk_spill and task_reexecution stay silent on a healthy run") {
+    val got = rules(Advisor.diagnose(
+      (1L to 1000L).toDF("id").groupBy(col("id") % 10).count()))
+    assert(!got.contains("disk_spill") && !got.contains("task_reexecution"),
+      got)
+  }
+
+  test("disk_spill rule fires on synthetic task statistics") {
+    // the pure rule engine on fabricated stats (a spill is hard to
+    // force deterministically on a 4-core local run)
+    val plan = (1L to 10L).toDF("id").queryExecution.executedPlan
+    val stats = Seq(
+      Advisor.TaskStat(1, 0, 1000L, 5L << 20, failed = false,
+        speculative = false))
+    val fs = Advisor.findings(plan, stats, Map.empty, spark,
+      0.9, 3.0, 16L << 20, 8, 10.0)
+    val spill = fs.filter(_.rule == "disk_spill")
+    assert(spill.nonEmpty && spill.head.severity != "",
+      fs.map(_.rule).toString)
+  }
+
+  test("task_reexecution rule fires on synthetic retry statistics") {
+    val plan = (1L to 10L).toDF("id").queryExecution.executedPlan
+    val stats = (0 until 10).map(i =>
+      Advisor.TaskStat(1, 0, 100L, 0L, failed = false, speculative = false)) ++
+      Seq(Advisor.TaskStat(1, 1, 100L, 0L, failed = false,
+        speculative = false),
+        Advisor.TaskStat(1, 0, 0L, 0L, failed = true, speculative = false))
+    val fs = Advisor.findings(plan, stats, Map.empty, spark,
+      0.9, 3.0, 16L << 20, 8, 10.0)
+    assert(fs.exists(_.rule == "task_reexecution"), fs.map(_.rule).toString)
+  }
+
+  test("findings schema and severity bands are stable") {
+    val out = Advisor.diagnose((1L to 10L).toDF("id"))
+    assert(out.columns.toSeq ==
+      Seq("rule", "severity", "impact", "evidence", "prescription"))
+  }
+}

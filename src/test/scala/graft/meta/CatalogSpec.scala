@@ -96,6 +96,49 @@ class CatalogSpec extends SparkSpec {
       100 * 6 + 50 * 6 + 25 * 6 + 10 * 6)
   }
 
+  test("distCh applies recursive owner/perm edits, conserves rows, later op wins") {
+    val withMeta = ns
+      .withColumn("owner", lit("root"))
+      .withColumn("perm", lit("644"))
+    val got = Catalog.distCh(withMeta, Seq(
+        Catalog.ChOp("/a", owner = Some("alice")),
+        Catalog.ChOp("/a/sub", owner = Some("bob"), perm = Some("600")),
+        Catalog.ChOp("/b/f4", perm = Some("755"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("owner"), r.getAs[String]("perm"))).toMap
+    // tree semantics incl. the root of the tree itself
+    assert(got("/a") == (("alice", "644")))
+    assert(got("/a/f1") == (("alice", "644")))
+    // later op wins on the overlap
+    assert(got("/a/sub") == (("bob", "600")))
+    assert(got("/a/sub/f3") == (("bob", "600")))
+    // empty fields leave the other property unchanged
+    assert(got("/b/f4") == (("root", "755")))
+    assert(got("/b") == (("root", "644")))
+    assert(got.size == 7, "row count conserved")
+    // group applies only when the column exists
+    val grouped = Catalog.distCh(
+      withMeta.withColumn("group", lit("users")),
+      Seq(Catalog.ChOp("/b", group = Some("ops"))))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("group")).toMap
+    assert(grouped("/b/f4") == "ops" && grouped("/a/f1") == "users")
+    // a group op against a group-less namespace is a no-op, not an error
+    assert(Catalog.distCh(withMeta,
+      Seq(Catalog.ChOp("/b", group = Some("ops")))).count() == 7)
+    // /a must not match /abc (tree, not string prefix)
+    val tricky = Seq(("/a", false, 1L, 3), ("/abc", false, 1L, 3))
+      .toDF("path", "is_dir", "len", "replication")
+      .withColumn("owner", lit("root")).withColumn("perm", lit("644"))
+    val t2 = Catalog.distCh(tricky, Seq(Catalog.ChOp("/a",
+        owner = Some("alice"))))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("owner")).toMap
+    assert(t2 == Map("/a" -> "alice", "/abc" -> "root"))
+    // octal validation
+    intercept[IllegalArgumentException] {
+      Catalog.ChOp("/a", perm = Some("99"))
+    }
+  }
+
   test("balancerPlan conserves bytes, covers all nodes, sizes moves") {
     val got = Catalog.balancerPlan(ns, blockSize = 40, nNodes = 4,
       nodeCapacity = 200L, threshold = 0.05)

@@ -19,6 +19,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(("ab", 3), ("aa", 1)))
   }
 
+  test("logalyze greps whole lines with occurrence counts, column-sorted") {
+    import spark.implicits._
+    val logs = Seq(
+      "2024\thost2\tERROR disk ERROR",   // 2 occurrences on one line
+      "2024\thost1\tERROR net",
+      "2024\thost1\tERROR net",          // duplicate line -> counts sum
+      "2024\thost3\tWARN disk"           // no match -> dropped
+    ).toDF("line")
+    val got = logalyze(logs, col("line"), "ERROR", sortCols = Seq(1, 0))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      ("2024\thost1\tERROR net", 2L),
+      ("2024\thost2\tERROR disk ERROR", 2L)))
+    intercept[IllegalArgumentException] {
+      logalyze(logs, col("line"), "ERROR", sortCols = Seq.empty)
+    }
+  }
+
   test("fieldSelection projects spec'd fields in order") {
     import spark.implicits._
     val df = Seq("a\tb\tc\td").toDF("value")
