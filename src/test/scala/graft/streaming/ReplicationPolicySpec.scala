@@ -516,4 +516,61 @@ class HeatStreamSpec extends SparkSpec {
       assert(removed >= 1L, s"state store recorded no eviction ($removed)")
     } finally q.stop()
   }
+
+  test("TTL eviction is TOTAL amnesia: post-gap folds match a history-free control") {
+    // The reference's restart-amnesia contract (FSDirectory.java:
+    // 482-495): setDynamicReplication deliberately skips the edit
+    // log, so a NameNode restart forgets every dynamic-replication
+    // adjustment and the policy re-seeds from scratch — heat history
+    // must not leak across the discontinuity. Property here: files
+    // with DIFFERENT pre-gap histories (1, 3, and 6 accesses, wildly
+    // different EWMAs) that all go cold past the TTL and then replay
+    // an IDENTICAL post-gap suffix must emit post-gap records
+    // identical to each other AND to a control file that never had a
+    // pre-gap history at all. Any divergence = pre-eviction state
+    // bleeding through the amnesia boundary.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import HeatStream._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Access]
+    val q = heatUpdates(input.toDS(), stateTtlMs = 1000L,
+        allowedLatenessMs = 0L).writeStream
+      .outputMode("update").format("memory").queryName("heat_amnesia")
+      .start()
+    try {
+      // pre-gap histories: a×1, b×3, c×6 (60 s spacing beats the 30 s
+      // throttle, so every access shifts the EWMA); d sends nothing
+      val pre =
+        (1 to 1).map(k => Access("a", 60000L * k)) ++
+        (1 to 3).map(k => Access("b", 60000L * k)) ++
+        (1 to 6).map(k => Access("c", 60000L * k))
+      input.addData(pre.sortBy(_.tsMs): _*)
+      q.processAllAvailable()
+      // advance the watermark far past every key's TTL deadline
+      input.addData(Access("wm", 10000000L))
+      q.processAllAvailable()
+      // identical post-gap suffix for all four files
+      val suffix = Seq(20000000L, 20060000L, 20120000L)
+      for (ts <- suffix) {
+        input.addData(Seq("a", "b", "c", "d").map(Access(_, ts)): _*)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("heat_amnesia").as[HeatRecord].collect()
+      val postGap = rows.filter(r => r.lastUpdateMs >= 20000000L &&
+        Set("a", "b", "c", "d")(r.path))
+      // fold signature per file: the ordered (ewma, lastUpdateMs)
+      // trajectory after the gap
+      val sig = postGap.groupBy(_.path).view.mapValues(
+        _.sortBy(_.lastUpdateMs).map(r => (r.ewma, r.lastUpdateMs)).toSeq)
+        .toMap
+      assert(sig.keySet == Set("a", "b", "c", "d"), sig.keySet.toString)
+      val control = sig("d")
+      assert(control.nonEmpty)
+      for (f <- Seq("a", "b", "c"))
+        assert(sig(f) == control,
+          s"pre-gap history of '$f' leaked through eviction: " +
+            s"${sig(f)} != control $control")
+    } finally q.stop()
+  }
 }
