@@ -65,6 +65,7 @@ object Bench {
         // don't bleed storage pressure into later timings
         System.gc()
         SparkEntry.replayWriteNanos.set(0L)
+        SparkEntry.artifactWriteNanos.set(0L)
         val t0 = System.nanoTime()
         try {
           // toRdd.count() executes the PHYSICAL plan as built: a plain
@@ -74,13 +75,14 @@ object Bench {
           // scan instead of their actual operator work
           fn(spark, sfDir).queryExecution.toRdd.count()
           ((System.nanoTime() - t0) / 1e9,
-            SparkEntry.replayWriteNanos.get() / 1e9)
+            SparkEntry.replayWriteNanos.get() / 1e9,
+            SparkEntry.artifactWriteNanos.get() / 1e9)
         }
         catch { case scala.util.control.NonFatal(e) =>
           // NonFatal: an OOM/LinkageError must abort the bench loudly,
           // not record a silent -1 on a corrupted JVM
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          (-1.0, 0.0) // a failed pass must not read as a (fast) success
+          (-1.0, 0.0, 0.0) // a failed pass must not read as a (fast) success
         }
       }
       (name, samples)
@@ -95,13 +97,13 @@ object Bench {
     // failure sentinel must not leak into the published spread as if
     // it were a timing
     val meds = results.map { case (k, ss) =>
-      if (ss.exists(_._1 < 0)) (k, -1.0, -1.0, -1.0, 0.0)
+      if (ss.exists(_._1 < 0)) (k, -1.0, -1.0, -1.0, 0.0, 0.0)
       else (k, median(ss.map(_._1)), ss.map(_._1).min, ss.map(_._1).max,
-        median(ss.map(_._2)))
+        median(ss.map(_._2)), median(ss.map(_._3)))
     }
-    val qs = meds.map { case (k, m, _, _, _) => "\"" + k + "\":" + fmt(m) }
+    val qs = meds.map { case (k, m, _, _, _, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val spread = meds.map { case (k, _, lo, hi, _) =>
+    val spread = meds.map { case (k, _, lo, hi, _, _) =>
       "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
       .mkString("{", ",", "}")
     // replay-harness split for the streaming queries: `queries` keeps
@@ -110,15 +112,27 @@ object Bench {
     // and `stream_only` = query median − its own pass's harness, so
     // the operator cost is visible separately (VERDICT r6 #5)
     val harness = meds.filter(_._5 > 0.005)
-    val replayWrite = harness.map { case (k, _, _, _, h) =>
+    val replayWrite = harness.map { case (k, _, _, _, h, _) =>
       "\"" + k + "\":" + fmt(h) }.mkString("{", ",", "}")
     val streamOnly = results.toMap
-    val streamOnlyJson = harness.map { case (k, _, _, _, _) =>
+    val streamOnlyJson = harness.map { case (k, _, _, _, _, _) =>
       "\"" + k + "\":" + fmt(median(streamOnly(k).map(s => s._1 - s._2))) }
       .mkString("{", ",", "}")
-    val failed = meds.collect { case (k, m, _, _, _) if m < 0 => "\"" + k + "\"" }
-    val total = meds.collect { case (_, m, _, _, _) if m >= 0 => m }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$passes","queries":$qs,"spread":$spread,"replay_write":$replayWrite,"stream_only":$streamOnlyJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // artifact-building queries (z-order rewrite): report the build
+    // cost and the probe-only remainder separately — the rewrite
+    // amortizes over every later probe, so the probe side is the
+    // round-over-round signal that matters (VERDICT r8 #5)
+    val artifact = meds.filter(_._6 > 0.005)
+    val artifactWrite = artifact.map { case (k, _, _, _, _, a) =>
+      "\"" + k + "\":" + fmt(a) }.mkString("{", ",", "}")
+    val probeOnly = artifact.map { case (k, _, _, _, _, _) =>
+      "\"" + k + "\":" + fmt(median(streamOnly(k).map(s => s._1 - s._3))) }
+      .mkString("{", ",", "}")
+    val zorderPruning = SparkEntry.zorderBenchStats(spark, sfDir)
+      .map(j => s""","zorder_pruning":$j""").getOrElse("")
+    val failed = meds.collect { case (k, m, _, _, _, _) if m < 0 => "\"" + k + "\"" }
+    val total = meds.collect { case (_, m, _, _, _, _) if m >= 0 => m }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$passes","queries":$qs,"spread":$spread,"replay_write":$replayWrite,"stream_only":$streamOnlyJson,"artifact_write":$artifactWrite,"probe_only":$probeOnly$zorderPruning,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,8 +28,90 @@ object SparkEntry {
     */
   val replayWriteNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Nanoseconds the CURRENT query spent building its on-disk
+    * ARTIFACT (the z-order clustered rewrite) — genuine operator
+    * work, unlike [[replayWriteNanos]]' harness cost, but work whose
+    * payoff is on the READ side: a layout rewrite is amortized over
+    * every later probe, so the bench splits the record (rewrite vs
+    * probe) to track the part that matters at 100 TB.
+    */
+  val artifactWriteNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
+
+  /** Probe-side pruning witness for the z-order layout, computed once
+    * per bench run (UNTIMED — the graded timing stays q_zorder_box's
+    * end-to-end number): the same 2-D box the query grades, answered
+    * through (a) the clustered artifact the last pass wrote and (b) a
+    * freshly-written single-column-sorted copy at the same file count
+    * (the layout a naive pipeline produces). Reports, per layout, how
+    * many files' bounding boxes intersect the query box
+    * ([[graft.sources.Layout.fileBoxes]] — files a reader must open)
+    * and how many rows the parquet reader actually decoded (the scan
+    * node's numOutputRows: pushed min/max row-group stats skip
+    * non-intersecting files). The round-over-round signal for the
+    * read-side payoff that the rewrite buys at 100 TB.
+    */
+  def zorderBenchStats(s: SparkSession, dir: String): Option[String] =
+    try {
+      val zpath = scratchDir(s, "zorder")
+      if (!new java.io.File(zpath).exists()) return None
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val mx = base.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+      val (maxOk, maxPk) = (mx.getLong(0), mx.getLong(1))
+      val (xlo, xhi) = (math.ceil(0.1 * maxOk).toLong,
+        math.floor(0.3 * maxOk).toLong)
+      val (ylo, yhi) = (math.ceil(0.2 * maxPk).toLong,
+        math.floor(0.45 * maxPk).toLong)
+      val spath = scratchDir(s, "zorder-sorted")
+      base.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(spath)
+      // two probe shapes: the graded 2-D box, and a Y-ONLY range —
+      // the case that separates the layouts (an x-sorted file covers
+      // the full y range, so y-only predicates prune NOTHING there,
+      // while z-order tiles bound both dimensions)
+      def stats(path: String, pred: Column,
+                boxHit: org.apache.spark.sql.Row => Boolean): (Long, Long, Long) = {
+        val boxes = sources.Layout.fileBoxes(s, path,
+          "l_orderkey", "l_partkey").collect()
+        val hit = boxes.count(boxHit)
+        val probe = s.read.parquet(path).filter(pred)
+        probe.queryExecution.toRdd.count()
+        val scanRows = meta.Advisor.flatten(probe.queryExecution.executedPlan)
+          .collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+          }.getOrElse(-1L)
+        (boxes.length.toLong, hit.toLong, scanRows)
+      }
+      val boxPred = col("l_orderkey") >= lit(xlo) &&
+        col("l_orderkey") <= lit(xhi) &&
+        col("l_partkey") >= lit(ylo) && col("l_partkey") <= lit(yhi)
+      def boxHit(r: org.apache.spark.sql.Row): Boolean =
+        r.getLong(1) <= xhi && r.getLong(2) >= xlo &&
+          r.getLong(3) <= yhi && r.getLong(4) >= ylo
+      val yPred = col("l_partkey") >= lit(ylo) && col("l_partkey") <= lit(yhi)
+      def yHit(r: org.apache.spark.sql.Row): Boolean =
+        r.getLong(3) <= yhi && r.getLong(4) >= ylo
+      val (zf, zh, zr) = stats(zpath, boxPred, boxHit)
+      val (sf, sh, sr) = stats(spath, boxPred, boxHit)
+      val (_, zyh, zyr) = stats(zpath, yPred, yHit)
+      val (_, syh, syr) = stats(spath, yPred, yHit)
+      Some(s"""{"box":{"files":$zf,"files_hit_zorder":$zh,""" +
+        s""""rows_scanned_zorder":$zr,"files_hit_sorted":$sh,""" +
+        s""""rows_scanned_sorted":$sr},""" +
+        s""""y_only":{"files":$zf,"files_hit_zorder":$zyh,""" +
+        s""""rows_scanned_zorder":$zyr,"files_hit_sorted":$syh,""" +
+        s""""rows_scanned_sorted":$syr}}""")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] zorder pruning stats skipped: " +
+          e.getMessage)
+        None
+    }
 
   /** Shared prelude of q_range_join / q_active_count: error events
     * as (event_id, t) points and 12-hour-gap session summaries as
@@ -1716,15 +1798,24 @@ object SparkEntry {
       val base = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
       val out = scratchDir(s, "zorder")
+      val tw0 = System.nanoTime()
       sources.Layout.zorderWrite(base, out,
         Seq("l_orderkey", "l_partkey"), bits = 6, outFiles = 8)
+      artifactWriteNanos.addAndGet(System.nanoTime() - tw0)
       val mx = base.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
       val (maxOk, maxPk) = (mx.getLong(0), mx.getLong(1))
+      // LONG bounds (ceil of lower, floor of upper — semantically
+      // identical to the fractional compare on an integer column, so
+      // the oracle's double arithmetic still matches): a double
+      // literal would wrap the column in a cast and defeat parquet
+      // min/max pushdown, which is the entire read-side payoff the
+      // layout buys (row-group stats skip the files whose tile
+      // misses the box)
       s.read.parquet(out)
-        .filter(col("l_orderkey") >= lit(0.1 * maxOk) &&
-          col("l_orderkey") <= lit(0.3 * maxOk) &&
-          col("l_partkey") >= lit(0.2 * maxPk) &&
-          col("l_partkey") <= lit(0.45 * maxPk))
+        .filter(col("l_orderkey") >= lit(math.ceil(0.1 * maxOk).toLong) &&
+          col("l_orderkey") <= lit(math.floor(0.3 * maxOk).toLong) &&
+          col("l_partkey") >= lit(math.ceil(0.2 * maxPk).toLong) &&
+          col("l_partkey") <= lit(math.floor(0.45 * maxPk).toLong))
     }),
 
     // exact phi-heavy-hitters: capacity 30 < the corpus' 31-token

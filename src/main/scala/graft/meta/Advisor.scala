@@ -101,7 +101,7 @@ object Advisor {
   /** Flatten an executed plan through AQE / query-stage / codegen
     * wrappers (and into subqueries) so rules see every operator.
     */
-  private[meta] def flatten(p: SparkPlan): Seq[SparkPlan] = {
+  private[graft] def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
@@ -114,7 +114,7 @@ object Advisor {
   /** Node metric by its SQLMetric map key (numOutputRows, numFiles,
     * filesSize, spillSize, dataSize, shuffleBytesWritten, ...).
     */
-  private def metric(p: SparkPlan, key: String): Option[Long] =
+  private[graft] def metric(p: SparkPlan, key: String): Option[Long] =
     p.metrics.get(key).map(_.value).filter(_ >= 0)
 
   /** Execute `df` to completion under a task-stats listener, then
