@@ -149,6 +149,30 @@ object Profile {
       return
     }
 
+    // --ccalt: distributed closure kernels head-to-head on a
+    // synthetic graph big enough that per-round join volume matters
+    // (the graded corpora route to the small-graph fast path):
+    // 50k chains of length 16 (deep: pointer-doubling's case) +
+    // 200k star pairs (shallow: converge round 2 — frontier's case).
+    // Both kernels produce identical labels (FuzzSpec); this times
+    // pointer-doubling full-propagation vs frontier change-propagation.
+    if (args.contains("--ccalt")) {
+      val chains = spark.range(800000L)
+        .selectExpr("id AS id_a", "id + 1 AS id_b")
+        .where("id % 16 <> 15")
+      val stars = spark.range(1000000L, 1400000L, 2)
+        .selectExpr("id AS id_a", "id + 1 AS id_b")
+      val pairs = chains.union(stars)
+      for (frontier <- Seq(false, true, false, true)) {
+        val tag = if (frontier) "cc-frontier" else "cc-doubling"
+        time(tag)(Dedup.connectedComponentsDistributed(
+            pairs.localCheckpoint(), maxIters = 30, frontier = frontier)
+          .queryExecution.toRdd.count())
+      }
+      spark.stop()
+      return
+    }
+
     // --prefix: inverted-index exact Jaccard vs prefix-filtered exact
     // Jaccard across thresholds (same output set at each t) — the
     // candidate-pruning payoff scales as (1-t), so the gap should

@@ -147,8 +147,22 @@ class FuzzSpec extends SparkSpec {
         (rnd.nextLong(nNodes), rnd.nextLong(nNodes))
       }.filter(p => p._1 != p._2)
       if (pairs.nonEmpty) {
+        // default routes tiny graphs to the driver union-find fast
+        // path; smallGraphEdges = 0 forces the distributed fixpoint —
+        // both must agree with the reference on every case
         val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val gotDist = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"),
+            smallGraphEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == gotDist,
+          s"case $c: fast path diverged from distributed: $got vs $gotDist")
+        val gotFrontier = Dedup.connectedComponentsDistributed(
+            pairs.toDF("id_a", "id_b").localCheckpoint(),
+            maxIters = 30, frontier = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == gotFrontier,
+          s"case $c: frontier kernel diverged: $got vs $gotFrontier")
         // reference: union-find with path compression
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
