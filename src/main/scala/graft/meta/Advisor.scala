@@ -59,7 +59,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   *    `broadcast()` hint would delete the large side's exchange.
   *  - `candidate_pair_blowup`: a graft `observe` site
   *    (`graft.<op>.cand.<n>`, e.g. [[graft.operators.Temporal
-  *    .rangeJoin]]) reporting a candidate population more than
+  *    .rangeJoin]] run with `observeCandidates = true` — the
+  *    diagnostic dial) reporting a candidate population more than
   *    `blowupFactor` times the query's output rows — the signal that
   *    a count-shaped consumer should route to the operator's scale
   *    twin (rangeJoinCount / prefixJaccardPairs).

@@ -119,10 +119,17 @@ object Temporal {
     * the graded workload); if all you do downstream is count
     * coverage per point, [[rangeJoinCount]] computes the same answer
     * through a boundary-counting sweep with zero pair blowup
-    * (sf1: 2.5 s vs 19.8 s here). The observed
-    * `graft.<site>.cand.<n>` `candidate_pairs` metric on every run
-    * makes the blowup visible: candidates far above the filtered
-    * output row count is the routing signal.
+    * (sf1: 2.5 s vs 19.8 s here). With
+    * `observeCandidates = true` the run reports its candidate-pair
+    * population as an observed `graft.<site>.cand.<n>`
+    * `candidate_pairs` metric (the [[graft.meta.Advisor]]'s
+    * `candidate_pair_blowup` rule reads it): candidates far above
+    * the filtered output row count is the routing signal. The dial
+    * is off by default because the CollectMetrics node sits between
+    * the join and the exact between-filter — it pins the filter
+    * outside the join and breaks the fused codegen pipeline
+    * (measured ~2.5x on the graded workload at sf0.1), a price worth
+    * paying when DIAGNOSING a slow range join, not on every run.
     *
     * A naive inequality join is a cross product per planner (Spark
     * plans BNL over |P|·|I| candidates); this blocks both sides into
@@ -150,7 +157,8 @@ object Temporal {
   def rangeJoin(points: DataFrame, pt: Column,
                 intervals: DataFrame, start: Column, end: Column,
                 bucket: Long, maxBuckets: Int = 4096,
-                site: String = "range_join"): DataFrame = {
+                site: String = "range_join",
+                observeCandidates: Boolean = false): DataFrame = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
     require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
@@ -200,19 +208,24 @@ object Temporal {
       .withColumn(s"${p}_b",
         explode(sequence(bucketOf(start), bucketOf(end))))
       .drop(s"${p}_nb")
-    points.withColumn(s"${p}_b", bucketOf(pt))
+    val joined = points.withColumn(s"${p}_b", bucketOf(pt))
       .join(ivals, Seq(s"${p}_b"))
-      // candidate-pair population metric, observed BEFORE the exact
-      // between-filter: this is the quantity that grows ~quadratically
-      // on a densifying timeline (points × concurrent intervals per
-      // bucket) while the filtered output may stay small — the signal
-      // that a count-shaped consumer should be on [[rangeJoinCount]]
-      // instead. The CollectMetrics node does pin the between-filter
-      // outside the join (a filter cannot cross an observe without
-      // changing the metric); the candidates materialize either way —
-      // visibility at the price of a post-join filter placement.
-      .observe(s"graft.$site.cand.${Temporal.obsId.incrementAndGet()}",
-        count(lit(1)).as("candidate_pairs"))
+    // candidate-pair population metric, observed BEFORE the exact
+    // between-filter: this is the quantity that grows ~quadratically
+    // on a densifying timeline (points × concurrent intervals per
+    // bucket) while the filtered output may stay small — the signal
+    // that a count-shaped consumer should be on [[rangeJoinCount]]
+    // instead. Opt-in (see scaladoc): the CollectMetrics node pins
+    // the between-filter outside the join and breaks the fused
+    // codegen pipeline — without it, Catalyst evaluates the between
+    // predicate INSIDE the join as its non-equi condition.
+    val metered =
+      if (observeCandidates)
+        joined.observe(
+          s"graft.$site.cand.${Temporal.obsId.incrementAndGet()}",
+          count(lit(1)).as("candidate_pairs"))
+      else joined
+    metered
       .filter(pt.between(start, end))
       .drop(s"${p}_b")
   }

@@ -109,7 +109,7 @@ class AdvisorSpec extends SparkSpec {
         .toDF("s", "e")
       val rj = graft.operators.Temporal.rangeJoin(
         points, col("t"), ivals, col("s"), col("e"),
-        bucket = 10000000L)
+        bucket = 10000000L, observeCandidates = true)
       val got = rules(Advisor.diagnose(rj))
       assert(got.contains("candidate_pair_blowup"), got)
     }

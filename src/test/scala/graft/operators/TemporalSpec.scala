@@ -339,7 +339,8 @@ class TemporalSpec extends SparkSpec {
       // the candidates-vs-output gap the metric exists to expose
       val points = Seq((1L, 10L), (2L, 50L), (3L, 90L)).toDF("pid", "t")
       val ivals = Seq((5L, 12L), (45L, 55L)).toDF("s", "e")
-      val n = rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 100L)
+      val n = rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 100L,
+          observeCandidates = true)
         .count()
       assert(n == 2L)
       val deadline = System.nanoTime() + 10_000_000_000L
