@@ -484,6 +484,15 @@ object Dedup {
     * exact output at every t): 14.8 vs 17.4 s at t=0.5, 6.7 vs
     * 16.0 s at t=0.7, 3.5 vs 15.7 s at t=0.9 — the prefix plan wins
     * everywhere in the routed range, hence routeThreshold = 0.5.
+    * The crossover is SCALE-dependent: at sf0.1 the prefix plan's
+    * extra stages (df join, per-doc rank, set rerank) cost more than
+    * the inverted index's whole candidate population (~3.5 vs
+    * ~2.0 s at t=0.5), and the gap inverts by sf1. The default
+    * routes for the scale direction — candidate populations grow
+    * ~quadratically with corpus density while the prefix overhead
+    * stays linear, so the small-corpus penalty is the cheap side of
+    * the trade; a latency-critical small-corpus caller can pin the
+    * inverted form via routeThreshold.
     *
     * Semantics when routed: the output is the TRUE exact pair set —
     * `maxDf` is NOT applied (the prefix path needs no df prune; its
