@@ -312,6 +312,25 @@ object SparkEntry {
     base.unionByName(jit)
   }
 
+  /** Shared oracle of q_embed_ivf and q_embed_ivf_disk: with
+    * nprobe = nlist the probe provably equals brute-force top-k,
+    * disk round trip or not (parquet doubles are binary-exact).
+    */
+  private val embedIvfSql: String =
+      """WITH c AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id,
+        |        round(list_dot_product(cv, qv) /
+        |              sqrt(list_dot_product(cv, cv) *
+        |                   list_dot_product(qv, qv)), 4) AS cos
+        |      FROM c CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
+        |FROM s QUALIFY rnk <= 5""".stripMargin
+
   /** Shared oracle of q_stream_replication and its recovery twin:
     * the throttled-EWMA fold as a recursive CTE (bit-exact dyadic
     * blends), then tier/exempt/sweep mirrored in closed form.
@@ -1049,6 +1068,30 @@ object SparkEntry {
       val (indexed, cents) = functions.Ivf.index(e, col("vec_id"),
         col("embedding"), k = 16, iters = 1)
       functions.Ivf.topK(indexed, cents,
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 16)
+    }),
+
+    // the same IVF machinery as a PERSISTED artifact — the
+    // build-once/probe-many shape a 100 TB ANN deployment runs:
+    // index written cluster-partitioned to parquet (+ the O(nlist)
+    // centroid table beside it), probe reads it back from disk; a
+    // pruned probe scans only its nprobe partitions (IvfSpec asserts
+    // the partition-pruned plan), and nprobe = nlist here makes the
+    // result provably brute-force-equal so the oracle hash-checks
+    // the full write/read/probe round trip. artifactWriteNanos
+    // splits the bench record like q_zorder_box's.
+    "q_embed_ivf_disk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val out = scratchDir(s, "ivf")
+      val (indexed, cents) = functions.Ivf.index(e, col("vec_id"),
+        col("embedding"), k = 16, iters = 1)
+      val tw0 = System.nanoTime()
+      functions.Ivf.writePartitioned(indexed, s"$out/index")
+      cents.write.mode("overwrite").parquet(s"$out/centroids")
+      artifactWriteNanos.addAndGet(System.nanoTime() - tw0)
+      functions.Ivf.topK(s.read.parquet(s"$out/index"),
+        s.read.parquet(s"$out/centroids"),
         e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
         k = 5, nprobe = 16)
     }),
@@ -2664,20 +2707,11 @@ object SparkEntry {
 
     // q_embed_ivf: nprobe = nlist scans every cluster, so IVF top-k
     // provably equals brute-force top-k — checked row-for-row.
-    "q_embed_ivf" ->
-      """WITH c AS (SELECT vec_id,
-        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 5),
-        |s AS (SELECT query_id, vec_id,
-        |        round(list_dot_product(cv, qv) /
-        |              sqrt(list_dot_product(cv, cv) *
-        |                   list_dot_product(qv, qv)), 4) AS cos
-        |      FROM c CROSS JOIN q WHERE vec_id <> query_id)
-        |SELECT query_id, vec_id, cos,
-        |       CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk
-        |FROM s QUALIFY rnk <= 5""".stripMargin,
+    "q_embed_ivf" -> embedIvfSql,
+
+    // identical semantics through the persisted cluster-partitioned
+    // artifact — same oracle verbatim
+    "q_embed_ivf_disk" -> embedIvfSql,
 
     // kNN vote replayed: exact cosine ranking (the embed_topk CTE),
     // then majority vote with (votes DESC, label ASC) tie-break
