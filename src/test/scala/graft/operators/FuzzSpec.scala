@@ -890,4 +890,32 @@ class FuzzSpec extends SparkSpec {
         s"case $c k=$k j=$j")
     }
   }
+
+  test("Layout.interleave equals the in-memory Morton reference on random ranks") {
+    val rnd = new scala.util.Random(9292)
+    for (c <- 1 to cases) {
+      val k = 1 + rnd.nextInt(3)          // 1-3 columns
+      val bits = 1 + rnd.nextInt(63 / k)  // k*bits <= 63
+      val n = 1 + rnd.nextInt(40)
+      val rows = (1 to n).map { i =>
+        (i.toLong, Seq.fill(k)(rnd.nextLong(1L << bits)))
+      }
+      val df = rows.map { case (i, rs) =>
+        (i, rs.lift(0).getOrElse(0L), rs.lift(1).getOrElse(0L),
+          rs.lift(2).getOrElse(0L))
+      }.toDF("i", "r0", "r1", "r2")
+      val cols = (0 until k).map(j => col(s"r$j"))
+      val got = df.select(col("i"),
+          graft.sources.Layout.interleave(cols, bits).as("z"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: bit b of column j lands at position b*k + j
+      val want = rows.map { case (i, rs) =>
+        var z = 0L
+        for (b <- 0 until bits; j <- 0 until k)
+          z |= (((rs(j) >> b) & 1L) << (b * k + j))
+        i -> z
+      }.toMap
+      assert(got == want, s"case $c k=$k bits=$bits")
+    }
+  }
 }
