@@ -53,7 +53,13 @@ object Bench {
     // a noisy round is visible as noise instead of as a regression.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for targeted A/B runs (dev tool; the driver
+    // always benches the full surface)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val samples = (1 to passes).map { _ =>
         // isolate queries: operators that persist derived indexes
         // (LSH banding, inverted indexes) must not distort successors

@@ -249,6 +249,16 @@ object SparkEntry {
     * the same dial scales UP with keyspace; the point is that it is
     * a dial, not an inherited constant.
     */
+  /** The streaming replay queries' state-store width: the documented
+    * dial made ACTUAL (env `SPARK_GRAFT_STREAM_STATE_PARTITIONS`,
+    * default 8). Each state partition is one scheduled task plus one
+    * checkpoint-delta fsync per micro-batch, so width is a fixed
+    * per-batch cost to size to the stream's keyspace/volume — 8 fits
+    * the graded replays; a real deployment raises it with keyspace.
+    */
+  private val streamStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8").toInt
+
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -1457,7 +1467,7 @@ object SparkEntry {
     // integer-floored to seconds (ts DIV 1e9 = epoch_us // 1e6 on
     // the nanos fixture); sums go through DECIMAL(18,2) so partial
     // aggregation order can't move a bit.
-    "q_stream_windows" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_windows" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         val batch = t(s, dir, "events")
           .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
             col("event_type"), col("value"))
@@ -1481,7 +1491,7 @@ object SparkEntry {
     // though WHICH copy survives depends on file arrival order
     // (only the key columns are emitted). State is the exercised
     // surface: keys ride the state store across 8 micro-batches.
-    "q_stream_dedup" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_dedup" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         val batch = t(s, dir, "events")
           .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
             col("user_id"), col("event_type"))
@@ -1504,7 +1514,7 @@ object SparkEntry {
     // session (merge condition start <= end on half-open windows), so
     // the oracle breaks strictly greater-than; timestamps are floored
     // to seconds, sums ride DECIMAL(18,2).
-    "q_stream_sessions" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_sessions" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         val batch = t(s, dir, "events")
           .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
             col("user_id"), col("value"))
@@ -1528,7 +1538,7 @@ object SparkEntry {
     // bounded by buckets/user, never events — and the (cohort,
     // period) matrix is the batch rollup of the sink. Same oracle
     // as q_retention: the stream must converge to the batch answer.
-    "q_stream_retention" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_retention" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         val batch = t(s, dir, "events")
           .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(col("user_id").as("u"),
@@ -1552,7 +1562,7 @@ object SparkEntry {
     // exactly — same split of the events table as q_asof_join, same
     // DuckDB ASOF LEFT JOIN oracle. Update-mode memory sink: each
     // point emits exactly once, in the batch it arrives.
-    "q_stream_asof" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_asof" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         val e = t(s, dir, "events")
         val merged = e.filter(col("event_id") % 7 =!= 0)
           .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
@@ -1588,7 +1598,7 @@ object SparkEntry {
     // the 5 distinct event_types, so the Misra-Gries sketch never
     // decrements and min_count IS the exact per-window count — the
     // oracle is a plain GROUP BY over the closed windows.
-    "q_stream_heavy" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_heavy" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         import s.implicits._
         val batch = t(s, dir, "events")
           .select(expr("ts div 1000000000").cast("timestamp").as("ts"),
@@ -1617,7 +1627,7 @@ object SparkEntry {
     // window — which is precisely what the oracle computes with a
     // plain GROUP BY. A sketch regression that drops a true heavy
     // hitter under pressure loses a row and hash-mismatches.
-    "q_stream_heavy_pressure" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_heavy_pressure" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         import s.implicits._
         val phi = 0.05
         val base = t(s, dir, "events")
@@ -1665,7 +1675,7 @@ object SparkEntry {
     // order can't drift the result. Final state per file = the
     // update-mode record with the greatest lastUpdateMs (throttled
     // batches re-emit the unchanged record — max(struct) dedups).
-    "q_stream_heat" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_heat" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         import s.implicits._
         val batch = t(s, dir, "events")
           .select(col("user_id").cast("string").as("path"),
@@ -1703,7 +1713,7 @@ object SparkEntry {
     // (ReplicationPolicySpec). The oracle replays the identical
     // throttled fold as a recursive CTE (bit-exact dyadic blends),
     // then mirrors tier/exempt/sweep in closed form.
-    "q_stream_replication" -> ((s, dir) => { withShufflePartitions(s, 8) {
+    "q_stream_replication" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         import s.implicits._
         val batch = t(s, dir, "events")
           .select(col("user_id").cast("string").as("path"),
@@ -1740,7 +1750,7 @@ object SparkEntry {
     // parquet append because an in-memory sink does not survive a
     // restart (it is not fault-tolerant — the point of the exercise).
     "q_stream_replication_recovery" -> ((s, dir) => {
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamStatePartitions) {
         import s.implicits._
         val batch = t(s, dir, "events")
           .select(col("user_id").cast("string").as("path"),
