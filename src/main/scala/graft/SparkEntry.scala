@@ -714,6 +714,35 @@ object SparkEntry {
         meta.Catalog.fromDocuments(t(s, dir, "documents")),
         blockSize = 256L)),
 
+    // TextOutputFormat graded END-TO-END (was sink-spec-only): write
+    // nation as key<TAB>value text via the real sink, read the files
+    // back as lines; the oracle reconstructs every line in SQL — the
+    // separator, the null->'' coalesce, and the string casts are all
+    // on the graded path
+    "q_text_sink" -> ((s, dir) => {
+      val out = scratchDir(s, "textsink")
+      sources.MultiIO.writeText(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        out, sep = "\t")
+      s.read.text(out).select(col("value").as("line"))
+    }),
+
+    // FsShell getmerge graded END-TO-END: merge the text sink's part
+    // files into ONE local file (name order, byte-for-byte), then
+    // read the merged file — same oracle as the sink (merging must
+    // lose/duplicate nothing)
+    "q_getmerge" -> ((s, dir) => {
+      val out = scratchDir(s, "getmergesrc")
+      sources.MultiIO.writeText(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        out, sep = "\t")
+      val merged = java.nio.file.Paths
+        .get(scratchDir(s, "getmergedst"), "merged.txt")
+      new java.io.File(merged.getParent.toString).mkdirs()
+      sources.MultiIO.getmerge(s, out, merged.toString)
+      s.read.text(merged.toString).select(col("value").as("line"))
+    }),
+
     // DistCh (distributed chmod/chown batch): recursive owner/perm
     // edits over the modeled namespace, ordered ops with later-wins
     // overlap — here "/corpus" re-owned wholesale, then src1's tree
@@ -2187,6 +2216,16 @@ object SparkEntry {
         |       count(*) AS file_count,
         |       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS content_size
         |FROM documents""".stripMargin,
+
+    // q_text_sink / q_getmerge: the same line set both ways (the
+    // merge must be content-preserving); rows compare sorted, so
+    // file order is not part of the hash
+    "q_text_sink" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) || chr(9) || n_name AS line
+        |FROM nation""".stripMargin,
+    "q_getmerge" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) || chr(9) || n_name AS line
+        |FROM nation""".stripMargin,
 
     // q_distch: tree-scoped CASE edits in op order (later wins);
     // src1x/src2x sources exist at no fixture, but the LIKE guards
