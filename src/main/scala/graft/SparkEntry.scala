@@ -743,6 +743,35 @@ object SparkEntry {
       s.read.text(merged.toString).select(col("value").as("line"))
     }),
 
+    // SequenceFileOutput/InputFormat graded END-TO-END (was
+    // spec-only round trip): nation written as a (Text,Text)
+    // SequenceFile via the real Writable sink, read back via the
+    // real SequenceFile source — the binary container is on the
+    // graded path even though the ORACLE reconstructs the rows from
+    // the base table (DuckDB cannot read SequenceFiles; it doesn't
+    // need to — lossless round trip means base-table equality)
+    "q_seqfile_roundtrip" -> ((s, dir) => {
+      val out = scratchDir(s, "seqfile")
+      rmTree(new java.io.File(out)) // saveAsSequenceFile refuses an existing dir
+      sources.MultiIO.writeSequenceFile(
+        t(s, dir, "nation"), "n_nationkey", "n_name", out)
+      sources.MultiIO.readSequenceFile(s, out)
+    }),
+
+    // MapFileOutputFormat + getEntry graded END-TO-END: build the
+    // bucketed+sorted artifact (the MapFile analog), then point-look
+    // two keys up through the bucket-pruned path; the oracle selects
+    // the same keys from the base table. The SelectedBucketsCount
+    // plan contract is asserted in ScaleSpec.
+    "q_mapfile_lookup" -> ((s, dir) => {
+      val tbl = "graft_q_mapfile_nation"
+      sources.Bucketing.writeBucketed(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        tbl, "n_nationkey", buckets = 4)
+      sources.Bucketing.lookup(s, tbl, "n_nationkey", 3L)
+        .unionByName(sources.Bucketing.lookup(s, tbl, "n_nationkey", 14L))
+    }),
+
     // DistCh (distributed chmod/chown batch): recursive owner/perm
     // edits over the modeled namespace, ordered ops with later-wins
     // overlap — here "/corpus" re-owned wholesale, then src1's tree
@@ -2223,6 +2252,18 @@ object SparkEntry {
     "q_text_sink" ->
       """SELECT CAST(n_nationkey AS VARCHAR) || chr(9) || n_name AS line
         |FROM nation""".stripMargin,
+
+    // q_seqfile_roundtrip: lossless (Text,Text) container round trip
+    // == base-table equality on the stringified pair
+    "q_seqfile_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value
+        |FROM nation""".stripMargin,
+
+    // q_mapfile_lookup: the two probed keys straight from the base
+    // table — the artifact path must neither lose nor invent rows
+    "q_mapfile_lookup" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (3, 14)""".stripMargin,
     "q_getmerge" ->
       """SELECT CAST(n_nationkey AS VARCHAR) || chr(9) || n_name AS line
         |FROM nation""".stripMargin,
