@@ -818,6 +818,50 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"))
     }),
 
+    // HAR graded END-TO-END: one small file per nation row packed
+    // into the archive (concatenated part blobs + parquet index),
+    // then EVERY file read back through the ranged part reader and
+    // decoded — pack, index, seek arithmetic, and byte fidelity all
+    // on the hash-checked path. The driver materializes the 25
+    // source files (nation is a fixed-size dimension; O(rows) only
+    // for this bounded table — harPack itself is driver-metadata +
+    // task-side bytes at any scale).
+    "q_har_roundtrip" -> ((s, dir) => {
+      val src = scratchDir(s, "harsrc")
+      val dst = scratchDir(s, "hardst")
+      rmTree(new java.io.File(src)); rmTree(new java.io.File(dst))
+      new java.io.File(src).mkdirs()
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(src, s"f_${r.getInt(0)}.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      sources.MultiIO.harPack(s, src, dst)
+      sources.MultiIO.readHar(s, dst)
+        .select(regexp_extract(col("path"), "f_(\\d+)\\.txt", 1)
+            .cast("int").as("n_nationkey"),
+          col("bytes").cast("string").as("n_name"))
+    }),
+
+    // MultipleOutputs graded END-TO-END: one pass fanning nation
+    // into two named sinks (region parity), both read back and
+    // re-unioned — a row routed to the wrong sink, dropped, or
+    // double-written cannot hash-match the base table
+    "q_multiple_outputs" -> ((s, dir) => {
+      val base = scratchDir(s, "multiout")
+      sources.MultiIO.multipleOutputs(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey")),
+        Map(
+          "even" -> ((d: DataFrame) => d.filter(col("n_regionkey") % 2 === 0),
+            s"$base/even"),
+          "odd" -> ((d: DataFrame) => d.filter(col("n_regionkey") % 2 === 1),
+            s"$base/odd")))
+      s.read.parquet(s"$base/even")
+        .unionByName(s.read.parquet(s"$base/odd"))
+    }),
+
     // DistCh (distributed chmod/chown batch): recursive owner/perm
     // edits over the modeled namespace, ordered ops with later-wins
     // overlap — here "/corpus" re-owned wholesale, then src1's tree
@@ -2307,6 +2351,10 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name FROM nation""",
+    "q_har_roundtrip" ->
+      """SELECT n_nationkey, n_name FROM nation""",
+    "q_multiple_outputs" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 
     // q_seqfile_roundtrip: lossless (Text,Text) container round trip
     // == base-table equality on the stringified pair
