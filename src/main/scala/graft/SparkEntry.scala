@@ -758,6 +758,23 @@ object SparkEntry {
       sources.MultiIO.readSequenceFile(s, out)
     }),
 
+    // SequenceFileAsBinary graded END-TO-END: the same rows through
+    // the UNINTERPRETED BytesWritable container (string -> UTF-8
+    // bytes -> BytesWritable -> bytes -> string), proving the binary
+    // path copies Writable buffers out correctly
+    "q_seqfile_binary" -> ((s, dir) => {
+      val out = scratchDir(s, "seqbin")
+      rmTree(new java.io.File(out))
+      sources.MultiIO.writeSequenceFileBinary(
+        t(s, dir, "nation")
+          .select(col("n_nationkey").cast("string").as("k"),
+            col("n_name").as("v")),
+        "k", "v", out)
+      sources.MultiIO.readSequenceFileBinary(s, out)
+        .select(col("key").cast("string").cast("int").as("n_nationkey"),
+          col("value").cast("string").as("n_name"))
+    }),
+
     // MapFileOutputFormat + getEntry graded END-TO-END: build the
     // bucketed+sorted artifact (the MapFile analog), then point-look
     // two keys up through the bucket-pruned path; the oracle selects
@@ -2361,6 +2378,9 @@ object SparkEntry {
     "q_seqfile_roundtrip" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value
         |FROM nation""".stripMargin,
+
+    "q_seqfile_binary" ->
+      """SELECT n_nationkey, n_name FROM nation""",
 
     // q_mapfile_lookup: the two probed keys straight from the base
     // table — the artifact path must neither lose nor invent rows
