@@ -789,6 +789,142 @@ object SparkEntry {
         .unionByName(sources.Bucketing.lookup(s, tbl, "n_nationkey", 14L))
     }),
 
+    // NLineInputFormat graded END-TO-END (was spec-only): deal the
+    // doc_id-sorted corpus into row-exact 64-line splits, then emit
+    // per-split (count, min, max); the oracle recomputes the dealing
+    // arithmetic from row_number(), so an off-by-one in the split
+    // math or a dropped/duplicated/misrouted row cannot hash-match
+    "q_nline_splits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id"))
+      sources.MultiIO.nLineSplit(docs, 64)
+        .withColumn("split_id", spark_partition_id())
+        .groupBy(col("split_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // SortValidator / TeraValidate graded END-TO-END (was spec-only):
+    // total-order sort events by (user_id, event_id), then run the
+    // distributed boundary-checking validator; the verdict row
+    // (globally sorted + every row seen) IS the query result
+    "q_sort_validate" -> ((s, dir) => {
+      val sorted = Sorting.totalOrderSort(
+        t(s, dir, "events").select(col("user_id"), col("event_id")),
+        col("user_id"), col("event_id"))
+      val (ok, n) = Sorting.validateSorted(sorted, Seq("user_id", "event_id"))
+      import s.implicits._
+      Seq((ok, n)).toDF("is_sorted", "checked_rows")
+    }),
+
+    // TotalOrderPartitioner + in-partition sort order graded
+    // END-TO-END: the global rank read off the sorted partitions
+    // themselves (zipWithIndex in partition order — no second sort,
+    // no window) vs the oracle's row_number; a key routed past a
+    // range boundary or an unsorted run shifts every later rank
+    "q_total_order_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val sorted = Sorting.totalOrderSort(
+        t(s, dir, "customer").select(col("c_custkey")), col("c_custkey"))
+      val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), i + 1L) }
+      s.createDataFrame(rows, StructType(Seq(
+        StructField("c_custkey", LongType, nullable = false),
+        StructField("global_rank", LongType, nullable = false))))
+    }),
+
+    // Salted skew join graded END-TO-END (was spec-only): the salted
+    // plan must preserve exact join multiplicity — the oracle is the
+    // PLAIN join; salts=8 fans the hot suppkey over 8 reducers
+    "q_skew_join" -> ((s, dir) => {
+      val probe = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"))
+      val build = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(probe, build, "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("key_sum"))
+    }),
+
+    // Counters graded END-TO-END (was spec-only): observe-metric
+    // counters accumulated DURING one pass (no second scan), read
+    // back after the action and emitted as rows; the oracle
+    // recomputes both counts declaratively
+    "q_counters" -> ((s, dir) => {
+      val name = "graft.q_counters"
+      val obs = Counters.observed(
+        t(s, dir, "documents").select(col("lang")), name,
+        "records" -> count(lit(1)),
+        "english" -> count(when(col("lang") === "en", lit(1))))
+      obs.write.format("noop").mode("overwrite").save()
+      // listener delivery is async — poll (bounded) like the specs do
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var row = Counters.lastObserved(s, name)
+      while (row.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(20); row = Counters.lastObserved(s, name)
+      }
+      val r = row.getOrElse(
+        sys.error("q_counters: observed metrics never delivered"))
+      import s.implicits._
+      Seq(("english", r.getAs[Long]("english")),
+        ("records", r.getAs[Long]("records"))).toDF("counter", "value")
+    }),
+
+    // StreamInputFormat custom-delimiter analog graded END-TO-END
+    // (was spec-only): records separated by 0x07 instead of newline,
+    // written and read through the lineSep option; oracle = the same
+    // line reconstruction as q_text_sink
+    "q_linesep" -> ((s, dir) => {
+      val out = scratchDir(s, "linesep")
+      t(s, dir, "nation")
+        .select(concat_ws("\t", col("n_nationkey").cast("string"),
+          col("n_name")).as("value"))
+        .write.mode("overwrite").option("lineSep", "\u0007").text(out)
+      s.read.option("lineSep", "\u0007").text(out)
+        .select(col("value").as("line"))
+    }),
+
+    // Sorted-copartitioned (bucketed, zero-Exchange) join graded
+    // END-TO-END (was plan-asserted only): both sides written
+    // bucketed on the join key, joined through the bucket contract,
+    // against the plain-join oracle — a bucket-routing mismatch
+    // between writer and join silently drops rows, which the
+    // base-join oracle catches
+    "q_bucketed_join" -> ((s, dir) => {
+      sources.Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+          col("o_orderkey")),
+        "graft_q_bj_orders", "custkey", buckets = 8)
+      sources.Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+          col("c_mktsegment")),
+        "graft_q_bj_customer", "custkey", buckets = 8)
+      sources.Bucketing.bucketedJoin(s, "graft_q_bj_orders",
+        "graft_q_bj_customer", "custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), max(col("o_orderkey")).as("max_order"))
+    }),
+
+    // ReduceValuesIterator graded END-TO-END (was spec-only): the
+    // reducer sees each group's values as a SORTED STREAM — graded
+    // by an order-sensitive fold (first three order keys, in order,
+    // plus the run length) that any buffering or ordering bug breaks
+    "q_reduce_values" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"))
+      Sorting.reduceSortedGroups[(Long, String, Long)](
+        orders, Seq("o_custkey"), Seq(col("o_orderkey"))) { (key, rows) =>
+        val first = new scala.collection.mutable.ArrayBuffer[Long](3)
+        var n = 0L
+        rows.foreach { r =>
+          if (n < 3) first += r.getLong(1)
+          n += 1
+        }
+        Iterator.single((key.head.asInstanceOf[Long], first.mkString(","), n))
+      }.toDF("o_custkey", "first_orders", "n_orders")
+    }),
+
     // MultipleOutputFormat / partitionedWrite graded END-TO-END:
     // nation written partitioned by region (one directory per key —
     // the reference's generateFileNameForKeyValue layout), read back
@@ -2381,6 +2517,70 @@ object SparkEntry {
 
     "q_seqfile_binary" ->
       """SELECT n_nationkey, n_name FROM nation""",
+
+    // q_nline_splits: the oracle re-derives the row-exact dealing
+    // (64 consecutive doc_id-ordered rows per split) from row_number
+    "q_nline_splits" ->
+      """SELECT CAST(floor((rn - 1) / 64) AS INT) AS split_id,
+        |       count(*) AS n_rows,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    // q_sort_validate: the validator must see every row and report
+    // the sort globally intact
+    "q_sort_validate" ->
+      """SELECT true AS is_sorted, count(*) AS checked_rows FROM events""",
+
+    // q_total_order_rank: rank read off the sorted partitions equals
+    // the true global row_number
+    "q_total_order_rank" ->
+      """SELECT c_custkey,
+        |       row_number() OVER (ORDER BY c_custkey) AS global_rank
+        |FROM customer""".stripMargin,
+
+    // q_skew_join: the salted plan vs the PLAIN join — multiplicity
+    // must be preserved exactly
+    "q_skew_join" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // q_counters: both observe counters recomputed declaratively
+    "q_counters" ->
+      """SELECT 'english' AS counter,
+        |       count(*) FILTER (WHERE lang = 'en') AS value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'records' AS counter, count(*) AS value FROM documents""".stripMargin,
+
+    // q_linesep: same reconstruction as q_text_sink — the 0x07
+    // delimiter must be invisible to the round trip
+    "q_linesep" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) || chr(9) || n_name AS line
+        |FROM nation""".stripMargin,
+
+    // q_bucketed_join: the zero-Exchange bucket contract vs the
+    // plain join
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt, max(o_orderkey) AS max_order
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // q_reduce_values: order-sensitive fold over the sorted value
+    // stream — string_agg skips the NULLs the rn>3 CASE produces
+    "q_reduce_values" ->
+      """SELECT o_custkey,
+        |       string_agg(CASE WHEN rn <= 3 THEN CAST(o_orderkey AS VARCHAR) END,
+        |                  ',' ORDER BY o_orderkey) AS first_orders,
+        |       count(*) AS n_orders
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderkey) AS rn
+        |      FROM orders)
+        |GROUP BY 1""".stripMargin,
 
     // q_mapfile_lookup: the two probed keys straight from the base
     // table — the artifact path must neither lose nor invent rows
