@@ -188,6 +188,21 @@ object Profile {
       return
     }
 
+    // --containment: df-capped inverted-index containment vs the
+    // min-side-prefix exact form across thresholds (outputs agree
+    // wherever the cap doesn't bite; the prefix form is the exact
+    // superset where it does)
+    if (args.contains("--containment")) {
+      for (th <- Seq(0.5, 0.7, 0.9); _ <- 1 to 2) {
+        time(f"inv    containment t=$th%.1f")(Dedup.containmentPairs(docs,
+          col("doc_id"), col("text"), 3, th).count())
+        time(f"prefix containment t=$th%.1f")(Dedup.prefixContainmentPairs(
+          docs, col("doc_id"), col("text"), 3, th).count())
+      }
+      spark.stop()
+      return
+    }
+
     // --sweep: bucketed range join vs boundary-counting sweep on the
     // same graded count-active-sessions workload (Bench's toRdd
     // protocol so Catalyst can't prune either plan's work)

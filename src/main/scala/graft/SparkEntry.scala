@@ -1158,6 +1158,14 @@ object SparkEntry {
       functions.Dedup.containmentPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
 
+    // min-side-prefix EXACT containment (the routed scale path at
+    // t >= 0.7): candidates only from each doc's rarest shingles
+    // joined against the full index, exact sorted-set rerank — TRUE
+    // pair set on full shingle sets, no df cap
+    "q_containment_prefix" -> ((s, dir) =>
+      functions.Dedup.containmentPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleN = 3, threshold = 0.8)),
+
     // prefix-filtered EXACT Jaccard (PPJoin-style): candidates only
     // from each doc's globally-rarest shingles, then exact rerank —
     // same answer as q_ngram_jaccard at a candidate count that
@@ -2897,6 +2905,37 @@ object SparkEntry {
         |FROM pairs
         |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
         |               round(CAST(inter AS DOUBLE) / nb, 4)) >= 0.5""".stripMargin,
+
+    // q_containment_prefix: TRUE exact containment pairs — the
+    // routed min-side-prefix path scores FULL shingle sets with no
+    // df cap, so the oracle drops q_containment's `keep` CTE (and
+    // with it the kept-shingle-only intersection asymmetry)
+    "q_containment_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
+        |       round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
+        |FROM pairs
+        |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
+        |               round(CAST(inter AS DOUBLE) / nb, 4)) >= 0.8""".stripMargin,
 
     // q_ngram_prefix: TRUE exact pairs — no document-frequency prune
     // (the prefix filter needs none; its rerank scores full sets), so

@@ -764,6 +764,59 @@ class DedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("prefixContainmentPairs equals uncapped containmentPairs on a seeded corpus") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 20).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 27).map(i => s"w$i") ++ Seq("zz", "qq", "pp")).mkString(" ")
+    val df = Seq(
+      (1L, long), (2L, quote), (3L, near), (4L, long),     // contained + near + dup
+      (5L, (100 to 130).map(i => s"v$i").mkString(" ")),   // disjoint
+      (6L, "a b"), (7L, ""), (8L, null.asInstanceOf[String]) // short + blank + null
+    ).toDF("id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9, 1.0)) {
+      // routeThreshold = 2.0 + uncapped maxDf pins the EXACT
+      // inverted-index general form as the reference
+      val want = containmentPairs(df, $"id", $"text", threshold = t,
+          maxDf = 1000000, routeThreshold = 2.0)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val got = prefixContainmentPairs(df, $"id", $"text", threshold = t)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("containmentPairs default-routes t >= 0.7 to the min-side prefix plan") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "text")
+    def site(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.analyzed.toString
+    val routed = site(containmentPairs(df, $"id", $"text", threshold = 0.7))
+    assert(routed.contains("graft.containment_prefix.") &&
+      !routed.contains("graft.containment_shingles."), routed.take(2000))
+    val general = site(containmentPairs(df, $"id", $"text",
+      threshold = 0.7, routeThreshold = 2.0))
+    assert(general.contains("graft.containment_shingles."), general.take(2000))
+    val low = site(containmentPairs(df, $"id", $"text", threshold = 0.5))
+    assert(low.contains("graft.containment_shingles."), low.take(2000))
+  }
+
+  test("prefixContainmentPairs at t=1: the smaller side's one-shingle prefix wins") {
+    // full containment of a quote in an article: at t=1.0 the quote
+    // indexes ONE shingle (its rarest) and the candidate must come
+    // from joining that prefix against the article's FULL set — a
+    // symmetric prefix-vs-prefix block would miss it, since the
+    // article's own prefix need not contain any quote shingle
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, quote)).toDF("id", "text")
+    val got = prefixContainmentPairs(df, $"id", $"text", threshold = 1.0)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L)
+    assert(got.head._4 == 1.0, got.mkString(","))
+  }
+
   test("prefixJaccardPairs equals uncapped ngramJaccardPairs on a seeded corpus") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = ((1 to 27).map(i => s"w$i") ++ Seq("zz", "qq", "pp")).mkString(" ")
