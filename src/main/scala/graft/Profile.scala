@@ -194,8 +194,11 @@ object Profile {
     // superset where it does)
     if (args.contains("--containment")) {
       for (th <- Seq(0.5, 0.7, 0.9); _ <- 1 to 2) {
+        // routeThreshold = 2.0 pins the inverted-index general form
+        // (the default would route t >= 0.7 to the prefix plan and
+        // make this A/B vacuous)
         time(f"inv    containment t=$th%.1f")(Dedup.containmentPairs(docs,
-          col("doc_id"), col("text"), 3, th).count())
+          col("doc_id"), col("text"), 3, th, routeThreshold = 2.0).count())
         time(f"prefix containment t=$th%.1f")(Dedup.prefixContainmentPairs(
           docs, col("doc_id"), col("text"), 3, th).count())
       }
