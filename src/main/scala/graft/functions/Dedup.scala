@@ -458,8 +458,16 @@ object Dedup {
         sort_array(transform(shingles(text, shingleN),
           s => xxhash64(s))).as("sh"))
       .localCheckpoint()
-    val a = docs.alias("da")
-    val b = docs.alias("db")
+    // the docs side is hinted as the shuffle-hash BUILD side: cands
+    // comes out of a pair EXPANSION, whose size Catalyst estimates
+    // linearly — at blocking-saturated scales (sf10 measured: ~40M
+    // candidate pairs from a corpus whose every shingle is frequent)
+    // the planner's "broadcast the small cands side" becomes a
+    // GB-scale driver collect that dies on maxResultSize. The docs
+    // side is the honestly-bounded build: corpus/partitions rows per
+    // task, and the candidate stream never materializes.
+    val a = docs.alias("da").hint("shuffle_hash")
+    val b = docs.alias("db").hint("shuffle_hash")
     cands.join(a, col("id_a") === col("da.doc_id"))
       .join(b, col("id_b") === col("db.doc_id"))
       // native merge-count (codegen'd, no per-row hash set) — equals
@@ -689,8 +697,11 @@ object Dedup {
         sort_array(transform(shingles(text, shingleN),
           s => xxhash64(s))).as("sh"))
       .localCheckpoint()
-    val a = docs.alias("da")
-    val b = docs.alias("db")
+    // shuffle-hash-build the docs side for the same reason as
+    // [[rerankExact]]: the pair-expanded cands side is what the
+    // planner mistakes for broadcast-small
+    val a = docs.alias("da").hint("shuffle_hash")
+    val b = docs.alias("db").hint("shuffle_hash")
     cands.join(a, col("id_a") === col("da.doc_id"))
       .join(b, col("id_b") === col("db.doc_id"))
       .withColumn("inter",

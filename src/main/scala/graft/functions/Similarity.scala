@@ -516,9 +516,16 @@ object Similarity {
         "embed_buckets")
       .toDF("id_a", "id_b")
       .distinct()
+    // shuffle-hash-build the pinned vector side (same reason as
+    // Dedup.rerankExact): cands is pair-expansion output whose size
+    // the planner estimates linearly — broadcasting it is a GB-scale
+    // driver collect once blocking saturates; the vecs side is the
+    // honestly-bounded per-partition build
     cands
-      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
