@@ -27,6 +27,16 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd for shuffle/spill blocks (default lz4): the exact-rerank
+      // family shuffles candidate pairs carrying sorted shingle-hash
+      // arrays, and those payloads repeat a bounded dictionary of
+      // 8-byte values that lz4's 64 KB window can't hold — measured at
+      // sf10 the rerank spill exceeded local disk under lz4 and fits
+      // under zstd. Shuffle-heavy jobs trading a little map-side CPU
+      // for 2-4x less shuffle/spill I/O is the standard cluster
+      // setting at 100 TB, where shuffle capacity, not CPU, is the
+      // binding constraint.
+      .config("spark.io.compression.codec", "zstd")
       // ns-layout events fixtures read as long (ns since epoch) —
       // us-layout fixtures read as timestamp and are normalized to the
       // same ns-long contract in `table` below
