@@ -1175,6 +1175,15 @@ object SparkEntry {
       functions.Dedup.prefixJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)),
 
+    // pre-flight candidate-population report (the sf10 campaign's
+    // lesson made a product operator): per threshold, the prefix
+    // index size and the exact-family candidate bounds — aggregation
+    // only, safe at scales where the pair joins themselves are not
+    "q_blocking_stats" -> ((s, dir) =>
+      functions.Dedup.blockingStats(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleN = 3,
+        thresholds = Seq(0.5, 0.8, 0.9))),
+
     // span-level duplication diagnostic: per doc, the fraction of
     // 5-gram positions whose gram occurs in >= 2 distinct docs — the
     // cross-doc boilerplate signal exact-substring dedup keys on
@@ -2976,6 +2985,48 @@ object SparkEntry {
         |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin,
+
+    // q_blocking_stats: the oracle re-derives the rarity-ranked
+    // prefix index (string shingles, (df, shingle) order — the same
+    // engine-portable order the operator uses) and the per-threshold
+    // candidate bounds with integer arithmetic. Thresholds are cast
+    // to DOUBLE so ceil(t * n_sh) does the identical IEEE math as the
+    // Spark side (the 1e-9 nudge absorbs representation error on
+    // exact-integer products in both engines).
+    "q_blocking_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) >= 3
+        |           THEN [array_to_string(tk[i+1:i+3], ' ')
+        |                 for i in range(len(tk) - 2)]
+        |           ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS s FROM sh),
+        |dfq AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+        |rk AS (SELECT i.doc_id, i.s, i.n_sh, d.df,
+        |              row_number() OVER (PARTITION BY i.doc_id
+        |                                 ORDER BY d.df, i.s) AS rk
+        |       FROM inv i JOIN dfq d USING (s)),
+        |pre AS (SELECT t.t AS threshold, r.s, count(*) AS c,
+        |               any_value(r.df) AS df
+        |        FROM rk r CROSS JOIN (SELECT unnest([0.5::DOUBLE,
+        |               0.8::DOUBLE, 0.9::DOUBLE]) AS t) t
+        |        WHERE r.rk <= r.n_sh
+        |              - ceil(t.t * r.n_sh - 0.000000001) + 1
+        |        GROUP BY 1, 2)
+        |SELECT threshold,
+        |       CAST(sum(c) AS BIGINT) AS prefix_entries,
+        |       CAST(sum(c * (c - 1) // 2) AS BIGINT)
+        |         AS jaccard_cand_rows,
+        |       CAST(sum(c * (df - 1)) AS BIGINT)
+        |         AS containment_cand_rows
+        |FROM pre GROUP BY threshold""".stripMargin,
 
     // q_dup_spans: the oracle builds each doc's 5-gram positions with
     // a list comprehension (ZERO spans under 5 tokens — range() of a

@@ -782,6 +782,69 @@ object Dedup {
     rerankExact(nonBlank, id, text, shingleN, threshold, cands)
   }
 
+  /** Pre-flight candidate-population report for the exact near-dup
+    * family — the "measure before you run" step the round-9 sf10
+    * campaign showed a 100 TB dedup job needs: candidate volume is a
+    * CORPUS property (Σ C(df_prefix, 2) over the blocking keys), not
+    * a plan property, and on a vocabulary-saturated corpus it reaches
+    * ~10⁹-10¹⁰ pairs while the identical operators on a heavy-tailed
+    * corpus of the same size see 10³-10⁴× fewer (SCALE.md). This
+    * report costs one inverted-index pass plus per-threshold
+    * aggregations — NO pair explosion, so it is safe to run exactly
+    * where the pair joins themselves might not be.
+    *
+    * Returns one row per threshold:
+    * `(threshold, prefix_entries, jaccard_cand_rows,
+    * containment_cand_rows)` — prefix-index size, the
+    * [[prefixJaccardPairs]] candidate-ROW bound Σ C(c_s, 2), and the
+    * [[prefixContainmentPairs]] prefix-to-full-index join rows
+    * Σ c_s·(df_s − 1) (before its min-side direction filter).
+    *
+    * Unlike the operators themselves (which rank on `xxhash64` so the
+    * shuffle carries 8-byte keys), the diagnostic ranks on the raw
+    * shingle STRING — the counts are then recomputable by any engine,
+    * and a diagnostic runs at index scale, not pair scale, so the
+    * wider keys are irrelevant. Both orders put the same rarity class
+    * first; tie order inside a df class differs, which changes which
+    * equal-rarity shingles land in a prefix but not the candidate
+    * population they imply (ties are exchangeable under either
+    * order's uniform key distribution).
+    */
+  def blockingStats(df: DataFrame, id: Column, text: Column,
+                    shingleN: Int = 3,
+                    thresholds: Seq[Double] = Seq(0.5, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.forall(t => t > 0.0 && t <= 1.0),
+      s"thresholds must be in (0, 1], got $thresholds")
+    val inv = spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
+      .select(id.as("doc_id"), explode(shinglesRaw(text, shingleN)).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val ranked = inv.join(dfreq, "s")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))))
+    // one aggregation branch per threshold over the SAME ranked
+    // subtree (exchange reuse shares the index scan); thresholds are
+    // a handful, the branches are post-aggregation tiny
+    thresholds.map { t =>
+      ranked
+        .filter(col("__rk") <= col("n_sh") -
+          ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("c"), first(col("__df")).as("__f"))
+        .agg(
+          sum(col("c")).cast("long").as("prefix_entries"),
+          sum(expr("c * (c - 1) DIV 2")).cast("long")
+            .as("jaccard_cand_rows"),
+          sum(col("c") * (col("__f") - 1)).cast("long")
+            .as("containment_cand_rows"))
+        .select(lit(t).as("threshold"), col("prefix_entries"),
+          col("jaccard_cand_rows"), col("containment_cand_rows"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Cross-document duplicated-span statistics — the span-level
     * exact-substring-dedup diagnostic of LLM data pipelines (find the
     * boilerplate that repeats ACROSS documents, not whole-doc dups):

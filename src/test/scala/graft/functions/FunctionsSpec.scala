@@ -896,6 +896,23 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)), got.mkString(","))
   }
 
+  test("blockingStats: hand-computed candidate bounds per threshold") {
+    // docs 1,2 = "a b c d" -> shingles {abc,bcd}; doc 3 -> {abc,bce}
+    // df: abc=3, bcd=2, bce=1; rarity rank puts abc LAST everywhere.
+    // t=0.5: prefix = both shingles -> entries 6,
+    //   jaccard C(3,2)+C(2,2)=4, containment 3*2+2*1=8;
+    // t=0.9: prefix = rarest only (bcd,bcd,bce) -> entries 3,
+    //   jaccard C(2,2)=1, containment 2*1=2. Blank/null docs ignored.
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"),
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = blockingStats(df, $"id", $"text",
+        thresholds = Seq(0.5, 0.9))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((0.5, 6L, 4L, 8L), (0.9, 3L, 1L, 2L)), got.toString)
+  }
+
   test("deltaDedup: within-delta min-id, corpus probe, null pass-through") {
     val delta = Seq(
       (10L, Option("same text")),
