@@ -270,6 +270,21 @@ object Profile {
       return
     }
 
+    // --blockingstats: time the PRODUCT pre-flight diagnostic
+    // (Dedup.blockingStats — string-ranked, engine-recomputable) on
+    // this corpus; the operator form of --candstats' accounting.
+    if (args.contains("--blockingstats")) {
+      for (_ <- 1 to 2)
+        time("blockingStats 0.5/0.8/0.9") {
+          val rs = Dedup.blockingStats(docs, col("doc_id"), col("text"),
+            shingleN = 3, thresholds = Seq(0.5, 0.8, 0.9)).collect()
+          rs.foreach(r => println(s"[blockingstats] $r"))
+          rs.length.toLong
+        }
+      spark.stop()
+      return
+    }
+
     // --zipf [nDocs]: the same near-dup operators at sf10-scale doc
     // COUNTS but with a realistically heavy-tailed (log-uniform ≈
     // zipf s=1) 50k-word vocabulary — the regime real corpora are in,
