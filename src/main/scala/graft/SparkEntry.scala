@@ -940,6 +940,25 @@ object SparkEntry {
         col("n_regionkey").cast("int"))
     }),
 
+    // small-file compaction graded END-TO-END: nation written as
+    // many tiny files per region dir, compacted (only violating dirs
+    // rewritten, one file each at this size), the COMPACTED table
+    // read back whole against the base-table oracle — a dropped,
+    // duplicated, or cross-partition-leaked row cannot hash-match
+    "q_compaction" -> ((s, dir) => {
+      val out = scratchDir(s, "compact")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .repartition(6)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("n_regionkey").parquet(out)
+      val report = sources.Compaction.compact(s, out)
+      require(report.filter(col("rewritten")).count() > 0,
+        "compaction fixture produced no violating partition")
+      s.read.parquet(out).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("int"))
+    }),
+
     // DistCp graded END-TO-END: the partitioned layout copied
     // partition-parallel (layout preserved), the COPY read back
     // against the base-table oracle — a dropped or duplicated
@@ -2529,6 +2548,8 @@ object SparkEntry {
     "q_partitioned_sink" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_distcp" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "q_compaction" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name FROM nation""",
