@@ -1853,6 +1853,26 @@ object SparkEntry {
           .select(col("user_id"), col("event_type"))
     } }),
 
+    // streaming MinHash-LSH near-dup (StreamNearDup.pairs) at the
+    // oracle-parity banding (bands = numHashes = 16): documents
+    // replayed through 8 unordered micro-batches, each pair emitted
+    // exactly once by its first shared band when its LATER member
+    // arrives (state: per-bucket signatures + shingle-hash sets
+    // across the replay), appended output graded by the SAME exact-
+    // Jaccard oracle as q_minhash_lsh/q_ngram_jaccard — the batch/
+    // stream pair-set equality is the operator's contract
+    "q_stream_neardup" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
+        val batch = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pairs = streaming.StreamNearDup.pairs(
+          replayStream(s, batch), col("doc_id"), col("text"),
+          shingleN = 3, numHashes = 16, bands = 16, threshold = 0.5)
+        val q = pairs.writeStream.outputMode("append").format("memory")
+          .queryName("q_stream_neardup_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_neardup_sink")
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+    } }),
+
     // gap-session windows (EventWindows.sessions) in complete mode:
     // sessions merge ACROSS unordered micro-batches (an early file may
     // hold the middle of a session whose edges arrive later — the
@@ -3222,6 +3242,11 @@ object SparkEntry {
     // Jaccard pair set — so the minhash path is graded against the
     // SAME oracle as the exact path.
     "q_minhash_lsh" -> ngramJaccardSql,
+
+    // q_stream_neardup: the streaming LSH twin at the same
+    // oracle-parity banding — its appended pair set equals the batch
+    // operator's, so the exact-Jaccard oracle applies verbatim
+    "q_stream_neardup" -> ngramJaccardSql,
 
     // q_simhash: self-validating witness row — the Spark side
     // compares chunk-blocked pairs against the exact brute-force

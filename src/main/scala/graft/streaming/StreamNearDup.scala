@@ -1,0 +1,219 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate detection — the continuous
+  * twin of [[graft.functions.Dedup.minhashNearDups]] for ingest
+  * pipelines: as each document arrives, pair it against the
+  * previously-seen documents it shares an LSH bucket with, rerank the
+  * candidates with the EXACT Jaccard over the same xxhash64 shingle
+  * sets the batch operator uses, and emit each qualifying pair once.
+  *
+  * Parity with the batch operator (same `shingleN`/`numHashes`/
+  * `bands`/`threshold`): the per-row signature is the identical
+  * min-over-shingles of `xxhash64(i, shingle)`, the bucket key the
+  * identical band-slice hash, and the emitted `jaccard` the identical
+  * round(|A∩B| / |A∪B|, 4) — so over any finite replay the appended
+  * output equals the batch pair set, independent of arrival order
+  * (a pair forms when its LATER member arrives; whichever band
+  * bucket sees it, the min-band rule below picks the same one).
+  *
+  * Exactly-once across bands WITHOUT a second stateful operator: a
+  * pair sharing several bands would be emitted by each band's bucket
+  * group, and Spark does not allow a streaming dropDuplicates behind
+  * flatMapGroupsWithState. But band co-presence is a pure function
+  * of the two signatures — bucket keys are slice hashes — so every
+  * group can locally decide "am I the FIRST shared band of this
+  * pair?" and only that group emits. No coordination, no extra
+  * state, no duplicate rows. (A bucket shared via xxhash64 slice
+  * COLLISION rather than slice equality has no shared band; such a
+  * pair — P ≈ 2⁻⁶⁴ per bucket — is skipped, where batch would have
+  * reranked it. DedupSpec pins zero collisions on the graded
+  * corpora.)
+  *
+  * State shape at scale: each (band, bucket) group holds its member
+  * docs' (id, signature, shingle-hash set) — the shingle sets are
+  * the exact-rerank payload, duplicated `bands` times across groups.
+  * That is the honest cost of EXACT streaming near-dup; production
+  * deployments bound it three ways: `maxBucket` caps any one
+  * bucket's membership (degenerate buckets stop pairing at the cap —
+  * the streaming form of the batch operator's dropped-bucket
+  * guard — and their state stops growing; unlike batch, a pair whose
+  * FIRST shared band overflowed is not recovered via a later shared
+  * band, so the cap trades recall for state exactly where batch
+  * trades it for candidate volume), [[pairsWithinWatermark]]
+  * evicts idle buckets by event time so state is O(active window)
+  * like [[StreamDedup.withinWatermark]], and production banding
+  * (r ≥ 2) keeps buckets sparse exactly as it bounds batch
+  * candidates (SCALE.md's r=1 banding lesson).
+  */
+object StreamNearDup {
+
+  // `et` rides along as a real timestamp so the watermark metadata
+  // survives into the stateful operator (see StreamAsOf.MergedEt)
+  final case class Banded(band: Int, bucket: Long, docId: Long,
+                          sig: Array[Long], sh: Array[Long],
+                          et: java.sql.Timestamp)
+  final case class Pair(id_a: Long, id_b: Long, jaccard: Double)
+  // public: the state encoder's generated code instantiates them
+  final case class BucketDoc(docId: Long, sig: Array[Long],
+                             sh: Array[Long])
+  final case class BucketState(docs: List[BucketDoc])
+
+  /** First band index (0-based) at which the two signatures share a
+    * bucket by slice equality; -1 if none (collision-only bucket).
+    */
+  private def firstSharedBand(a: Array[Long], b: Array[Long],
+                              bands: Int, rows: Int): Int = {
+    var band = 0
+    while (band < bands) {
+      var i = band * rows
+      val end = i + rows
+      while (i < end && a(i) == b(i)) i += 1
+      if (i == end) return band
+      band += 1
+    }
+    -1
+  }
+
+  /** Linear merge intersection count over two sorted distinct
+    * arrays — the Scala twin of [[graft.plans.SortedIntersectCount]].
+    */
+  private def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** round(x, 4) with Spark's Round semantics (HALF_UP on the
+    * decimal form) so the streamed jaccard is bit-identical to the
+    * batch column.
+    */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Stateless prep: per-doc signature + sorted shingle-hash set,
+    * exploded to one row per band. Blank/null docs are excluded up
+    * front (the batch operator's rerank drops them via its inner
+    * join on non-blank docs).
+    */
+  private def banded(docs: DataFrame, id: Column, text: Column,
+                     et: Column, shingleN: Int, numHashes: Int,
+                     bands: Int): Dataset[Banded] = {
+    import graft.functions.Dedup.{shingles, shinglesRaw}
+    val rows = numHashes / bands
+    val prep = docs
+      .filter(text.isNotNull && length(trim(text)) > 0)
+      .select(id.cast("long").as("docId"),
+        shinglesRaw(text, shingleN).as("__shRaw"),
+        sort_array(transform(shingles(text, shingleN),
+          s => xxhash64(s))).as("sh"),
+        et.as("et"))
+      .select(col("docId"), col("sh"), col("et"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("__shRaw"),
+            s => xxhash64(i, s)))).as("sig"))
+    implicit val enc = Encoders.product[Banded]
+    prep.select(col("docId"), col("sig"), col("sh"), col("et"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("docId", "sig", "sh", "et", "band", "bucket")
+      .as[Banded]
+  }
+
+  private def checkParams(numHashes: Int, bands: Int, maxBucket: Int): Unit =
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0 &&
+      maxBucket >= 1,
+      s"bands ($bands) must divide numHashes ($numHashes) and " +
+        s"maxBucket ($maxBucket) must be >= 1")
+
+  private def pairsImpl(in: Dataset[Banded], numHashes: Int, bands: Int,
+                        threshold: Double, maxBucket: Int,
+                        ttlMs: Option[Long]): Dataset[Pair] = {
+    val rows = numHashes / bands
+    implicit val outEnc = Encoders.product[Pair]
+    implicit val keyEnc = Encoders.product[(Int, Long)]
+    implicit val stateEnc = Encoders.product[BucketState]
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    in.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, Pair](
+        OutputMode.Append(), timeout) {
+        (key: (Int, Long), batch: Iterator[Banded],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.map(_.docs.reverse).getOrElse(Nil)
+            val seen = scala.collection.mutable.Set(cur.map(_.docId): _*)
+            val out = List.newBuilder[Pair]
+            var maxEt = Long.MinValue
+            // docId order makes within-batch pairing arrival-order
+            // independent; re-delivered ids (same doc replayed) are
+            // already-seen and skipped like the batch DISTINCT
+            batch.toSeq.sortBy(_.docId).foreach { d =>
+              if (d.et.getTime > maxEt) maxEt = d.et.getTime
+              if (!seen.contains(d.docId) && seen.size < maxBucket) {
+                cur.foreach { e =>
+                  if (firstSharedBand(d.sig, e.sig, bands, rows) == key._1) {
+                    val inter = intersectCount(d.sh, e.sh)
+                    val j = round4(inter.toDouble /
+                      (d.sh.length + e.sh.length - inter))
+                    if (j >= threshold)
+                      out += Pair(math.min(d.docId, e.docId),
+                        math.max(d.docId, e.docId), j)
+                  }
+                }
+                cur = BucketDoc(d.docId, d.sig, d.sh) :: cur
+                seen += d.docId
+              }
+            }
+            state.update(BucketState(cur.reverse))
+            ttlMs.foreach(t => state.setTimeoutTimestamp(math.max(
+              maxEt + t, state.getCurrentWatermarkMs() + 1)))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Unbounded-state form (NoTimeout) — for bounded corpora and
+    * replays, like [[StreamDedup.exact]]; prefer
+    * [[pairsWithinWatermark]] on open-ended streams.
+    */
+  def pairs(docs: DataFrame, id: Column, text: Column,
+            shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+            threshold: Double = 0.7, maxBucket: Int = 4096): Dataset[Pair] = {
+    checkParams(numHashes, bands, maxBucket)
+    pairsImpl(
+      banded(docs, id, text, timestamp_millis(lit(0L)), shingleN,
+        numHashes, bands),
+      numHashes, bands, threshold, maxBucket, ttlMs = None)
+  }
+
+  /** Watermark-bounded form: near-dup pairs among documents within
+    * `ttlMs` of event time of each other (per bucket). `tsCol` is an
+    * epoch-millis long column; the watermark delay is the late-data
+    * allowance (rows older than the watermark are dropped by FMGWS,
+    * like [[StreamAsOf.enrichMerged]]). A bucket idle for `ttlMs`
+    * of event time is evicted whole, so state is O(active window).
+    */
+  def pairsWithinWatermark(docs: DataFrame, id: Column, text: Column,
+                           tsCol: Column, ttlMs: Long,
+                           allowedLatenessMs: Long = 0L,
+                           shingleN: Int = 3, numHashes: Int = 32,
+                           bands: Int = 8, threshold: Double = 0.7,
+                           maxBucket: Int = 4096): Dataset[Pair] = {
+    checkParams(numHashes, bands, maxBucket)
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val withEt = docs.withColumn("__et", timestamp_millis(tsCol))
+      .withWatermark("__et", s"$allowedLatenessMs milliseconds")
+    pairsImpl(
+      banded(withEt, id, text, col("__et"), shingleN, numHashes, bands),
+      numHashes, bands, threshold, maxBucket, ttlMs = Some(ttlMs))
+  }
+}

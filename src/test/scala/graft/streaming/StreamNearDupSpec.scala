@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+
+class StreamNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words appear in this one text"),
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "unrelated content about spark streaming state stores"),
+    (6L, ""), (7L, null.asInstanceOf[String]))
+
+  private def runStream(batches: Seq[Seq[(Long, String)]],
+                        threshold: Double = 0.5,
+                        maxBucket: Int = 4096): Seq[(Long, Long, Double)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamNearDup.pairs(input.toDF().toDF("doc_id", "text"),
+      col("doc_id"), col("text"), shingleN = 3, numHashes = 16,
+      bands = 16, threshold = threshold, maxBucket = maxBucket)
+    val name = s"snd_sink_${System.nanoTime()}"
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    } finally q.stop()
+  }
+
+  private def batchPairs(rows: Seq[(Long, String)],
+                         threshold: Double = 0.5): Set[(Long, Long, Double)] =
+    Dedup.minhashNearDups(rows.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), shingleN = 3, numHashes = 16, bands = 16,
+        threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("streamed pairs equal the batch operator, exactly once, " +
+       "across batch splits and arrival orders") {
+    val expected = batchPairs(corpus)
+    assert(expected.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 4L), (2L, 4L)), expected.toString)
+    for (split <- Seq(
+        Seq(corpus),                          // single batch
+        Seq(corpus.take(3), corpus.drop(3)),  // pair 1-4 across batches
+        Seq(corpus.reverse.take(4), corpus.reverse.drop(4)))) { // reversed
+      val got = runStream(split)
+      assert(got.toSet == expected, s"split=$split got=$got")
+      assert(got.size == got.toSet.size,
+        s"duplicate emissions (multi-band leak): $got")
+    }
+  }
+
+  test("identical docs share all 16 bands yet emit one pair row") {
+    // docs 1 and 4 are identical -> co-present in every band's
+    // bucket; the min-band rule must emit from band 0 only
+    val got = runStream(Seq(Seq(corpus(0)), Seq(corpus(3))))
+    assert(got == Seq((1L, 4L, 1.0)), got.toString)
+  }
+
+  test("maxBucket caps state: the bucket stops pairing at the cap") {
+    // three identical docs in one batch; cap=2 admits the first two
+    // (docId order), so only the (1,4) pair forms
+    val got = runStream(
+      Seq(Seq((1L, "aa bb cc dd"), (4L, "aa bb cc dd"), (9L, "aa bb cc dd"))),
+      maxBucket = 2)
+    assert(got == Seq((1L, 4L, 1.0)), got.toString)
+  }
+
+  test("watermark form pairs within ttl and evicts idle buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val hour = 3600L * 1000
+    val pairs = StreamNearDup.pairsWithinWatermark(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      col("doc_id"), col("text"), col("ts"), ttlMs = hour,
+      shingleN = 3, numHashes = 16, bands = 16, threshold = 0.5)
+    val name = s"snd_wm_${System.nanoTime()}"
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // timestamps start above epoch 0: a row AT the initial
+      // watermark (0) is dropped as late by the stateful operator
+      // t=1h: doc 1; t=1.5h: doc 2 (same text) -> pair emitted
+      input.addData((1L, "aa bb cc dd ee", hour))
+      q.processAllAvailable()
+      input.addData((2L, "aa bb cc dd ee", hour + hour / 2))
+      q.processAllAvailable()
+      // watermark advances far past every bucket's ttl -> eviction
+      input.addData((99L, "zz yy xx ww vv", 10 * hour))
+      q.processAllAvailable()
+      // doc 3 (same text as 1/2) after eviction: no partner in state
+      input.addData((3L, "aa bb cc dd ee", 10 * hour + 1))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 2L)), got.toString)
+    } finally q.stop()
+  }
+}
