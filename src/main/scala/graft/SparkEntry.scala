@@ -959,6 +959,22 @@ object SparkEntry {
         col("n_regionkey").cast("int"))
     }),
 
+    // physical delete-by-key graded END-TO-END: customer written as
+    // several files, three keys deleted (only hit files rewritten —
+    // the pushdown hit scan + per-file surgery), the table read back
+    // whole against a NOT IN oracle — an over- or under-deleted row
+    // cannot hash-match
+    "q_delete_keys" -> ((s, dir) => {
+      val out = scratchDir(s, "redact")
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .repartition(6)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      val report = sources.Redaction.deleteKeys(s, out, "c_custkey",
+        Seq(1L, 2L, 3L))
+      require(report.count() > 0, "delete fixture hit no file")
+      s.read.parquet(out).select(col("c_custkey"), col("c_name"))
+    }),
+
     // DistCp graded END-TO-END: the partitioned layout copied
     // partition-parallel (layout preserved), the COPY read back
     // against the base-table oracle — a dropped or duplicated
@@ -2313,6 +2329,26 @@ object SparkEntry {
           col("p.n_emails").cast("long").as("n_emails"),
           col("p.n_ips").cast("long").as("n_ips"),
           col("p.n_phones").cast("long").as("n_phones"))),
+
+    // k-anonymity audit (Privacy.kAnonymityReport): the one-row
+    // export-gate summary over the (nation, segment) equivalence
+    // classes — one hash agg to the class table, one over it
+    "q_k_anonymity" -> ((s, dir) =>
+      functions.Privacy.kAnonymityReport(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")), k = 10)),
+
+    // l-diversity audit (Privacy.lDiversityViolations): classes on
+    // (nation, account-balance band) whose segment column is
+    // near-homogeneous — the leak k-anonymity misses. The band is
+    // floor((bal+1000)/1000): floor-of-double-division is
+    // IEEE-identical across engines (a raw double->int cast is NOT —
+    // DuckDB rounds where Spark truncates)
+    "q_l_diversity" -> ((s, dir) =>
+      functions.Privacy.lDiversityViolations(t(s, dir, "customer"),
+        Seq(col("c_nationkey"),
+          floor((col("c_acctbal") + lit(1000.0)) / lit(1000.0))
+            .as("bal_band")),
+        col("c_mktsegment"), l = 3)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2571,6 +2607,9 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_compaction" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "q_delete_keys" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (1, 2, 3)""".stripMargin,
     "q_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name FROM nation""",
     "q_har_roundtrip" ->
@@ -4477,5 +4516,37 @@ object SparkEntry {
         |       len(regexp_extract_all(raw,
         |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones
         |FROM raw""".stripMargin,
+
+    // q_k_anonymity: the class table then the one-row summary with
+    // the identical (x * 100.0) / t double ops; DuckDB's HUGEINT
+    // sums are cast back to BIGINT
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |       CAST(min(class_size) AS BIGINT) AS k_anonymity,
+        |       CAST(coalesce(sum(CASE WHEN class_size < 10
+        |                              THEN class_size END), 0)
+        |            AS BIGINT) AS n_rows_below_k,
+        |       round(CAST(coalesce(sum(CASE WHEN class_size < 10
+        |                                    THEN class_size END), 0)
+        |                  AS DOUBLE) * 100.0 /
+        |             CAST(sum(class_size) AS DOUBLE), 4)
+        |         AS pct_rows_below_k
+        |FROM cls""".stripMargin,
+
+    // q_l_diversity: floor((bal+1000)/1000) is IEEE-identical in
+    // both engines (floor of a double division; never a raw
+    // double->int cast, which DuckDB rounds and Spark truncates)
+    "q_l_diversity" ->
+      """SELECT c_nationkey,
+        |       CAST(floor((c_acctbal + 1000.0) / 1000.0) AS BIGINT)
+        |         AS bal_band,
+        |       count(*) AS class_size,
+        |       count(DISTINCT c_mktsegment) AS distinct_sensitive
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
   )
 }
