@@ -270,6 +270,48 @@ object Profile {
       return
     }
 
+    // --maintenance: time the table-maintenance operators on a
+    // scratch copy of this sf's customer table — small-file
+    // compaction over a fragmented partitioned layout, and
+    // delete-by-key against a bloom-filtered layout (hit-scan
+    // pruning + O(hit files) rewrite + idempotent re-run)
+    if (args.contains("--maintenance")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-maint")
+        .toString
+      val cust = Graft.table(spark, sfDir, "customer")
+      val nCust = cust.count()
+      println(s"[maintenance] customer rows = $nCust")
+      val frag = s"$tmp/frag"
+      cust.repartition(64)
+        .write.partitionBy("c_mktsegment").parquet(frag)
+      time("compact fragmented 5x64") {
+        val r = graft.sources.Compaction.compact(spark, frag)
+        val rewrote = r.filter(col("rewritten")).count()
+        println(s"[maintenance] " + r.collect().mkString(" "))
+        rewrote
+      }
+      time("compact idempotent re-run")(
+        graft.sources.Compaction.compact(spark, frag)
+          .filter(col("rewritten")).count())
+      val bloomed = s"$tmp/bloomed"
+      cust.write
+        .option("parquet.bloom.filter.enabled#c_custkey", "true")
+        .option("maxRecordsPerFile", math.max(1L, nCust / 64).toString)
+        .parquet(bloomed)
+      val keys: Seq[Any] = Seq(7L, 77777L, 777777L)
+      time("deleteKeys 3 keys") {
+        val r = graft.sources.Redaction.deleteKeys(spark, bloomed,
+          "c_custkey", keys)
+        println(s"[maintenance] " + r.collect().mkString(" "))
+        r.count()
+      }
+      time("deleteKeys idempotent re-run")(
+        graft.sources.Redaction.deleteKeys(spark, bloomed,
+          "c_custkey", keys).count())
+      spark.stop()
+      return
+    }
+
     // --blockingstats: time the PRODUCT pre-flight diagnostic
     // (Dedup.blockingStats — string-ranked, engine-recomputable) on
     // this corpus; the operator form of --candstats' accounting.

@@ -42,6 +42,22 @@ class RedactionSpec extends SparkSpec {
     assert(Redaction.deleteKeys(spark, out, "id", Nil).count() == 0)
   }
 
+  test("the hit-scan shape pushes the IN filter to the parquet reader") {
+    // the mechanism deleteKeys' O(hit files) contract rides on:
+    // key IN (...) must reach the scan (row-group stats / dictionary
+    // / bloom pruning), and only the key column may be read
+    val out = Files.createTempDirectory("graft-redact3").toString + "/t"
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").write.parquet(out)
+    val plan = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("id")
+        .isInCollection(Seq(3L, 15L)))
+      .groupBy(org.apache.spark.sql.functions.input_file_name())
+      .count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(id"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
   test("a fully-deleted file is removed without replacement") {
     val out = Files.createTempDirectory("graft-redact2").toString + "/t"
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1).write.parquet(out)
