@@ -388,6 +388,21 @@ object SparkEntry {
     * bands=numHashes candidates + exact rerank provably produce the
     * same set; see the `queries` entry).
     */
+  /** The exact A-ES weighted-sample ranking — shared verbatim by the
+    * batch query (q_weighted_sample) and its streaming twin
+    * (q_stream_sample): the draw is a pure function of (doc_id,
+    * seed), so both must produce this exact top-20.
+    */
+  private val weightedSampleSql =
+    """WITH d AS (
+      |  SELECT *,
+      |    pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+      |                             1, 8)) AS BIGINT) / 4294967296.0,
+      |        1.0 / CAST(n_chars AS DOUBLE)) AS draw
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, text, lang, source, n_chars, draw
+      |FROM d ORDER BY draw DESC, doc_id LIMIT 20""".stripMargin
+
   private val ngramJaccardSql =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -1524,6 +1539,32 @@ object SparkEntry {
       functions.Similarity.annRecallGate(ann, exact, k = 5, floor = 0.8)
     }),
 
+    // product quantization (Pq.adcTopK): 16 one-byte codes per
+    // 64-dim vector (a 16× smaller scan than float, 4× smaller than
+    // int8), ADC lookup-table scoring, exact rerank of the
+    // candidates. Candidates scale with the corpus (≈4% of n, the
+    // q_semdedup nlist pattern), so the recall gate is tight at BOTH
+    // verified scales: measured min recall is exactly 3/5 at sf0.01
+    // (n=500, overfetch 8) and at sf1 (n=50k, overfetch 400) on
+    // these near-orthogonal synthetic embeddings — PQ's worst
+    // regime, like LSH's (q_embed_ann). Floor 0.6 = the measured
+    // min: losing ONE hit on the worst query fails the gate. Real
+    // near-dup structure retrieves top-1 exactly (PqSpec's planted
+    // pairs).
+    "q_embed_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val k = 5
+      val overfetch = math.max(8L, e.count() / (25L * k)).toInt
+      val pq = functions.Pq.adcTopK(e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        k = k, m = 16, ksub = 16, overfetch = overfetch, iters = 2)
+      val exact = functions.Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = k)
+      functions.Similarity.annRecallGate(pq, exact, k = k, floor = 0.6)
+    }),
+
     // ---- L4: text analysis ------------------------------------------
     "q_quality" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1846,6 +1887,44 @@ object SparkEntry {
           .select(col("w_start").cast("long").as("w_start"),
             col("event_type"), col("n"),
             col("total").cast("double").as("total"))
+    } }),
+
+    // streaming weighted sample (StreamSample.perWindow): the A-ES
+    // draw is a pure function of (doc_id, seed), so the per-window
+    // top-k state merge is order-insensitive and the stream's sample
+    // EQUALS the batch operator's — graded by q_weighted_sample's
+    // oracle VERBATIM. The corpus replays as 8 ordered files inside
+    // one window; a 9th, later file carries only a watermark
+    // heartbeat (time moves on) that closes the window and flushes
+    // the sample exactly once. Map-side thinning forwards ≤ k
+    // candidates per partition per batch into the single window
+    // group.
+    "q_stream_sample" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val batch = docs.select(
+            lit(new java.sql.Timestamp(100000L)).as("ts"),
+            col("doc_id").cast("string").as("key"),
+            col("n_chars").cast("double").as("weight"),
+            col("doc_id").as("__ord"))
+          .unionByName(s.range(1).select(
+            lit(new java.sql.Timestamp(1300000L)).as("ts"),
+            lit(null).cast("string").as("key"),
+            lit(0.0).as("weight"),
+            lit(Long.MaxValue).as("__ord")))
+        val stream = replayStreamOrdered(s, batch, col("__ord"), nFiles = 9)
+          .select(col("ts"), col("key"), col("weight"))
+          .as[streaming.StreamSample.Item]
+        val picks = streaming.StreamSample.perWindow(stream,
+          windowMillis = 600000L, watermark = "10 minutes", k = 20)
+        val q = picks.writeStream.outputMode("append").format("memory")
+          .queryName("q_stream_sample_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_sample_sink")
+          .select(col("key"), col("draw"))
+          .join(docs, col("key") === docs("doc_id").cast("string"))
+          .select(docs("doc_id"), docs("text"), docs("lang"),
+            docs("source"), docs("n_chars"), col("draw"))
     } }),
 
     // streaming dedup (StreamDedup.withinWatermark) on the
@@ -3304,6 +3383,15 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // q_embed_pq: same self-validating shape as q_embed_ann — the
+    // codebook is k-means-trained (not SQL-portable), so the gate is
+    // per-query recall of the PQ+rerank pipeline vs brute force,
+    // every query clearing the constant floor (0.6 = the measured
+    // min at sf0.01 AND sf1; one lost hit on the worst query fails)
+    "q_embed_pq" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     // q_embed_ivf: nprobe = nlist scans every cluster, so IVF top-k
     // provably equals brute-force top-k — checked row-for-row.
     "q_embed_ivf" -> embedIvfSql,
@@ -4030,15 +4118,13 @@ object SparkEntry {
     // q_weighted_sample: the oracle re-derives the exact A-ES draw —
     // same md5 uniform, same pow; both engines' libm pow agree on
     // these inputs and the 9-sig-fig compare absorbs ulp noise
-    "q_weighted_sample" ->
-      """WITH d AS (
-        |  SELECT *,
-        |    pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
-        |                             1, 8)) AS BIGINT) / 4294967296.0,
-        |        1.0 / CAST(n_chars AS DOUBLE)) AS draw
-        |  FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, text, lang, source, n_chars, draw
-        |FROM d ORDER BY draw DESC, doc_id LIMIT 20""".stripMargin,
+    "q_weighted_sample" -> weightedSampleSql,
+
+    // q_stream_sample: the batch oracle VERBATIM — the streaming
+    // twin's window holds the whole corpus and the A-ES draw is
+    // arrival-order-free, so the flushed sample must equal the batch
+    // operator's top-20 exactly (draw bits included)
+    "q_stream_sample" -> weightedSampleSql,
 
     // deterministic shuffle: the permutation is a pure function of
     // (content hash, seed) — one window re-derives it exactly
