@@ -1578,6 +1578,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         functions.TextAnalysis.langId(col("text")).as("pred_lang"))),
 
+    // BPE merge training's round-0 statistic (Bpe.pairCounts):
+    // frequency-weighted adjacent character pairs over the distinct-
+    // word table — the count the first merge rule is argmax'd from.
+    // The full iterative trainer (Bpe.train) is graded against an
+    // independent scan-and-skip reference in BpeSpec (rule i+1
+    // depends on the post-merge vocabulary — not one-shot SQL).
+    "q_bpe_pairs" -> ((s, dir) =>
+      functions.Bpe.pairCounts(t(s, dir, "documents"), col("text"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(50)),
+
     // interpolated bigram LM: per-doc mean position log-probability
     // under lambda*bigram + (1-lambda)*unigram — the fluency signal
     // unigrams can't see (word salad scores low even on common words)
@@ -3669,6 +3679,23 @@ object SparkEntry {
         |          ['the','a','and','of','to','in','is','it'], x)))
         |        AS DOUBLE) / greatest(len(tk), 1), 4) AS stopword_ratio
         |FROM t""".stripMargin,
+
+    // q_bpe_pairs: the same word-frequency-weighted adjacent
+    // character-pair counts — substr is character-indexed in both
+    // engines, and the top-50 cut is total-ordered (cnt, lhs, rhs)
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        |ix AS (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+        |                 substr(w, CAST(i AS INT) + 1, 1) AS rhs, f
+        |          FROM ix)
+        |SELECT lhs, rhs, CAST(sum(f) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY cnt DESC, lhs, rhs LIMIT 50""".stripMargin,
 
     "q_langid" ->
       """WITH t AS (
