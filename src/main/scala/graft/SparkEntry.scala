@@ -1565,6 +1565,38 @@ object SparkEntry {
       functions.Similarity.annRecallGate(pq, exact, k = k, floor = 0.6)
     }),
 
+    // the same PQ machinery as a PERSISTED artifact — the
+    // build-once/probe-many shape: the (vec_id, codes) table (16
+    // B/vector) and the m·ksub-row codebook written to parquet, the
+    // probe reading ONLY them plus the float column for the rerank
+    // survivors. Byte/double columns round-trip binary-exact, so the
+    // disk probe passes the same gate at the same floor.
+    // artifactWriteNanos splits the bench record like q_zorder_box's.
+    "q_embed_pq_disk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val k = 5
+      val overfetch = math.max(8L, e.count() / (25L * k)).toInt
+      val out = scratchDir(s, "pq")
+      val cb = functions.Pq.train(e, col("vec_id"), col("embedding"),
+        m = 16, ksub = 16, iters = 2)
+      val encoded = functions.Pq.encode(e, col("vec_id"),
+        col("embedding"), cb, m = 16)
+      val tw0 = System.nanoTime()
+      encoded.write.mode("overwrite").parquet(s"$out/codes")
+      cb.write.mode("overwrite").parquet(s"$out/codebook")
+      artifactWriteNanos.addAndGet(System.nanoTime() - tw0)
+      val pq = functions.Pq.adcTopKIndexed(
+        s.read.parquet(s"$out/codes"), s.read.parquet(s"$out/codebook"),
+        e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        k = k, m = 16, ksub = 16, overfetch = overfetch)
+      val exact = functions.Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = k)
+      functions.Similarity.annRecallGate(pq, exact, k = k, floor = 0.6)
+    }),
+
     // ---- L4: text analysis ------------------------------------------
     "q_quality" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2352,6 +2384,29 @@ object SparkEntry {
         t(s, dir, "documents").select(explode(
           functions.TextAnalysis.bpeishTokens(col("text"))).as("item")),
         col("item"), phi = 0.0335, capacity = 30)),
+
+    // count-min sketch (Sketches.cmsTable/cmsEstimate): a
+    // depth×width-bounded frequency table answering ARBITRARY keys
+    // after the fact (vs Misra-Gries' survivors-only). Buckets are
+    // md5-derived, so the whole build+probe pipeline is re-derivable
+    // in SQL and the ESTIMATES themselves hash-grade — including
+    // where collisions inflate them (width 64 against a ~10k-word
+    // vocabulary guarantees real collisions at every scale). est >=
+    // exact is the sketch's deterministic lower-bound law.
+    "q_cms" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val table = functions.Sketches.cmsTable(words, col("w"),
+        depth = 4, width = 64)
+      val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      val probes = exact.orderBy(col("exact").desc, col("w").asc).limit(20)
+      functions.Sketches.cmsEstimate(table, probes, col("w"),
+          depth = 4, width = 64)
+        .join(probes.withColumnRenamed("w", "key"), Seq("key"))
+        .select(col("key"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("lb_ok"))
+    }),
 
     // URL canonicalization over doc_id-derived messy URLs (mixed
     // case, default port, unsorted params, fragment) — the crawl
@@ -3399,6 +3454,13 @@ object SparkEntry {
     // every query clearing the constant floor (0.6 = the measured
     // min at sf0.01 AND sf1; one lost hit on the worst query fails)
     "q_embed_pq" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // q_embed_pq_disk: identical gate — the parquet round trip is
+    // binary-exact for byte/double columns, so the persisted index
+    // must clear the same floor
+    "q_embed_pq_disk" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
@@ -4602,6 +4664,38 @@ object SparkEntry {
         |GROUP BY item, n.n
         |HAVING count(*) >= CAST(ceil(CAST(0.0335 AS DOUBLE) * n.n)
         |                        AS BIGINT)""".stripMargin,
+
+    // q_cms: the full sketch pipeline re-derived — same md5 buckets,
+    // same (r, bucket) counts, same min-over-rows estimate; the
+    // estimates hash-compare exactly, collisions included
+    "q_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |tbl AS (
+        |  SELECT i AS r,
+        |         CAST(('0x' || substr(md5(w || ':' || i), 1, 8)) AS BIGINT)
+        |           % 64 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks, unnest([0, 1, 2, 3]) AS u(i)
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT w, CAST(count(*) AS BIGINT) AS exact
+        |          FROM toks GROUP BY w),
+        |probes AS (SELECT w, exact FROM exact
+        |           ORDER BY exact DESC, w LIMIT 20),
+        |pb AS (
+        |  SELECT p.w, p.exact, i AS r,
+        |         CAST(('0x' || substr(md5(p.w || ':' || i), 1, 8)) AS BIGINT)
+        |           % 64 AS bucket
+        |  FROM probes p, unnest([0, 1, 2, 3]) AS u(i)),
+        |est AS (
+        |  SELECT pb.w, pb.exact,
+        |         CAST(min(coalesce(tbl.cnt, 0)) AS BIGINT) AS est
+        |  FROM pb LEFT JOIN tbl ON tbl.r = pb.r AND tbl.bucket = pb.bucket
+        |  GROUP BY pb.w, pb.exact)
+        |SELECT w AS key, exact, est, est >= exact AS lb_ok
+        |FROM est""".stripMargin,
 
     // PII scrub: same Java/RE2-portable patterns, 'g' for global
     // replace; counts are per-pattern matches on the raw text

@@ -203,11 +203,29 @@ object Pq {
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, m: Int = 8, ksub: Int = 16, overfetch: Int = 4,
               iters: Int = 2): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
     val cb = train(corpus, corpusId, corpusVec, m, ksub, iters)
     val encoded = encode(corpus, corpusId, corpusVec, cb, m)
-    val tables = queryTables(queries, queryId, queryVec, cb, m, ksub)
+    adcTopKIndexed(encoded, cb, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, m, ksub, overfetch)
+  }
+
+  /** The probe half of [[adcTopK]] against a PREBUILT index — the
+    * build-once/probe-many shape a 100 TB deployment runs: `encoded`
+    * is [[encode]]'s (vec_id, codes) table and `codebook` is
+    * [[train]]'s output, both typically read back from parquet (byte
+    * and double columns round-trip binary-exact, so a persisted
+    * index probes identically to a fresh one). Only the code words
+    * are scanned until the rerank joins the float column for the few
+    * survivors.
+    */
+  def adcTopKIndexed(encoded: DataFrame, codebook: DataFrame,
+                     corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int, m: Int, ksub: Int,
+                     overfetch: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val tables = queryTables(queries, queryId, queryVec, codebook, m, ksub)
     val approx = encoded.crossJoin(broadcast(tables))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -107,4 +107,57 @@ object Sketches {
       .filter(col("cnt") >= minCnt)
       .select(col("item"), col("cnt"))
   }
+
+  // ---- count-min sketch --------------------------------------------
+
+  /** Bucket of `item` in CMS hash row `r`: the first 8 hex chars of
+    * md5("item:r") mod `width` — the same engine-portable md5
+    * derivation as the sampling family, so an external system (or
+    * the DuckDB oracle) re-derives identical buckets.
+    */
+  def cmsBucket(item: Column, r: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(item.cast("string"), lit(":" + r))),
+      1, 8), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Count-min sketch as a DataFrame artifact: `depth` hash rows ×
+    * `width` buckets, cnt = how many items landed in (r, bucket).
+    * At most depth·width rows REGARDLESS of input cardinality — the
+    * table persists as a tiny parquet artifact and answers point
+    * frequency queries over a corpus too wide for an exact count
+    * table. One corpus pass, one depth·width-bounded shuffle.
+    *
+    * Estimates ([[cmsEstimate]]) are min over rows: never below the
+    * true count (every occurrence increments every row — a
+    * DETERMINISTIC lower-bound guarantee), above it only by hash
+    * collisions (expected ≤ n/width per row, so the min over
+    * `depth` independent rows is within ε·n, ε = e/width, with
+    * probability 1 − e^−depth). Unlike [[phiHeavyHitters]] this
+    * answers ARBITRARY keys after the fact, not just survivors.
+    */
+  def cmsTable(df: DataFrame, item: Column, depth: Int,
+               width: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 1, s"width must be >= 1, got $width")
+    df.filter(item.isNotNull)
+      .select(posexplode(
+        array((0 until depth).map(i => cmsBucket(item, i, width)): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` against a sketch table:
+    * (key, est) with est = min over hash rows of the bucket count
+    * (0 for a bucket no item ever hit). The sketch side is bounded
+    * by depth·width rows, so it broadcasts; the probe side never
+    * shuffles more than (key, r, bucket) triples.
+    */
+  def cmsEstimate(table: DataFrame, probes: DataFrame, key: Column,
+                  depth: Int, width: Int): DataFrame =
+    probes.select(key.as("key"))
+      .select(col("key"), posexplode(
+        array((0 until depth).map(i => cmsBucket(col("key"), i, width)): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+      .join(broadcast(table), Seq("r", "bucket"), "left_outer")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

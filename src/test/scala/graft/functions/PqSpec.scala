@@ -93,6 +93,29 @@ class PqSpec extends SparkSpec {
       assert(r.getDouble(2) == 0.0))
   }
 
+  test("persisted index probes identically to the in-memory one") {
+    val e = graft.Graft.table(spark, sf, "embeddings").limit(150)
+    val queries = e.filter(col("vec_id") < 3)
+    val cb = Pq.train(e, col("vec_id"), col("embedding"), m = 8, ksub = 8,
+      iters = 1)
+    val encoded = Pq.encode(e, col("vec_id"), col("embedding"), cb, m = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString
+    encoded.write.parquet(s"$dir/codes")
+    cb.write.parquet(s"$dir/codebook")
+    def run(enc: org.apache.spark.sql.DataFrame,
+            book: org.apache.spark.sql.DataFrame) =
+      Pq.adcTopKIndexed(enc, book, e, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"),
+          k = 5, m = 8, ksub = 8, overfetch = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val mem = run(encoded, cb)
+    val disk = run(spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook"))
+    assert(mem == disk, s"mem=$mem disk=$disk")
+    assert(mem.nonEmpty)
+  }
+
   test("train fails loudly when the corpus is smaller than ksub") {
     val tiny = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")

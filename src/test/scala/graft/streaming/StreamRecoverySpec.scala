@@ -59,6 +59,56 @@ class StreamRecoverySpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), got.toString)
   }
 
+  test("StreamSample top-k window state survives a stop/restart") {
+    val src = Files.createTempDirectory("graft-ssrec-src").toString
+    val ckpt = Files.createTempDirectory("graft-ssrec-ckpt").toString
+    val sink = Files.createTempDirectory("graft-ssrec-sink").toString
+    import spark.implicits._
+
+    val rows = (0 until 50).map(i => (s"doc$i", 1.0 + (i * 13 % 29)))
+    val batchTop = graft.functions.Sampling.weightedSample(
+        rows.toDF("key", "w"), col("key"), col("w"), k = 7)
+      .select(col("key"), col("draw"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def writeFile(rs: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rs.toDF("ts", "key", "weight").coalesce(1)
+        .write.mode("append").parquet(src)
+
+    def start() = StreamSample.perWindow(
+        spark.readStream.schema("ts timestamp, key string, weight double")
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .as[StreamSample.Item],
+        windowMillis = 60000L, watermark = "10 minutes", k = 7)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sink).start()
+
+    // phase 1: 30 of the 50 rows, then a HARD stop mid-window
+    writeFile(rows.drop(20).map { case (k, w) => (ts(1000L), k, w) })
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: the remaining 20 rows, then (strictly after they are
+    // ingested — a same-millisecond mtime tie must not let the
+    // closing heartbeat overtake them) the heartbeat that shuts the
+    // window. The final sample equals the batch top-7 over ALL 50
+    // rows — only possible if phase 1's top-k state recovered from
+    // checkpoint.
+    writeFile(rows.take(20).map { case (k, w) => (ts(1000L), k, w) })
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      writeFile(Seq((ts(1000000L), null, 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(sink)
+      .select($"key", $"draw").as[(String, Double)].collect().toSet
+    assert(got == batchTop, s"stream=$got batch=$batchTop")
+  }
+
   test("streaming retention cohorts survive a stop/restart from checkpoint") {
     val src = Files.createTempDirectory("graft-ret-src").toString
     val ckpt = Files.createTempDirectory("graft-ret-ckpt").toString
