@@ -1969,6 +1969,39 @@ object SparkEntry {
             docs("source"), docs("n_chars"), col("draw"))
     } }),
 
+    // streaming count-min sketch (StreamCms.perWindow): the corpus'
+    // word stream replayed through 9 ordered files inside one
+    // window; each partition pre-aggregates to a partial sketch
+    // map-side (≤ depth·width cells forwarded per batch, never the
+    // items) and the window's dense 4×64 state flushes once on the
+    // heartbeat-driven close. Cell-wise sums are order-free, so the
+    // emitted table equals the batch cmsTable bit-for-bit and grades
+    // against the same SQL derivation as q_cms's tbl stage.
+    "q_stream_cms" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select(explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+        val batch = words.select(
+            lit(new java.sql.Timestamp(100000L)).as("ts"),
+            col("w").as("item"),
+            monotonically_increasing_id().as("__ord"))
+          .unionByName(s.range(1).select(
+            lit(new java.sql.Timestamp(1300000L)).as("ts"),
+            lit("closer").as("item"),
+            lit(Long.MaxValue).as("__ord")))
+        val stream = replayStreamOrdered(s, batch, col("__ord"), nFiles = 9)
+          .select(col("ts"), col("item")).as[streaming.StreamCms.Item]
+        val cells = streaming.StreamCms.perWindow(stream,
+          windowMillis = 600000L, watermark = "10 minutes",
+          depth = 4, width = 64)
+        val q = cells.writeStream.outputMode("append").format("memory")
+          .queryName("q_stream_cms_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_cms_sink").filter(col("windowStart") === 0L)
+          .select(col("r"), col("bucket"), col("cnt"))
+    } }),
+
     // streaming dedup (StreamDedup.withinWatermark) on the
     // (user_id, event_type) key: the watermark outlives the replay
     // span, so no event is ever late-dropped and the appended
@@ -4664,6 +4697,24 @@ object SparkEntry {
         |GROUP BY item, n.n
         |HAVING count(*) >= CAST(ceil(CAST(0.0335 AS DOUBLE) * n.n)
         |                        AS BIGINT)""".stripMargin,
+
+    // q_stream_cms: the sketch TABLE re-derived (q_cms's tbl stage)
+    // — the streaming window holds the whole corpus' word stream and
+    // cell sums are order-free, so the flushed table is the batch
+    // table exactly. The extra 'closer' heartbeat word lands in a
+    // later window that never closes, so it cannot leak into the
+    // graded window-0 rows.
+    "q_stream_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                x -> length(x) > 0)) AS w
+        |  FROM documents)
+        |SELECT i AS r,
+        |       CAST(('0x' || substr(md5(w || ':' || i), 1, 8)) AS BIGINT)
+        |         % 64 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks, unnest([0, 1, 2, 3]) AS u(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     // q_cms: the full sketch pipeline re-derived — same md5 buckets,
     // same (r, bucket) counts, same min-over-rows estimate; the

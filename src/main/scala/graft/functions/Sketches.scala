@@ -108,6 +108,27 @@ object Sketches {
       .select(col("item"), col("cnt"))
   }
 
+  // ---- md5-prefix kernel (stream-side twin of the Column forms) -----
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The first 8 hex chars of md5(s) as an unsigned 32-bit value —
+    * bit-identical to `conv(substring(md5(s), 1, 8), 16, 10)` /
+    * DuckDB's `('0x' || substr(md5(s), 1, 8))::BIGINT`, computed
+    * without per-call digest allocation or hex formatting (the
+    * streaming twins run this per input item).
+    */
+  private[graft] def md5Prefix32(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
   // ---- count-min sketch --------------------------------------------
 
   /** Bucket of `item` in CMS hash row `r`: the first 8 hex chars of

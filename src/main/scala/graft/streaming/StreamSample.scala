@@ -49,10 +49,8 @@ object StreamSample {
     */
   def draw(key: String, weight: Double, seed: Long): Option[Double] = {
     if (key == null || weight.isNaN || weight <= 0.0) return None
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest((key + ":" + seed).getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    val u = graft.functions.Sketches.md5Prefix32(key + ":" + seed)
+      .toDouble / 4294967296.0
     // StrictMath, not Math: Spark's Pow expression computes
     // StrictMath.pow, and the stream/batch draw must be bit-identical
     Some(StrictMath.pow(u, 1.0 / weight))

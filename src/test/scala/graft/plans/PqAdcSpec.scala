@@ -61,6 +61,52 @@ class PqAdcSpec extends SparkSpec {
       .collect().head.getDouble(0) == 0.0)
   }
 
+  test("PqEncode matches an independent argmin on random vectors/codebooks") {
+    // reference: plain Scala L2 argmin with the same first-wins tie
+    // rule — no shared code with PqEncode.compute's loop
+    def ref(v: Seq[Double], cb: Seq[Double], m: Int, ksub: Int): Seq[Int] = {
+      val dsub = v.size / m
+      (0 until m).map { sub =>
+        (0 until ksub).minBy { c =>
+          val d = (0 until dsub).map { j =>
+            val diff = v(sub * dsub + j) - cb((sub * ksub + c) * dsub + j)
+            diff * diff
+          }.sum
+          (d, c)
+        }
+      }
+    }
+    val rnd = new scala.util.Random(23)
+    val m = 4; val ksub = 8; val dsub = 3
+    val rows = (0 until 150).map { _ =>
+      (Seq.fill(m * dsub)(rnd.nextDouble() * 2 - 1),
+       Seq.fill(m * ksub * dsub)(rnd.nextDouble() * 2 - 1))
+    }
+    val got = rows.toDF("v", "cb")
+      .select(PqEncode($"v", $"cb", m, ksub).as("codes"))
+      .collect().map(_.getSeq[Byte](0).map(_ & 0xFF))
+    rows.zip(got).foreach { case ((v, cb), codes) =>
+      assert(codes == ref(v, cb, m, ksub), s"v=$v")
+    }
+  }
+
+  test("PqEncode nulls on a null element, throws on structural mismatch") {
+    val nullElem = Seq((Seq(Some(1.0), None, Some(2.0), Some(0.5)),
+      Seq.fill(8)(0.1))).toDF("v", "cb")
+    assert(nullElem.select(PqEncode($"v", $"cb", 2, 2))
+      .collect().head.isNullAt(0))
+    val badDim = Seq((Seq(1.0, 2.0, 3.0), Seq.fill(8)(0.1))).toDF("v", "cb")
+    val e1 = intercept[Exception] {
+      badDim.select(PqEncode($"v", $"cb", 2, 2)).collect()
+    }
+    assert(e1.getMessage.contains("not divisible"))
+    val badCb = Seq((Seq(1.0, 2.0), Seq.fill(7)(0.1))).toDF("v", "cb")
+    val e2 = intercept[Exception] {
+      badCb.select(PqEncode($"v", $"cb", 2, 2)).collect()
+    }
+    assert(e2.getMessage.contains("codebook"))
+  }
+
   test("PqAdc rejects wrong input types at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3.0, 4.0))).toDF("codes", "table")
     val e = intercept[Exception] {
