@@ -49,6 +49,33 @@ object Profile {
       return
     }
 
+    // --bpe: the iterative trainer's per-round cost at scale (the
+    // graded query covers only round 0's statistic)
+    if (args.contains("--bpe")) {
+      import graft.functions.Bpe
+      time("bpe pairCounts")(Bpe.pairCounts(docs, col("text")).count())
+      time("bpe train n=8")(Bpe.train(docs, col("text"), 8).count())
+      spark.stop()
+      return
+    }
+
+    // --cms: portable (md5) vs fast (xxhash64) sketch build over the
+    // corpus word stream — the hash is the whole cost at scale
+    if (args.contains("--cms")) {
+      import graft.functions.Sketches
+      val words = docs
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      for (_ <- 1 to 2) {
+        time("cms md5 portable")(Sketches.cmsTable(words, col("w"),
+          depth = 4, width = 64).count())
+        time("cms xxhash64 fast")(Sketches.cmsTable(words, col("w"),
+          depth = 4, width = 64, portable = false).count())
+      }
+      spark.stop()
+      return
+    }
+
     // --langid: per-row HOF-filter scoring vs an explode+agg twin
     if (args.contains("--langid")) {
       import graft.functions.TextAnalysis

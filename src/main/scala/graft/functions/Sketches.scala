@@ -131,14 +131,24 @@ object Sketches {
 
   // ---- count-min sketch --------------------------------------------
 
-  /** Bucket of `item` in CMS hash row `r`: the first 8 hex chars of
-    * md5("item:r") mod `width` — the same engine-portable md5
-    * derivation as the sampling family, so an external system (or
-    * the DuckDB oracle) re-derives identical buckets.
+  /** Bucket of `item` in CMS hash row `r`. Portable form (default):
+    * the first 8 hex chars of md5("item:r") mod `width` — the same
+    * engine-portable md5 derivation as the sampling family, so an
+    * external system (or the DuckDB oracle) re-derives identical
+    * buckets. Fast form (`portable = false`): xxhash64 — ~an order
+    * of magnitude cheaper per item (no hex round trip, vectorized
+    * codegen), the right dial when nothing outside Spark needs to
+    * re-derive buckets; the sketch LAWS (lower bound, mergeability,
+    * error) hold for any row-wise hash family.
     */
-  def cmsBucket(item: Column, r: Int, width: Int): Column =
-    pmod(conv(substring(md5(concat(item.cast("string"), lit(":" + r))),
-      1, 8), 16, 10).cast("long"), lit(width.toLong))
+  def cmsBucket(item: Column, r: Int, width: Int,
+                portable: Boolean = true): Column =
+    if (portable)
+      pmod(conv(substring(md5(concat(item.cast("string"), lit(":" + r))),
+        1, 8), 16, 10).cast("long"), lit(width.toLong))
+    else
+      pmod(xxhash64(concat(item.cast("string"), lit(":" + r))),
+        lit(width.toLong))
 
   /** Count-min sketch as a DataFrame artifact: `depth` hash rows ×
     * `width` buckets, cnt = how many items landed in (r, bucket).
@@ -156,12 +166,13 @@ object Sketches {
     * answers ARBITRARY keys after the fact, not just survivors.
     */
   def cmsTable(df: DataFrame, item: Column, depth: Int,
-               width: Int): DataFrame = {
+               width: Int, portable: Boolean = true): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
     require(width >= 1, s"width must be >= 1, got $width")
     df.filter(item.isNotNull)
       .select(posexplode(
-        array((0 until depth).map(i => cmsBucket(item, i, width)): _*)))
+        array((0 until depth).map(i =>
+          cmsBucket(item, i, width, portable)): _*)))
       .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
@@ -173,10 +184,12 @@ object Sketches {
     * shuffles more than (key, r, bucket) triples.
     */
   def cmsEstimate(table: DataFrame, probes: DataFrame, key: Column,
-                  depth: Int, width: Int): DataFrame =
+                  depth: Int, width: Int,
+                  portable: Boolean = true): DataFrame =
     probes.select(key.as("key"))
       .select(col("key"), posexplode(
-        array((0 until depth).map(i => cmsBucket(col("key"), i, width)): _*)))
+        array((0 until depth).map(i =>
+          cmsBucket(col("key"), i, width, portable)): _*)))
       .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
       .join(broadcast(table), Seq("r", "bucket"), "left_outer")
       .groupBy(col("key"))

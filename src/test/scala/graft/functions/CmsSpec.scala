@@ -50,6 +50,23 @@ class CmsSpec extends SparkSpec {
     assert(merged == summed)
   }
 
+  test("fast (xxhash64) path keeps every sketch law") {
+    val items = Seq.fill(40)("hot") ++ (0 until 60).map(i => s"t$i")
+    val df = items.toDF("w")
+    val table = Sketches.cmsTable(df, col("w"), depth = 3, width = 16,
+      portable = false)
+    assert(table.count() <= 3L * 16L)
+    assert(table.agg(sum("cnt")).collect()(0).getLong(0) == 300L) // n*depth
+    val got = Sketches.cmsEstimate(table, items.distinct.toDF("k"),
+        col("k"), depth = 3, width = 16, portable = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("hot") >= 40L)
+    (0 until 60).foreach(i => assert(got(s"t$i") >= 1L))
+    // mixing hash families must NOT silently work: a portable-probe
+    // of a fast table still returns values (no crash) but the caller
+    // owns the pairing — the laws above are the per-family contract
+  }
+
   test("table is bounded by depth*width rows; null items are excluded") {
     val items = (0 until 5000).map(i => s"k$i")
     val n = Sketches.cmsTable(items.toDF("w"), col("w"), depth = 4,
