@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composition that runs billion-scale ANN in practice:
+  * [[Ivf]]'s coarse quantizer prunes WHICH vectors are scanned
+  * (nprobe of nlist clusters), and [[Pq]] compresses WHAT is scanned
+  * (m one-byte codes per vector, encoding the RESIDUAL v − centroid
+  * rather than v itself). The two attack independent axes — scan
+  * population and scan bytes — and multiply: nprobe/nlist of the
+  * corpus read at 16 B/vector.
+  *
+  * Residual encoding is what makes the composition more accurate
+  * than flat PQ at the same code budget: within a cluster the
+  * residuals are small and centered, so the (shared, single)
+  * residual codebook spends its ksub^m cells on a tighter
+  * distribution. Scoring splits exactly along the decomposition:
+  * dot(q, v) = dot(q, c) + dot(q, v − c); the first term is computed
+  * exactly per probed cluster (nlist-bounded), the second is the
+  * standard ADC lookup over the residual code word
+  * ([[graft.plans.PqAdc]]). Survivors rerank with exact float
+  * cosine, same contract as every quantized path.
+  *
+  * Deterministic end to end (both trainers seed from lowest ids and
+  * run fixed Lloyd rounds). Scale shape: the index is
+  * (vec_id, cluster, codes) — write it `partitionBy("cluster")` like
+  * [[Ivf.writePartitioned]] and a probe becomes a partition-pruned
+  * 16 B/vector scan; the probe join ships only the (query, cluster,
+  * qc-dot, table) rows (nprobe · ~2 KB per query, broadcast), and
+  * the scan shuffles only (query_id, vec_id, score) triples.
+  */
+object IvfPq {
+
+  /** Build the index: returns (index (vec_id, cluster, codes),
+    * centroids (cluster, cv), residual codebook (sub, cluster, cv)).
+    * Corpus vectors are unit-normalized before clustering (cosine
+    * semantics); residuals are NOT re-normalized.
+    */
+  def index(corpus: DataFrame, id: Column, vec: Column, nlist: Int,
+            m: Int, ksub: Int, ivfIters: Int = 1,
+            pqIters: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val u = corpus.filter(vec.isNotNull)
+      .select(id.as("vec_id"), Pq.prep(vec, normalize = true).as("uv"))
+    val (assigned, cents) = Ivf.index(u, col("vec_id"), col("uv"),
+      k = nlist, iters = ivfIters)
+    // residuals against the assigned centroid — the frame the PQ
+    // codebook is trained on and the code words encode
+    val resid = assigned.join(broadcast(cents), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    val codebook = Pq.train(resid, col("vec_id"), col("rv"), m, ksub,
+      iters = pqIters, normalize = false)
+    val encoded = Pq.encode(resid, col("vec_id"), col("rv"), codebook, m,
+      normalize = false)
+    (resid.select(col("vec_id"), col("cluster"))
+       .join(encoded, Seq("vec_id")), cents, codebook)
+  }
+
+  /** Probe: top-k per query scanning only the `nprobe` nearest
+    * clusters' code words, scoring dot(q, c) + ADC(residual codes),
+    * exact-cosine rerank of the `k · overfetch` survivors. Output
+    * schema matches [[Pq.adcTopK]]: (query_id, vec_id, cos, rnk).
+    */
+  def topK(index: DataFrame, centroids: DataFrame, codebook: DataFrame,
+           corpus: DataFrame, corpusId: Column, corpusVec: Column,
+           queries: DataFrame, queryId: Column, queryVec: Column,
+           k: Int, m: Int, ksub: Int, nprobe: Int,
+           overfetch: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val qU = queries.filter(queryVec.isNotNull)
+      .select(queryId.as("query_id"), Pq.prep(queryVec, normalize = true)
+        .as("qv"))
+    // nprobe nearest centroids per query, carrying the exact
+    // dot(q, c) term of the score decomposition
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("cluster").asc)
+    val probes = qU.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cluster"),
+        Pq.dot(col("qv"), col("cv")).as("qc"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe).drop("__rn")
+    // residual ADC tables: the query is already unit — the table is
+    // dot(q_sub, residual-centroid_sub), cluster-independent
+    val tables = Pq.queryTables(qU, col("query_id"), col("qv"),
+      codebook, m, ksub, normalize = false)
+    val probeT = probes.join(tables, Seq("query_id"))
+    val approx = index.join(broadcast(probeT), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qc") +
+          graft.plans.PqAdc(col("codes"), col("table"), ksub))
+          .as("ascore"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+    val cands = approx
+      .withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= k * overfetch)
+      .select(col("query_id"), col("vec_id"))
+    Pq.rerank(cands, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+  }
+}

@@ -54,10 +54,19 @@ object Pq {
     zip_with(v, array_repeat(inv, size(v)), (x, s) => x * s)
   }
 
-  /** Squared L2 between two equal-length double arrays (in-order
-    * fold — deterministic FP).
+  /** Double-cast, optionally unit-normalized — `normalize = false`
+    * is the RESIDUAL mode ([[IvfPq]]): residual vectors are
+    * differences whose magnitude carries the signal, so they must
+    * not be re-projected onto the sphere.
     */
-  private def dot(a: Column, b: Column): Column =
+  private[functions] def prep(vec: Column, normalize: Boolean): Column =
+    if (normalize) unit(vec) else transform(vec, x => x.cast("double"))
+
+  /** Dot product of two equal-length double arrays (in-order fold —
+    * deterministic FP). Query-side only; the corpus side never
+    * touches an interpreted fold.
+    */
+  private[functions] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, c) => x * c), lit(0.0), (acc, e) => acc + e)
 
   /** Sub-major flattening of a driver-side codebook — the layout
@@ -93,12 +102,12 @@ object Pq {
     * Corpus vectors are unit-normalized first (PQ for cosine).
     */
   def train(corpus: DataFrame, id: Column, vec: Column, m: Int, ksub: Int,
-            iters: Int = 2): DataFrame = {
+            iters: Int = 2, normalize: Boolean = true): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(ksub >= 1 && ksub <= 256,
       s"ksub must be in [1, 256] (codes are unsigned bytes), got $ksub")
     val c = corpus.filter(vec.isNotNull)
-      .select(id.as("vec_id"), unit(vec).as("v"))
+      .select(id.as("vec_id"), prep(vec, normalize).as("v"))
     // deterministic seeds: the ksub lowest-id vectors, sliced
     // driver-side — cluster i of every subspace comes from the
     // (i+1)-th lowest id (works for any orderable id type)
@@ -155,14 +164,15 @@ object Pq {
     * index and reuse it across query batches.
     */
   def encode(corpus: DataFrame, id: Column, vec: Column,
-             codebook: DataFrame, m: Int): DataFrame = {
+             codebook: DataFrame, m: Int,
+             normalize: Boolean = true): DataFrame = {
     val rows = codebook.orderBy(col("sub"), col("cluster")).collect()
     require(rows.nonEmpty && rows.length % m == 0,
       s"encode: codebook has ${rows.length} rows, not a multiple of m=$m")
     val ksub = rows.length / m
     val flat = rows.toSeq.flatMap(_.getSeq[Double](2))
     corpus.filter(vec.isNotNull)
-      .select(id.as("vec_id"), unit(vec).as("v"))
+      .select(id.as("vec_id"), prep(vec, normalize).as("v"))
       .select(col("vec_id"),
         graft.plans.PqEncode(col("v"), typedlit(flat), m, ksub).as("codes"))
   }
@@ -174,9 +184,10 @@ object Pq {
     * [[graft.plans.PqAdc]] keeps the FP deterministic).
     */
   def queryTables(queries: DataFrame, queryId: Column, queryVec: Column,
-                  codebook: DataFrame, m: Int, ksub: Int): DataFrame = {
+                  codebook: DataFrame, m: Int, ksub: Int,
+                  normalize: Boolean = true): DataFrame = {
     val q = queries.filter(queryVec.isNotNull)
-      .select(queryId.as("query_id"), unit(queryVec).as("v"))
+      .select(queryId.as("query_id"), prep(queryVec, normalize).as("v"))
       .withColumnRenamed("query_id", "vec_id")
     subRows(q, m)
       .withColumnRenamed("vec_id", "query_id")
@@ -236,6 +247,19 @@ object Pq {
       .withColumn("__rn", row_number().over(wApprox))
       .filter(col("__rn") <= k * overfetch)
       .select(col("query_id"), col("vec_id"))
+    rerank(cands, corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** Shared rerank tail of the quantized paths ([[adcTopKIndexed]],
+    * [[IvfPq.topK]]): exact float cosine over the (query_id, vec_id)
+    * candidate pairs, keep k — rows that appear carry EXACT cosines.
+    * Survivors join back to the float column; queries broadcast.
+    */
+  private[functions] def rerank(cands: DataFrame,
+                                corpus: DataFrame, corpusId: Column,
+                                corpusVec: Column, queries: DataFrame,
+                                queryId: Column, queryVec: Column,
+                                k: Int): DataFrame = {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cands
