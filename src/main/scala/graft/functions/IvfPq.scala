@@ -47,10 +47,14 @@ object IvfPq {
     val (assigned, cents) = Ivf.index(u, col("vec_id"), col("uv"),
       k = nlist, iters = ivfIters)
     // residuals against the assigned centroid — the frame the PQ
-    // codebook is trained on and the code words encode
+    // codebook is trained on and the code words encode. Pinned:
+    // Pq.train reads it once per Lloyd round and encode once more,
+    // and each read would otherwise replay the assignment join and
+    // the per-element subtraction over the whole corpus
     val resid = assigned.join(broadcast(cents), Seq("cluster"))
       .select(col("vec_id"), col("cluster"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+      .localCheckpoint()
     val codebook = Pq.train(resid, col("vec_id"), col("rv"), m, ksub,
       iters = pqIters, normalize = false)
     val encoded = Pq.encode(resid, col("vec_id"), col("rv"), codebook, m,
