@@ -100,26 +100,14 @@ object Bpe {
         rules += ((round, a, b, a + b, c))
         val next = syms.select(col("f"), mergeOnce(col("s"), a, b).as("s"))
           .localCheckpoint()
-        dropCheckpoint(syms) // superseded vocabulary: free its blocks
+        Checkpoints.drop(syms) // superseded vocabulary: free its blocks
         syms = next
         round += 1
       }
     }
-    dropCheckpoint(syms)
+    Checkpoints.drop(syms)
     rules.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
-
-  /** Free a superseded localCheckpoint generation's blocks (the
-    * vocabulary table is pinned once per round; without this, n
-    * rounds keep n copies cached — the [[Dedup]] closure-loop
-    * lifecycle rule).
-    */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** Apply an ordered merge list to a text column, returning the
     * symbol (token) array — rule i is applied exhaustively before

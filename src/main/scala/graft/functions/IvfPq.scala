@@ -59,8 +59,13 @@ object IvfPq {
       iters = pqIters, normalize = false)
     val encoded = Pq.encode(resid, col("vec_id"), col("rv"), codebook, m,
       normalize = false)
-    (resid.select(col("vec_id"), col("cluster"))
-       .join(encoded, Seq("vec_id")), cents, codebook)
+    // pin the SMALL artifact (m bytes + cluster per vector), then
+    // free the corpus-sized residual generation — the returned index
+    // must not keep float-width blocks alive through its lineage
+    val out = resid.select(col("vec_id"), col("cluster"))
+      .join(encoded, Seq("vec_id")).localCheckpoint()
+    Checkpoints.drop(resid)
+    (out, cents, codebook)
   }
 
   /** Probe: top-k per query scanning only the `nprobe` nearest
