@@ -480,6 +480,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Default pre-flight cap on the exact-pair family's blocking
+    * candidate population (2×10⁹ pair rows ≈ tens of GB of shuffled
+    * candidates — past it a job is almost certainly a mis-set
+    * threshold or a boilerplate-saturated corpus, not a plan that
+    * should launch). Every pair operator takes `maxCandidates`;
+    * callers raise it explicitly for a deliberate huge run, or pass
+    * `maxCandidates <= 0` to skip the pre-flight entirely. */
+  val defaultMaxCandidates: Long = 2000000000L
+
+  /** Fail-loud pre-flight gate for the exact pair-join family: the
+    * round-9 sf10 campaign showed candidate volume is a CORPUS
+    * property ([[blockingStats]]) that can sit 10³-10⁴× apart on
+    * same-size corpora — on the saturated side the inverted-index
+    * join explodes before any runtime diagnostic can tell you why.
+    * This gate runs the (pair-explosion-free) candidate bound BEFORE
+    * the join plan launches and throws with the measured bound, the
+    * cap, and the override instruction. `maxCandidates <= 0` skips
+    * the pre-flight (explicit unguarded override). */
+  private def requireCandidateBound(op: String, maxCandidates: Long,
+                                    bound: => Long): Unit =
+    if (maxCandidates > 0) {
+      val b = bound
+      if (b > maxCandidates) throw new IllegalStateException(
+        s"graft.$op pre-flight: blocking candidate bound $b exceeds " +
+          s"maxCandidates = $maxCandidates. The corpus is " +
+          "blocking-saturated at this threshold (run " +
+          "Dedup.blockingStats for the per-threshold report); raise " +
+          "maxCandidates explicitly for a deliberate run of this " +
+          "size, or pass maxCandidates <= 0 to run unguarded.")
+    }
+
+  /** The shared doc×distinct-shingle inverted-index base (hashed
+    * 8-byte keys, blank docs excluded) the pair operators block on —
+    * also the input to their pre-flight candidate bounds, so gate and
+    * operator count the same keys. */
+  private def hashedInvBase(df: DataFrame, id: Column, text: Column,
+                            shingleN: Int): DataFrame =
+    spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
+      .select(id.as("doc_id"),
+        explode(shinglesRaw(text, shingleN)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .dropDuplicates("doc_id", "s")
+
+  /** [[hashedInvBase]] + per-doc size + global (df asc, hash asc)
+    * rank — the prefix-filter ordering both prefix operators and
+    * their pre-flight bounds share. Columns: doc_id, s, n_sh,
+    * __dfreq, __rk. */
+  private def rankedPrefix(df: DataFrame, id: Column, text: Column,
+                           shingleN: Int): DataFrame = {
+    val inv = hashedInvBase(df, id, text, shingleN)
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__dfreq"))
+    inv.join(dfreq, "s")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("__dfreq"), col("s"))))
+  }
+
   /** N-gram Jaccard pairs — the exact (LSH-free) near-dup entry
     * point. DEFAULT ROUTING: at `threshold >= routeThreshold` this
     * DELEGATES to [[prefixJaccardPairs]], the scale-safe exact plan.
@@ -526,9 +585,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 1000,
-                        routeThreshold: Double = 0.5): DataFrame = {
+                        routeThreshold: Double = 0.5,
+                        maxCandidates: Long = defaultMaxCandidates): DataFrame = {
     if (threshold >= routeThreshold)
-      return prefixJaccardPairs(df, id, text, shingleN, threshold)
+      return prefixJaccardPairs(df, id, text, shingleN, threshold,
+        maxCandidates = maxCandidates)
+    requireCandidateBound("ngramJaccardPairs", maxCandidates, {
+      val c = hashedInvBase(df, id, text, shingleN)
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+      c.filter(col("c") <= maxDf)
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+          .cast("long")).head.getLong(0)
+    })
     // raw shingles exploded, then a distributed distinct — cheaper
     // than per-row interpreted array_distinct; n_sh (distinct shingle
     // count per doc) via window on the dedup'd index. The index keys
@@ -541,11 +609,7 @@ object Dedup {
     // one pair's jaccard by ~1/n_sh with P ≈ n²/2⁶⁵ — noise well
     // under the threshold granularity).
     // same blank-doc exclusion as minhashNearDups (degenerate "" pairs)
-    val inv = spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
-      .select(id.as("doc_id"),
-        explode(shinglesRaw(text, shingleN)).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      .dropDuplicates("doc_id", "s")
+    val inv = hashedInvBase(df, id, text, shingleN)
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     // group the inverted index by shingle: the group size IS the
@@ -601,14 +665,19 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: Column, text: Column,
                        shingleN: Int = 3, threshold: Double = 0.8,
                        maxDf: Int = 1000,
-                       routeThreshold: Double = 0.7): DataFrame = {
+                       routeThreshold: Double = 0.7,
+                       maxCandidates: Long = defaultMaxCandidates): DataFrame = {
     if (threshold >= routeThreshold)
-      return prefixContainmentPairs(df, id, text, shingleN, threshold)
-    val inv = spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
-      .select(id.as("doc_id"),
-        explode(shinglesRaw(text, shingleN)).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      .dropDuplicates("doc_id", "s")
+      return prefixContainmentPairs(df, id, text, shingleN, threshold,
+        maxCandidates = maxCandidates)
+    requireCandidateBound("containmentPairs", maxCandidates, {
+      val c = hashedInvBase(df, id, text, shingleN)
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+      c.filter(col("c") <= maxDf)
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+          .cast("long")).head.getLong(0)
+    })
+    val inv = hashedInvBase(df, id, text, shingleN)
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     boundedGroupPairs(inv, Seq(col("s")),
@@ -655,16 +724,25 @@ object Dedup {
     */
   def prefixContainmentPairs(df: DataFrame, id: Column, text: Column,
                              shingleN: Int = 3,
-                             threshold: Double = 0.8): DataFrame = {
+                             threshold: Double = 0.8,
+                             maxCandidates: Long = defaultMaxCandidates): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
         "is the whole set and the candidate set is all co-occurring pairs")
+    requireCandidateBound("prefixContainmentPairs", maxCandidates, {
+      // Σ c_s·(df_s − 1): the prefix→full-index join rows before the
+      // min-side direction filter — blockingStats' containment bound,
+      // on the same hashed keys the operator shuffles
+      val pfx = rankedPrefix(df, id, text, shingleN)
+        .filter(col("__rk") <= col("n_sh") -
+          ceil((lit(threshold) - lit(5e-5)) * col("n_sh") - lit(1e-9)) + 1)
+      pfx.groupBy(col("s"))
+        .agg(count(lit(1)).as("c"), first(col("__dfreq")).as("__f"))
+        .agg(coalesce(sum(col("c") * (col("__f") - 1)), lit(0L))
+          .cast("long")).head.getLong(0)
+    })
     val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
-    val inv = spread(nonBlank, id)
-      .select(id.as("doc_id"),
-        explode(shinglesRaw(text, shingleN)).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      .dropDuplicates("doc_id", "s")
+    val inv = hashedInvBase(df, id, text, shingleN)
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__dfreq"))
@@ -740,28 +818,30 @@ object Dedup {
     */
   def prefixJaccardPairs(df: DataFrame, id: Column, text: Column,
                          shingleN: Int = 3, threshold: Double = 0.5,
-                         maxGroup: Int = 4096): DataFrame = {
+                         maxGroup: Int = 4096,
+                         maxCandidates: Long = defaultMaxCandidates): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
         "is the whole set and the candidate set is all co-occurring pairs")
+    requireCandidateBound("prefixJaccardPairs", maxCandidates, {
+      // Σ_{c ≤ maxGroup} C(c, 2) over prefix-token group sizes —
+      // blockingStats' jaccard bound with the boundedGroupPairs cap
+      // folded in (groups past maxGroup are dropped, not exploded)
+      val pfx = rankedPrefix(df, id, text, shingleN)
+        .filter(col("__rk") <=
+          col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      pfx.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= maxGroup)
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+          .cast("long")).head.getLong(0)
+    })
     val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
-    val inv = spread(nonBlank, id)
-      .select(id.as("doc_id"),
-        explode(shinglesRaw(text, shingleN)).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      .dropDuplicates("doc_id", "s")
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
-    // global token order = (document frequency asc, hash asc); one
-    // agg on the 8-byte key, then a hash join back to the index
-    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__dfreq"))
-    // prefix length n_sh - ceil(t*n_sh) + 1; the 1e-9 nudge keeps an
-    // exactly-integer t*n_sh from rounding UP on float error (a
-    // too-short prefix silently loses recall; too long only costs)
-    val prefix = inv.join(dfreq, "s")
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("__dfreq"), col("s"))))
+    // global token order = (document frequency asc, hash asc) via
+    // [[rankedPrefix]]; prefix length n_sh - ceil(t*n_sh) + 1; the
+    // 1e-9 nudge keeps an exactly-integer t*n_sh from rounding UP on
+    // float error (a too-short prefix silently loses recall; too
+    // long only costs)
+    val prefix = rankedPrefix(df, id, text, shingleN)
       .filter(col("__rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
     val cands = boundedGroupPairs(prefix, Seq(col("s")),
@@ -1204,9 +1284,22 @@ object Dedup {
       // minimum, so the final root IS the component min — the same
       // class_rep law the distributed fixpoint proves
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        val pr = parent.getOrElseUpdate(x, x)
-        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+      // iterative find with path-halving: every node on the walk is
+      // re-pointed to its grandparent, so chain depth halves per pass
+      // and the walk is O(α) amortized with O(1) stack — a 2²⁰-edge
+      // chain inserted in decreasing order must NOT recurse (the old
+      // recursive compression overflowed the driver stack on exactly
+      // that shape; DedupSpec pins it)
+      def find(x0: Long): Long = {
+        var x = x0
+        var pr = parent.getOrElseUpdate(x, x)
+        while (pr != x) {
+          val gp = parent.getOrElseUpdate(pr, pr)
+          parent(x) = gp // path halving: point to grandparent
+          x = gp
+          pr = parent.getOrElseUpdate(x, x)
+        }
+        x
       }
       rows.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -634,6 +634,62 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents survives an adversarial 2^20-edge decreasing chain") {
+    // chain edges (k, k+1) inserted in DECREASING endpoint order
+    // build a parent chain of depth 2^20 in the driver union-find;
+    // the output pass then walks it from the deep end. A recursive
+    // path-compressing find overflows the default JVM stack on
+    // exactly this shape — the iterative path-halving find must not.
+    val n = 1 << 20 // == the default smallGraphEdges cap: small path taken
+    val pairs = spark.range(n).select(
+      (lit(n.toLong - 1) - col("id")).as("id_a"),
+      (lit(n.toLong) - col("id")).as("id_b"))
+    val got = Dedup.connectedComponents(pairs)
+    assert(got.count() == n + 1)
+    assert(got.select("class_rep").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("exact pair joins fail loud past maxCandidates (pre-flight guard)") {
+    // blocking-saturated corpus: every doc is the same text, so every
+    // shingle's document frequency is the corpus size and the
+    // candidate bound is shingles x C(40, 2) — far past a cap of 10
+    val df = (1 to 40).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val e1 = intercept[IllegalStateException] {
+      ngramJaccardPairs(df, $"id", $"text", threshold = 0.3,
+        maxCandidates = 10)
+    }
+    assert(e1.getMessage.contains("maxCandidates = 10"))
+    assert(e1.getMessage.contains("blockingStats"))
+    // all four blocking paths enforce the same pre-flight
+    intercept[IllegalStateException] {
+      prefixJaccardPairs(df, $"id", $"text", threshold = 0.9,
+        maxCandidates = 10)
+    }
+    intercept[IllegalStateException] {
+      containmentPairs(df, $"id", $"text", threshold = 0.5,
+        routeThreshold = 2.0, maxCandidates = 10)
+    }
+    intercept[IllegalStateException] {
+      prefixContainmentPairs(df, $"id", $"text", threshold = 0.8,
+        maxCandidates = 10)
+    }
+    // the routed entry point guards too (delegation threads the cap)
+    intercept[IllegalStateException] {
+      ngramJaccardPairs(df, $"id", $"text", threshold = 0.9,
+        maxCandidates = 10)
+    }
+    // explicit unguarded override (maxCandidates <= 0) still runs
+    assert(ngramJaccardPairs(df, $"id", $"text", threshold = 0.3,
+      maxCandidates = 0).count() == 40L * 39 / 2)
+    // an unsaturated corpus under the cap is untouched by the guard
+    val clean = Seq((1L, "one two three four"), (2L, "one two three five"),
+      (3L, "six seven eight nine")).toDF("id", "text")
+    assert(ngramJaccardPairs(clean, $"id", $"text", threshold = 0.3,
+      maxCandidates = 10).count() >= 1)
+  }
+
   test("skew-guard drops surface as observed metrics, not silently") {
     import org.apache.spark.sql.util.QueryExecutionListener
     import org.apache.spark.sql.execution.QueryExecution
