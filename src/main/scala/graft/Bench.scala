@@ -66,9 +66,18 @@ object Bench {
         // or their own re-runs
         spark.catalog.clearCache()
         // clearCache drops cached DataFrames but NOT localCheckpoint
-        // RDD blocks (freed by ContextCleaner on GC) — nudge the
-        // cleaner so pinned blocks from checkpoint-using queries
-        // don't bleed storage pressure into later timings
+        // RDD blocks. Queries whose RESULT rides a checkpointed
+        // lineage (the rerank doc pins, the tf pins, ...) cannot drop
+        // their own blocks — and waiting for ContextCleaner GC let
+        // them accumulate across 156 queries × 3 passes until the sf1
+        // bench OOM'd the default 8 GB heap (round-9 closing caveat).
+        // Unpersist every still-registered RDD explicitly: at this
+        // point the previous query's result has been consumed, so
+        // nothing live depends on the blocks.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        // ...then nudge the cleaner for broadcasts and accumulator
+        // state the registry does not cover
         System.gc()
         SparkEntry.replayWriteNanos.set(0L)
         SparkEntry.artifactWriteNanos.set(0L)
