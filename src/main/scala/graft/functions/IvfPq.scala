@@ -68,6 +68,39 @@ object IvfPq {
     (out, cents, codebook)
   }
 
+  /** Persist the full IVF-PQ artifact set — the build-once/probe-many
+    * layout a 100 TB deployment runs: the code index written
+    * `partitionBy("cluster")` (so a probe is a partition-pruned
+    * m B/vector scan — [[Ivf.writePartitioned]]'s contract on the
+    * compressed codes), plus the nlist-row centroid table and the
+    * m·ksub-row residual codebook as plain parquet. Byte/double
+    * columns round-trip binary-exact, so a probe through
+    * [[readIndex]] scores identically to a fresh [[index]] build
+    * (IvfPqSpec pins set equality; q_embed_ivfpq_disk grades the
+    * recall gate through the round trip).
+    */
+  def writeIndex(index: DataFrame, centroids: DataFrame,
+                 codebook: DataFrame, path: String): Unit = {
+    index.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$path/index")
+    centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebook")
+  }
+
+  /** Read back [[writeIndex]]'s three artifacts as
+    * (index, centroids, codebook) — feed them straight to [[topK]].
+    * The index read keeps `cluster` as a partition column, so
+    * [[topK]]'s probe join prunes cluster directories dynamically
+    * (only the probed nprobe clusters' files are scanned).
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/index"),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"))
+
   /** Probe: top-k per query scanning only the `nprobe` nearest
     * clusters' code words, scoring dot(q, c) + ADC(residual codes),
     * exact-cosine rerank of the `k · overfetch` survivors. Output

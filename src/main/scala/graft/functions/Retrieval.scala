@@ -175,6 +175,159 @@ object Retrieval {
       .reduce(_.unionByName(_))
   }
 
+  // ---- updatable (incremental) search index -------------------------
+  //
+  // The reference's contrib/index pipeline is an index UPDATER, not
+  // just a builder: DocumentAndOp carries INSERT / DELETE / UPDATE
+  // ops (reference: src/contrib/index/src/java/org/apache/hadoop/
+  // contrib/index/mapred/DocumentAndOp.java:35), routed to shards by
+  // the distribution policy and applied shard-locally by IndexUpdater
+  // (.../mapred/IndexUpdater.java:40) — the op a recurring-crawl
+  // pipeline runs daily. The Spark-native re-expression mirrors
+  // Lucene's own storage model instead of rewriting the artifact:
+  //  - postings live at (term, doc_id, seq) row grain in a bucketed
+  //    table (segments; an update APPENDS its term-routed delta —
+  //    one delta-sized exchange, base files untouched);
+  //  - deletes are a doc-level tombstone ledger (`<table>__deletes`,
+  //    Lucene's .del file) — delete-by-id needs no knowledge of the
+  //    doc's old terms, so a DELETE op ships one row;
+  //  - a generation ledger (`<table>__gen`) hands out monotonically
+  //    increasing seq numbers (one tiny row per update batch, also
+  //    the audit trail);
+  //  - liveness at probe time: a posting is live iff no tombstone
+  //    for its doc carries a STRICTLY larger seq — an UPDATE records
+  //    its tombstone and its re-insert at the SAME seq, so it
+  //    replaces old postings without killing its own (and an UPDATE
+  //    of an absent doc degrades to INSERT, the reference semantic).
+  // Probe-after-update is row-equal to rebuild-from-scratch over the
+  // updated corpus (RetrievalSpec pins it; q_search_index_update
+  // grades it against the DuckDB re-derivation).
+
+  /** Distinct (term, doc_id) posting pairs of a corpus slice — the
+    * row-grain the updatable index stores (a posting row per pair
+    * scales where a one-string-per-term posting list would make a
+    * stopword term a multi-GB row at 100 TB).
+    */
+  private def termDocs(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(TextAnalysis.bpeishTokens(text)).as("term"))
+      .distinct()
+
+  /** Drop-and-replace a small managed aux table (ledgers), sweeping
+    * any orphaned warehouse directory like
+    * [[graft.sources.Bucketing.writeBucketed]] does.
+    */
+  private def replaceAux(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val db = spark.catalog.currentDatabase
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = new org.apache.hadoop.fs.Path(
+      if (db == "default") s"$wh/${table.toLowerCase}"
+      else s"$wh/$db.db/${table.toLowerCase}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    df.write.format("parquet").saveAsTable(table)
+  }
+
+  /** Build generation 0 of an updatable index: term-bucketed posting
+    * rows + empty tombstone ledger + the generation ledger. `shards`
+    * is the distribution policy (term → bucket), recorded implicitly
+    * in the table's bucket spec; pass the same value to
+    * [[updateSearchIndex]].
+    */
+  def buildUpdatableIndex(docs: DataFrame, id: Column, text: Column,
+                          table: String, shards: Int = 8): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = docs.sparkSession
+    graft.sources.Bucketing.writeBucketed(
+      termDocs(docs, id, text).withColumn("seq", lit(0L)),
+      table, "term", shards)
+    import spark.implicits._
+    replaceAux(Seq.empty[(Long, Long)].toDF("doc_id", "seq"),
+      s"${table}__deletes")
+    replaceAux(Seq((0L, 0L)).toDF("seq", "n_ops"), s"${table}__gen")
+  }
+
+  /** Apply one batch of document ops to an updatable index WITHOUT
+    * rebuilding it. `delta` rows carry (`op`, `id`, `text`) with op
+    * in {insert, delete, update} (DocumentAndOp's three verbs;
+    * delete ignores text). Cost is delta-sized: the new postings
+    * append through one term-routed exchange into the existing
+    * buckets, tombstones and the generation row are tiny appends —
+    * the base index files are never read or rewritten.
+    */
+  def updateSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String, delta: DataFrame, op: Column,
+                        id: Column, text: Column,
+                        shards: Int = 8): Unit = {
+    val d = delta.select(lower(op.cast("string")).as("op"),
+        id.as("doc_id"), text.as("text"))
+      // fail loud on an unknown verb — a typo'd op silently dropped
+      // would desynchronize the index from the corpus
+      .withColumn("op", when(col("op").isin("insert", "delete", "update"),
+        col("op")).otherwise(raise_error(concat(
+        lit("updateSearchIndex: unknown op '"), col("op"),
+        lit("' (expected insert/delete/update)")))))
+      .localCheckpoint()
+    val seq = spark.table(s"${table}__gen")
+      .agg(max(col("seq"))).head().getLong(0) + 1L
+    // term-routed posting delta for inserts + updates
+    termDocs(d.filter(col("op").isin("insert", "update")),
+        col("doc_id"), col("text"))
+      .withColumn("seq", lit(seq))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(shards, "term").sortBy("term").format("parquet")
+      .saveAsTable(table)
+    // doc-level tombstones for deletes + updates (same seq as the
+    // update's re-insert: strictly-larger wins, so the re-insert
+    // survives while every older generation dies)
+    d.filter(col("op").isin("delete", "update"))
+      .select(col("doc_id")).distinct().withColumn("seq", lit(seq))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(s"${table}__deletes")
+    val nOps = d.count()
+    import spark.implicits._
+    Seq((seq, nOps)).toDF("seq", "n_ops")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(s"${table}__gen")
+    graft.functions.Checkpoints.drop(d)
+  }
+
+  /** Probe an updatable index for a bag of terms: per term one
+    * bucket-pruned lookup (the shard-routed query path), then the
+    * Lucene read-side merge — newest posting per (term, doc) wins,
+    * tombstones with a strictly larger seq kill it — and the same
+    * (term, df, postings ≤ maxPostings) output shape as
+    * [[probeSearchIndex]]. The tombstone ledger is delta-sized and
+    * broadcasts; the posting cut runs through a window rank (spills)
+    * BEFORE any list is collected, so a stopword probe never buffers
+    * its full posting set.
+    */
+  def probeUpdatableIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, terms: Seq[String],
+                          maxPostings: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "probeUpdatableIndex needs at least one term")
+    val rows = terms
+      .map(t => graft.sources.Bucketing.lookup(spark, table, "term", t))
+      .reduce(_.unionByName(_))
+    val dels = spark.table(s"${table}__deletes")
+      .groupBy(col("doc_id")).agg(max(col("seq")).as("dseq"))
+    val live = rows.groupBy(col("term"), col("doc_id"))
+      .agg(max(col("seq")).as("seq"))
+      .join(broadcast(dels), Seq("doc_id"), "left_outer")
+      .filter(col("dseq").isNull || col("dseq") <= col("seq"))
+    val byTerm = Window.partitionBy(col("term"))
+    live.select(col("term"), col("doc_id"),
+        row_number().over(byTerm.orderBy(col("doc_id"))).as("rn"),
+        count(lit(1)).over(byTerm).as("dfc"))
+      .filter(col("rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(max(col("dfc")).as("df"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+  }
+
   /** TF-IDF keyword extraction: the top `k` terms of every document
     * by `tf · ln(N/df)` (classic idf — a term present in every
     * document scores 0), score rounded to 4 decimals, ties broken by

@@ -71,6 +71,60 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("persisted index round-trips binary-exact and probes partition-pruned") {
+    val e = graft.Graft.table(spark, sf, "embeddings").limit(200)
+    val queries = e.filter(col("vec_id") < 3)
+    val (idx, cents, cb) = IvfPq.index(e, col("vec_id"), col("embedding"),
+      nlist = 8, m = 8, ksub = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+    try {
+      IvfPq.writeIndex(idx, cents, cb, tmp.toString)
+      // one directory per cluster under index/
+      val dirs = new java.io.File(tmp.toString + "/index").listFiles()
+        .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+      assert(dirs.size > 1, s"expected several cluster dirs, got $dirs")
+      val (dIdx, dCents, dCb) = IvfPq.readIndex(spark, tmp.toString)
+      // binary-exact round trip: codes, centroids, codebook
+      def codes(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cluster", "codes").collect()
+          .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2).toList))
+          .toMap
+      assert(codes(dIdx) == codes(idx))
+      assert(dCents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap == cents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap)
+      // the disk probe equals the in-memory probe row-for-row
+      def run(i: org.apache.spark.sql.DataFrame,
+              c: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+        IvfPq.topK(i, c, b, e, col("vec_id"), col("embedding"),
+            queries, col("vec_id"), col("embedding"),
+            k = 5, m = 8, ksub = 8, nprobe = 3, overfetch = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSet
+      assert(run(dIdx, dCents, dCb) == run(idx, cents, cb))
+      // partition pruning reaches the code scan: a literal cluster
+      // filter is a PartitionFilter (static form), and the probe
+      // join's cluster key is eligible for dynamic pruning
+      val one = spark.read.parquet(tmp.toString + "/index")
+        .filter(col("cluster") === 0)
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+        plan.take(800))
+      // dynamic case: the executed probe plan carries a
+      // dynamicpruning subquery on the index scan's cluster column
+      val probePlan = IvfPq.topK(dIdx, dCents, dCb, e, col("vec_id"),
+          col("embedding"), queries, col("vec_id"), col("embedding"),
+          k = 5, m = 8, ksub = 8, nprobe = 3, overfetch = 8)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("dynamicpruning") ||
+        probePlan.contains("DynamicPruning"), probePlan.take(1200))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("pruned probe scans exactly its nprobe clusters' population") {
     val e = graft.Graft.table(spark, sf, "embeddings").limit(200)
     val queries = e.filter(col("vec_id") < 2)

@@ -137,4 +137,56 @@ class RetrievalSpec extends SparkSpec {
       spark, "ret_search_idx", "term", "spark")
     assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
   }
+
+  test("updatable index: insert/delete/update equals rebuild-from-scratch") {
+    def probeAll(tbl: String) =
+      Retrieval.probeUpdatableIndex(spark, tbl,
+          Seq("spark", "data", "fresh", "marker", "windows", "quality"),
+          maxPostings = 2)
+        .as[(String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val base = Seq(
+      (1L, "spark joins data"), (2L, "spark windows"),
+      (3L, "data quality"), (4L, "spark data spark")).toDF("doc_id", "text")
+    Retrieval.buildUpdatableIndex(base, $"doc_id", $"text",
+      "ret_upd_idx", shards = 4)
+    // delete 2, update 3 (new terms), insert 5, and UPDATE an absent
+    // doc 6 (must degrade to insert — the DocumentAndOp semantic)
+    val delta = Seq(
+      ("delete", 2L, null.asInstanceOf[String]),
+      ("update", 3L, "marker quality"),
+      ("insert", 5L, "fresh data"),
+      ("update", 6L, "fresh marker")).toDF("op", "doc_id", "text")
+    Retrieval.updateSearchIndex(spark, "ret_upd_idx", delta,
+      $"op", $"doc_id", $"text", shards = 4)
+    val got = probeAll("ret_upd_idx")
+    // the rebuild oracle: same probe over a fresh index on the
+    // post-delta corpus
+    val rebuilt = Seq(
+      (1L, "spark joins data"), (3L, "marker quality"),
+      (4L, "spark data spark"), (5L, "fresh data"),
+      (6L, "fresh marker")).toDF("doc_id", "text")
+    Retrieval.buildUpdatableIndex(rebuilt, $"doc_id", $"text",
+      "ret_upd_idx_oracle", shards = 4)
+    assert(got == probeAll("ret_upd_idx_oracle"), got.toString)
+    // spot-check the merge semantics directly
+    assert(got("spark") == ((2L, "1,4")), "deleted doc 2 must vanish")
+    assert(got("quality") == ((1L, "3")), "updated doc keeps new terms only")
+    assert(!got.contains("windows"), "doc 2's postings died with it")
+    assert(got("fresh") == ((2L, "5,6")), "insert + absent-update land")
+    // a second delta on the SAME index: re-insert a deleted doc —
+    // the newer insert must beat the older tombstone
+    Retrieval.updateSearchIndex(spark, "ret_upd_idx",
+      Seq(("insert", 2L, "spark returns")).toDF("op", "doc_id", "text"),
+      $"op", $"doc_id", $"text", shards = 4)
+    assert(probeAll("ret_upd_idx")("spark") == ((3L, "1,2")),
+      "re-inserted doc must come back live")
+    // fail-loud on a typo'd op
+    val e = intercept[Exception] {
+      Retrieval.updateSearchIndex(spark, "ret_upd_idx",
+        Seq(("upsert", 9L, "x")).toDF("op", "doc_id", "text"),
+        $"op", $"doc_id", $"text", shards = 4)
+    }
+    assert(e.getMessage != null)
+  }
 }

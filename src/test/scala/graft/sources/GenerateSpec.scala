@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GenerateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(parts: Int, skewed: Boolean = false,
+                     portable: Boolean = true) =
+    Generate.randomText(spark, rows = 500, minWords = 3, maxWords = 9,
+      vocab = 50, seed = 7L, skewed = skewed, numPartitions = parts,
+      portable = portable)
+
+  test("randomText is deterministic and partitioning-independent") {
+    val a = corpus(1).as[(Long, String)].collect().toMap
+    val b = corpus(7).as[(Long, String)].collect().toMap
+    assert(a == b, "content must be a pure function of (seed, id), not layout")
+    assert(a.size == 500)
+    // fast dial: deterministic as well (different corpus is fine)
+    val f1 = corpus(3, portable = false).as[(Long, String)].collect().toMap
+    val f2 = corpus(5, portable = false).as[(Long, String)].collect().toMap
+    assert(f1 == f2)
+  }
+
+  test("randomText respects word-count and vocabulary bounds") {
+    val rows = corpus(4).as[(Long, String)].collect()
+    rows.foreach { case (id, text) =>
+      val ws = text.split(" ")
+      assert(ws.length >= 3 && ws.length <= 9, s"doc $id: ${ws.length} words")
+      ws.foreach { w =>
+        assert(w.startsWith("w") && w.drop(1).toInt < 50, s"doc $id word $w")
+      }
+    }
+  }
+
+  test("randomText skew dial favors low word ids; generation stays map-only") {
+    def freqTop(skewed: Boolean) = {
+      val f = corpus(4, skewed = skewed)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0).drop(1).toInt -> r.getLong(1)).toMap
+      (0 until 25).map(f.getOrElse(_, 0L)).sum.toDouble /
+        (0 until 50).map(f.getOrElse(_, 0L)).sum
+    }
+    val (uni, skew) = (freqTop(false), freqTop(true))
+    assert(math.abs(uni - 0.5) < 0.06, s"uniform low-half share $uni")
+    assert(skew > 0.65, s"skewed low-half share $skew should be ~0.75")
+    // the generator itself is one narrow range->project stage
+    val plan = corpus(4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
+  test("randomText minWords 0 admits empty documents without error") {
+    val rows = Generate.randomText(spark, rows = 200, minWords = 0,
+      maxWords = 1, vocab = 5, seed = 1L).as[(Long, String)].collect()
+    assert(rows.length == 200)
+    assert(rows.exists(_._2.isEmpty), "some docs should draw zero words")
+    assert(rows.exists(_._2.nonEmpty))
+  }
+}
