@@ -2572,6 +2572,33 @@ object SparkEntry {
         maxPostings = 10)
     }),
 
+    // the same delta pipeline followed by COMPACTION (the Lucene
+    // segment-merge analog): fold the appended segments + tombstone
+    // ledger into one clean generation — an index-sized exchange,
+    // corpus never touched — then probe. Answers must be identical
+    // to the uncompacted index's, i.e. the same rebuilt-corpus
+    // oracle as q_search_index_update.
+    "q_search_index_compact" -> ((s, dir) => {
+      val tbl = "graft_q_search_index_cpt"
+      val docs = t(s, dir, "documents")
+      functions.Retrieval.buildUpdatableIndex(
+        docs.filter(col("doc_id") % 4 =!= 3),
+        col("doc_id"), col("text"), tbl, shards = 8)
+      val delta = docs.select(col("doc_id"), col("text"),
+          when(col("doc_id") % 10 === 0, "delete")
+            .when(col("doc_id") % 10 === 1, "update")
+            .when(col("doc_id") % 4 === 3, "insert").as("op"))
+        .filter(col("op").isNotNull)
+        .withColumn("text", when(col("op") === "update",
+          concat(lit("updatedterm "), col("text"))).otherwise(col("text")))
+      functions.Retrieval.updateSearchIndex(s, tbl, delta, col("op"),
+        col("doc_id"), col("text"), shards = 8)
+      functions.Retrieval.compactSearchIndex(s, tbl, shards = 8)
+      functions.Retrieval.probeUpdatableIndex(s, tbl,
+        Seq("updatedterm", "dup", "spark", "the", "window"),
+        maxPostings = 10)
+    }),
+
     // write-time z-order layout, graded end-to-end: cluster lineitem
     // on (l_orderkey, l_partkey), then answer a 2-D box query THROUGH
     // the clustered copy; the oracle answers the same box on the raw
@@ -4952,6 +4979,34 @@ object SparkEntry {
     // doc is inserted or update-inserted; %10==1 carries the marker
     // prefix) and recomputes the probed terms' posting lists.
     "q_search_index_update" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 1 THEN 'updatedterm ' || text
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM corpus),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)),
+        |ranked AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY term) AS dfc
+        |  FROM dt)
+        |SELECT term, CAST(max(dfc) AS BIGINT) AS df,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM ranked
+        |WHERE rn <= 10
+        |  AND term IN ('updatedterm', 'dup', 'spark', 'the', 'window')
+        |GROUP BY term""".stripMargin,
+
+    // q_search_index_compact: compaction is answer-preserving — the
+    // identical rebuilt-corpus recompute grades the compacted index
+    "q_search_index_compact" ->
       """WITH corpus AS (
         |  SELECT doc_id,
         |         CASE WHEN doc_id % 10 = 1 THEN 'updatedterm ' || text

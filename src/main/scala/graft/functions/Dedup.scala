@@ -511,6 +511,17 @@ object Dedup {
           "size, or pass maxCandidates <= 0 to run unguarded.")
     }
 
+  /** Pin the shared index subtree when the pre-flight gate will read
+    * it: the gate is eager (it runs `head()` before the pair plan is
+    * even returned), so without the pin the corpus would tokenize
+    * once for the bound and again for the join — localCheckpoint is
+    * the same disk-backed "write the shingle index once, read it per
+    * consumer" trade [[rerankExact]] documents. Unguarded calls
+    * (maxCandidates <= 0) stay fully lazy and unpinned.
+    */
+  private def pinIfGuarded(base: DataFrame, maxCandidates: Long): DataFrame =
+    if (maxCandidates > 0) base.localCheckpoint() else base
+
   /** The shared doc×distinct-shingle inverted-index base (hashed
     * 8-byte keys, blank docs excluded) the pair operators block on —
     * also the input to their pre-flight candidate bounds, so gate and
@@ -590,10 +601,14 @@ object Dedup {
     if (threshold >= routeThreshold)
       return prefixJaccardPairs(df, id, text, shingleN, threshold,
         maxCandidates = maxCandidates)
+    // guarded: pin the index base so the pre-flight bound and the
+    // pair plan tokenize the corpus ONCE (the guard is an extra
+    // aggregation over pinned blocks, not a second corpus scan)
+    val base = pinIfGuarded(hashedInvBase(df, id, text, shingleN),
+      maxCandidates)
     requireCandidateBound("ngramJaccardPairs", maxCandidates, {
-      val c = hashedInvBase(df, id, text, shingleN)
-        .groupBy(col("s")).agg(count(lit(1)).as("c"))
-      c.filter(col("c") <= maxDf)
+      base.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= maxDf)
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
           .cast("long")).head.getLong(0)
     })
@@ -609,7 +624,7 @@ object Dedup {
     // one pair's jaccard by ~1/n_sh with P ≈ n²/2⁶⁵ — noise well
     // under the threshold granularity).
     // same blank-doc exclusion as minhashNearDups (degenerate "" pairs)
-    val inv = hashedInvBase(df, id, text, shingleN)
+    val inv = base
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     // group the inverted index by shingle: the group size IS the
@@ -670,14 +685,17 @@ object Dedup {
     if (threshold >= routeThreshold)
       return prefixContainmentPairs(df, id, text, shingleN, threshold,
         maxCandidates = maxCandidates)
+    // pinned like ngramJaccardPairs: one tokenize pass feeds the
+    // pre-flight bound and the pair plan
+    val base = pinIfGuarded(hashedInvBase(df, id, text, shingleN),
+      maxCandidates)
     requireCandidateBound("containmentPairs", maxCandidates, {
-      val c = hashedInvBase(df, id, text, shingleN)
-        .groupBy(col("s")).agg(count(lit(1)).as("c"))
-      c.filter(col("c") <= maxDf)
+      base.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= maxDf)
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
           .cast("long")).head.getLong(0)
     })
-    val inv = hashedInvBase(df, id, text, shingleN)
+    val inv = base
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     boundedGroupPairs(inv, Seq(col("s")),
@@ -729,38 +747,37 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
         "is the whole set and the candidate set is all co-occurring pairs")
+    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
+    // the ranked index is pinned once (when guarded): the pre-flight
+    // bound, the prefix filter AND the full-index join side all read
+    // the same blocks — rankedPrefix's inner df-join is total, so
+    // its row set IS the inverted index
+    val ranked = pinIfGuarded(rankedPrefix(df, id, text, shingleN),
+      maxCandidates)
     requireCandidateBound("prefixContainmentPairs", maxCandidates, {
       // Σ c_s·(df_s − 1): the prefix→full-index join rows before the
       // min-side direction filter — blockingStats' containment bound,
       // on the same hashed keys the operator shuffles
-      val pfx = rankedPrefix(df, id, text, shingleN)
+      ranked
         .filter(col("__rk") <= col("n_sh") -
           ceil((lit(threshold) - lit(5e-5)) * col("n_sh") - lit(1e-9)) + 1)
-      pfx.groupBy(col("s"))
+        .groupBy(col("s"))
         .agg(count(lit(1)).as("c"), first(col("__dfreq")).as("__f"))
         .agg(coalesce(sum(col("c") * (col("__f") - 1)), lit(0L))
           .cast("long")).head.getLong(0)
     })
-    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
-    val inv = hashedInvBase(df, id, text, shingleN)
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
-    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__dfreq"))
     // prefix length n_sh - ceil(t*n_sh) + 1, with the final
     // round(., 4) >= t filter's slack folded in: a pair at true
     // ratio t - 0.00004 rounds UP to t and must not be lost to a
     // one-too-short prefix; the 1e-9 nudge keeps an exactly-integer
     // product from rounding up on float error (mirrors
     // [[prefixJaccardPairs]])
-    val prefix = inv.join(dfreq, "s")
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("__dfreq"), col("s"))))
+    val prefix = ranked
       .filter(col("__rk") <= col("n_sh") -
         ceil((lit(threshold) - lit(5e-5)) * col("n_sh") - lit(1e-9)) + 1)
     val cands = prefix
       .select(col("s"), col("doc_id").as("__pid"), col("n_sh").as("__pn"))
-      .join(inv.select(col("s"), col("doc_id").as("__fid"),
+      .join(ranked.select(col("s"), col("doc_id").as("__fid"),
         col("n_sh").as("__fn")), "s")
       // only the direction where the prefix doc is the (weakly)
       // smaller side — that witness always exists for a true pair
@@ -823,25 +840,29 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
         "is the whole set and the candidate set is all co-occurring pairs")
+    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
+    // ranked index pinned once (when guarded): pre-flight bound and
+    // prefix filter read the same blocks instead of tokenizing twice
+    val ranked = pinIfGuarded(rankedPrefix(df, id, text, shingleN),
+      maxCandidates)
     requireCandidateBound("prefixJaccardPairs", maxCandidates, {
       // Σ_{c ≤ maxGroup} C(c, 2) over prefix-token group sizes —
       // blockingStats' jaccard bound with the boundedGroupPairs cap
       // folded in (groups past maxGroup are dropped, not exploded)
-      val pfx = rankedPrefix(df, id, text, shingleN)
+      ranked
         .filter(col("__rk") <=
           col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      pfx.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
         .filter(col("c") <= maxGroup)
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
           .cast("long")).head.getLong(0)
     })
-    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
     // global token order = (document frequency asc, hash asc) via
     // [[rankedPrefix]]; prefix length n_sh - ceil(t*n_sh) + 1; the
     // 1e-9 nudge keeps an exactly-integer t*n_sh from rounding UP on
     // float error (a too-short prefix silently loses recall; too
     // long only costs)
-    val prefix = rankedPrefix(df, id, text, shingleN)
+    val prefix = ranked
       .filter(col("__rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
     val cands = boundedGroupPairs(prefix, Seq(col("s")),

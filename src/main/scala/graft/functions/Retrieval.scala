@@ -294,6 +294,41 @@ object Retrieval {
     graft.functions.Checkpoints.drop(d)
   }
 
+  /** Compact an updatable index — the Lucene segment-merge analog:
+    * fold every appended delta segment and the tombstone ledger into
+    * a single clean generation. Resolves the same liveness rule the
+    * probe applies (newest posting per (term, doc) wins; a strictly
+    * newer tombstone kills it), rewrites the surviving rows as one
+    * bucketed table (seq values preserved — future updates keep
+    * ordering), and empties the tombstone ledger. Cost is one
+    * index-sized exchange — INDEX-sized, not corpus-sized: the
+    * corpus text is never touched, which is what separates this from
+    * a rebuild. Probes answer identically before and after
+    * (RetrievalSpec pins it; q_search_index_compact grades it), but
+    * after compaction they scan one segment generation and skip the
+    * tombstone anti-join's work.
+    */
+  def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, shards: Int = 8): Unit = {
+    val dels = spark.table(s"${table}__deletes")
+      .groupBy(col("doc_id")).agg(max(col("seq")).as("dseq"))
+    // pin the survivors BEFORE dropping the table underneath them —
+    // writeBucketed deletes the source files this plan would lazily
+    // re-read
+    val live = spark.table(table)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(max(col("seq")).as("seq"))
+      .join(broadcast(dels), Seq("doc_id"), "left_outer")
+      .filter(col("dseq").isNull || col("dseq") <= col("seq"))
+      .select(col("term"), col("doc_id"), col("seq"))
+      .localCheckpoint()
+    graft.sources.Bucketing.writeBucketed(live, table, "term", shards)
+    import spark.implicits._
+    replaceAux(Seq.empty[(Long, Long)].toDF("doc_id", "seq"),
+      s"${table}__deletes")
+    graft.functions.Checkpoints.drop(live)
+  }
+
   /** Probe an updatable index for a bag of terms: per term one
     * bucket-pruned lookup (the shard-routed query path), then the
     * Lucene read-side merge — newest posting per (term, doc) wins,

@@ -188,5 +188,22 @@ class RetrievalSpec extends SparkSpec {
         $"op", $"doc_id", $"text", shards = 4)
     }
     assert(e.getMessage != null)
+    // compaction folds the segments + tombstones into one clean
+    // generation: probes identical, ledger empty, duplicates gone
+    val before = probeAll("ret_upd_idx")
+    Retrieval.compactSearchIndex(spark, "ret_upd_idx", shards = 4)
+    assert(probeAll("ret_upd_idx") == before, "compaction changed answers")
+    assert(spark.table("ret_upd_idx__deletes").count() == 0)
+    // one live row per (term, doc_id) — superseded generations folded
+    val dup = spark.table("ret_upd_idx").groupBy("term", "doc_id")
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0, "compacted index still holds superseded postings")
+    // and the compacted index remains updatable
+    Retrieval.updateSearchIndex(spark, "ret_upd_idx",
+      Seq(("delete", 1L, null.asInstanceOf[String]))
+        .toDF("op", "doc_id", "text"),
+      $"op", $"doc_id", $"text", shards = 4)
+    assert(probeAll("ret_upd_idx")("spark") == ((2L, "2,4")),
+      "post-compaction delete must apply")
   }
 }
