@@ -2701,6 +2701,95 @@ object SparkEntry {
           (col("est") === col("est_merged")).as("union_ok"))
     }),
 
+    // mergeable DataSketches panel (Sketches.sketchPanel): one
+    // bookkeeping row per source carrying {theta, HLL, KLL} binary
+    // sketches + exact n — the artifact a 100 TB pipeline persists
+    // per day/source and rolls up WITHOUT rescanning the corpus.
+    // Grading exploits the exactness window: a theta sketch at
+    // lgk=20 retains every distinct hash at test scales, so its
+    // estimate hash-grades against DuckDB's COUNT(DISTINCT); the
+    // estimate-only sides grade as laws computed Spark-side (FALSE
+    // on violation) — HLL inside a 3-sigma relative-error envelope,
+    // the KLL median's exact rank interval covering 0.5 +/- the
+    // k=200 rank-error bound.
+    "q_sketch_panel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val panel = functions.Sketches.sketchPanel(docs, col("source"),
+        col("n_chars"), col("n_chars"))
+      val est = panel.select(col("group").as("source"), col("n"),
+        call_function("theta_sketch_estimate", col("theta"))
+          .as("distinct_lens"),
+        call_function("hll_sketch_estimate", col("hll")).as("__hll"),
+        call_function("kll_sketch_get_quantile_double", col("kll"),
+          lit(0.5)).as("__p50"))
+      // exact rank interval of the KLL median (ties widen it) and
+      // the exact distinct count for the HLL envelope — one extra
+      // corpus pass, grading-only
+      val ranks = est.select(col("source"), col("__p50"))
+        .join(docs.select(col("source"), col("n_chars")), Seq("source"))
+        .groupBy(col("source"))
+        .agg(
+          (sum(when(col("n_chars") < col("__p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__rlo"),
+          (sum(when(col("n_chars") <= col("__p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__rhi"))
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("n_chars")).as("__dx"))
+      est.join(exact, Seq("source")).join(ranks, Seq("source"))
+        .select(col("source"), col("n"), col("distinct_lens"),
+          (abs(col("__hll") - col("__dx")) <=
+            greatest(col("__dx") * 0.05, lit(2.0))).as("hll_ok"),
+          (col("__rlo") <= 0.53 && col("__rhi") >= 0.47).as("p50_ok"))
+    }),
+
+    // the rollup half of the panel story: collapse the per-source
+    // panel to ONE global row — total n, global distinct (theta
+    // union of exact sketches = exact), merged-KLL p50/p95 — moving
+    // only sketch-sized rows. The corpus pass below is grading-only
+    // (rank intervals + the HLL envelope); production reads the
+    // panel alone.
+    "q_sketch_rollup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val roll = functions.Sketches.panelRollup(
+        functions.Sketches.sketchPanel(docs, col("source"),
+          col("n_chars"), col("n_chars")),
+        Seq(0.5, 0.95))
+      val exact = docs.agg(countDistinct(col("n_chars")).as("__dx"))
+      docs.select(col("n_chars")).crossJoin(broadcast(roll))
+        .agg(
+          first(col("n")).as("n"),
+          first(col("distinct_theta")).as("distinct_lens"),
+          first(col("distinct_hll")).as("__hll"),
+          (sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r50lo"),
+          (sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r50hi"),
+          (sum(when(col("n_chars") < col("p95"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r95lo"),
+          (sum(when(col("n_chars") <= col("p95"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r95hi"))
+        .crossJoin(broadcast(exact))
+        .select(col("n"), col("distinct_lens"),
+          (abs(col("__hll") - col("__dx")) <=
+            greatest(col("__dx") * 0.05, lit(2.0))).as("hll_ok"),
+          (col("__r50lo") <= 0.53 && col("__r50hi") >= 0.47).as("p50_ok"),
+          (col("__r95lo") <= 0.98 && col("__r95hi") >= 0.92).as("p95_ok"))
+    }),
+
+    // snapshot overlap WITHOUT a join (Sketches.thetaOverlap): two
+    // crawl snapshots collapse to one theta sketch each and the six
+    // set cardinalities come from sketch algebra — the scale
+    // companion to the exact sourceOverlap, O(sketch) instead of a
+    // key-universe shuffle. Exact below 2^20 distinct keys per side,
+    // so every number hash-grades against DuckDB's set arithmetic.
+    "q_theta_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      functions.Sketches.thetaOverlap(
+        docs.filter(col("doc_id") % 4 =!= 3),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        col("doc_id"))
+    }),
+
     // URL canonicalization over doc_id-derived messy URLs (mixed
     // case, default port, unsorted params, fragment) — the crawl
     // frontier / source-dedup key
@@ -5128,6 +5217,42 @@ object SparkEntry {
         |           ORDER BY exact DESC, w LIMIT 20)
         |SELECT w AS key, exact, TRUE AS lb_ok, TRUE AS union_ok
         |FROM probes""".stripMargin,
+
+    // q_sketch_panel: theta at lgk=20 is exact at every test scale,
+    // so n and the distinct count recompute directly; the HLL
+    // envelope and the KLL rank-interval laws are stated as
+    // constants (the Spark side computes both sides and emits FALSE
+    // on violation)
+    "q_sketch_panel" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
+        |       TRUE AS hll_ok, TRUE AS p50_ok
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q_sketch_rollup: the global row — theta union of exact
+    // sketches stays exact, the estimate-only laws are constants
+    "q_sketch_rollup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
+        |       TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM documents""".stripMargin,
+
+    // q_theta_overlap: exact-mode theta set algebra = plain set
+    // arithmetic over the two snapshot predicates
+    "q_theta_overlap" ->
+      """SELECT
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 4 <> 3) AS n_a,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 10 <> 0) AS n_b,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 4 <> 3 AND doc_id % 10 <> 0) AS n_both,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 4 <> 3 OR doc_id % 10 <> 0) AS n_either,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 4 <> 3 AND doc_id % 10 = 0) AS n_a_only,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 10 <> 0 AND doc_id % 4 = 3) AS n_b_only""".stripMargin,
 
     // PII scrub: same Java/RE2-portable patterns, 'g' for global
     // replace; counts are per-pattern matches on the raw text

@@ -68,4 +68,72 @@ class SketchesSpec extends SparkSpec {
     // n counts the 3 non-null rows only: ceil(0.6*3)=2 <= 3
     assert(got == Set(("a", 3L)))
   }
+
+  test("sketchPanel: theta distinct and KLL quantiles exact below capacity") {
+    // 3 groups, known distincts and medians; everything is below the
+    // sketches' exactness windows, so estimates must be EXACT
+    val rows = for {
+      g <- Seq("a", "b", "c"); i <- 0 until 120
+    } yield (g, (i % (g(0) - 'a' + 2) * 10).toLong, i.toDouble)
+    val df = rows.toDF("src", "k", "v")
+    val panel = Sketches.sketchPanel(df, $"src", $"k", $"v")
+    val got = panel.select($"group", $"n",
+        call_function("theta_sketch_estimate", $"theta").cast("long"),
+        call_function("hll_sketch_estimate", $"hll").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // distinct k per group: a -> {0,10}, b -> {0,10,20}, c -> 4 values
+    assert(got("a") == ((120L, 2L, 2L)))
+    assert(got("b") == ((120L, 3L, 3L)))
+    assert(got("c") == ((120L, 4L, 4L)))
+  }
+
+  test("panelRollup merges groups without rescanning: exact global answers") {
+    val df = (0 until 300)
+      .map(i => (s"g${i % 3}", (i % 57).toLong, i.toDouble))
+      .toDF("src", "k", "v")
+    val panel = Sketches.sketchPanel(df, $"src", $"k", $"v")
+    val row = Sketches.panelRollup(panel, Seq(0.5, 0.95)).collect().head
+    assert(row.getAs[Long]("n") == 300L)
+    assert(row.getAs[Long]("distinct_theta") == 57L)
+    assert(row.getAs[Long]("distinct_hll") == 57L)
+    // v = 0..299 retained exactly (n < kllK buffer): p50/p95 are
+    // actual data values at those ranks
+    val p50 = row.getAs[Double]("p50")
+    val p95 = row.getAs[Double]("p95")
+    assert(p50 >= 145.0 && p50 <= 155.0, s"p50=$p50")
+    assert(p95 >= 280.0 && p95 <= 290.0, s"p95=$p95")
+  }
+
+  test("panelRollup of two disjoint-half panels equals the whole-corpus rollup") {
+    val df = (0 until 400)
+      .map(i => (s"g${i % 4}", (i % 83).toLong, i.toDouble)).toDF("src", "k", "v")
+    val whole = Sketches.panelRollup(
+      Sketches.sketchPanel(df, $"src", $"k", $"v")).collect().head
+    val parts = Sketches.panelRollup(
+      Sketches.sketchPanel(df.filter($"v" < 200), $"src", $"k", $"v")
+        .unionByName(
+          Sketches.sketchPanel(df.filter($"v" >= 200), $"src", $"k", $"v")))
+      .collect().head
+    // theta union of exact sketches is exact — identical estimates
+    assert(whole.getAs[Long]("distinct_theta") ==
+      parts.getAs[Long]("distinct_theta"))
+    assert(whole.getAs[Long]("n") == parts.getAs[Long]("n"))
+  }
+
+  test("thetaOverlap: exact set algebra below capacity, no join in the plan") {
+    val a = (0 until 150).map(_.toLong).toDF("id")
+    val b = (100 until 300).map(_.toLong).toDF("id")
+    val got = Sketches.thetaOverlap(a, b, $"id")
+      .select(col("n_a").cast("long"), col("n_b").cast("long"),
+        col("n_both").cast("long"), col("n_either").cast("long"),
+        col("n_a_only").cast("long"), col("n_b_only").cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((150L, 200L, 50L, 300L, 100L, 150L)))
+    // the whole overlap is two single-row aggregations + a 1x1 cross
+    // product — no shuffle join of the key universes
+    val plan = Sketches.thetaOverlap(a, b, $"id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
