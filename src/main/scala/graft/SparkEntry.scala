@@ -2087,6 +2087,34 @@ object SparkEntry {
             col("total").cast("double").as("total"))
     } }),
 
+    // streaming distinct-count sketch (StreamSketch.perWindow): per
+    // event-time day window, ONE theta sketch of user_id built by
+    // the declarative theta_sketch_agg streaming aggregation —
+    // sketch union is order-free, so the replay's micro-batch order
+    // cannot move the estimate, and below 2^20 distinct keys the
+    // estimate is EXACT, grading against per-window COUNT(DISTINCT).
+    // The -1 rollup row re-unions the per-window sketches from the
+    // SINK (panelRollup's law on streamed output): the emitted
+    // artifact stays mergeable, not just readable.
+    "q_stream_sketch" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
+        val batch = t(s, dir, "events")
+          .select(expr("ts div 1000000000").cast("timestamp").as("ts2"),
+            col("user_id"))
+        val est = streaming.StreamSketch.perWindow(
+          replayStream(s, batch), "ts2", "90 days", "1 day",
+          col("user_id"))
+        val q = est.writeStream.outputMode("complete").format("memory")
+          .queryName("q_stream_sketch_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        val sink = s.table("q_stream_sketch_sink")
+        sink.select(col("window_start"), col("distinct_est"))
+          .unionByName(sink.agg(
+            lit(-1L).as("window_start"),
+            call_function("theta_sketch_estimate",
+              call_function("theta_union_agg", col("theta"), lit(20)))
+              .as("distinct_est")))
+    } }),
+
     // streaming weighted sample (StreamSample.perWindow): the A-ES
     // draw is a pure function of (doc_id, seed), so the per-window
     // top-k state merge is order-insensitive and the stream's sample
@@ -4749,6 +4777,19 @@ object SparkEntry {
     // key columns emitted, so arrival order is invisible)
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // q_stream_sketch: per-day theta distinct estimates are exact
+    // below capacity, so they equal COUNT(DISTINCT) per window; the
+    // -1 row is the cross-window sketch union = global distinct
+    "q_stream_sketch" ->
+      """SELECT (epoch_us(ts) // 1000000 // 86400) * 86400
+        |         AS window_start,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_est
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS window_start,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_est
+        |FROM events""".stripMargin,
 
     // q_stream_sessions: final complete-mode session-window state vs
     // the batch lag-form. Spark's session_window merges an event at
