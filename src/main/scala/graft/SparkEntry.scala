@@ -1177,9 +1177,20 @@ object SparkEntry {
           .repartition(col("k"))
         val fixture = sk.crossJoin(
           broadcast(t(s, dir, "region").select(col("r_regionkey"))))
+        // second fixture: an exact COUNT(DISTINCT) over the whole
+        // events scan — the state-blowup pattern the new rule
+        // prescribes the sketch panel for. distinctRows=1000 puts
+        // every test scale >= 4x the threshold, so the severity
+        // band is scale-invariant (impact pins at 1.0).
+        val distinctFx = t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("d"))
         meta.Advisor.diagnose(fixture)
           .filter(col("rule").isin("balanced_shuffle_partitioning",
             "cartesian_join", "unpushed_filter"))
+          .unionByName(
+            meta.Advisor.diagnose(distinctFx, distinctRows = 1000L)
+              .filter(col("rule") === "exact_distinct_at_scale"))
           .select(col("rule"), col("severity"))
           .distinct()
       } finally s.conf.set("spark.sql.adaptive.enabled", prev)
@@ -2804,6 +2815,39 @@ object SparkEntry {
           (col("__r95lo") <= 0.98 && col("__r95hi") >= 0.92).as("p95_ok"))
     }),
 
+    // the incremental-bookkeeping law in the graded surface: two
+    // "daily" panels built on disjoint corpus slices, UNIONED AS
+    // ROWS (a pure metadata append — the day-1 corpus is never
+    // re-read when day 2 arrives), must roll up to the whole-corpus
+    // answers. Theta union of exact sketches stays exact, n sums —
+    // so the global row hash-grades against the same oracle shape
+    // as q_sketch_rollup.
+    "q_sketch_union" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val day1 = docs.filter(col("doc_id") % 3 =!= 2)
+      val day2 = docs.filter(col("doc_id") % 3 === 2)
+      val panel = functions.Sketches.sketchPanel(day1, col("source"),
+          col("n_chars"), col("n_chars"))
+        .unionByName(functions.Sketches.sketchPanel(day2, col("source"),
+          col("n_chars"), col("n_chars")))
+      val roll = functions.Sketches.panelRollup(panel, Seq(0.5))
+      val exact = docs.agg(countDistinct(col("n_chars")).as("__dx"))
+      docs.select(col("n_chars")).crossJoin(broadcast(roll))
+        .agg(
+          first(col("n")).as("n"),
+          first(col("distinct_theta")).as("distinct_lens"),
+          first(col("distinct_hll")).as("__hll"),
+          (sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r50lo"),
+          (sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r50hi"))
+        .crossJoin(broadcast(exact))
+        .select(col("n"), col("distinct_lens"),
+          (abs(col("__hll") - col("__dx")) <=
+            greatest(col("__dx") * 0.05, lit(2.0))).as("hll_ok"),
+          (col("__r50lo") <= 0.53 && col("__r50hi") >= 0.47).as("p50_ok"))
+    }),
+
     // snapshot overlap WITHOUT a join (Sketches.thetaOverlap): two
     // crawl snapshots collapse to one theta sketch each and the six
     // set cardinalities come from sketch algebra — the scale
@@ -3283,6 +3327,7 @@ object SparkEntry {
     "q_advisor" ->
       """SELECT 'balanced_shuffle_partitioning' AS rule, 'high' AS severity
         |UNION ALL SELECT 'cartesian_join', 'high'
+        |UNION ALL SELECT 'exact_distinct_at_scale', 'high'
         |UNION ALL SELECT 'unpushed_filter', 'high'""".stripMargin,
 
     "q_meta_fsck" ->
@@ -5276,6 +5321,14 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
         |       TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM documents""".stripMargin,
+
+    // q_sketch_union: union-of-daily-panels must equal the
+    // whole-corpus rollup — same oracle shape as q_sketch_rollup
+    "q_sketch_union" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
+        |       TRUE AS hll_ok, TRUE AS p50_ok
         |FROM documents""".stripMargin,
 
     // q_theta_overlap: exact-mode theta set algebra = plain set

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec,
   InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
   QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
@@ -57,6 +58,16 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   *    autoBroadcastJoinThreshold — statistics defeated the planner
   *    (and AQE, if on, didn't catch it either); an explicit
   *    `broadcast()` hint would delete the large side's exchange.
+  *  - `exact_distinct_at_scale`: an aggregate carrying a DISTINCT
+  *    aggregate expression (COUNT(DISTINCT x) and kin — physically
+  *    the multi-stage distinct rewrite) fed by at least
+  *    `distinctRows` input rows. Exact distinct keeps the whole key
+  *    universe in aggregation state; at 100 TB that is the state
+  *    blowup the sketch family exists to avoid. Impact ramps with
+  *    input volume (1.0 at 4× the threshold). Prescription: the
+  *    mergeable sketch panel ([[graft.functions.Sketches
+  *    .sketchPanel]] / `panelRollup` — exact below sketch capacity,
+  *    bounded state always) or `approx_count_distinct`.
   *  - `candidate_pair_blowup`: a graft `observe` site
   *    (`graft.<op>.cand.<n>`, e.g. [[graft.operators.Temporal
   *    .rangeJoin]] run with `observeCandidates = true` — the
@@ -130,7 +141,8 @@ object Advisor {
     */
   def diagnose(df: DataFrame, percent: Double = 0.90,
                normF: Double = 3.0, smallFileBytes: Long = 16L << 20,
-               minFiles: Int = 8, blowupFactor: Double = 10.0): DataFrame = {
+               minFiles: Int = 8, blowupFactor: Double = 10.0,
+               distinctRows: Long = 1L << 22): DataFrame = {
     val spark = df.sparkSession
     val qe = df.queryExecution
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[TaskStat]()
@@ -162,7 +174,7 @@ object Advisor {
     import scala.jdk.CollectionConverters._
     val fs = findings(qe.executedPlan, buf.asScala.toSeq,
       qe.observedMetrics.toMap, spark, percent, normF, smallFileBytes,
-      minFiles, blowupFactor)
+      minFiles, blowupFactor, distinctRows)
     import spark.implicits._
     fs.toDF()
   }
@@ -175,7 +187,8 @@ object Advisor {
                              spark: SparkSession,
                              percent: Double, normF: Double,
                              smallFileBytes: Long, minFiles: Int,
-                             blowupFactor: Double): Seq[Finding] = {
+                             blowupFactor: Double,
+                             distinctRows: Long = 1L << 22): Seq[Finding] = {
     val nodes = flatten(plan)
     val out = Seq.newBuilder[Finding]
 
@@ -308,6 +321,28 @@ object Advisor {
             "broadcast() the small side explicitly — statistics " +
               "under-informed the planner")
       case _ =>
+    }
+
+    // exact_distinct_at_scale: a DISTINCT aggregate expression in
+    // the executed plan (COUNT(DISTINCT) and kin survive the
+    // multi-stage rewrite with isDistinct on the final stages) fed
+    // by >= distinctRows rows. One finding, worst offender: exact
+    // distinct state is the key universe itself — the thing the
+    // sketch family bounds.
+    val distinctAggRows = nodes.collect {
+      case a: BaseAggregateExec
+          if a.aggregateExpressions.exists(_.isDistinct) =>
+        (flatten(a) diff Seq(a)).flatMap(metric(_, "numOutputRows"))
+          .maxOption.getOrElse(0L)
+    }
+    distinctAggRows.maxOption.filter(_ >= distinctRows).foreach { rows =>
+      out += finding("exact_distinct_at_scale",
+        math.min(1.0, rows.toDouble / (4.0 * distinctRows)),
+        s"distinct aggregation over $rows input rows " +
+          s"(threshold $distinctRows)",
+        "replace the exact distinct with the mergeable sketch panel " +
+          "(Sketches.sketchPanel / panelRollup — exact below sketch " +
+          "capacity, bounded state always) or approx_count_distinct")
     }
 
     // candidate_pair_blowup: graft observe sites vs output rows

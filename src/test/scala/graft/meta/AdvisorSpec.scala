@@ -65,6 +65,22 @@ class AdvisorSpec extends SparkSpec {
     }
   }
 
+  test("exact_distinct_at_scale fires on a wide COUNT(DISTINCT), not a small one") {
+    val wide = (1L to 5000L).map(i => (i % 7, i)).toDF("g", "u")
+      .groupBy(col("g")).agg(countDistinct(col("u")).as("d"))
+    val got = rules(Advisor.diagnose(wide, distinctRows = 1000L))
+    // 5000 input rows >= 4x the 1000-row threshold -> impact 1.0
+    assert(got.get("exact_distinct_at_scale").contains("high"), got)
+    // same shape under the threshold stays silent
+    val small = rules(Advisor.diagnose(wide, distinctRows = 100000L))
+    assert(!small.contains("exact_distinct_at_scale"), small)
+    // a non-distinct aggregate never fires, whatever the volume
+    val plain = (1L to 5000L).map(i => (i % 7, i)).toDF("g", "u")
+      .groupBy(col("g")).agg(count(col("u")).as("d"))
+    val none = rules(Advisor.diagnose(plain, distinctRows = 1000L))
+    assert(!none.contains("exact_distinct_at_scale"), none)
+  }
+
   test("small_files_scan fires on a fragmented write, not a compact one") {
     val dir = java.nio.file.Files.createTempDirectory("adv").toString
     (1L to 1000L).toDF("id").repartition(16).write
