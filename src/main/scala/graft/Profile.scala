@@ -23,6 +23,32 @@ object Profile {
 
     import graft.functions.Dedup
 
+    // --guard: incremental cost of the maxCandidates pre-flight
+    // (pin + bound aggregation) vs the unguarded lazy path, per pair
+    // operator, warm, alternating
+    if (args.contains("--guard")) {
+      def pairs(guarded: Boolean): Unit = {
+        val mc = if (guarded) 2_000_000_000L else 0L
+        val tag = if (guarded) "guarded" else "unguarded"
+        time(s"ngramJaccard $tag")(Dedup.ngramJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, 0.5, maxCandidates = mc).count())
+        time(s"containment $tag")(Dedup.containmentPairs(docs,
+          col("doc_id"), col("text"), 3, 0.5, maxCandidates = mc).count())
+        time(s"prefixJaccard $tag")(Dedup.prefixJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, 0.5, maxCandidates = mc).count())
+      }
+      pairs(guarded = true) // warm JIT/codegen on the guarded shapes
+      (1 to 2).foreach { _ =>
+        pairs(guarded = true)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        pairs(guarded = false)
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
+
     // --scale10: 10x the corpus (salted ids) to spot-check that the
     // near-dup pipelines scale ~linearly, not quadratically
     if (args.contains("--scale10")) {

@@ -841,30 +841,30 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
         "is the whole set and the candidate set is all co-occurring pairs")
     val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
-    // ranked index pinned once (when guarded): pre-flight bound and
-    // prefix filter read the same blocks instead of tokenizing twice
-    val ranked = pinIfGuarded(rankedPrefix(df, id, text, shingleN),
+    // global token order = (document frequency asc, hash asc) via
+    // [[rankedPrefix]]; prefix length n_sh - ceil(t*n_sh) + 1; the
+    // 1e-9 nudge keeps an exactly-integer t*n_sh from rounding UP on
+    // float error (a too-short prefix silently loses recall; too
+    // long only costs). When guarded, the pin lands on the FILTERED
+    // prefix — the only subtree both the pre-flight bound and the
+    // pair plan read — so the checkpoint write is the prefix's
+    // ~(1-t)·index rows, not the whole ranked index (measured: the
+    // full-index pin cost the guarded path ~20% at sf1/t=0.5 over
+    // the unguarded lazy plan; this one is the cheapest shared cut).
+    val prefix = pinIfGuarded(
+      rankedPrefix(df, id, text, shingleN)
+        .filter(col("__rk") <=
+          col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1),
       maxCandidates)
     requireCandidateBound("prefixJaccardPairs", maxCandidates, {
       // Σ_{c ≤ maxGroup} C(c, 2) over prefix-token group sizes —
       // blockingStats' jaccard bound with the boundedGroupPairs cap
       // folded in (groups past maxGroup are dropped, not exploded)
-      ranked
-        .filter(col("__rk") <=
-          col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+      prefix.groupBy(col("s")).agg(count(lit(1)).as("c"))
         .filter(col("c") <= maxGroup)
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
           .cast("long")).head.getLong(0)
     })
-    // global token order = (document frequency asc, hash asc) via
-    // [[rankedPrefix]]; prefix length n_sh - ceil(t*n_sh) + 1; the
-    // 1e-9 nudge keeps an exactly-integer t*n_sh from rounding UP on
-    // float error (a too-short prefix silently loses recall; too
-    // long only costs)
-    val prefix = ranked
-      .filter(col("__rk") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
     val cands = boundedGroupPairs(prefix, Seq(col("s")),
         struct(col("doc_id"), col("n_sh")), maxGroup, "prefix_tokens")
       .select(col("__a.doc_id").as("id_a"), col("__a.n_sh").as("na"),
