@@ -2848,6 +2848,31 @@ object SparkEntry {
           (col("__r50lo") <= 0.53 && col("__r50hi") >= 0.47).as("p50_ok"))
     }),
 
+    // multi-set theta algebra via the AGGREGATE forms: per-day user
+    // sketches (one groupBy), then theta_intersection_agg /
+    // theta_union_agg collapse N days to "active on ALL of them" /
+    // "active on ANY" — retention-style numbers with no multi-way
+    // self-join of the events table (the exact form is an N-way
+    // join or a HAVING count(DISTINCT day)=N regroup). Exact below
+    // capacity, so both hash-grade. Day 19723 = 2024-01-01, the
+    // fixture's first event day.
+    "q_theta_common" -> ((s, dir) => {
+      val sel = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts div 1000000000 div 86400").as("day"))
+        .filter((col("day") - 19723L).isin(0L, 14L, 29L))
+      sel.groupBy(col("day"))
+        .agg(call_function("theta_sketch_agg", col("user_id"), lit(20))
+          .as("sk"))
+        .agg(
+          call_function("theta_sketch_estimate",
+            call_function("theta_intersection_agg", col("sk")))
+            .as("n_all_days"),
+          call_function("theta_sketch_estimate",
+            call_function("theta_union_agg", col("sk"), lit(20)))
+            .as("n_any_day"))
+    }),
+
     // snapshot overlap WITHOUT a join (Sketches.thetaOverlap): two
     // crawl snapshots collapse to one theta sketch each and the six
     // set cardinalities come from sketch algebra — the scale
@@ -5330,6 +5355,20 @@ object SparkEntry {
         |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
         |       TRUE AS hll_ok, TRUE AS p50_ok
         |FROM documents""".stripMargin,
+
+    // q_theta_common: intersection/union aggregates over per-day
+    // user sketches = the exact day-count regroup below capacity
+    "q_theta_common" ->
+      """WITH sel AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+        |  FROM events
+        |  WHERE epoch_us(ts) // 1000000 // 86400 - 19723 IN (0, 14, 29))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT user_id FROM sel GROUP BY user_id
+        |     HAVING count(DISTINCT day) = 3)) AS n_all_days,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM sel)
+        |    AS n_any_day""".stripMargin,
 
     // q_theta_overlap: exact-mode theta set algebra = plain set
     // arithmetic over the two snapshot predicates

@@ -121,6 +121,23 @@ class SketchesSpec extends SparkSpec {
     assert(whole.getAs[Long]("n") == parts.getAs[Long]("n"))
   }
 
+  test("theta_intersection_agg over per-group sketches is exact N-way AND") {
+    // groups: g0 = {0..59}, g1 = {30..89}, g2 = {50..109};
+    // 3-way intersection = {50..59} (10), union = {0..109} (110)
+    val df = (Seq.tabulate(60)(i => ("g0", i.toLong)) ++
+      Seq.tabulate(60)(i => ("g1", (i + 30).toLong)) ++
+      Seq.tabulate(60)(i => ("g2", (i + 50).toLong))).toDF("g", "id")
+    val got = df.groupBy($"g")
+      .agg(call_function("theta_sketch_agg", $"id", lit(20)).as("sk"))
+      .agg(
+        call_function("theta_sketch_estimate",
+          call_function("theta_intersection_agg", $"sk")).as("both"),
+        call_function("theta_sketch_estimate",
+          call_function("theta_union_agg", $"sk", lit(20))).as("any"))
+      .as[(Long, Long)].collect().head
+    assert(got == ((10L, 110L)), got.toString)
+  }
+
   test("thetaOverlap: exact set algebra below capacity, no join in the plan") {
     val a = (0 until 150).map(_.toLong).toDF("id")
     val b = (100 until 300).map(_.toLong).toDF("id")
