@@ -2848,6 +2848,35 @@ object SparkEntry {
           (col("__r50lo") <= 0.53 && col("__r50hi") >= 0.47).as("p50_ok"))
     }),
 
+    // the re-slice half of the panel story: a panel built at
+    // (source, lang) grain rolls up BY LANG ALONE from its rows —
+    // the corpus is read once at build time, the re-group moves
+    // kilobytes. Same exactness window and law gates as
+    // q_sketch_panel, one output row per lang.
+    "q_sketch_regroup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val panel = functions.Sketches.sketchPanelBy(docs,
+        Seq(col("source"), col("lang")), col("n_chars"), col("n_chars"))
+      val roll = functions.Sketches.panelRollupBy(panel,
+        Seq(col("lang")), Seq(0.5))
+      val exact = docs.groupBy(col("lang"))
+        .agg(countDistinct(col("n_chars")).as("__dx"))
+      val ranks = roll.select(col("lang"), col("p50"))
+        .join(docs.select(col("lang"), col("n_chars")), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          (sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__rlo"),
+          (sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__rhi"))
+      roll.join(exact, Seq("lang")).join(ranks, Seq("lang"))
+        .select(col("lang"), col("n"),
+          col("distinct_theta").as("distinct_lens"),
+          (abs(col("distinct_hll") - col("__dx")) <=
+            greatest(col("__dx") * 0.05, lit(2.0))).as("hll_ok"),
+          (col("__rlo") <= 0.53 && col("__rhi") >= 0.47).as("p50_ok"))
+    }),
+
     // multi-set theta algebra via the AGGREGATE forms: per-day user
     // sketches (one groupBy), then theta_intersection_agg /
     // theta_union_agg collapse N days to "active on ALL of them" /
@@ -5355,6 +5384,14 @@ object SparkEntry {
         |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
         |       TRUE AS hll_ok, TRUE AS p50_ok
         |FROM documents""".stripMargin,
+
+    // q_sketch_regroup: the (source, lang) panel re-grouped by lang
+    // recomputes directly per lang; gates are constants
+    "q_sketch_regroup" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
+        |       TRUE AS hll_ok, TRUE AS p50_ok
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // q_theta_common: intersection/union aggregates over per-day
     // user sketches = the exact day-count regroup below capacity

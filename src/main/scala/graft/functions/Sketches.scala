@@ -208,7 +208,19 @@ object Sketches {
   def sketchPanel(df: DataFrame, group: Column, key: Column,
                   value: Column, lgNomEntries: Int = 20,
                   hllLgConfigK: Int = 12, kllK: Int = 200): DataFrame =
-    df.groupBy(group.as("group"))
+    sketchPanelBy(df, Seq(group.as("group")), key, value,
+      lgNomEntries, hllLgConfigK, kllK)
+
+  /** [[sketchPanel]] keyed by SEVERAL dimensions (day × source ×
+    * lang …). The finer the panel's grain, the more ways it can be
+    * re-grouped later: [[panelRollupBy]] collapses any subset of the
+    * dimensions from the panel rows alone — the corpus is read once
+    * at build time, every slicing after that moves kilobytes.
+    */
+  def sketchPanelBy(df: DataFrame, groups: Seq[Column], key: Column,
+                    value: Column, lgNomEntries: Int = 20,
+                    hllLgConfigK: Int = 12, kllK: Int = 200): DataFrame =
+    df.groupBy(groups: _*)
       .agg(
         count(lit(1)).as("n"),
         call_function("theta_sketch_agg", key, lit(lgNomEntries))
@@ -227,15 +239,27 @@ object Sketches {
     * persisting the panel.
     */
   def panelRollup(panel: DataFrame, quantiles: Seq[Double] = Seq(0.5),
-                  lgNomEntries: Int = 20): DataFrame = {
-    val merged = panel.agg(
+                  lgNomEntries: Int = 20): DataFrame =
+    panelRollupBy(panel, Seq.empty, quantiles, lgNomEntries)
+
+  /** [[panelRollup]] along a RETAINED subset of the panel's grouping
+    * dimensions: a (source, lang) panel rolls up by lang alone — the
+    * re-slice a 100 TB bookkeeping pipeline runs daily — from the
+    * panel rows, never the corpus. Empty `by` = the global rollup.
+    */
+  def panelRollupBy(panel: DataFrame, by: Seq[Column],
+                    quantiles: Seq[Double] = Seq(0.5),
+                    lgNomEntries: Int = 20): DataFrame = {
+    val merged = panel.groupBy(by: _*).agg(
       sum(col("n")).as("n"),
       call_function("theta_union_agg", col("theta"), lit(lgNomEntries))
         .as("theta"),
       call_function("hll_union_agg", col("hll")).as("hll"),
       call_function("kll_merge_agg_double", col("kll")).as("kll"))
+    val keep = merged.columns
+      .filterNot(Set("n", "theta", "hll", "kll")).map(col).toSeq
     merged.select(
-      Seq(col("n"),
+      keep ++ Seq(col("n"),
         call_function("theta_sketch_estimate", col("theta"))
           .as("distinct_theta"),
         call_function("hll_sketch_estimate", col("hll"))

@@ -121,6 +121,25 @@ class SketchesSpec extends SparkSpec {
     assert(whole.getAs[Long]("n") == parts.getAs[Long]("n"))
   }
 
+  test("panelRollupBy re-groups a finer panel exactly (vs a direct build)") {
+    val df = (0 until 360)
+      .map(i => (s"s${i % 3}", s"l${i % 4}", (i % 41).toLong, i.toDouble))
+      .toDF("src", "lang", "k", "v")
+    val fine = Sketches.sketchPanelBy(df,
+      Seq(col("src"), col("lang")), $"k", $"v")
+    val regrouped = Sketches.panelRollupBy(fine, Seq(col("lang")))
+      .select($"lang", $"n", $"distinct_theta")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // direct per-lang build: same n and (exact-mode) theta distinct
+    val direct = Sketches.sketchPanel(df, $"lang", $"k", $"v")
+      .select($"group", $"n",
+        call_function("theta_sketch_estimate", $"theta").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(regrouped == direct, s"regrouped=$regrouped direct=$direct")
+  }
+
   test("theta_intersection_agg over per-group sketches is exact N-way AND") {
     // groups: g0 = {0..59}, g1 = {30..89}, g2 = {50..109};
     // 3-way intersection = {50..59} (10), union = {0..109} (110)
