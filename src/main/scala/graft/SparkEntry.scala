@@ -2848,6 +2848,16 @@ object SparkEntry {
           (col("__r50lo") <= 0.53 && col("__r50hi") >= 0.47).as("p50_ok"))
     }),
 
+    // one-pass per-column data profiling (meta.Profiler.profile):
+    // the pre-ingest validation report — row count, per-column
+    // nulls, distinct (theta sketch: exact below capacity, the
+    // bounded-state path Advisor's exact_distinct_at_scale rule
+    // prescribes), min/max — all columns riding ONE aggregation
+    // pass. Every number recomputes directly in DuckDB.
+    "q_profile" -> ((s, dir) =>
+      meta.Profiler.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // the re-slice half of the panel story: a panel built at
     // (source, lang) grain rolls up BY LANG ALONE from its rows —
     // the corpus is read once at build time, the re-group moves
@@ -5383,6 +5393,34 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_lens,
         |       TRUE AS hll_ok, TRUE AS p50_ok
+        |FROM documents""".stripMargin,
+
+    // q_profile: per-column counters recompute directly; the theta
+    // distinct is exact below capacity so it hash-grades too
+    "q_profile" ->
+      """SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |       CAST(min(doc_id) AS VARCHAR) AS min_s,
+        |       CAST(max(doc_id) AS VARCHAR) AS max_s
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(lang) AS BIGINT),
+        |       CAST(count(DISTINCT lang) AS BIGINT),
+        |       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(source) AS BIGINT),
+        |       CAST(count(DISTINCT source) AS BIGINT),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(n_chars) AS BIGINT),
+        |       CAST(count(DISTINCT n_chars) AS BIGINT),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |FROM documents""".stripMargin,
 
     // q_sketch_regroup: the (source, lang) panel re-grouped by lang
