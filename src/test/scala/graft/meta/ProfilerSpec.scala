@@ -36,4 +36,55 @@ class ProfilerSpec extends SparkSpec {
       Profiler.profile(df, Seq.empty)
     }
   }
+
+  test("profile handles hostile column names (quotes, backticks, dots)") {
+    // the stack()-SQL form broke on any of these; the Column-API
+    // unpivot must treat the name as an opaque string
+    val df = Seq((1L, "a"), (2L, "b"))
+      .toDF("it's.a `quoted` name", "__p_0")
+    val got = Profiler.profile(df,
+      Seq("it's.a `quoted` name", "__p_0"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("it's.a `quoted` name") == 2L)
+    assert(got("__p_0") == 2L) // no collision with internal aliases
+  }
+
+  test("profileTopK: exact per-column top-k with deterministic ties") {
+    val df = Seq("a", "a", "a", "b", "b", "c", "c", "d")
+      .zipWithIndex.map { case (s, i) => (s, (i % 3).toLong) }
+      .toDF("s", "m")
+    val got = Profiler.profileTopK(df, Seq("s", "m"), k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got(("s", 1)) == (("a", 3L)))
+    assert(got(("s", 2)) == (("b", 2L))) // b beats c on item tiebreak
+    assert(got(("m", 1)) == (("0", 3L)))
+    assert(got(("m", 2)) == (("1", 3L))) // "1" < "2" string order
+  }
+
+  test("profileTopK: nulls are not items; counts stay exact under " +
+      "the Misra-Gries decrement path") {
+    // capacity 2 over 4 distinct values forces decrements in pass 1;
+    // pass 2's exact count must still rank the true heavy hitter first
+    val vals = Seq.fill(40)("hot") ++ Seq("x", "y", "z") ++
+      Seq.fill(3)(null.asInstanceOf[String])
+    val df = vals.map(Tuple1(_)).toDF("v").repartition(2)
+    val top = Profiler.profileTopK(df, Seq("v"), k = 1, capacity = 2)
+      .collect()
+    assert(top.length == 1)
+    assert(top.head.getString(2) == "hot" && top.head.getLong(3) == 40L)
+  }
+
+  test("profileTopK rejects bad arguments") {
+    val df = Seq(1L).toDF("x")
+    intercept[IllegalArgumentException] {
+      Profiler.profileTopK(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.profileTopK(df, Seq("x"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.profileTopK(df, Seq("x"), k = 5, capacity = 3)
+    }
+  }
 }
