@@ -2638,6 +2638,45 @@ object SparkEntry {
         maxPostings = 10)
     }),
 
+    // MULTI-GENERATION index lifecycle — the steady state of a daily
+    // crawl (the reference's IndexUpdater run repeatedly): build →
+    // delta gen1 (delete %10==0, update %10==1 with a gen1 marker,
+    // insert the held-out quarter) → COMPACT → delta gen2 (REVIVE
+    // %20==0 — an insert after compaction folded its tombstone away —
+    // delete %10==2, update %10==3 with a gen2 marker) → probe.
+    // Interleaving update and compact generations is what
+    // q_search_index_update/compact each grade only half of; the
+    // oracle stays rebuild-from-scratch over the FINAL corpus.
+    "q_search_index_multigen" -> ((s, dir) => {
+      val tbl = "graft_q_search_index_mg"
+      val docs = t(s, dir, "documents")
+      functions.Retrieval.buildUpdatableIndex(
+        docs.filter(col("doc_id") % 4 =!= 3),
+        col("doc_id"), col("text"), tbl, shards = 8)
+      val d1 = docs.select(col("doc_id"), col("text"),
+          when(col("doc_id") % 10 === 0, "delete")
+            .when(col("doc_id") % 10 === 1, "update")
+            .when(col("doc_id") % 4 === 3, "insert").as("op"))
+        .filter(col("op").isNotNull)
+        .withColumn("text", when(col("op") === "update",
+          concat(lit("gen1term "), col("text"))).otherwise(col("text")))
+      functions.Retrieval.updateSearchIndex(s, tbl, d1, col("op"),
+        col("doc_id"), col("text"), shards = 8)
+      functions.Retrieval.compactSearchIndex(s, tbl, shards = 8)
+      val d2 = docs.select(col("doc_id"), col("text"),
+          when(col("doc_id") % 20 === 0, "insert")
+            .when(col("doc_id") % 10 === 2, "delete")
+            .when(col("doc_id") % 10 === 3, "update").as("op"))
+        .filter(col("op").isNotNull)
+        .withColumn("text", when(col("op") === "update",
+          concat(lit("gen2term "), col("text"))).otherwise(col("text")))
+      functions.Retrieval.updateSearchIndex(s, tbl, d2, col("op"),
+        col("doc_id"), col("text"), shards = 8)
+      functions.Retrieval.probeUpdatableIndex(s, tbl,
+        Seq("gen1term", "gen2term", "dup", "spark", "the"),
+        maxPostings = 10)
+    }),
+
     // write-time z-order layout, graded end-to-end: cluster lineitem
     // on (l_orderkey, l_partkey), then answer a 2-D box query THROUGH
     // the clustered copy; the oracle answers the same box on the raw
@@ -5282,6 +5321,39 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= 10
         |  AND term IN ('updatedterm', 'dup', 'spark', 'the', 'window')
+        |GROUP BY term""".stripMargin,
+
+    // q_search_index_multigen: two delta generations with a
+    // compaction between them — final-corpus membership is the set
+    // algebra of both deltas (%10 in {0,2} dead unless %20==0
+    // revived; %10==1 carries the gen1 marker, %10==3 the gen2
+    // marker) and the probe must equal a fresh build over it
+    "q_search_index_multigen" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 1 THEN 'gen1term ' || text
+        |              WHEN doc_id % 10 = 3 THEN 'gen2term ' || text
+        |              ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 10 NOT IN (0, 2) OR doc_id % 20 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM corpus),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)),
+        |ranked AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY term) AS dfc
+        |  FROM dt)
+        |SELECT term, CAST(max(dfc) AS BIGINT) AS df,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM ranked
+        |WHERE rn <= 10
+        |  AND term IN ('gen1term', 'gen2term', 'dup', 'spark', 'the')
         |GROUP BY term""".stripMargin,
 
     // q_zorder_box: the clustered copy must answer a 2-D box query

@@ -249,6 +249,37 @@ object Retrieval {
     replaceAux(Seq((0L, 0L)).toDF("seq", "n_ops"), s"${table}__gen")
   }
 
+  /** Default cap on the tombstone ledger (rows). The probe path
+    * BROADCASTS the ledger — delta-sized by design, but nothing in
+    * the update loop itself ever shrinks it, so a pipeline that
+    * applies months of deletes without compacting would eventually
+    * push the broadcast past executor memory. 2²² two-long rows is
+    * ~100 MB as a broadcast hash relation — loud well before it is
+    * lethal. Same fail-loud-with-override contract as
+    * [[Dedup.defaultMaxCandidates]]: raise it deliberately, or pass
+    * `maxTombstones <= 0` to skip the pre-flight.
+    */
+  val defaultMaxTombstones: Long = 1L << 22
+
+  /** Fail-loud pre-flight on tombstone-ledger growth: thrown BEFORE
+    * the operation runs, with the measured size, the cap, and the
+    * prescription ([[compactSearchIndex]] folds the ledger away).
+    */
+  private def requireLedgerBound(op: String, table: String,
+                                 maxTombstones: Long,
+                                 rows: => Long): Unit =
+    if (maxTombstones > 0) {
+      val n = rows
+      if (n > maxTombstones) throw new IllegalStateException(
+        s"graft.$op pre-flight: tombstone ledger ${table}__deletes " +
+          s"holds $n rows, over maxTombstones = $maxTombstones — the " +
+          "probe path broadcasts this ledger, and nothing but " +
+          "compaction shrinks it. Run Retrieval.compactSearchIndex" +
+          s"(spark, \"$table\") to fold the deletes into the index, " +
+          "raise maxTombstones deliberately, or pass " +
+          "maxTombstones <= 0 to run unguarded.")
+    }
+
   /** Apply one batch of document ops to an updatable index WITHOUT
     * rebuilding it. `delta` rows carry (`op`, `id`, `text`) with op
     * in {insert, delete, update} (DocumentAndOp's three verbs;
@@ -256,11 +287,23 @@ object Retrieval {
     * append through one term-routed exchange into the existing
     * buckets, tombstones and the generation row are tiny appends —
     * the base index files are never read or rewritten.
+    *
+    * `maxTombstones` bounds the ledger BEFORE the batch applies
+    * (current ledger + this batch's tombstones): past it the update
+    * fails loudly prescribing [[compactSearchIndex]], because every
+    * later probe broadcasts the ledger and a silently unbounded one
+    * is a deferred executor OOM. `<= 0` opts out.
+    *
+    * Eager-execution note: the delta is validated and PINNED
+    * (localCheckpoint — a Spark job at call time) so the op-check
+    * and the three writes read one materialization; the pin is
+    * dropped before returning.
     */
   def updateSearchIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, delta: DataFrame, op: Column,
                         id: Column, text: Column,
-                        shards: Int = 8): Unit = {
+                        shards: Int = 8,
+                        maxTombstones: Long = defaultMaxTombstones): Unit = {
     val d = delta.select(lower(op.cast("string")).as("op"),
         id.as("doc_id"), text.as("text"))
       // fail loud on an unknown verb — a typo'd op silently dropped
@@ -270,6 +313,12 @@ object Retrieval {
         lit("updateSearchIndex: unknown op '"), col("op"),
         lit("' (expected insert/delete/update)")))))
       .localCheckpoint()
+    // ledger pre-flight BEFORE any write: the batch either applies
+    // whole or not at all (counts are metadata-cheap — the pinned
+    // delta and a parquet count-star)
+    requireLedgerBound("updateSearchIndex", table, maxTombstones,
+      spark.table(s"${table}__deletes").count() +
+        d.filter(col("op").isin("delete", "update")).count())
     val seq = spark.table(s"${table}__gen")
       .agg(max(col("seq"))).head().getLong(0) + 1L
     // term-routed posting delta for inserts + updates
@@ -309,16 +358,28 @@ object Retrieval {
     * tombstone anti-join's work.
     */
   def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
-                         table: String, shards: Int = 8): Unit = {
+                         table: String, shards: Int = 8,
+                         broadcastLedgerRows: Long = defaultMaxTombstones)
+      : Unit = {
     val dels = spark.table(s"${table}__deletes")
       .groupBy(col("doc_id")).agg(max(col("seq")).as("dseq"))
+    // compaction is the REMEDY for an overgrown ledger, so it must
+    // never refuse one: past the broadcast comfort bound the ledger
+    // join degrades to a shuffle join (the compact already pays an
+    // index-sized exchange; a second doc_id-keyed one on the ledger
+    // is bounded by it) instead of a doomed giant broadcast
+    val delsSide =
+      if (broadcastLedgerRows <= 0 ||
+        spark.table(s"${table}__deletes").count() <= broadcastLedgerRows)
+        broadcast(dels)
+      else dels
     // pin the survivors BEFORE dropping the table underneath them —
     // writeBucketed deletes the source files this plan would lazily
     // re-read
     val live = spark.table(table)
       .groupBy(col("term"), col("doc_id"))
       .agg(max(col("seq")).as("seq"))
-      .join(broadcast(dels), Seq("doc_id"), "left_outer")
+      .join(delsSide, Seq("doc_id"), "left_outer")
       .filter(col("dseq").isNull || col("dseq") <= col("seq"))
       .select(col("term"), col("doc_id"), col("seq"))
       .localCheckpoint()
@@ -338,11 +399,20 @@ object Retrieval {
     * broadcasts; the posting cut runs through a window rank (spills)
     * BEFORE any list is collected, so a stopword probe never buffers
     * its full posting set.
+    *
+    * `maxTombstones` guards that broadcast: a ledger past the cap
+    * fails the probe loudly, prescribing [[compactSearchIndex]] —
+    * the interactive probe path must not be where an unbounded
+    * broadcast finally falls over. `<= 0` opts out.
     */
   def probeUpdatableIndex(spark: org.apache.spark.sql.SparkSession,
                           table: String, terms: Seq[String],
-                          maxPostings: Int = 10): DataFrame = {
+                          maxPostings: Int = 10,
+                          maxTombstones: Long = defaultMaxTombstones)
+      : DataFrame = {
     require(terms.nonEmpty, "probeUpdatableIndex needs at least one term")
+    requireLedgerBound("probeUpdatableIndex", table, maxTombstones,
+      spark.table(s"${table}__deletes").count())
     val rows = terms
       .map(t => graft.sources.Bucketing.lookup(spark, table, "term", t))
       .reduce(_.unionByName(_))

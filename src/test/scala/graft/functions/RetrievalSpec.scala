@@ -206,4 +206,50 @@ class RetrievalSpec extends SparkSpec {
     assert(probeAll("ret_upd_idx")("spark") == ((2L, "2,4")),
       "post-compaction delete must apply")
   }
+
+  test("tombstone ledger is bounded: guard fires, compaction is the remedy") {
+    val base = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "beta gamma"), (4L, "alpha delta")).toDF("doc_id", "text")
+    Retrieval.buildUpdatableIndex(base, $"doc_id", $"text",
+      "ret_ledger_idx", shards = 2)
+    def del(ids: Long*) =
+      ids.map(i => ("delete", i, null.asInstanceOf[String]))
+        .toDF("op", "doc_id", "text")
+    // first delete fits the cap of 1
+    Retrieval.updateSearchIndex(spark, "ret_ledger_idx", del(1L),
+      $"op", $"doc_id", $"text", shards = 2, maxTombstones = 1L)
+    // second batch would make 2 tombstones: pre-flight throws BEFORE
+    // any write, prescribing compaction — the batch must not apply
+    val e = intercept[IllegalStateException] {
+      Retrieval.updateSearchIndex(spark, "ret_ledger_idx", del(2L),
+        $"op", $"doc_id", $"text", shards = 2, maxTombstones = 1L)
+    }
+    assert(e.getMessage.contains("compactSearchIndex"), e.getMessage)
+    assert(spark.table("ret_ledger_idx__deletes").count() == 1,
+      "failed batch must not have written tombstones")
+    assert(spark.table("ret_ledger_idx__gen").count() == 2,
+      "failed batch must not have claimed a generation")
+    // the same batch under a raised cap applies (deliberate override)
+    Retrieval.updateSearchIndex(spark, "ret_ledger_idx", del(2L),
+      $"op", $"doc_id", $"text", shards = 2, maxTombstones = 2L)
+    // a probe over an overgrown ledger fails the same way...
+    val p = intercept[IllegalStateException] {
+      Retrieval.probeUpdatableIndex(spark, "ret_ledger_idx",
+        Seq("alpha"), maxTombstones = 1L)
+    }
+    assert(p.getMessage.contains("compactSearchIndex"))
+    // ...and maxTombstones <= 0 opts out of the guard entirely
+    assert(Retrieval.probeUpdatableIndex(spark, "ret_ledger_idx",
+      Seq("alpha"), maxTombstones = 0L).count() > 0)
+    // compaction folds the ledger away even when it is past the
+    // broadcast bound (shuffle-join path), and unblocks the pipeline
+    Retrieval.compactSearchIndex(spark, "ret_ledger_idx", shards = 2,
+      broadcastLedgerRows = 0L)
+    assert(spark.table("ret_ledger_idx__deletes").count() == 0)
+    val got = Retrieval.probeUpdatableIndex(spark, "ret_ledger_idx",
+        Seq("alpha"), maxTombstones = 1L)
+      .as[(String, Long, String)].collect().head
+    assert(got == (("alpha", 1L, "4")), got.toString)
+  }
 }
