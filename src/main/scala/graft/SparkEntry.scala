@@ -2952,6 +2952,11 @@ object SparkEntry {
         .select(col("user_id"),
           expr("ts div 1000000000 div 86400").as("day"))
         .filter((col("day") - 19723L).isin(0L, 14L, 29L))
+      // all three selected days must be non-empty: the intersection
+      // aggregate happily intersects however many sketches exist,
+      // while the oracle's HAVING count(DISTINCT day)=3 would yield
+      // 0 — fail loudly instead of silently diverging if a scale or
+      // fixture change empties a day
       sel.groupBy(col("day"))
         .agg(call_function("theta_sketch_agg", col("user_id"), lit(20))
           .as("sk"))
@@ -2961,7 +2966,14 @@ object SparkEntry {
             .as("n_all_days"),
           call_function("theta_sketch_estimate",
             call_function("theta_union_agg", col("sk"), lit(20)))
-            .as("n_any_day"))
+            .as("n_any_day"),
+          count(lit(1)).as("__n_days"))
+        .select(
+          when(col("__n_days") === 3, col("n_all_days"))
+            .otherwise(raise_error(concat(
+              lit("q_theta_common: expected 3 non-empty event days, got "),
+              col("__n_days"))).cast("long")).as("n_all_days"),
+          col("n_any_day"))
     }),
 
     // snapshot overlap WITHOUT a join (Sketches.thetaOverlap): two

@@ -486,7 +486,23 @@ object Dedup {
     * threshold or a boilerplate-saturated corpus, not a plan that
     * should launch). Every pair operator takes `maxCandidates`;
     * callers raise it explicitly for a deliberate huge run, or pass
-    * `maxCandidates <= 0` to skip the pre-flight entirely. */
+    * `maxCandidates <= 0` to skip the pre-flight entirely.
+    *
+    * EXECUTION SEMANTICS OF A GUARDED CALL (all three pair
+    * operators): the pre-flight makes the call EAGER — a Spark job
+    * computes the candidate bound at DataFrame-CONSTRUCTION time,
+    * and the shared shingle index is pinned (localCheckpoint) so the
+    * corpus tokenizes once for the bound and once more never. The
+    * returned DataFrame rides that pinned lineage, so the blocks can
+    * NOT be freed by the operator itself; they are freed by
+    * ContextCleaner GC, which in a long-lived session that calls
+    * pair operators repeatedly can lag far behind allocation
+    * (executor storage then grows by one pinned index per call —
+    * the pattern that grew the sf1 bench heap). Long-lived callers
+    * should pass each CONSUMED result to
+    * [[graft.functions.Checkpoints.drop]] or sweep
+    * `spark.sparkContext.getPersistentRDDs` between stages; unguarded
+    * calls (`maxCandidates <= 0`) stay fully lazy and unpinned. */
   val defaultMaxCandidates: Long = 2000000000L
 
   /** Fail-loud pre-flight gate for the exact pair-join family: the
@@ -592,6 +608,11 @@ object Dedup {
     * growth is observable: [[boundedGroupPairs]]'s
     * `graft.ngram_shingles.<n>` metric reports max group size and
     * capped-row counts per run.
+    *
+    * A guarded call (`maxCandidates > 0`, the default) is EAGER and
+    * returns a checkpoint-pinned result — see
+    * [[defaultMaxCandidates]] for the block-lifecycle contract
+    * ([[Checkpoints.drop]] after consuming, in long-lived sessions).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, threshold: Double = 0.5,
@@ -676,6 +697,11 @@ object Dedup {
     * the min-side overlap bound does (see
     * [[prefixContainmentPairs]]). `maxDf` is the general form's
     * recall-vs-blowup dial.
+    *
+    * A guarded call (`maxCandidates > 0`, the default) is EAGER and
+    * returns a checkpoint-pinned result — see
+    * [[defaultMaxCandidates]] for the block-lifecycle contract
+    * ([[Checkpoints.drop]] after consuming, in long-lived sessions).
     */
   def containmentPairs(df: DataFrame, id: Column, text: Column,
                        shingleN: Int = 3, threshold: Double = 0.8,
@@ -832,6 +858,11 @@ object Dedup {
     * carries (a prefix token in more than `maxGroup` docs is dropped
     * with an observed-metric trace) — by construction prefix tokens
     * are each doc's RAREST, so real corpora never hit it.
+    *
+    * A guarded call (`maxCandidates > 0`, the default) is EAGER and
+    * returns a checkpoint-pinned result — see
+    * [[defaultMaxCandidates]] for the block-lifecycle contract
+    * ([[Checkpoints.drop]] after consuming, in long-lived sessions).
     */
   def prefixJaccardPairs(df: DataFrame, id: Column, text: Column,
                          shingleN: Int = 3, threshold: Double = 0.5,
