@@ -2582,6 +2582,46 @@ object SparkEntry {
       sources.Generate.randomText(s, rows = t(s, dir, "documents").count(),
         minWords = 5, maxWords = 20, vocab = 500, seed = 42L)),
 
+    // the generator's FAST dial (portable = false, xxhash64 draws —
+    // the bulk-generation path a soak run uses): no external engine
+    // can recompute xxhash64, so this is the self-validating witness
+    // form (q_cms/q_cms_fast pattern) — invariants as booleans, the
+    // oracle states them as constants. Checks: row count (vs the
+    // documents table both sides read), partitioning-independence
+    // (two generations at different partition counts must agree
+    // text-for-text — the counter-based-randomness contract), word
+    // counts inside [minWords, maxWords], every token inside the
+    // declared vocabulary, and the integer-skew dial actually
+    // lowering the mean word index vs the uniform draw.
+    "q_random_text_fast" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      def gen(parts: Int, skewed: Boolean) =
+        sources.Generate.randomText(s, rows = n, minWords = 5,
+          maxWords = 20, vocab = 500, seed = 42L, skewed = skewed,
+          numPartitions = parts, portable = false)
+      val g1 = gen(0, skewed = false)
+      val det = g1.alias("a")
+        .join(gen(7, skewed = false).alias("b"), "doc_id")
+        .agg((count(lit(1)) === lit(n) &&
+          min((col("a.text") === col("b.text")).cast("int")) === 1)
+          .as("deterministic"))
+      val shape = g1.select(split(col("text"), " ").as("w"))
+        .agg(
+          (min(size(col("w"))) >= 5 && max(size(col("w"))) <= 20)
+            .as("words_in_range"),
+          (min(forall(col("w"), x => x.rlike("^w[0-9]+$") &&
+            substring(x, 2, 10).cast("long") < 500).cast("int")) === 1)
+            .as("vocab_ok"))
+      def avgIdx(g: org.apache.spark.sql.DataFrame) =
+        g.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(avg(substring(col("tok"), 2, 10).cast("long")).as("m"))
+      val skew = avgIdx(gen(0, skewed = true)).alias("sk")
+        .crossJoin(avgIdx(g1).alias("un"))
+        .select((col("sk.m") < col("un.m")).as("skew_lower"))
+      g1.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(det).crossJoin(shape).crossJoin(skew)
+    }),
+
     // INCREMENTAL index update (the reference contrib/index
     // DocumentAndOp / IndexUpdater semantics): build the updatable
     // index on 3/4 of the corpus, then apply ONE delta batch —
@@ -5274,6 +5314,15 @@ object SparkEntry {
         |             i), 1, 8)) AS BIGINT) % 500)
         |          for i in range(1, CAST(nw AS INT) + 1)], ' ') AS text
         |FROM n""".stripMargin,
+
+    // q_random_text_fast: xxhash64 draws are engine-local, so the
+    // oracle states the witness invariants as constants (row count
+    // recomputes from the documents table both sides size from)
+    "q_random_text_fast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       TRUE AS deterministic, TRUE AS words_in_range,
+        |       TRUE AS vocab_ok, TRUE AS skew_lower
+        |FROM documents""".stripMargin,
 
     // q_search_index_update: the updated index must answer exactly
     // what a fresh build over the post-delta corpus would — the
