@@ -68,6 +68,21 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   *    mergeable sketch panel ([[graft.functions.Sketches
   *    .sketchPanel]] / `panelRollup` — exact below sketch capacity,
   *    bounded state always) or `approx_count_distinct`.
+  *  - `lineage_reexecution`: the SAME file relation (identical
+  *    location and pushed filters; read schema deliberately NOT in
+  *    the key — differently-pruned copies ARE the defect) scanned by
+  *    k > 1 scan nodes in one executed plan, none of them satisfied
+  *    by a reused exchange — the signature of an unpinned shared subtree
+  *    whose whole lineage re-executes once per consumer (the class
+  *    of defect hand-fixed twice in the IVF-PQ residual frame and
+  *    the prefix-join pin: differently-pruned consumer copies defeat
+  *    exchange reuse, so each consumer re-runs the scan and
+  *    everything above it). Impact = 1 − 1/k, reported when the
+  *    re-read relation is at least `minRescanBytes` (tiny dimension
+  *    tables re-read twice are noise). Prescription: pin the shared
+  *    subtree (localCheckpoint — see the [[graft.functions
+  *    .Checkpoints]] lifecycle) or restructure identical consumers
+  *    so exchange reuse applies.
   *  - `candidate_pair_blowup`: a graft `observe` site
   *    (`graft.<op>.cand.<n>`, e.g. [[graft.operators.Temporal
   *    .rangeJoin]] run with `observeCandidates = true` — the
@@ -142,7 +157,8 @@ object Advisor {
   def diagnose(df: DataFrame, percent: Double = 0.90,
                normF: Double = 3.0, smallFileBytes: Long = 16L << 20,
                minFiles: Int = 8, blowupFactor: Double = 10.0,
-               distinctRows: Long = 1L << 22): DataFrame = {
+               distinctRows: Long = 1L << 22,
+               minRescanBytes: Long = 8L << 20): DataFrame = {
     val spark = df.sparkSession
     val qe = df.queryExecution
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[TaskStat]()
@@ -174,7 +190,7 @@ object Advisor {
     import scala.jdk.CollectionConverters._
     val fs = findings(qe.executedPlan, buf.asScala.toSeq,
       qe.observedMetrics.toMap, spark, percent, normF, smallFileBytes,
-      minFiles, blowupFactor, distinctRows)
+      minFiles, blowupFactor, distinctRows, minRescanBytes)
     import spark.implicits._
     fs.toDF()
   }
@@ -188,7 +204,8 @@ object Advisor {
                              percent: Double, normF: Double,
                              smallFileBytes: Long, minFiles: Int,
                              blowupFactor: Double,
-                             distinctRows: Long = 1L << 22): Seq[Finding] = {
+                             distinctRows: Long = 1L << 22,
+                             minRescanBytes: Long = 8L << 20): Seq[Finding] = {
     val nodes = flatten(plan)
     val out = Seq.newBuilder[Finding]
 
@@ -322,6 +339,45 @@ object Advisor {
               "under-informed the planner")
       case _ =>
     }
+
+    // lineage_reexecution: identical file scans (location + pushed
+    // filters + read schema), none satisfied by a reused exchange —
+    // each consumer re-executes the whole subtree above the scan.
+    // Traversal STOPS at ReusedExchangeExec: the child plan there is
+    // the reused instance, which executed once.
+    def noReuseFlatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case _ => p.children
+      }
+      p +: (kids ++ p.subqueries).flatMap(noReuseFlatten)
+    }
+    val executedScans = noReuseFlatten(plan).collect {
+      case f: FileSourceScanExec => f
+    }
+    // key on location + pushed filters, NOT read schema: the defect
+    // class is differently-PRUNED copies of one subtree (their
+    // schemas differ, which is exactly why exchange reuse missed
+    // them), while differently-FILTERED reads of a table are two
+    // genuine datasets and stay distinct
+    executedScans
+      .groupBy(f => (f.metadata.getOrElse("Location", ""),
+        f.metadata.getOrElse("PushedFilters", "")))
+      .toSeq.sortBy(_._1.toString)
+      .foreach { case ((loc, _), scans) =>
+        val k = scans.size
+        val bytes = scans.flatMap(metric(_, "filesSize")).maxOption
+          .getOrElse(0L)
+        if (k >= 2 && bytes >= minRescanBytes)
+          out += finding("lineage_reexecution", 1.0 - 1.0 / k,
+            s"$k identical scans of $bytes-byte relation $loc executed " +
+              "in one action (no exchange reuse between them)",
+            "pin the shared subtree (localCheckpoint; free it per the " +
+              "Checkpoints lifecycle) or make the consumers identical " +
+              "so exchange reuse collapses them")
+      }
 
     // exact_distinct_at_scale: a DISTINCT aggregate expression in
     // the executed plan (COUNT(DISTINCT) and kin survive the

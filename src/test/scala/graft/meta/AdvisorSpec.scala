@@ -131,6 +131,36 @@ class AdvisorSpec extends SparkSpec {
     }
   }
 
+  test("lineage_reexecution fires on an unpinned shared scan, not on " +
+      "a pinned or single-consumer one") {
+    withAqeOff {
+      val dir = java.nio.file.Files.createTempDirectory("adv-lre").toString
+      (1L to 5000L).map(i => (i, i * 2, s"v$i")).toDF("a", "b", "s")
+        .write.mode("overwrite").parquet(s"$dir/t")
+      val base = spark.read.parquet(s"$dir/t")
+      // two differently-pruned consumers of the SAME relation: no
+      // exchange to reuse between them -> the scan executes twice
+      val twice = base.agg(sum(col("a")).as("sa"))
+        .crossJoin(base.agg(avg(col("b")).as("ab")))
+      val got = rules(Advisor.diagnose(twice, minRescanBytes = 1L))
+      assert(got.get("lineage_reexecution").contains("medium"), got)
+      // pinning the shared subtree removes the file scans entirely
+      val pinned = base.localCheckpoint()
+      val fixed = pinned.agg(sum(col("a")).as("sa"))
+        .crossJoin(pinned.agg(avg(col("b")).as("ab")))
+      val none = rules(Advisor.diagnose(fixed, minRescanBytes = 1L))
+      assert(!none.contains("lineage_reexecution"), none)
+      // a single consumer never fires
+      val single = rules(Advisor.diagnose(
+        base.agg(sum(col("a")).as("sa")), minRescanBytes = 1L))
+      assert(!single.contains("lineage_reexecution"), single)
+      // a small relation re-read twice is below the byte floor at
+      // the default threshold
+      val small = rules(Advisor.diagnose(twice))
+      assert(!small.contains("lineage_reexecution"), small)
+    }
+  }
+
   test("disk_spill and task_reexecution stay silent on a healthy run") {
     val got = rules(Advisor.diagnose(
       (1L to 1000L).toDF("id").groupBy(col("id") % 10).count()))
