@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gridmix-style composite soak — the reference's only published
+  * end-to-end workload specification
+  * (reference: src/benchmarks/gridmix/README:28-71: five job
+  * families over generated random-word corpora), re-expressed
+  * Spark-first and run as ONE JVM-long sequence. The per-query bench
+  * isolates queries (cache cleared, pins unpersisted between runs);
+  * the soak deliberately does NOT — its purpose is the
+  * cross-operator memory/cache/catalog interactions a composed
+  * pipeline hits and per-query measurement structurally cannot (the
+  * round-9 sf1 bench-heap accumulation was exactly this class of
+  * failure).
+  *
+  * The five families, each scaled by a row dial instead of the
+  * reference's fixed 500 GB inputs (all corpora come from
+  * [[graft.sources.Generate.randomKv]] on the FAST hash dial — bulk
+  * generation is what that dial exists for):
+  *
+  *  1. `three_stage` — the pipelined Pig-style job: keep 10% map /
+  *     40% reduce, then 100%/77%, then 116%/91%, each stage written
+  *     and re-read (README:28-40). "Keep X% map" is a deterministic
+  *     hash-residue row filter; "keep X% reduce" the same residue on
+  *     the group key after the aggregation; the 116% map is a
+  *     map-side explode (every row, plus a second copy for a 16%
+  *     residue) — one scan, no self-union re-read.
+  *  2. `var_sort` — the large sort of variable key/value sizes
+  *     (README:42-47): keys 5-10 words, values 100-1000,
+  *     `repartitionByRange + sortWithinPartitions` (the
+  *     TotalOrderPartitioner shape — no single-reducer funnel),
+  *     written compressed and validated with the graded
+  *     [[graft.operators.Sorting.validateSorted]] TeraValidate
+  *     analog.
+  *  3. `ref_select` — the 0.2%-map / 5%-reduce / 1-reducer sample
+  *     (README:49-55): the residue filters run DISTRIBUTED and only
+  *     the surviving handful of rows funnel through the mandated
+  *     single reducer (`coalesce(1)` on the write alone, never on
+  *     the scan).
+  *  4. `indirect_read` — the iterative job whose input is "all
+  *     indirect": each of 10 iterations reads one fresh input slice
+  *     PLUS every previous iteration's output by explicit path list
+  *     (no catalog, no locality metadata — README:57-64), keeps 50%
+  *     map-side, aggregates, writes. Input file count grows every
+  *     iteration, which is the soak's accumulation pressure.
+  *  5. `api_sort` — the same text sort through three APIs
+  *     (README:66-71 exercises java/pipes/streaming): the DataFrame
+  *     API, SQL over a temp view, and the external-process pipe
+  *     ([[graft.operators.Pipe]] per range-partition through
+  *     `LC_ALL=C sort` — the pipes-sort binary's role). All three
+  *     must agree on row count; DataFrame and pipe outputs are
+  *     validated globally sorted.
+  *
+  * Scale shape: every family is a declarative plan — generation is
+  * one narrow `spark.range` projection, keeps are codegen'd residue
+  * filters, groupings are hash aggregations with map-side combine,
+  * sorts are range exchanges. Nothing collects data rows to the
+  * driver; driver state is O(partitions) (the sort validators).
+  * At 100 TB the dials are row counts and `spark.sql.shuffle
+  * .partitions`; the shapes are unchanged.
+  */
+object Soak {
+
+  final case class FamilyResult(seconds: Double, rows: Long,
+                                usedHeapMb: Long)
+
+  /** Deterministic keep-`permille` filter on a column — the
+    * reference's "keep X% of records" dial, reproducible across
+    * runs/partitionings (salted so successive stages sample
+    * independently).
+    */
+  private def keep(c: Column, permille: Int, salt: String): Column =
+    pmod(xxhash64(c, lit(salt)), lit(1000L)) < lit(permille.toLong)
+
+  private def usedHeapMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) >> 20
+  }
+
+  /** Run the five families sequentially under `workDir`; returns
+    * per-family (seconds, output rows, post-family used heap).
+    * `parts` sizes the generation/sort parallelism (the bench host's
+    * core count locally; executor count × cores on a cluster).
+    */
+  def run(spark: SparkSession, workDir: String, fixRows: Long,
+          varRows: Long, textRows: Long, parts: Int,
+          seed: Long = 42L): Seq[(String, FamilyResult)] = {
+    import graft.sources.Generate
+    val out = Seq.newBuilder[(String, FamilyResult)]
+    def family(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      out += name -> FamilyResult((System.nanoTime() - t0) / 1e9, rows,
+        usedHeapMb())
+    }
+    def readBack(path: String): DataFrame = spark.read.parquet(path)
+
+    // ---- 1. three-stage pipeline (FIXCOMPSEQ: k=5 words, v=100) ----
+    family("three_stage") {
+      val fix = Generate.randomKv(spark, fixRows,
+        keyMinWords = 5, keyMaxWords = 5,
+        valueMinWords = 100, valueMaxWords = 100,
+        vocab = 5000, seed = seed, skewed = true,
+        numPartitions = parts, portable = false)
+      val c1 = s"$workDir/three_stage/c1"
+      fix.filter(keep(col("k"), 100, "m1"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), max(col("v")).as("v"))
+        .filter(keep(col("k"), 400, "r1"))
+        .write.mode(SaveMode.Overwrite).parquet(c1)
+      val c2 = s"$workDir/three_stage/c2"
+      readBack(c1)
+        .groupBy(col("k"))
+        .agg(sum(col("n")).as("n"), max(col("v")).as("v"))
+        .filter(keep(col("k"), 770, "r2"))
+        .write.mode(SaveMode.Overwrite).parquet(c2)
+      val c3 = s"$workDir/three_stage/c3"
+      // 116% map: one scan, every row plus a 16%-residue second copy
+      readBack(c2)
+        .select(col("k"), col("n"), col("v"),
+          explode(when(keep(col("k"), 160, "m3"),
+            array(lit(0), lit(1))).otherwise(array(lit(0)))).as("dup"))
+        .groupBy(col("k"))
+        .agg(sum(col("n")).as("n"), max(col("v")).as("v"))
+        .filter(keep(col("k"), 910, "r3"))
+        .write.mode(SaveMode.Overwrite).parquet(c3)
+      val got = readBack(c3).count()
+      require(got > 0, "three_stage: empty final stage")
+      got
+    }
+
+    // ---- 2. large sort of variable k/v (VARCOMPSEQ) ---------------
+    family("var_sort") {
+      val dst = s"$workDir/var_sort/out"
+      def sortedPlan = Generate.randomKv(spark, varRows,
+        keyMinWords = 5, keyMaxWords = 10,
+        valueMinWords = 100, valueMaxWords = 1000,
+        vocab = 5000, seed = seed + 1, skewed = false,
+        numPartitions = parts, portable = false)
+        .repartitionByRange(parts, col("k"))
+        .sortWithinPartitions(col("k"))
+      sortedPlan.write.mode(SaveMode.Overwrite).parquet(dst)
+      // TeraValidate the PLAN (deterministic regeneration of the
+      // written frame): a parquet read-back reorders partitions by
+      // file size for bin-packing, so file-side validation would
+      // flag a correctly sorted artifact
+      val (ok, n) = graft.operators.Sorting.validateSorted(
+        sortedPlan, Seq("k"))
+      require(ok, "var_sort: output failed the sort validator")
+      require(n == varRows, s"var_sort: sorted $n of $varRows rows")
+      require(readBack(dst).count() == varRows,
+        "var_sort: artifact row count diverged")
+      n
+    }
+
+    // ---- 3. reference select (0.2% map, 5% reduce, 1 reducer) -----
+    family("ref_select") {
+      val dst = s"$workDir/ref_select/out"
+      readBack(s"$workDir/var_sort/out")
+        .filter(keep(col("k"), 2, "sel"))
+        .groupBy(col("k")).agg(max(col("v")).as("v"))
+        .filter(keep(col("k"), 50, "selr"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(dst)
+      readBack(dst).count()
+    }
+
+    // ---- 4. indirect read (10 iterations, path-list inputs) -------
+    family("indirect_read") {
+      val base = s"$workDir/indirect/base"
+      Generate.randomKv(spark, textRows,
+        keyMinWords = 5, keyMaxWords = 5,
+        valueMinWords = 20, valueMaxWords = 20,
+        vocab = 2000, seed = seed + 2, skewed = true,
+        numPartitions = parts, portable = false)
+        .withColumn("slice", pmod(col("id"), lit(10L)))
+        .select(col("k"), col("v"), col("slice"))
+        .write.mode(SaveMode.Overwrite).partitionBy("slice")
+        .parquet(base)
+      var outputs = List.empty[String]
+      var lastRows = 0L
+      (0 until 10).foreach { i =>
+        val paths = s"$base/slice=$i" :: outputs
+        val dst = s"$workDir/indirect/out_$i"
+        spark.read.parquet(paths: _*)
+          .select(col("k"), col("v"))
+          .filter(keep(col("k"), 500, s"ind$i"))
+          .groupBy(col("k")).agg(max(col("v")).as("v"))
+          .write.mode(SaveMode.Overwrite).parquet(dst)
+        outputs = dst :: outputs
+        lastRows = readBack(dst).count()
+      }
+      require(lastRows > 0, "indirect_read: empty final iteration")
+      lastRows
+    }
+
+    // ---- 5. API text sort (DataFrame / SQL / external pipe) -------
+    family("api_sort") {
+      val text = Generate.randomKv(spark, textRows,
+        keyMinWords = 1, keyMaxWords = 10,
+        valueMinWords = 0, valueMaxWords = 200,
+        vocab = 5000, seed = seed + 3, skewed = false,
+        numPartitions = parts, portable = false)
+        .select(col("k"), col("v"))
+      val dfDst = s"$workDir/api_sort/df"
+      def dfSorted = text.repartitionByRange(parts, col("k"))
+        .sortWithinPartitions(col("k"))
+      dfSorted.write.mode(SaveMode.Overwrite).parquet(dfDst)
+      text.createOrReplaceTempView("graft_soak_text")
+      val sqlDst = s"$workDir/api_sort/sql"
+      spark.sql(
+        "SELECT /*+ REPARTITION_BY_RANGE(k) */ k, v " +
+          "FROM graft_soak_text SORT BY k")
+        .write.mode(SaveMode.Overwrite).parquet(sqlDst)
+      val pipeDst = s"$workDir/api_sort/pipe"
+      // the pipes-sort analog: one `sort` child per range partition;
+      // C-locale line order on "k\tv" = order by k then v (tab sorts
+      // below every printable byte, and C order = UTF-8 byte order =
+      // Spark's own string order)
+      def pipeSorted = graft.operators.Pipe.pipe(
+        text.repartitionByRange(parts, col("k")),
+        "env LC_ALL=C sort", col("k"), col("v"))
+      pipeSorted.write.mode(SaveMode.Overwrite).parquet(pipeDst)
+      val nDf = readBack(dfDst).count()
+      val nSql = readBack(sqlDst).count()
+      val nPipe = readBack(pipeDst).count()
+      require(nDf == textRows && nSql == textRows && nPipe == textRows,
+        s"api_sort: row counts diverged df=$nDf sql=$nSql pipe=$nPipe " +
+          s"expected=$textRows")
+      // validate the PLANS (see var_sort: read-back reorders files)
+      val (okDf, _) = graft.operators.Sorting.validateSorted(
+        dfSorted, Seq("k"))
+      val (okPipe, _) = graft.operators.Sorting.validateSorted(
+        pipeSorted, Seq("value"))
+      require(okDf && okPipe,
+        s"api_sort: sort validation failed df=$okDf pipe=$okPipe")
+      nDf
+    }
+
+    out.result()
+  }
+
+  /** Env dials: `SPARK_GRAFT_SOAK_FIX_ROWS` / `_VAR_ROWS` /
+    * `_TEXT_ROWS` (family input sizes), `SPARK_GRAFT_SOAK_DIR`
+    * (work dir), `SPARK_GRAFT_CPUS`. Prints one JSON line:
+    * total wall, per-family seconds/rows/heap.
+    */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val fixRows = sys.env.getOrElse("SPARK_GRAFT_SOAK_FIX_ROWS",
+      "2000000").toLong
+    val varRows = sys.env.getOrElse("SPARK_GRAFT_SOAK_VAR_ROWS",
+      "300000").toLong
+    val textRows = sys.env.getOrElse("SPARK_GRAFT_SOAK_TEXT_ROWS",
+      "1000000").toLong
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR",
+      "/tmp/graft_soak")
+    val dir = new java.io.File(workDir)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+    val spark = Graft.session(master = s"local[$cpus]",
+      shufflePartitions = cpus, appName = "graft-soak")
+    val t0 = System.nanoTime()
+    val results = run(spark, workDir, fixRows, varRows, textRows,
+      parts = cpus)
+    val total = (System.nanoTime() - t0) / 1e9
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val fams = results.map { case (n, r) =>
+      s""""$n":{"sec":${fmt(r.seconds)},"rows":${r.rows},""" +
+        s""""used_heap_mb":${r.usedHeapMb}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"soak_total","value":${fmt(total)},""" +
+      s""""unit":"sec","families":$fams,"fix_rows":$fixRows,""" +
+      s""""var_rows":$varRows,"text_rows":$textRows}""")
+    spark.stop()
+  }
+}

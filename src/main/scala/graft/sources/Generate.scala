@@ -66,30 +66,75 @@ object Generate {
     * projection, no exchange, no driver state; 10⁹ rows is just more
     * partitions. All expressions are built-in codegen'd columns.
     */
-  def randomText(spark: SparkSession, rows: Long, minWords: Int = 10,
-                 maxWords: Int = 100, vocab: Int = 1000, seed: Long = 42L,
-                 skewed: Boolean = false, numPartitions: Int = 0,
-                 portable: Boolean = true): DataFrame = {
-    require(rows >= 0, s"rows must be >= 0, got $rows")
+  /** The word-sequence column shared by [[randomText]] and
+    * [[randomKv]]: word count uniform in [minWords, maxWords] drawn
+    * under `nTag`, each word under `(wTag, position)` — distinct tag
+    * pairs give statistically independent columns off the same row
+    * id with zero extra scans. Skew is the min-of-two-draws integer
+    * form (second draw tagged `wTag + "2"`, which keeps
+    * [[randomText]]'s historical "w"/"w2" tags bit-stable).
+    */
+  private def wordsExpr(seed: Long, nTag: String, wTag: String,
+                        minWords: Int, maxWords: Int, vocab: Int,
+                        skewed: Boolean, portable: Boolean)
+      : org.apache.spark.sql.Column = {
     require(minWords >= 0 && maxWords >= minWords,
       s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
     require(vocab >= 1, s"vocab must be >= 1, got $vocab")
-    val base =
-      if (numPartitions > 0) spark.range(0L, rows, 1L, numPartitions)
-      else spark.range(rows)
     val nWords = (lit(minWords) +
-      pmod(draw(seed, "n", portable), lit(maxWords - minWords + 1L)))
+      pmod(draw(seed, nTag, portable), lit(maxWords - minWords + 1L)))
       .cast("int")
     def wordIdx(i: org.apache.spark.sql.Column) = {
-      val d1 = pmod(drawAt(seed, "w", i, portable), lit(vocab.toLong))
+      val d1 = pmod(drawAt(seed, wTag, i, portable), lit(vocab.toLong))
       if (!skewed) d1
-      else least(d1, pmod(drawAt(seed, "w2", i, portable), lit(vocab.toLong)))
+      else least(d1,
+        pmod(drawAt(seed, wTag + "2", i, portable), lit(vocab.toLong)))
     }
-    base.select(col("id").as("doc_id"),
-      array_join(
-        when(nWords > 0, transform(sequence(lit(1), nWords),
-          i => concat(lit("w"), wordIdx(i))))
-          .otherwise(array().cast("array<string>")),
-        " ").as("text"))
+    array_join(
+      when(nWords > 0, transform(sequence(lit(1), nWords),
+        i => concat(lit("w"), wordIdx(i))))
+        .otherwise(array().cast("array<string>")),
+      " ")
   }
+
+  private def rangeBase(spark: SparkSession, rows: Long,
+                        numPartitions: Int) = {
+    require(rows >= 0, s"rows must be >= 0, got $rows")
+    if (numPartitions > 0) spark.range(0L, rows, 1L, numPartitions)
+    else spark.range(rows)
+  }
+
+  def randomText(spark: SparkSession, rows: Long, minWords: Int = 10,
+                 maxWords: Int = 100, vocab: Int = 1000, seed: Long = 42L,
+                 skewed: Boolean = false, numPartitions: Int = 0,
+                 portable: Boolean = true): DataFrame =
+    rangeBase(spark, rows, numPartitions)
+      .select(col("id").as("doc_id"),
+        wordsExpr(seed, "n", "w", minWords, maxWords, vocab, skewed,
+          portable).as("text"))
+
+  /** Key/value corpus — the RandomWriter/gridmix input shape
+    * (reference: src/benchmarks/gridmix/README:28-71 sizes every job
+    * family's input as `(k, v) = (a-b words, c-d words)`
+    * SequenceFiles; src/examples/.../RandomWriter.java:57 is the
+    * generator behind them). One `spark.range` narrow projection
+    * emits (id, k, v) with independently-drawn key and value word
+    * sequences — no join of two generated frames, no shuffle, same
+    * determinism/portability dials as [[randomText]]. `skewed`
+    * applies to BOTH columns (heavy keys are what make a grouped
+    * soak interesting; heavy value words are what make compression
+    * realistic).
+    */
+  def randomKv(spark: SparkSession, rows: Long,
+               keyMinWords: Int = 5, keyMaxWords: Int = 5,
+               valueMinWords: Int = 100, valueMaxWords: Int = 100,
+               vocab: Int = 1000, seed: Long = 42L,
+               skewed: Boolean = false, numPartitions: Int = 0,
+               portable: Boolean = true): DataFrame =
+    rangeBase(spark, rows, numPartitions)
+      .select(col("id"),
+        wordsExpr(seed, "kn", "kw", keyMinWords, keyMaxWords, vocab,
+          skewed, portable).as("k"),
+        wordsExpr(seed, "vn", "vw", valueMinWords, valueMaxWords, vocab,
+          skewed, portable).as("v"))
 }

@@ -58,4 +58,31 @@ class GenerateSpec extends SparkSpec {
     assert(rows.exists(_._2.isEmpty), "some docs should draw zero words")
     assert(rows.exists(_._2.nonEmpty))
   }
+
+  test("randomKv: independent key/value draws, one narrow stage, " +
+      "partitioning-independent") {
+    def gen(parts: Int) = Generate.randomKv(spark, rows = 300,
+      keyMinWords = 2, keyMaxWords = 3, valueMinWords = 5,
+      valueMaxWords = 8, vocab = 40, seed = 9L, numPartitions = parts)
+    val a = gen(2).as[(Long, String, String)].collect().sortBy(_._1)
+    val b = gen(5).as[(Long, String, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "content must not depend on partitioning")
+    // key and value draws are independent streams off the same row
+    assert(a.exists(r => r._2 != r._3))
+    a.foreach { case (_, k, v) =>
+      val (nk, nv) = (k.split(" ").length, v.split(" ").length)
+      assert(nk >= 2 && nk <= 3, s"key '$k'")
+      assert(nv >= 5 && nv <= 8, s"value '$v'")
+    }
+    // generation is one narrow range->project stage, no exchange
+    val plan = gen(4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+    // the tag split leaves randomText's own draws untouched: a
+    // randomText corpus at the same (seed, dials) is NOT the kv key
+    // stream (regression guard on the shared kernel's tags)
+    val t = Generate.randomText(spark, rows = 300, minWords = 2,
+      maxWords = 3, vocab = 40, seed = 9L)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(!t.map(_._2).sameElements(a.map(_._2)))
+  }
 }
