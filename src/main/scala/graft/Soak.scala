@@ -69,10 +69,54 @@ object Soak {
   /** Deterministic keep-`permille` filter on a column — the
     * reference's "keep X% of records" dial, reproducible across
     * runs/partitionings (salted so successive stages sample
-    * independently).
+    * independently). `portable = true` swaps the xxhash64 residue
+    * for the engine-neutral md5-prefix idiom so an external oracle
+    * recomputes the SAME sample (the q_gridmix_pipeline grade);
+    * the soak's bulk runs stay on the fast dial.
     */
-  private def keep(c: Column, permille: Int, salt: String): Column =
-    pmod(xxhash64(c, lit(salt)), lit(1000L)) < lit(permille.toLong)
+  def keep(c: Column, permille: Int, salt: String,
+           portable: Boolean = false): Column =
+    if (portable)
+      pmod(conv(substring(md5(concat(c.cast("string"), lit(":" + salt))),
+        1, 8), 16, 10).cast("long"), lit(1000L)) < lit(permille.toLong)
+    else pmod(xxhash64(c, lit(salt)), lit(1000L)) < lit(permille.toLong)
+
+  /** The three gridmix pipeline stages (README:28-40) as pure
+    * DataFrame transforms — [[run]] materializes each stage to
+    * parquet between them (the reference's separate-jobs shape);
+    * [[threeStage]] chains them declaratively for grading. "Keep X%
+    * map" filters rows before the aggregation, "keep X% reduce"
+    * filters group keys after it; the 116% map duplicates a
+    * 16%-residue of rows in ONE scan (explode, no self-union).
+    *
+    * Plan note for the chained form: all three aggregations key on
+    * `k`, so Catalyst plans ONE exchange — stages 2 and 3 reuse the
+    * stage-1 hash partitioning (the explode is partition-local).
+    */
+  def stage1(kv: DataFrame, portable: Boolean = false): DataFrame =
+    kv.filter(keep(col("k"), 100, "m1", portable))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("v"))
+      .filter(keep(col("k"), 400, "r1", portable))
+
+  def stage2(c1: DataFrame, portable: Boolean = false): DataFrame =
+    c1.groupBy(col("k"))
+      .agg(sum(col("n")).as("n"), max(col("v")).as("v"))
+      .filter(keep(col("k"), 770, "r2", portable))
+
+  def stage3(c2: DataFrame, portable: Boolean = false): DataFrame =
+    c2.select(col("k"), col("n"), col("v"),
+        explode(when(keep(col("k"), 160, "m3", portable),
+          array(lit(0), lit(1))).otherwise(array(lit(0)))).as("dup"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n"), max(col("v")).as("v"))
+      .filter(keep(col("k"), 910, "r3", portable))
+
+  /** The full pipeline as one declarative chain (one exchange — see
+    * the stage functions' plan note).
+    */
+  def threeStage(kv: DataFrame, portable: Boolean = false): DataFrame =
+    stage3(stage2(stage1(kv, portable), portable), portable)
 
   private def usedHeapMb(): Long = {
     val rt = Runtime.getRuntime
@@ -105,27 +149,11 @@ object Soak {
         vocab = 5000, seed = seed, skewed = true,
         numPartitions = parts, portable = false)
       val c1 = s"$workDir/three_stage/c1"
-      fix.filter(keep(col("k"), 100, "m1"))
-        .groupBy(col("k"))
-        .agg(count(lit(1)).as("n"), max(col("v")).as("v"))
-        .filter(keep(col("k"), 400, "r1"))
-        .write.mode(SaveMode.Overwrite).parquet(c1)
+      stage1(fix).write.mode(SaveMode.Overwrite).parquet(c1)
       val c2 = s"$workDir/three_stage/c2"
-      readBack(c1)
-        .groupBy(col("k"))
-        .agg(sum(col("n")).as("n"), max(col("v")).as("v"))
-        .filter(keep(col("k"), 770, "r2"))
-        .write.mode(SaveMode.Overwrite).parquet(c2)
+      stage2(readBack(c1)).write.mode(SaveMode.Overwrite).parquet(c2)
       val c3 = s"$workDir/three_stage/c3"
-      // 116% map: one scan, every row plus a 16%-residue second copy
-      readBack(c2)
-        .select(col("k"), col("n"), col("v"),
-          explode(when(keep(col("k"), 160, "m3"),
-            array(lit(0), lit(1))).otherwise(array(lit(0)))).as("dup"))
-        .groupBy(col("k"))
-        .agg(sum(col("n")).as("n"), max(col("v")).as("v"))
-        .filter(keep(col("k"), 910, "r3"))
-        .write.mode(SaveMode.Overwrite).parquet(c3)
+      stage3(readBack(c2)).write.mode(SaveMode.Overwrite).parquet(c3)
       val got = readBack(c3).count()
       require(got > 0, "three_stage: empty final stage")
       got

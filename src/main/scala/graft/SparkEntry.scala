@@ -2622,6 +2622,22 @@ object SparkEntry {
         .crossJoin(det).crossJoin(shape).crossJoin(skew)
     }),
 
+    // the gridmix three-stage pipeline's SEMANTICS graded end-to-end
+    // (the soak measures the written form at bulk scale; this grades
+    // the keep/aggregate algebra): generated KV corpus on the
+    // portable dial, keep 10% map / 40% reduce -> 100%/77% ->
+    // 116%/91% with md5-residue sampling — DuckDB regenerates the
+    // corpus AND recomputes every residue, so the full pipeline
+    // hash-grades
+    "q_gridmix_pipeline" -> ((s, dir) => {
+      val kv = sources.Generate.randomKv(s,
+        rows = t(s, dir, "documents").count(),
+        keyMinWords = 2, keyMaxWords = 2,
+        valueMinWords = 5, valueMaxWords = 9,
+        vocab = 50, seed = 11L, portable = true)
+      Soak.threeStage(kv, portable = true)
+    }),
+
     // INCREMENTAL index update (the reference contrib/index
     // DocumentAndOp / IndexUpdater semantics): build the updatable
     // index on 3/4 of the corpus, then apply ONE delta batch —
@@ -5323,6 +5339,49 @@ object SparkEntry {
         |       TRUE AS deterministic, TRUE AS words_in_range,
         |       TRUE AS vocab_ok, TRUE AS skew_lower
         |FROM documents""".stripMargin,
+
+    // q_gridmix_pipeline: regenerate the KV corpus with the same
+    // counter-based md5 draws (key = 2 words tagged kw, value 5-9
+    // words tagged vn/vw), then replay the three keep/aggregate
+    // stages with the same md5-residue samples
+    "q_gridmix_pipeline" ->
+      """WITH ids AS (
+        |  SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS id),
+        |kv AS (
+        |  SELECT id,
+        |    array_to_string(
+        |      ['w' || (('0x' || substr(md5('11:' || id || ':kw:' || i),
+        |          1, 8))::BIGINT % 50) for i in range(1, 3)], ' ') AS k,
+        |    array_to_string(
+        |      ['w' || (('0x' || substr(md5('11:' || id || ':vw:' || i),
+        |          1, 8))::BIGINT % 50)
+        |       for i in range(1, CAST(5 + ('0x' || substr(
+        |          md5('11:' || id || ':vn'), 1, 8))::BIGINT % 5 AS INT)
+        |          + 1)], ' ') AS v
+        |  FROM ids),
+        |s1 AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n, max(v) AS v
+        |  FROM kv
+        |  WHERE ('0x' || substr(md5(k || ':m1'), 1, 8))::BIGINT
+        |        % 1000 < 100
+        |  GROUP BY k
+        |  HAVING ('0x' || substr(md5(k || ':r1'), 1, 8))::BIGINT
+        |         % 1000 < 400),
+        |s2 AS (
+        |  SELECT k, CAST(sum(n) AS BIGINT) AS n, max(v) AS v
+        |  FROM s1 GROUP BY k
+        |  HAVING ('0x' || substr(md5(k || ':r2'), 1, 8))::BIGINT
+        |         % 1000 < 770),
+        |s3pre AS (
+        |  SELECT k, n, v FROM s2
+        |  UNION ALL
+        |  SELECT k, n, v FROM s2
+        |  WHERE ('0x' || substr(md5(k || ':m3'), 1, 8))::BIGINT
+        |        % 1000 < 160)
+        |SELECT k, CAST(sum(n) AS BIGINT) AS n, max(v) AS v
+        |FROM s3pre GROUP BY k
+        |HAVING ('0x' || substr(md5(k || ':r3'), 1, 8))::BIGINT
+        |       % 1000 < 910""".stripMargin,
 
     // q_search_index_update: the updated index must answer exactly
     // what a fresh build over the post-delta corpus would — the

@@ -26,4 +26,19 @@ class SoakSpec extends SparkSpec {
       assert(r.seconds > 0, s"$n must be timed")
     }
   }
+
+  test("threeStage chains through ONE exchange: stages 2 and 3 reuse " +
+      "stage 1's hash partitioning on k") {
+    val kv = sources.Generate.randomKv(spark, rows = 2000,
+      keyMinWords = 2, keyMaxWords = 2, valueMinWords = 5,
+      valueMaxWords = 9, vocab = 50, seed = 11L, portable = true)
+    val out = Soak.threeStage(kv, portable = true)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 exchange for the 3-stage chain, got $exchanges:\n" +
+        plan.take(1500))
+  }
 }
