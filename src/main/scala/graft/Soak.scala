@@ -130,10 +130,20 @@ object Soak {
     */
   def run(spark: SparkSession, workDir: String, fixRows: Long,
           varRows: Long, textRows: Long, parts: Int,
-          seed: Long = 42L): Seq[(String, FamilyResult)] = {
+          seed: Long = 42L): Seq[(String, FamilyResult)] =
+    runFamilies(spark, workDir, fixRows, varRows, textRows, parts, seed,
+      Set("three_stage", "var_sort", "ref_select", "indirect_read",
+        "api_sort"))
+
+  private val viewId = new java.util.concurrent.atomic.AtomicLong()
+
+  private def runFamilies(spark: SparkSession, workDir: String,
+                          fixRows: Long, varRows: Long, textRows: Long,
+                          parts: Int, seed: Long,
+                          only: Set[String]): Seq[(String, FamilyResult)] = {
     import graft.sources.Generate
     val out = Seq.newBuilder[(String, FamilyResult)]
-    def family(name: String)(body: => Long): Unit = {
+    def family(name: String)(body: => Long): Unit = if (only(name)) {
       val t0 = System.nanoTime()
       val rows = body
       out += name -> FamilyResult((System.nanoTime() - t0) / 1e9, rows,
@@ -236,11 +246,13 @@ object Soak {
       def dfSorted = text.repartitionByRange(parts, col("k"))
         .sortWithinPartitions(col("k"))
       dfSorted.write.mode(SaveMode.Overwrite).parquet(dfDst)
-      text.createOrReplaceTempView("graft_soak_text")
+      // thread-unique view name: concurrent lanes share one catalog
+      val view = s"graft_soak_text_${viewId.incrementAndGet()}"
+      text.createOrReplaceTempView(view)
       val sqlDst = s"$workDir/api_sort/sql"
       spark.sql(
         "SELECT /*+ REPARTITION_BY_RANGE(k) */ k, v " +
-          "FROM graft_soak_text SORT BY k")
+          s"FROM $view SORT BY k")
         .write.mode(SaveMode.Overwrite).parquet(sqlDst)
       val pipeDst = s"$workDir/api_sort/pipe"
       // the pipes-sort analog: one `sort` child per range partition;
@@ -270,10 +282,67 @@ object Soak {
     out.result()
   }
 
+  /** CONCURRENT soak — the reference's actual submission model
+    * (README:74-77: "runs a mix of small, medium, and large jobs
+    * simultaneously"): the same five validated families submitted as
+    * concurrent actions from separate threads into one scheduler.
+    * This exercises what the sequential soak cannot — concurrent
+    * stage scheduling, shared block-manager/shuffle pressure, and
+    * catalog contention (the SQL leg's temp view is made
+    * thread-unique). The ref_select family consumes var_sort's
+    * output, so those two stay a sequential chain inside one thread;
+    * the other families race freely. On a cluster the same shape
+    * runs under FAIR scheduler pools; locally FIFO interleaves at
+    * stage granularity, which is the contention we want.
+    *
+    * Returns the same per-family splits (their wall clocks now
+    * overlap — total wall < the sum is the point).
+    */
+  def runConcurrent(spark: SparkSession, workDir: String, fixRows: Long,
+                    varRows: Long, textRows: Long, parts: Int,
+                    seed: Long = 42L): Seq[(String, FamilyResult)] = {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, FamilyResult)]()
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // each lane is an independent run() cut down to its families via
+    // a distinct sub-workdir (run() names artifacts per family, so
+    // lanes never collide on paths)
+    def submit(lane: String)(body: => Seq[(String, FamilyResult)]): Unit =
+      pool.execute { () =>
+        try body.foreach(results.add)
+        catch { case t: Throwable => failures.add(t) }
+      }
+    submit("pipeline") {
+      runFamilies(spark, s"$workDir/lane_pipe", fixRows, varRows,
+        textRows, parts, seed, Set("three_stage"))
+    }
+    submit("sorts") {
+      runFamilies(spark, s"$workDir/lane_sort", fixRows, varRows,
+        textRows, parts, seed, Set("var_sort", "ref_select"))
+    }
+    submit("indirect") {
+      runFamilies(spark, s"$workDir/lane_ind", fixRows, varRows,
+        textRows, parts, seed, Set("indirect_read"))
+    }
+    submit("api") {
+      runFamilies(spark, s"$workDir/lane_api", fixRows, varRows,
+        textRows, parts, seed, Set("api_sort"))
+    }
+    pool.shutdown()
+    pool.awaitTermination(4, TimeUnit.HOURS)
+    if (!failures.isEmpty) throw failures.peek()
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSeq.sortBy(_._1)
+  }
+
   /** Env dials: `SPARK_GRAFT_SOAK_FIX_ROWS` / `_VAR_ROWS` /
     * `_TEXT_ROWS` (family input sizes), `SPARK_GRAFT_SOAK_DIR`
-    * (work dir), `SPARK_GRAFT_CPUS`. Prints one JSON line:
-    * total wall, per-family seconds/rows/heap.
+    * (work dir), `SPARK_GRAFT_CPUS`, `SPARK_GRAFT_SOAK_CONCURRENT`
+    * (non-empty = simultaneous-submission mode). Prints one JSON
+    * line: total wall, per-family seconds/rows/heap.
     */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -295,9 +364,13 @@ object Soak {
     }
     val spark = Graft.session(master = s"local[$cpus]",
       shufflePartitions = cpus, appName = "graft-soak")
+    val concurrent = sys.env.get("SPARK_GRAFT_SOAK_CONCURRENT")
+      .exists(_.nonEmpty)
     val t0 = System.nanoTime()
-    val results = run(spark, workDir, fixRows, varRows, textRows,
-      parts = cpus)
+    val results =
+      if (concurrent) runConcurrent(spark, workDir, fixRows, varRows,
+        textRows, parts = cpus)
+      else run(spark, workDir, fixRows, varRows, textRows, parts = cpus)
     val total = (System.nanoTime() - t0) / 1e9
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
@@ -306,7 +379,8 @@ object Soak {
         s""""used_heap_mb":${r.usedHeapMb}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"soak_total","value":${fmt(total)},""" +
-      s""""unit":"sec","families":$fams,"fix_rows":$fixRows,""" +
+      s""""unit":"sec","mode":"${if (concurrent) "concurrent"
+        else "sequential"}","families":$fams,"fix_rows":$fixRows,""" +
       s""""var_rows":$varRows,"text_rows":$textRows}""")
     spark.stop()
   }

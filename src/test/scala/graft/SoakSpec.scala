@@ -27,6 +27,24 @@ class SoakSpec extends SparkSpec {
     }
   }
 
+  test("concurrent submission mode runs all five families and matches " +
+      "the sequential results row-for-row") {
+    val seqDir = java.nio.file.Files.createTempDirectory("soak-seq").toString
+    val conDir = java.nio.file.Files.createTempDirectory("soak-con").toString
+    val s = Soak.run(spark, seqDir, fixRows = 3000, varRows = 1000,
+      textRows = 2000, parts = 4)
+    val c = Soak.runConcurrent(spark, conDir, fixRows = 3000,
+      varRows = 1000, textRows = 2000, parts = 4)
+    assert(c.map(_._1).sorted == s.map(_._1).sorted)
+    // deterministic generation + residue keeps: identical row counts
+    // whichever way the jobs were scheduled
+    val sm = s.toMap; val cm = c.toMap
+    sm.keys.foreach { k =>
+      assert(cm(k).rows == sm(k).rows,
+        s"$k: concurrent ${cm(k).rows} != sequential ${sm(k).rows}")
+    }
+  }
+
   test("threeStage chains through ONE exchange: stages 2 and 3 reuse " +
       "stage 1's hash partitioning on k") {
     val kv = sources.Generate.randomKv(spark, rows = 2000,
