@@ -118,6 +118,38 @@ object Soak {
   def threeStage(kv: DataFrame, portable: Boolean = false): DataFrame =
     stage3(stage2(stage1(kv, portable), portable), portable)
 
+  /** The indirect-read family's ALGEBRA (README:57-64) as an
+    * iterative transform — the graded twin of the soak's file-based
+    * form (which reads each iteration's input by explicit path
+    * list): iteration i consumes slice i of the corpus (id %
+    * iterations) plus every previous iteration's output, keeps a 50%
+    * key residue, and folds to one row per key. Returns the final
+    * iteration's output.
+    *
+    * Each iteration is pinned (localCheckpoint) — the same
+    * truncate-the-iterative-lineage rule as the connected-components
+    * closure ([[graft.functions.Checkpoints]]): without it iteration
+    * i's plan embeds every earlier iteration's subtree and the tree
+    * doubles per round. The soak's file writes play this role in the
+    * bulk form.
+    */
+  def indirectChain(kv: DataFrame, iterations: Int = 10,
+                    portable: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    var outputs = List.empty[DataFrame]
+    for (i <- 0 until iterations) {
+      val slice = kv
+        .filter(pmod(col("id"), lit(iterations.toLong)) === lit(i.toLong))
+        .select(col("k"), col("v"))
+      val in = (slice :: outputs).reduce(_.unionByName(_))
+      val out = in.filter(keep(col("k"), 500, s"ind$i", portable))
+        .groupBy(col("k")).agg(max(col("v")).as("v"))
+        .localCheckpoint()
+      outputs = out :: outputs
+    }
+    outputs.head
+  }
+
   private def usedHeapMb(): Long = {
     val rt = Runtime.getRuntime
     (rt.totalMemory() - rt.freeMemory()) >> 20

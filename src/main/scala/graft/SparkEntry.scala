@@ -2638,6 +2638,20 @@ object SparkEntry {
       Soak.threeStage(kv, portable = true)
     }),
 
+    // the indirect-read family's iterative algebra graded (the soak
+    // measures the file-based form): 10 iterations, each folding a
+    // fresh corpus slice plus every previous iteration's output
+    // through a 50% key residue — the oracle replays all ten
+    // iterations as chained CTEs over the regenerated corpus
+    "q_gridmix_indirect" -> ((s, dir) => {
+      val kv = sources.Generate.randomKv(s,
+        rows = t(s, dir, "documents").count(),
+        keyMinWords = 2, keyMaxWords = 2,
+        valueMinWords = 5, valueMaxWords = 9,
+        vocab = 50, seed = 11L, portable = true)
+      Soak.indirectChain(kv, iterations = 10, portable = true)
+    }),
+
     // INCREMENTAL index update (the reference contrib/index
     // DocumentAndOp / IndexUpdater semantics): build the updatable
     // index on 3/4 of the corpus, then apply ONE delta batch —
@@ -2965,6 +2979,24 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("len_bucket",
           (col("n_chars") % 16).cast("string")),
         Seq("lang", "source", "len_bucket"), k = 3)),
+
+    // profile DRIFT between two corpus drops (meta.Profiler.drift):
+    // the "after" drop nulls 20% of lang and 50x-es source
+    // cardinality — the report must flag exactly those columns, via
+    // integer cross-multiplied compares (no division, no doubles)
+    // over two k-row profile reports, so the diff moves kilobytes
+    // at any corpus size
+    "q_profile_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val before = meta.Profiler.profile(docs, cols)
+      val mutated = docs
+        .withColumn("lang", when(col("doc_id") % 5 === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+        .withColumn("source", concat(col("source"), lit("#"),
+          (col("doc_id") % 50).cast("string")))
+      meta.Profiler.drift(before, meta.Profiler.profile(mutated, cols))
+    }),
 
     // the re-slice half of the panel story: a panel built at
     // (source, lang) grain rolls up BY LANG ALONE from its rows —
@@ -5383,6 +5415,41 @@ object SparkEntry {
         |HAVING ('0x' || substr(md5(k || ':r3'), 1, 8))::BIGINT
         |       % 1000 < 910""".stripMargin,
 
+    // q_gridmix_indirect: the same regenerated corpus as
+    // q_gridmix_pipeline, then ten chained CTEs — iteration i unions
+    // slice i with every previous output and folds through the
+    // ind<i> residue
+    "q_gridmix_indirect" -> {
+      val kvCte =
+        """WITH ids AS (
+          |  SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS id),
+          |kv AS (
+          |  SELECT id,
+          |    array_to_string(
+          |      ['w' || (('0x' || substr(md5('11:' || id || ':kw:' || i),
+          |          1, 8))::BIGINT % 50) for i in range(1, 3)], ' ') AS k,
+          |    array_to_string(
+          |      ['w' || (('0x' || substr(md5('11:' || id || ':vw:' || i),
+          |          1, 8))::BIGINT % 50)
+          |       for i in range(1, CAST(5 + ('0x' || substr(
+          |          md5('11:' || id || ':vn'), 1, 8))::BIGINT % 5 AS INT)
+          |          + 1)], ' ') AS v
+          |  FROM ids)""".stripMargin
+      def keepSql(salt: String) =
+        s"('0x' || substr(md5(k || ':$salt'), 1, 8))::BIGINT % 1000 < 500"
+      val iters = (0 until 10).map { i =>
+        val prev = (0 until i).map(j => s"SELECT k, v FROM o$j")
+        val union = (s"SELECT k, v FROM kv WHERE id % 10 = $i" +: prev)
+          .mkString("\n    UNION ALL ")
+        s"""o$i AS (
+           |  SELECT k, max(v) AS v FROM (
+           |    $union) u
+           |  WHERE ${keepSql(s"ind$i")}
+           |  GROUP BY k)""".stripMargin
+      }.mkString(",\n")
+      s"$kvCte,\n$iters\nSELECT k, v FROM o9"
+    },
+
     // q_search_index_update: the updated index must answer exactly
     // what a fresh build over the post-delta corpus would — the
     // oracle applies the delta's set algebra to the corpus (present
@@ -5650,6 +5717,63 @@ object SparkEntry {
         |  FROM counted)
         |SELECT col_name, CAST(rnk AS INT) AS rnk, item, cnt
         |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // q_profile_drift: recompute both profiles and the same integer
+    // cross-multiplied flags (null-safe IS DISTINCT FROM for the
+    // range shift, exactly Spark's <=> negation)
+    "q_profile_drift" ->
+      """WITH after_t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+        |         source || '#' || CAST(doc_id % 50 AS VARCHAR) AS source,
+        |         n_chars
+        |  FROM documents),
+        |bf AS (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n,
+        |         count(*) - count(doc_id) AS nnull,
+        |         count(DISTINCT doc_id) AS d,
+        |         CAST(min(doc_id) AS VARCHAR) AS mn,
+        |         CAST(max(doc_id) AS VARCHAR) AS mx FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |         count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+        |         CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |         count(DISTINCT source), CAST(min(source) AS VARCHAR),
+        |         CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |         count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |         CAST(max(n_chars) AS VARCHAR) FROM documents),
+        |af AS (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n,
+        |         count(*) - count(doc_id) AS nnull,
+        |         count(DISTINCT doc_id) AS d,
+        |         CAST(min(doc_id) AS VARCHAR) AS mn,
+        |         CAST(max(doc_id) AS VARCHAR) AS mx FROM after_t
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |         count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+        |         CAST(max(lang) AS VARCHAR) FROM after_t
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |         count(DISTINCT source), CAST(min(source) AS VARCHAR),
+        |         CAST(max(source) AS VARCHAR) FROM after_t
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |         count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |         CAST(max(n_chars) AS VARCHAR) FROM after_t)
+        |SELECT b.col_name,
+        |       CAST(b.n AS BIGINT) AS n_before,
+        |       CAST(a.n AS BIGINT) AS n_after,
+        |       (1000 * a.nnull * b.n >
+        |        1000 * b.nnull * a.n + 50 * a.n * b.n)
+        |         AS null_rate_jumped,
+        |       (1000 * a.d > 2000 * b.d) AS distinct_blowup,
+        |       (b.mn IS DISTINCT FROM a.mn OR b.mx IS DISTINCT FROM a.mx)
+        |         AS range_shifted
+        |FROM bf b JOIN af a USING (col_name)""".stripMargin,
 
     // q_sketch_regroup: the (source, lang) panel re-grouped by lang
     // recomputes directly per lang; gates are constants

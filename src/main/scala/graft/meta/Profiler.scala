@@ -80,6 +80,62 @@ object Profiler {
         col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
   }
 
+  /** Drift report between two [[profile]] runs — the pre-ingest
+    * gate's second half: a new corpus drop is validated not just in
+    * isolation but AGAINST the previous drop (the reference's
+    * operational analog is fsck/du run before-and-after a change;
+    * for column content the question is "did the null rate jump, did
+    * a key column's cardinality explode, did the value range move").
+    *
+    * Inputs are two profile REPORTS (k rows each, already reduced),
+    * so the diff moves kilobytes regardless of corpus size — profile
+    * each drop once, keep the report, diff forever. All flag
+    * arithmetic is integer cross-multiplication in decimal(38,0)
+    * (no division, no doubles), so the report is bit-portable and
+    * the thresholds are permille dials:
+    *
+    *  - `null_rate_jumped`: nullAfter/nAfter > nullBefore/nBefore +
+    *    jump, evaluated as 1000·nullAfter·nBefore >
+    *    1000·nullBefore·nAfter + jumpPermille·nAfter·nBefore;
+    *  - `distinct_blowup`: 1000·dAfter > ratioPermille·dBefore
+    *    (a disappearing column — dBefore 0 — flags iff dAfter > 0);
+    *  - `range_shifted`: min_s or max_s changed (string equality,
+    *    null-safe).
+    *
+    * Output: one row per column present in either report —
+    * `(col_name, n_before, n_after, null_rate_jumped,
+    * distinct_blowup, range_shifted)`; a column missing from one
+    * side carries zero counts there and flags accordingly.
+    */
+  def drift(before: DataFrame, after: DataFrame,
+            nullJumpPermille: Int = 50,
+            distinctRatioPermille: Int = 2000): DataFrame = {
+    require(nullJumpPermille >= 0,
+      s"nullJumpPermille must be >= 0, got $nullJumpPermille")
+    require(distinctRatioPermille >= 1000,
+      s"distinctRatioPermille must be >= 1000 (growth), " +
+        s"got $distinctRatioPermille")
+    def side(df: DataFrame, tag: String) =
+      df.select(col("col_name"),
+        col("n").as(s"n_$tag"), col("n_null").as(s"null_$tag"),
+        col("n_distinct").as(s"d_$tag"),
+        col("min_s").as(s"min_$tag"), col("max_s").as(s"max_$tag"))
+    def dec(c: Column) = coalesce(c, lit(0L)).cast("decimal(38,0)")
+    side(before, "b").join(side(after, "a"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        coalesce(col("n_b"), lit(0L)).as("n_before"),
+        coalesce(col("n_a"), lit(0L)).as("n_after"),
+        (lit(1000) * dec(col("null_a")) * dec(col("n_b")) >
+          lit(1000) * dec(col("null_b")) * dec(col("n_a")) +
+            lit(nullJumpPermille) * dec(col("n_a")) * dec(col("n_b")))
+          .as("null_rate_jumped"),
+        (lit(1000) * dec(col("d_a")) >
+          lit(distinctRatioPermille) * dec(col("d_b")))
+          .as("distinct_blowup"),
+        (!(col("min_b") <=> col("min_a")) ||
+          !(col("max_b") <=> col("max_a"))).as("range_shifted"))
+  }
+
   /** Per-column frequent-items report — the column-content analog of
     * the reference's ValueHistogram "show me the top items" summary
     * (reference: src/mapred/org/apache/hadoop/mapred/lib/aggregate/

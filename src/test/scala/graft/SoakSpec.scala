@@ -45,6 +45,25 @@ class SoakSpec extends SparkSpec {
     }
   }
 
+  test("indirectChain (the graded algebra) equals the soak's " +
+      "file-based indirect_read family row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("soak-ind").toString
+    Soak.run(spark, dir, fixRows = 2000, varRows = 800,
+      textRows = 2500, parts = 4)
+    // regenerate family 4's corpus (content is partitioning-
+    // independent, so parts needn't match) and run the algebra twin
+    val kv = sources.Generate.randomKv(spark, 2500,
+      keyMinWords = 5, keyMaxWords = 5, valueMinWords = 20,
+      valueMaxWords = 20, vocab = 2000, seed = 44L, skewed = true,
+      numPartitions = 4, portable = false)
+    val chain = Soak.indirectChain(kv, iterations = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val files = spark.read.parquet(s"$dir/indirect/out_9")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(chain.length == files.length && chain.sameElements(files),
+      s"algebra ${chain.length} rows vs files ${files.length}")
+  }
+
   test("threeStage chains through ONE exchange: stages 2 and 3 reuse " +
       "stage 1's hash partitioning on k") {
     val kv = sources.Generate.randomKv(spark, rows = 2000,

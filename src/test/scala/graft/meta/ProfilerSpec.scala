@@ -75,6 +75,42 @@ class ProfilerSpec extends SparkSpec {
     assert(top.head.getString(2) == "hot" && top.head.getLong(3) == 40L)
   }
 
+  test("drift flags null-rate jumps, distinct blowups, and range " +
+      "shifts between two profile reports") {
+    val before = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("b"), Some(10L)),
+      (3L, Some("a"), Some(10L)), (4L, Some("b"), Some(10L)))
+      .toDF("id", "s", "v")
+    // after: half the s values null (rate 0 -> 0.5), v cardinality
+    // 1 -> 4 (past the 2x ratio), id range extended
+    val after = Seq(
+      (1L, None, Some(10L)), (2L, None, Some(21L)),
+      (3L, Some("a"), Some(31L)), (9L, Some("b"), Some(41L)))
+      .toDF("id", "s", "v")
+    val cols = Seq("id", "s", "v")
+    val got = Profiler.drift(
+      Profiler.profile(before, cols), Profiler.profile(after, cols))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got("s") == ((true, false, false)), got("s").toString)
+    assert(got("v") == ((false, true, true)), got("v").toString)
+    assert(got("id") == ((false, false, true)), got("id").toString)
+  }
+
+  test("drift handles a column present on only one side") {
+    val a = Seq((1L, "x")).toDF("id", "only_before")
+    val b = Seq((1L, "y")).toDF("id", "only_after")
+    val got = Profiler.drift(
+      Profiler.profile(a, Seq("id", "only_before")),
+      Profiler.profile(b, Seq("id", "only_after")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // new column: zero before-counts, distinct blowup fires
+    assert(got("only_after") == ((0L, 1L, true)))
+    // removed column: zero after-counts, no blowup
+    assert(got("only_before") == ((1L, 0L, false)))
+  }
+
   test("profileTopK rejects bad arguments") {
     val df = Seq(1L).toDF("x")
     intercept[IllegalArgumentException] {
