@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * round-9 sf1 bench-heap accumulation was exactly this class of
   * failure).
   *
-  * The five families, each scaled by a row dial instead of the
+  * The six families (gridmix's five plus gridmix2's combiner class),
+  * each scaled by a row dial instead of the
   * reference's fixed 500 GB inputs (all corpora come from
   * [[graft.sources.Generate.randomKv]] on the FAST hash dial — bulk
   * generation is what that dial exists for):
@@ -52,6 +53,12 @@ import org.apache.spark.sql.functions._
   *     `LC_ALL=C sort` — the pipes-sort binary's role). All three
   *     must agree on row count; DataFrame and pipe outputs are
   *     validated globally sorted.
+  *  6. `combiner` — gridmix2's wordcount-with-combiner class
+  *     (reference: src/benchmarks/gridmix2/src/java/.../
+  *     CombinerJobCreator.java:30 — the only job family the second
+  *     gridmix adds): values explode ~30× into tokens and the
+  *     token-keyed count survives only because partial aggregation
+  *     combines map-side; validated by token-mass conservation.
   *
   * Scale shape: every family is a declarative plan — generation is
   * one narrow `spark.range` projection, keeps are codegen'd residue
@@ -165,7 +172,7 @@ object Soak {
           seed: Long = 42L): Seq[(String, FamilyResult)] =
     runFamilies(spark, workDir, fixRows, varRows, textRows, parts, seed,
       Set("three_stage", "var_sort", "ref_select", "indirect_read",
-        "api_sort"))
+        "api_sort", "combiner"))
 
   private val viewId = new java.util.concurrent.atomic.AtomicLong()
 
@@ -311,12 +318,44 @@ object Soak {
       nDf
     }
 
+    // ---- 6. combiner (gridmix2's wordcount-with-combiner class) ---
+    // the high map-output-ratio family: every value explodes into
+    // tokens (~10x the input rows) and the token-keyed aggregation's
+    // map-side combine is what keeps the exchange survivable — the
+    // gridmix2 job this models exists to punish engines without one
+    family("combiner") {
+      val corpus = Generate.randomKv(spark, textRows,
+        keyMinWords = 1, keyMaxWords = 3,
+        valueMinWords = 5, valueMaxWords = 60,
+        vocab = 3000, seed = seed + 4, skewed = true,
+        numPartitions = parts, portable = false)
+        .select(col("k"), col("v"))
+      val dst = s"$workDir/combiner/out"
+      corpus.select(explode(split(col("v"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .write.mode(SaveMode.Overwrite).parquet(dst)
+      // conservation check: the written histogram must account for
+      // every token the corpus carries (a lost/duplicated partial
+      // would silently corrupt the count)
+      val total = readBack(dst)
+        .agg(sum(col("cnt"))).head().getLong(0)
+      // valueMinWords = 5 ⇒ no empty values, so size(split) is the
+      // exact token count per row
+      val expect = corpus
+        .agg(sum(size(split(col("v"), " ")).cast("long")))
+        .head().getLong(0)
+      require(total == expect,
+        s"combiner: histogram mass $total != corpus token count $expect")
+      readBack(dst).count()
+    }
+
     out.result()
   }
 
   /** CONCURRENT soak — the reference's actual submission model
     * (README:74-77: "runs a mix of small, medium, and large jobs
-    * simultaneously"): the same five validated families submitted as
+    * simultaneously"): the same validated families submitted as
     * concurrent actions from separate threads into one scheduler.
     * This exercises what the sequential soak cannot — concurrent
     * stage scheduling, shared block-manager/shuffle pressure, and
@@ -334,7 +373,7 @@ object Soak {
                     varRows: Long, textRows: Long, parts: Int,
                     seed: Long = 42L): Seq[(String, FamilyResult)] = {
     import java.util.concurrent.{Executors, TimeUnit}
-    val pool = Executors.newFixedThreadPool(4)
+    val pool = Executors.newFixedThreadPool(5)
     val results =
       new java.util.concurrent.ConcurrentLinkedQueue[(String, FamilyResult)]()
     val failures =
@@ -362,6 +401,10 @@ object Soak {
     submit("api") {
       runFamilies(spark, s"$workDir/lane_api", fixRows, varRows,
         textRows, parts, seed, Set("api_sort"))
+    }
+    submit("combiner") {
+      runFamilies(spark, s"$workDir/lane_comb", fixRows, varRows,
+        textRows, parts, seed, Set("combiner"))
     }
     pool.shutdown()
     pool.awaitTermination(4, TimeUnit.HOURS)

@@ -9,12 +9,12 @@ package graft
   */
 class SoakSpec extends SparkSpec {
 
-  test("all five gridmix families run and validate at miniature scale") {
+  test("all six gridmix families run and validate at miniature scale") {
     val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val got = Soak.run(spark, dir, fixRows = 4000, varRows = 1500,
       textRows = 3000, parts = 4)
     assert(got.map(_._1) == Seq("three_stage", "var_sort", "ref_select",
-      "indirect_read", "api_sort"))
+      "indirect_read", "api_sort", "combiner"))
     val byName = got.toMap
     // three_stage funnels: 10% of 4000 keys, then two keep-stages
     val ts = byName("three_stage").rows
@@ -22,12 +22,13 @@ class SoakSpec extends SparkSpec {
     assert(byName("var_sort").rows == 1500)
     assert(byName("api_sort").rows == 3000)
     assert(byName("indirect_read").rows > 0)
+    assert(byName("combiner").rows > 0)
     got.foreach { case (n, r) =>
       assert(r.seconds > 0, s"$n must be timed")
     }
   }
 
-  test("concurrent submission mode runs all five families and matches " +
+  test("concurrent submission mode runs all six families and matches " +
       "the sequential results row-for-row") {
     val seqDir = java.nio.file.Files.createTempDirectory("soak-seq").toString
     val conDir = java.nio.file.Files.createTempDirectory("soak-con").toString
