@@ -39,7 +39,10 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   *  - `cartesian_join` (no reference analog — MapReduce cannot
   *    express it; Spark can, catastrophically): a CartesianProduct
   *    or BroadcastNestedLoopJoin node in the executed plan. Impact
-  *    1.0 — O(|L|·|R|) never survives a 100 TB side.
+  *    1.0 — O(|L|·|R|) never survives a 100 TB side. Exception: a
+  *    side that materialized ≤ 1 row (the deliberate
+  *    crossJoin(broadcast(one-row stats)) scalar-attach idiom) is
+  *    O(|L|) and stays unflagged.
   *  - `unpushed_filter`: a Filter directly above a parquet scan
   *    whose PushedFilters is empty — the scan decoded every row the
   *    filter then discarded. Impact = 1 − kept/scanned (what
@@ -256,15 +259,24 @@ object Advisor {
         "investigate task failure causes (memory, flaky I/O) — " +
           "re-execution multiplies the job's critical path")
 
-    // cartesian_join
+    // cartesian_join — EXCEPT the scalar-attach idiom: a cross
+    // product with a 1-row side is O(|L|), not O(|L|·|R|) (the
+    // crossJoin(broadcast(one-row stats aggregate)) pattern the
+    // retrieval/scoring family uses deliberately); flagging it would
+    // teach callers to ignore the rule
+    def sideRows(p: SparkPlan): Option[Long] =
+      flatten(p).flatMap(metric(_, "numOutputRows")).headOption
+    def scalarSide(l: SparkPlan, r: SparkPlan): Boolean =
+      Seq(l, r).exists(s => sideRows(s).exists(_ <= 1))
     nodes.foreach {
-      case c: CartesianProductExec =>
+      case c: CartesianProductExec if !scalarSide(c.left, c.right) =>
         out += finding("cartesian_join", 1.0,
           s"CartesianProduct of ${c.left.simpleStringWithNodeId()} x " +
             s"${c.right.simpleStringWithNodeId()}",
           "add an equi-join condition, or broadcast() the small side " +
             "deliberately if the cross product is intended")
-      case b: BroadcastNestedLoopJoinExec =>
+      case b: BroadcastNestedLoopJoinExec
+          if !scalarSide(b.left, b.right) =>
         out += finding("cartesian_join", 1.0,
           s"BroadcastNestedLoopJoin (${b.joinType})",
           "add an equi-join condition, or broadcast() the small side " +

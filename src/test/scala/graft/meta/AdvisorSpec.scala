@@ -46,6 +46,14 @@ class AdvisorSpec extends SparkSpec {
     val equi = rules(Advisor.diagnose(
       a.join(b.withColumnRenamed("y", "x"), "x")))
     assert(!equi.contains("cartesian_join"), equi)
+    // the scalar-attach idiom stays unflagged: a 1-row broadcast
+    // side makes the product O(|L|), and the retrieval family uses
+    // it deliberately (crossJoin(broadcast(stats)))
+    val stats = (1L to 10L).toDF("x")
+      .agg(count(lit(1)).as("n_docs"))
+    val attach = rules(Advisor.diagnose(
+      a.crossJoin(broadcast(stats))))
+    assert(!attach.contains("cartesian_join"), attach)
   }
 
   test("unpushed_filter fires when the predicate defeats pushdown") {
