@@ -2980,6 +2980,38 @@ object SparkEntry {
           (col("n_chars") % 16).cast("string")),
         Seq("lang", "source", "len_bucket"), k = 3)),
 
+    // per-column quantiles in the profile's one-pass shape
+    // (meta.Profiler.profileQuantiles): KLL per column, graded as
+    // rank-law gates (the returned quantile's true rank must sit
+    // inside the sketch's error band — the q_sketch_regroup pattern,
+    // here per COLUMN instead of per group)
+    "q_profile_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rep = meta.Profiler.profileQuantiles(docs,
+        Seq("doc_id", "n_chars"), Seq(0.5, 0.95))
+      val vals = docs.select(explode(array(
+          struct(lit("doc_id").as("col_name"),
+            col("doc_id").cast("double").as("value")),
+          struct(lit("n_chars").as("col_name"),
+            col("n_chars").cast("double").as("value")))).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      val ranks = vals.join(rep, Seq("col_name"))
+        .groupBy(col("col_name"))
+        .agg(
+          (sum(when(col("value") < col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r50lo"),
+          (sum(when(col("value") <= col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r50hi"),
+          (sum(when(col("value") < col("p95"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r95lo"),
+          (sum(when(col("value") <= col("p95"), 1L).otherwise(0L)) /
+            count(lit(1))).as("__r95hi"))
+      rep.join(ranks, Seq("col_name"))
+        .select(col("col_name"), col("n"),
+          (col("__r50lo") <= 0.53 && col("__r50hi") >= 0.47).as("p50_ok"),
+          (col("__r95lo") <= 0.98 && col("__r95hi") >= 0.92).as("p95_ok"))
+    }),
+
     // profile DRIFT between two corpus drops (meta.Profiler.drift):
     // the "after" drop nulls 20% of lang and 50x-es source
     // cardinality — the report must flag exactly those columns, via
@@ -5717,6 +5749,17 @@ object SparkEntry {
         |  FROM counted)
         |SELECT col_name, CAST(rnk AS INT) AS rnk, item, cnt
         |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // q_profile_quantiles: non-null counts recompute; the rank gates
+    // are law constants (KLL k=200 rank error <= 1.65% at 99% conf.,
+    // bands at +-0.03)
+    "q_profile_quantiles" ->
+      """SELECT 'doc_id' AS col_name,
+        |       CAST(count(doc_id) AS BIGINT) AS n,
+        |       TRUE AS p50_ok, TRUE AS p95_ok FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(n_chars) AS BIGINT), TRUE, TRUE
+        |FROM documents""".stripMargin,
 
     // q_profile_drift: recompute both profiles and the same integer
     // cross-multiplied flags (null-safe IS DISTINCT FROM for the

@@ -80,6 +80,51 @@ object Profiler {
         col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
   }
 
+  /** Per-column quantiles riding the same ONE-pass shape as
+    * [[profile]]: every numeric column's KLL sketch builds in a
+    * single aggregation (one scan, one 1-row exchange however many
+    * columns), then unpivots to one row per column with one value
+    * column per requested quantile (`p50`, `p95`, …).
+    *
+    * The KLL trade is [[graft.functions.Sketches.sketchPanel]]'s:
+    * exact until the ~k-sized buffer first compacts, then ≤1.65%
+    * rank error at k=200 (99% confidence) — bounded state at any
+    * scale where an exact percentile would sort the column. Grading
+    * therefore uses rank-law gates (the returned quantile's true
+    * rank must sit inside the error band), not value equality — the
+    * q_sketch_regroup pattern.
+    */
+  def profileQuantiles(df: DataFrame, cols: Seq[String],
+                       quantiles: Seq[Double] = Seq(0.5, 0.95),
+                       kllK: Int = 200): DataFrame = {
+    require(cols.nonEmpty, "profileQuantiles needs at least one column")
+    require(quantiles.nonEmpty, "profileQuantiles needs >= 1 quantile")
+    require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $quantiles")
+    val aggs = count(lit(1)).as("__total") +:
+      cols.zipWithIndex.map { case (c, i) =>
+        struct(
+          count(qcol(df, c)).as("nn"),
+          call_function("kll_sketch_agg_double",
+            qcol(df, c).cast("double"), lit(kllK)).as("kll"))
+          .as(s"__p_$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val packed = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name") +:
+        col(s"__p_$i").getField("nn").as("nn") +:
+        quantiles.map(q =>
+          call_function("kll_sketch_get_quantile_double",
+            col(s"__p_$i").getField("kll"), lit(q))
+            .as(s"p${(q * 100).round}")): _*)
+    }: _*)
+    one.select(explode(packed).as("p"))
+      .select(col("p.col_name").as("col_name") +:
+        col("p.nn").as("n") +:
+        quantiles.map(q =>
+          col(s"p.p${(q * 100).round}").as(s"p${(q * 100).round}")): _*)
+  }
+
   /** Drift report between two [[profile]] runs — the pre-ingest
     * gate's second half: a new corpus drop is validated not just in
     * isolation but AGAINST the previous drop (the reference's

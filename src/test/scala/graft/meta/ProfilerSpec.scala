@@ -75,6 +75,23 @@ class ProfilerSpec extends SparkSpec {
     assert(top.head.getString(2) == "hot" && top.head.getLong(3) == 40L)
   }
 
+  test("profileQuantiles: exact below the KLL buffer, one pass, one " +
+      "row per column") {
+    val df = (1L to 100L).map(i => (i, i * 2)).toDF("a", "b")
+    val got = Profiler.profileQuantiles(df, Seq("a", "b"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // 100 values sit inside the k=200 buffer -> the sketch is exact;
+    // the p50 of 1..100 is 50 or 51 depending on the rank convention
+    assert(got("a")._1 == 100L && got("a")._2 >= 50.0 &&
+      got("a")._2 <= 51.0, got("a").toString)
+    assert(got("b")._2 >= 100.0 && got("b")._2 <= 102.0,
+      got("b").toString)
+    val plan = Profiler.profileQuantiles(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan|Scan ").length <= 2, plan)
+  }
+
   test("drift flags null-rate jumps, distinct blowups, and range " +
       "shifts between two profile reports") {
     val before = Seq(
