@@ -407,7 +407,16 @@ object Soak {
         textRows, parts, seed, Set("combiner"))
     }
     pool.shutdown()
-    pool.awaitTermination(4, TimeUnit.HOURS)
+    // awaitTermination returning false means lanes are STILL RUNNING
+    // past the deadline — proceeding would report a seemingly clean
+    // soak that silently dropped in-flight families; fail loud
+    val drained = pool.awaitTermination(4, TimeUnit.HOURS)
+    if (!drained) {
+      pool.shutdownNow()
+      throw new IllegalStateException(
+        "soak: concurrent lanes did not finish within the 4 h " +
+          "deadline — results would be partial; aborting")
+    }
     if (!failures.isEmpty) throw failures.peek()
     import scala.jdk.CollectionConverters._
     results.asScala.toSeq.sortBy(_._1)

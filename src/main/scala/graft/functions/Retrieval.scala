@@ -247,6 +247,7 @@ object Retrieval {
     replaceAux(Seq.empty[(Long, Long)].toDF("doc_id", "seq"),
       s"${table}__deletes")
     replaceAux(Seq((0L, 0L)).toDF("seq", "n_ops"), s"${table}__gen")
+    putLedgerCount(spark, table, 0L, 0L)
   }
 
   /** Default cap on the tombstone ledger (rows). The probe path
@@ -260,6 +261,53 @@ object Retrieval {
     * `maxTombstones <= 0` to skip the pre-flight.
     */
   val defaultMaxTombstones: Long = 1L << 22
+
+  /** Generation-stamped driver-side cache of the tombstone-ledger
+    * rowcount, so the HOT probe path's pre-flight reads a map entry
+    * instead of running a count job per call. Every mutator in this
+    * object maintains it exactly (create → 0, update → prior +
+    * this batch's distinct tombstones, compact → 0); the stamp is
+    * the index generation (`seq`) the count was computed at, kept
+    * for auditability. Keyed by current-database-qualified name so
+    * two sessions on different databases don't collide. An
+    * OUT-OF-BAND writer (another driver mutating the same tables)
+    * must call [[invalidateLedgerCount]] — the single-writer
+    * assumption is the same one the update protocol itself makes
+    * (appends are not coordinated across drivers).
+    */
+  private val ledgerCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def ledgerKey(spark: org.apache.spark.sql.SparkSession,
+                        table: String): String =
+    if (table.contains(".")) table
+    else s"${spark.catalog.currentDatabase}.$table"
+
+  /** Drop the cached ledger count for `table` (qualified or not) —
+    * required after out-of-band mutation of `table__deletes`.
+    */
+  def invalidateLedgerCount(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Unit =
+    ledgerCounts.remove(ledgerKey(spark, table))
+
+  private def putLedgerCount(spark: org.apache.spark.sql.SparkSession,
+                             table: String, gen: Long, n: Long): Unit =
+    ledgerCounts.put(ledgerKey(spark, table), (gen, n))
+
+  /** Current ledger rowcount: cache hit is job-free; a miss (first
+    * touch in this JVM) pays one metadata-cheap count + generation
+    * read and primes the cache.
+    */
+  private def ledgerCount(spark: org.apache.spark.sql.SparkSession,
+                          table: String): Long =
+    Option(ledgerCounts.get(ledgerKey(spark, table))).map(_._2)
+      .getOrElse {
+        val n = spark.table(s"${table}__deletes").count()
+        val gen = spark.table(s"${table}__gen")
+          .agg(max(col("seq"))).head().getLong(0)
+        putLedgerCount(spark, table, gen, n)
+        n
+      }
 
   /** Fail-loud pre-flight on tombstone-ledger growth: thrown BEFORE
     * the operation runs, with the measured size, the cap, and the
@@ -313,12 +361,25 @@ object Retrieval {
         lit("updateSearchIndex: unknown op '"), col("op"),
         lit("' (expected insert/delete/update)")))))
       .localCheckpoint()
+    // try/finally: the pinned delta must be freed on EVERY exit —
+    // in particular when the ledger pre-flight throws, else a caller
+    // retrying guarded updates leaks one pin per failed call
+    try {
     // ledger pre-flight BEFORE any write: the batch either applies
-    // whole or not at all (counts are metadata-cheap — the pinned
-    // delta and a parquet count-star)
+    // whole or not at all. One job over the pinned delta yields both
+    // the conservative guard count (every delete/update op) and the
+    // exact appended-row count (distinct tombstoned doc_ids); the
+    // standing ledger size comes from the generation-stamped cache,
+    // job-free on the warm path
+    val tombStats = d.agg(
+      count(when(col("op").isin("delete", "update"), 1)).as("n"),
+      count_distinct(when(col("op").isin("delete", "update"),
+        col("doc_id"))).as("nd")).head()
+    val (batchTombs, batchLedgerRows) =
+      (tombStats.getLong(0), tombStats.getLong(1))
+    val priorLedger = ledgerCount(spark, table)
     requireLedgerBound("updateSearchIndex", table, maxTombstones,
-      spark.table(s"${table}__deletes").count() +
-        d.filter(col("op").isin("delete", "update")).count())
+      priorLedger + batchTombs)
     val seq = spark.table(s"${table}__gen")
       .agg(max(col("seq"))).head().getLong(0) + 1L
     // term-routed posting delta for inserts + updates
@@ -340,7 +401,8 @@ object Retrieval {
     Seq((seq, nOps)).toDF("seq", "n_ops")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").saveAsTable(s"${table}__gen")
-    graft.functions.Checkpoints.drop(d)
+    putLedgerCount(spark, table, seq, priorLedger + batchLedgerRows)
+    } finally graft.functions.Checkpoints.drop(d)
   }
 
   /** Compact an updatable index — the Lucene segment-merge analog:
@@ -370,7 +432,7 @@ object Retrieval {
     // is bounded by it) instead of a doomed giant broadcast
     val delsSide =
       if (broadcastLedgerRows <= 0 ||
-        spark.table(s"${table}__deletes").count() <= broadcastLedgerRows)
+        ledgerCount(spark, table) <= broadcastLedgerRows)
         broadcast(dels)
       else dels
     // pin the survivors BEFORE dropping the table underneath them —
@@ -387,6 +449,9 @@ object Retrieval {
     import spark.implicits._
     replaceAux(Seq.empty[(Long, Long)].toDF("doc_id", "seq"),
       s"${table}__deletes")
+    val gen = Option(ledgerCounts.get(ledgerKey(spark, table)))
+      .map(_._1).getOrElse(-1L)
+    putLedgerCount(spark, table, gen, 0L)
     graft.functions.Checkpoints.drop(live)
   }
 
@@ -411,8 +476,10 @@ object Retrieval {
                           maxTombstones: Long = defaultMaxTombstones)
       : DataFrame = {
     require(terms.nonEmpty, "probeUpdatableIndex needs at least one term")
+    // warm-path pre-flight is JOB-FREE: the generation-stamped cache
+    // answers the ledger size; only a cold first touch pays a count
     requireLedgerBound("probeUpdatableIndex", table, maxTombstones,
-      spark.table(s"${table}__deletes").count())
+      ledgerCount(spark, table))
     val rows = terms
       .map(t => graft.sources.Bucketing.lookup(spark, table, "term", t))
       .reduce(_.unionByName(_))

@@ -117,17 +117,35 @@ object Sampling {
     * re-derive it from the group counts alone. Null group or null
     * key ⇒ dropped. Driver state is one count per distinct group
     * value (the mix dimension — languages, sources — not a
-    * high-cardinality key), gathered in one aggregation pass.
+    * high-cardinality key), gathered in one aggregation pass and
+    * BOUNDED by `maxGroups` (same fail-loud contract as
+    * [[graft.functions.Dedup.defaultMaxCandidates]]): a caller who
+    * passes a high-cardinality column as the group gets an error
+    * naming the misuse, not a driver-sized collect. The collect
+    * itself is limited to `maxGroups + 1` rows, so even the failing
+    * path never materializes the full group set on the driver.
     */
+  val defaultMaxGroups: Int = 1 << 16
+
   def mixByWeight(df: DataFrame, key: Column, group: Column,
                   weights: Map[String, Double],
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L,
+                  maxGroups: Int = defaultMaxGroups): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     weights.foreach { case (g, w) =>
       require(w > 0, s"weight for '$g' must be > 0, got $w") }
-    val counts = df.groupBy(group.cast("string").as("__g"))
+    require(maxGroups > 0, s"maxGroups must be > 0, got $maxGroups")
+    val collected = df.groupBy(group.cast("string").as("__g"))
       .agg(count(lit(1)).as("__n"))
+      .limit(maxGroups + 1)
       .collect()
+    if (collected.length > maxGroups)
+      throw new IllegalArgumentException(
+        s"mixByWeight: group column has more than $maxGroups " +
+          s"distinct values — this is a mix DIMENSION (languages, " +
+          s"sources), not a key; pass a coarser group or raise " +
+          s"maxGroups deliberately")
+    val counts = collected
       .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
       .toMap
     val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }

@@ -3,12 +3,14 @@ package graft.meta
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec,
-  InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+  InputAdapter, ProjectExec, ReusedSubqueryExec, SparkPlan,
+  WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
   QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
+  ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   CartesianProductExec, SortMergeJoinExec}
 
@@ -86,6 +88,16 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   *    subtree (localCheckpoint — see the [[graft.functions
   *    .Checkpoints]] lifecycle) or restructure identical consumers
   *    so exchange reuse applies.
+  *  - `oversized_broadcast`: a BroadcastExchange that materialized
+  *    more than `maxBroadcastBytes` (default 256 MB) of build-side
+  *    data — the tombstone-ledger failure class generalized: every
+  *    executor holds the whole relation, the driver assembles it,
+  *    and growth is silent until an OOM. Impact ramps from 0.3 at
+  *    the threshold to 1.0 at 4×. Prescription is the shuffle
+  *    degrade [[graft.functions.Retrieval.compactSearchIndex]]
+  *    implements by hand: drop the broadcast hint (or cap
+  *    autoBroadcastJoinThreshold) so the join shuffles on its key,
+  *    and compact/bound the relation that grew.
   *  - `candidate_pair_blowup`: a graft `observe` site
   *    (`graft.<op>.cand.<n>`, e.g. [[graft.operators.Temporal
   *    .rangeJoin]] run with `observeCandidates = true` — the
@@ -161,7 +173,8 @@ object Advisor {
                normF: Double = 3.0, smallFileBytes: Long = 16L << 20,
                minFiles: Int = 8, blowupFactor: Double = 10.0,
                distinctRows: Long = 1L << 22,
-               minRescanBytes: Long = 8L << 20): DataFrame = {
+               minRescanBytes: Long = 8L << 20,
+               maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val spark = df.sparkSession
     val qe = df.queryExecution
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[TaskStat]()
@@ -193,7 +206,8 @@ object Advisor {
     import scala.jdk.CollectionConverters._
     val fs = findings(qe.executedPlan, buf.asScala.toSeq,
       qe.observedMetrics.toMap, spark, percent, normF, smallFileBytes,
-      minFiles, blowupFactor, distinctRows, minRescanBytes)
+      minFiles, blowupFactor, distinctRows, minRescanBytes,
+      maxBroadcastBytes)
     import spark.implicits._
     fs.toDF()
   }
@@ -208,7 +222,9 @@ object Advisor {
                              smallFileBytes: Long, minFiles: Int,
                              blowupFactor: Double,
                              distinctRows: Long = 1L << 22,
-                             minRescanBytes: Long = 8L << 20): Seq[Finding] = {
+                             minRescanBytes: Long = 8L << 20,
+                             maxBroadcastBytes: Long = 256L << 20)
+      : Seq[Finding] = {
     val nodes = flatten(plan)
     val out = Seq.newBuilder[Finding]
 
@@ -352,19 +368,52 @@ object Advisor {
       case _ =>
     }
 
+    // oversized_broadcast: the tombstone-ledger class generalized —
+    // a BroadcastExchange whose materialized build side exceeds the
+    // comfort bound. Dedupe by node identity: flatten descends into
+    // ReusedExchangeExec's child, so a reused (built-once) exchange
+    // appears under every consumer but must be flagged once.
+    val seenBc =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    nodes.foreach {
+      case b: BroadcastExchangeExec if seenBc.add(b) =>
+        metric(b, "dataSize").filter(_ > maxBroadcastBytes).foreach { sz =>
+          val impact = math.min(1.0,
+            0.3 + 0.7 * (sz - maxBroadcastBytes).toDouble /
+              (3.0 * maxBroadcastBytes))
+          out += finding("oversized_broadcast", impact,
+            s"BroadcastExchange materialized $sz bytes " +
+              s"(threshold $maxBroadcastBytes) — every executor holds " +
+              "a full copy and the driver assembles it",
+            "degrade to a shuffled join on the key (drop the " +
+              "broadcast() hint or cap autoBroadcastJoinThreshold) " +
+              "and compact/bound the relation that grew — the " +
+              "compactSearchIndex broadcast->shuffle degrade pattern")
+        }
+      case _ =>
+    }
+
     // lineage_reexecution: identical file scans (location + pushed
     // filters + read schema), none satisfied by a reused exchange —
     // each consumer re-executes the whole subtree above the scan.
-    // Traversal STOPS at ReusedExchangeExec: the child plan there is
-    // the reused instance, which executed once.
+    // Traversal STOPS at ReusedExchangeExec AND ReusedSubqueryExec:
+    // the child plan there is the reused instance, which executed
+    // once — descending through a reused subquery would double-count
+    // its scan and flag a plan whose subquery ran exactly once.
     def noReuseFlatten(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
         case _: ReusedExchangeExec => Seq.empty
+        case _: ReusedSubqueryExec => Seq.empty
         case _ => p.children
       }
-      p +: (kids ++ p.subqueries).flatMap(noReuseFlatten)
+      val subs = p match {
+        case _: ReusedSubqueryExec => Seq.empty
+        case _ => p.subqueries
+      }
+      p +: (kids ++ subs).flatMap(noReuseFlatten)
     }
     val executedScans = noReuseFlatten(plan).collect {
       case f: FileSourceScanExec => f

@@ -101,6 +101,13 @@ object Profiler {
     require(quantiles.nonEmpty, "profileQuantiles needs >= 1 quantile")
     require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0, 1], got $quantiles")
+    // output columns are named p<round(q*100)> — two quantiles that
+    // round to the same integer percent (0.5 and 0.504, 0.995 and
+    // 1.0) would collide into an ambiguous column; fail loud here
+    require(quantiles.map(q => (q * 100).round).distinct.size ==
+      quantiles.size,
+      s"quantiles collide after rounding to integer percents " +
+        s"(columns are named p<round(q*100)>): $quantiles")
     val aggs = count(lit(1)).as("__total") +:
       cols.zipWithIndex.map { case (c, i) =>
         struct(

@@ -207,6 +207,65 @@ class RetrievalSpec extends SparkSpec {
       "post-compaction delete must apply")
   }
 
+  /** Jobs launched while `body` runs (quiet-period poll — listener
+    * delivery is asynchronous).
+    */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1; var quiet = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (quiet < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val c = n.get()
+        if (c == last) quiet += 1 else { quiet = 0; last = c }
+      }
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("warm probe pre-flight is job-free: the generation-stamped " +
+      "cache replaces the per-probe ledger count") {
+    val base = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "beta gamma"))
+      .toDF("doc_id", "text")
+    Retrieval.buildUpdatableIndex(base, $"doc_id", $"text",
+      "ret_cache_idx", shards = 2)
+    Retrieval.updateSearchIndex(spark, "ret_cache_idx",
+      Seq(("delete", 3L, null.asInstanceOf[String]))
+        .toDF("op", "doc_id", "text"),
+      $"op", $"doc_id", $"text", shards = 2)
+    def probe() = Retrieval.probeUpdatableIndex(spark, "ret_cache_idx",
+      Seq("alpha", "beta")).collect()
+    val warmRows = probe() // settle plans/caches once
+    // warm path: the mutators above primed the cache — no count job
+    val warm = countJobs(probe())
+    // cold path: an out-of-band writer invalidates; the next probe
+    // pays the count + generation read exactly once, then re-warms
+    Retrieval.invalidateLedgerCount(spark, "ret_cache_idx")
+    val cold = countJobs(probe())
+    assert(cold > warm,
+      s"cold probe must pay the pre-flight jobs (warm=$warm cold=$cold)")
+    assert(countJobs(probe()) == warm, "cache must re-warm after a miss")
+    // the cached count is exact: with 1 standing tombstone, an
+    // update adding 1 more must trip a cap of 1 via the CACHED prior
+    val e = intercept[IllegalStateException] {
+      Retrieval.updateSearchIndex(spark, "ret_cache_idx",
+        Seq(("delete", 2L, null.asInstanceOf[String]))
+          .toDF("op", "doc_id", "text"),
+        $"op", $"doc_id", $"text", shards = 2, maxTombstones = 1L)
+    }
+    assert(e.getMessage.contains("compactSearchIndex"), e.getMessage)
+    assert(probe().toSeq == warmRows.toSeq, "results must not move")
+  }
+
   test("tombstone ledger is bounded: guard fires, compaction is the remedy") {
     val base = Seq(
       (1L, "alpha beta"), (2L, "alpha gamma"),

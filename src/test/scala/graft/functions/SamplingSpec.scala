@@ -195,6 +195,21 @@ class SamplingSpec extends SparkSpec {
     assert(mixByWeight(df, $"id", $"g", Map("zh" -> 1.0)).count() == 0L)
   }
 
+  test("mixByWeight fails loud on a high-cardinality group column") {
+    // 100 distinct groups over a cap of 10: the guard must fire
+    // BEFORE a driver-sized collect (the collect is limited to
+    // maxGroups + 1 rows), naming the misuse
+    val df = (0L until 100L).map(i => (i, s"g$i")).toDF("id", "g")
+    val e = intercept[IllegalArgumentException] {
+      mixByWeight(df, $"id", $"g", Map("g1" -> 1.0), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    // a deliberate raise (or the roomy default) keeps working
+    val ok = mixByWeight(df, $"id", $"g", Map("g1" -> 1.0),
+      maxGroups = 200)
+    assert(ok.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("deterministicShuffle is a complete permutation, stable by seed") {
     val df = (0L until 200L).toDF("id")
     val a = deterministicShuffle(df, $"id", seed = 1L)

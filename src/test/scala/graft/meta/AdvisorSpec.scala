@@ -169,6 +169,56 @@ class AdvisorSpec extends SparkSpec {
     }
   }
 
+  test("oversized_broadcast fires past the byte bound, once per " +
+      "exchange, not under it") {
+    val big = (1L to 20000L).map(i => (i, s"p$i")).toDF("k", "pay")
+    val small = (1L to 2000L).map(i => (i, s"s$i")).toDF("k", "s")
+    // past the (test-tiny) bound: fires high — the impact ramp is
+    // saturated when the exchange is many multiples of the threshold
+    val got = rules(Advisor.diagnose(
+      big.join(broadcast(small), "k"), maxBroadcastBytes = 1L))
+    assert(got.get("oversized_broadcast").contains("high"), got)
+    // under the default 256 MB bound: silent
+    val none = rules(Advisor.diagnose(big.join(broadcast(small), "k")))
+    assert(!none.contains("oversized_broadcast"), none)
+    // a REUSED exchange is built once and must be flagged once, even
+    // though it appears under every consumer
+    withAqeOff {
+      val twice = big.join(broadcast(small), "k")
+        .withColumnRenamed("s", "s1")
+        .join(broadcast(small), "k")
+      assert(twice.queryExecution.executedPlan.toString
+        .contains("ReusedExchange"), "fixture must exercise reuse")
+      val fs = Advisor.diagnose(twice, maxBroadcastBytes = 1L)
+        .filter(col("rule") === "oversized_broadcast").count()
+      assert(fs == 1L, s"expected one finding per built exchange, got $fs")
+    }
+  }
+
+  test("lineage_reexecution does not double-count a reused scalar " +
+      "subquery") {
+    withAqeOff {
+      val dir = java.nio.file.Files.createTempDirectory("adv-rsq").toString
+      (1L to 5000L).map(i => (i, i * 2)).toDF("a", "b")
+        .write.mode("overwrite").parquet(s"$dir/a")
+      (1L to 5000L).map(i => (i, i * 3)).toDF("c", "d")
+        .write.mode("overwrite").parquet(s"$dir/b")
+      spark.read.parquet(s"$dir/a").createOrReplaceTempView("adv_rsq_a")
+      spark.read.parquet(s"$dir/b").createOrReplaceTempView("adv_rsq_b")
+      // the identical scalar subquery appears twice; subquery reuse
+      // executes it ONCE (the second is a ReusedSubqueryExec) — its
+      // scan must not be counted per consumer
+      val q = spark.sql(
+        """SELECT a FROM adv_rsq_a
+          | WHERE a > (SELECT avg(d) FROM adv_rsq_b) / 4
+          |    OR a + 7 > (SELECT avg(d) FROM adv_rsq_b)""".stripMargin)
+      assert(q.queryExecution.executedPlan.toString
+        .contains("ReusedSubquery"), "fixture must exercise reuse")
+      val got = rules(Advisor.diagnose(q, minRescanBytes = 1L))
+      assert(!got.contains("lineage_reexecution"), got)
+    }
+  }
+
   test("disk_spill and task_reexecution stay silent on a healthy run") {
     val got = rules(Advisor.diagnose(
       (1L to 1000L).toDF("id").groupBy(col("id") % 10).count()))

@@ -128,6 +128,20 @@ class ProfilerSpec extends SparkSpec {
     assert(got("only_before") == ((1L, 0L, false)))
   }
 
+  test("profileQuantiles rejects quantiles that collide after percent " +
+      "rounding") {
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    // 0.5 and 0.504 both alias to p50 — must fail loud, not produce
+    // an ambiguous/shadowed column
+    val e = intercept[IllegalArgumentException] {
+      Profiler.profileQuantiles(df, Seq("x"), Seq(0.5, 0.504))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    // distinct integer percents keep working
+    assert(Profiler.profileQuantiles(df, Seq("x"), Seq(0.25, 0.5))
+      .count() == 1L)
+  }
+
   test("profileTopK rejects bad arguments") {
     val df = Seq(1L).toDF("x")
     intercept[IllegalArgumentException] {
