@@ -2652,6 +2652,60 @@ object SparkEntry {
       Soak.indirectChain(kv, iterations = 10, portable = true)
     }),
 
+    // the api_sort family's three-API agreement graded (the soak
+    // validates the WRITTEN form at bulk scale; this grades the
+    // row-identity witness, reference gridmix README:66-71): the
+    // SAME generated text sorted through the DataFrame API, SQL
+    // over a temp view, and an external C-locale `sort` process
+    // must agree in row count and content multiset, and each plan
+    // must validate globally sorted (C order = UTF-8 byte order =
+    // Spark's string order). Hash draws are engine-local, so the
+    // oracle states the witness invariants as constants (the
+    // q_random_text_fast pattern).
+    "q_gridmix_apisort" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val text = sources.Generate.randomKv(s, rows = n,
+        keyMinWords = 1, keyMaxWords = 4,
+        valueMinWords = 0, valueMaxWords = 8,
+        vocab = 200, seed = 7L, skewed = false,
+        numPartitions = 0, portable = false)
+        .select(col("k"), col("v"))
+      val parts = 8
+      def ranged = text.repartitionByRange(parts, col("k"))
+      val dfSorted = ranged.sortWithinPartitions(col("k"))
+      text.createOrReplaceTempView("graft_q_apisort")
+      val sqlSorted = s.sql(
+        "SELECT /*+ REPARTITION_BY_RANGE(k) */ k, v " +
+          "FROM graft_q_apisort SORT BY k")
+      val pipeSorted = operators.Pipe.pipe(ranged,
+        "env LC_ALL=C sort", col("k"), col("v"))
+      // order-insensitive content signature: decimal sum of a 64-bit
+      // line hash (decimal so ANSI overflow can't bite), plus count.
+      // The line framing mirrors Pipe.pipe's exactly (tab-joined,
+      // nulls as empty fields).
+      val lineOf = concat_ws("\t",
+        coalesce(col("k").cast("string"), lit("")),
+        coalesce(col("v").cast("string"), lit("")))
+      def sig(d: org.apache.spark.sql.DataFrame, line: Column) =
+        d.agg(sum(xxhash64(line).cast("decimal(38,0)")).as("h"),
+          count(lit(1)).as("n"))
+      val sDf = sig(dfSorted, lineOf).alias("d")
+      val sSql = sig(sqlSorted, lineOf).alias("q")
+      val sPipe = sig(pipeSorted, col("value")).alias("p")
+      val (okDf, _) = operators.Sorting.validateSorted(dfSorted, Seq("k"))
+      val (okSql, _) = operators.Sorting.validateSorted(sqlSorted, Seq("k"))
+      val (okPipe, _) =
+        operators.Sorting.validateSorted(pipeSorted, Seq("value"))
+      sDf.crossJoin(sSql).crossJoin(sPipe)
+        .select(col("d.n").as("n_rows"),
+          (col("d.n") === lit(n) && col("q.n") === lit(n) &&
+            col("p.n") === lit(n)).as("rows_agree"),
+          (col("d.h") === col("q.h") && col("d.h") === col("p.h"))
+            .as("content_agree"),
+          lit(okDf).as("df_sorted"), lit(okSql).as("sql_sorted"),
+          lit(okPipe).as("pipe_sorted"))
+    }),
+
     // INCREMENTAL index update (the reference contrib/index
     // DocumentAndOp / IndexUpdater semantics): build the updatable
     // index on 3/4 of the corpus, then apply ONE delta batch —
@@ -5481,6 +5535,16 @@ object SparkEntry {
       }.mkString(",\n")
       s"$kvCte,\n$iters\nSELECT k, v FROM o9"
     },
+
+    // q_gridmix_apisort: engine-local hash draws -> the oracle
+    // states the three-API agreement witness as constants (row count
+    // recomputes from the documents table both sides size from)
+    "q_gridmix_apisort" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       TRUE AS rows_agree, TRUE AS content_agree,
+        |       TRUE AS df_sorted, TRUE AS sql_sorted,
+        |       TRUE AS pipe_sorted
+        |FROM documents""".stripMargin,
 
     // q_search_index_update: the updated index must answer exactly
     // what a fresh build over the post-delta corpus would — the
