@@ -19,7 +19,7 @@ object Graft {
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               shufflePartitions: Int = 32,
               appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -42,6 +42,14 @@ object Graft {
       // same ns-long contract in `table` below
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // streaming state backend selectable per run: heap (Spark's
+    // default) or rocksdb (the disk-backed scale path for
+    // within-watermark key cardinalities past executor heap) — see
+    // graft.streaming.StateBackend
+    val spark = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+      .map(p => builder.config(streaming.StateBackend.ProviderConf,
+        streaming.StateBackend.providerClass(p)))
+      .getOrElse(builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

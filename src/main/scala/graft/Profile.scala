@@ -49,6 +49,63 @@ object Profile {
       return
     }
 
+    // --statestore (keys via SPARK_GRAFT_SS_KEYS, default 10M): the
+    // streaming state-backend scale point —
+    // StreamDedup over an N-unique-key replay (8 micro-batches,
+    // fingerprint-shaped 32-char keys: the graded pattern holds
+    // digests, never documents) under the heap-backed default vs the
+    // RocksDB provider. Reports wall, state rows, the provider's own
+    // memory accounting, and post-GC JVM heap — the number that
+    // shows WHERE the state lives. Restrict with --heap / --rocksdb
+    // (so a constrained-heap run can demonstrate the heap provider's
+    // ceiling without killing the RocksDB leg with it).
+    if (args.contains("--statestore")) {
+      val keys = sys.env.getOrElse("SPARK_GRAFT_SS_KEYS",
+        "10000000").toLong
+      val providers =
+        if (args.contains("--heap")) Seq("heap")
+        else if (args.contains("--rocksdb")) Seq("rocksdb")
+        else Seq("heap", "rocksdb")
+      val nFiles = 8
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-statestore").toString
+      spark.range(keys).select(
+          expr("timestamp '2026-01-01 00:00:00'").as("ts"),
+          md5(col("id").cast("string")).as("k"))
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$base/in")
+      providers.foreach { p =>
+        graft.streaming.StateBackend.withProvider(spark, p) {
+          val src = spark.readStream.schema("ts timestamp, k string")
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+          val dd = graft.streaming.StreamDedup.withinWatermark(
+            src, "ts", "3650 days", Seq("k"))
+          val t0 = System.nanoTime()
+          val q = dd.writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", s"$base/ckpt-$p").start()
+          try {
+            q.processAllAvailable()
+            val wall = (System.nanoTime() - t0) / 1e9
+            System.gc(); Thread.sleep(500); System.gc()
+            val heapMb = (Runtime.getRuntime.totalMemory() -
+              Runtime.getRuntime.freeMemory()) >> 20
+            val s0 = q.lastProgress.stateOperators.head
+            import scala.jdk.CollectionConverters._
+            val custom = s0.customMetrics.asScala.collect {
+              case (k, v) if k.toLowerCase.contains("memory") ||
+                k.contains("SstFileSize") => s""""$k":$v"""
+            }.mkString("{", ",", "}")
+            println(s"""[statestore] {"provider":"$p","keys":$keys,""" +
+              s""""wall_s":${math.rint(wall * 10) / 10},""" +
+              s""""state_rows":${s0.numRowsTotal},""" +
+              s""""state_mem_bytes":${s0.memoryUsedBytes},""" +
+              s""""post_gc_heap_mb":$heapMb,"custom":$custom}""")
+          } finally q.stop()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // --scale10: 10x the corpus (salted ids) to spot-check that the
     // near-dup pipelines scale ~linearly, not quadratically
     if (args.contains("--scale10")) {

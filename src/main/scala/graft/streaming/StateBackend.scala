@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Streaming state-store backend seam.
+  *
+  * Every stateful streaming twin (dedup, near-dup, windows, sketches,
+  * heat) holds its between-trigger state in the session's configured
+  * StateStore provider. Spark's default is the HEAP-backed provider:
+  * each executor keeps its partitions' loaded state maps in JVM
+  * memory — exactly the in-memory-namespace ceiling the reference's
+  * `replicationSets` had (reference: src/hdfs/.../FSNamesystem.java:
+  * 4389-4573 holds every under/over-replicated block in driver-heap
+  * TreeSets, which bounded the namespace it could manage). Watermark
+  * TTL bounds state LIFETIME, but within-watermark key cardinality
+  * (a crawl feed's active fingerprints, a 100 TB namespace's hot
+  * files) is resident per executor.
+  *
+  * The Spark-native fix is the RocksDB provider: state lives in an
+  * embedded on-disk LSM store with a bounded block cache, so state
+  * size is disk-bounded, not heap-bounded. The provider is a pure
+  * config seam — operators and results are identical (the
+  * StateBackendSpec replays a graded query on both and asserts
+  * equality); only the residency moves.
+  *
+  * Selection:
+  *  - per session: `SPARK_GRAFT_STATE_PROVIDER=rocksdb` (read by
+  *    [[graft.Graft.session]]) — "selectable per run";
+  *  - per scope: [[withProvider]] sets the session conf for the
+  *    queries STARTED inside the scope and restores it after (the
+  *    provider is fixed per query at start from the session conf and
+  *    pinned in its checkpoint thereafter).
+  */
+object StateBackend {
+
+  val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Spark's default heap-backed provider. */
+  val Heap =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  /** The disk-backed scale path (rocksdbjni ships with Spark). */
+  val RocksDB =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Resolve a dial name to a provider class. Accepts a fully
+    * qualified class name verbatim (a custom provider is legal
+    * Spark), else fails loud — a typo'd backend silently falling
+    * back to heap would defeat the reason the dial exists.
+    */
+  def providerClass(name: String): String = name.trim match {
+    case n if n.equalsIgnoreCase("rocksdb") => RocksDB
+    case n if n.equalsIgnoreCase("heap") || n.equalsIgnoreCase("hdfs") ||
+      n.equalsIgnoreCase("default") => Heap
+    case n if n.contains(".") => n
+    case other => throw new IllegalArgumentException(
+      s"unknown state-store backend '$other' " +
+        "(expected heap|rocksdb|<fully.qualified.ProviderClass>)")
+  }
+
+  /** Run `body` with the given backend configured; queries started
+    * inside the scope use it, the previous conf is restored after.
+    */
+  def withProvider[A](spark: SparkSession, name: String)(body: => A): A = {
+    val prev = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, providerClass(name))
+    try body finally prev match {
+      case Some(v) => spark.conf.set(ProviderConf, v)
+      case None => spark.conf.unset(ProviderConf)
+    }
+  }
+}
