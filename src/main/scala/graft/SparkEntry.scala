@@ -517,6 +517,22 @@ object SparkEntry {
     // the embarrassingly-parallel generator job
     "q_pi" -> ((s, _) => operators.Pi.estimate(s, 100000L)),
 
+    // Distributed backtracking search (the reference's dancing package:
+    // DistributedPentomino prefix-split + DancingLinks exact cover).
+    // 6x10 two-sided pentomino, depth-2 split: 2339 solutions is the
+    // public value (Dana Scott 1958); the query also validates every
+    // board in-plan (12 pieces x exactly 5 cells each).
+    "q_pentomino" -> ((s, _) =>
+      operators.Search.pentominoValidated(s, 6, 10, oneSided = false,
+        depth = 2)),
+
+    // Sudoku via the same exact-cover model, distributed split: a
+    // proper 41-clue puzzle; validation (rows/cols/boxes are 1..9
+    // permutations, clues respected) happens in-plan
+    "q_sudoku" -> ((s, _) =>
+      operators.Search.sudokuValidated(s, operators.Search.sudokuFixture9,
+        boxW = 3, boxH = 3, depth = 2)),
+
     "q_field_selection" -> ((s, dir) =>
       TextOps.fieldSelection(kvCorpus(s, dir), col("value"),
         spec = "4,2,0-1,5-", maxFields = 6)),
@@ -3267,6 +3283,19 @@ object SparkEntry {
 
     // generated digit-polynomial oracle — bit-identical Halton doubles
     "q_pi" -> operators.Pi.oracleSql(100000L),
+
+    // the 6x10 pentomino count is public (2339, Dana Scott 1958); the
+    // validation columns are structural zeroes
+    "q_pentomino" ->
+      """SELECT CAST(2339 AS BIGINT) AS solutions,
+        |       CAST(2339 AS BIGINT) AS distinct_boards,
+        |       CAST(0 AS BIGINT) AS bad_boards""".stripMargin,
+
+    // proper puzzle: exactly one solution, zero validation failures
+    "q_sudoku" ->
+      """SELECT CAST(1 AS BIGINT) AS solutions,
+        |       CAST(0 AS BIGINT) AS bad_lines,
+        |       CAST(0 AS BIGINT) AS clue_mismatches""".stripMargin,
 
     "q_field_selection" ->
       """SELECT CAST(l_returnflag AS VARCHAR) AS f0,
