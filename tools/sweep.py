@@ -59,8 +59,16 @@ def main():
     sf_dir, qfile, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
     queries = [q.strip() for q in open(qfile) if q.strip()]
     chunk_n = int(os.environ.get("SWEEP_CHUNK", "12"))
-    chunks = [queries[i:i + chunk_n] for i in range(0, len(queries), chunk_n)]
+    # resume: keep prior ok/guard verdicts (deterministic), retry the rest
     results = {}
+    if os.path.exists(out_json):
+        prior = json.load(open(out_json)).get("results", {})
+        results = {k: v for k, v in prior.items()
+                   if v["class"] in ("ok", "guard") and k in queries}
+        print(f"[sweep] resuming: {len(results)} prior verdicts kept",
+              flush=True)
+    queries = [q for q in queries if q not in results]
+    chunks = [queries[i:i + chunk_n] for i in range(0, len(queries), chunk_n)]
 
     def record(name, cls, sec=None, msg=None):
         results[name] = {"class": cls}
