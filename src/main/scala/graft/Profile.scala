@@ -577,6 +577,25 @@ object Profile {
       return
     }
 
+    // --pentomino [depth]: the reference's actual published search
+    // workload — the ONE-SIDED 9x10 pentomino DistributedPentomino
+    // solves by default ("takes about 2.5 hours on 20 nodes with
+    // 2 cpus/node", DistributedPentomino.java:150-152, depth 5 /
+    // 2000 maps). Measures driver-side split wall, prefix count, and
+    // the distributed solve wall + solution count on local[cpus].
+    if (args.contains("--pentomino")) {
+      val depth = args.dropWhile(_ != "--pentomino").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(4)
+      val spec = graft.operators.PentominoSpec(9, 10, oneSided = true)
+      time(s"9x10 one-sided split depth=$depth")(
+        spec.build().split(depth).size.toLong)
+      val sols = graft.operators.Search.pentominoSolutions(
+        spark, 9, 10, oneSided = true, depth = depth)
+      time("9x10 one-sided distributed solve")(sols.count())
+      spark.stop()
+      return
+    }
+
     // --sweep: bucketed range join vs boundary-counting sweep on the
     // same graded count-active-sessions workload (Bench's toRdd
     // protocol so Catalyst can't prune either plan's work)

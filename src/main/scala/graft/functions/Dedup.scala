@@ -294,7 +294,15 @@ object Dedup {
     * `graft.lsh_buckets.*` metric.
     */
   def lshCandidates(sigs: DataFrame, bands: Int,
-                    maxBucket: Int = 4096): DataFrame = {
+                    maxBucket: Int = 4096): DataFrame =
+    bandedPairs(bandedKeys(sigs, bands), maxBucket)
+
+  /** The (doc_id, band, bucket) bucket-membership relation under the
+    * banding — split out of [[lshCandidates]] so a guarded caller
+    * ([[minhashNearDups]]) can pin it once and read BOTH the
+    * pre-flight candidate bound and the pair expansion off one
+    * signature pass. */
+  private def bandedKeys(sigs: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     // bands > signature length would make every slice empty (all
     // docs in ONE bucket per band — recall silently collapses once a
@@ -311,16 +319,19 @@ object Dedup {
     // bucket = hash of the band slice, hashed as the long array itself
     // (xxhash64 folds array elements natively — no per-element string
     // materialization)
-    val banded = sigs.select(col("doc_id"), sigChecked.as("__sig"))
+    sigs.select(col("doc_id"), sigChecked.as("__sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))))
       .toDF("doc_id", "band", "bucket")
+  }
+
+  /** Bucket-local candidate-pair expansion over [[bandedKeys]]. */
+  private def bandedPairs(banded: DataFrame, maxBucket: Int): DataFrame =
     boundedGroupPairs(banded, Seq(col("band"), col("bucket")),
         col("doc_id"), maxBucket, "lsh_buckets")
       .toDF("id_a", "id_b")
       .distinct()
-  }
 
   /** Split a 64-bit signature column into contiguous bit chunks of
     * the given widths (low bits first) — the shared blocking-key
@@ -413,7 +424,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.7,
-                      maxBucket: Int = 4096): DataFrame = {
+                      maxBucket: Int = 4096,
+                      maxCandidates: Long = defaultMaxCandidates,
+                      rerankBudgetBytes: Long = 0L): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must be in [1, numHashes=$numHashes] and divide it " +
         "evenly: bands > numHashes makes every band slice empty (all docs " +
@@ -423,9 +436,49 @@ object Dedup {
     // degeneracy simhashSigsNonEmpty excludes); exact dedup owns
     // identical-empty duplicates
     val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
-    val cands = lshCandidates(minhashSignature(df, id, text, shingleN, numHashes),
-      bands, maxBucket)
-    rerankExact(nonBlank, id, text, shingleN, threshold, cands)
+    val docs = pinnedShingleSets(nonBlank, id, text, shingleN)
+    val banded = pinIfGuarded(
+      bandedKeys(minhashSignature(df, id, text, shingleN, numHashes), bands),
+      maxCandidates)
+    if (maxCandidates > 0) {
+      // gate 1 (family contract): Σ_{2 <= c <= maxBucket} C(c, 2)
+      // over the (band, bucket) membership counts — dropped buckets
+      // contribute nothing, exactly like boundedGroupPairs
+      val candBound = banded
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= maxBucket)
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+          .cast("long")).head.getLong(0)
+      requireCandidateBound("minhashNearDups", maxCandidates, candBound)
+      // gate 2 (the disk gate this operator specifically needs): the
+      // exact rerank shuffles BOTH candidate docs' full shingle-hash
+      // sets per pair, so its shuffle payload is candidates × 2 ×
+      // set bytes — a candidate mass that passes gate 1 can still be
+      // terabytes of spill (measured at sf10: 1.56e9 r=1 candidates
+      // × ~2.4 KB of sets filled a 77 GB disk). The default budget
+      // scales with the cluster: 2 GiB of rerank payload per task
+      // slot (defaultParallelism), i.e. a 1000-executor × 8-core
+      // cluster gets 16 TB where local[32] gets 64 GiB. Override
+      // with rerankBudgetBytes > 0; maxCandidates <= 0 disables both
+      // gates.
+      val avgSetBytes = 8.0 * docs.agg(coalesce(avg(size(col("sh"))),
+        lit(0.0))).head.getDouble(0)
+      val budget = if (rerankBudgetBytes > 0) rerankBudgetBytes
+        else 2L * 1024 * 1024 * 1024 *
+          df.sparkSession.sparkContext.defaultParallelism
+      val est = candBound.toDouble * 2.0 * avgSetBytes
+      if (est > budget.toDouble) throw new IllegalStateException(
+        f"graft.minhashNearDups pre-flight: estimated rerank shuffle " +
+          f"payload ${est}%.3g bytes ($candBound candidate pairs x 2 x " +
+          f"${avgSetBytes}%.0f-byte average shingle set) exceeds the " +
+          f"compute-proportional budget $budget bytes (2 GiB x " +
+          "defaultParallelism, or rerankBudgetBytes if set). The corpus " +
+          "is bucket-saturated at this banding — use fewer, wider bands " +
+          "(r >= 2: bands = numHashes / 2) so buckets key on hash PAIRS, " +
+          "raise rerankBudgetBytes for a deliberate run at this volume, " +
+          "or pass maxCandidates <= 0 to run unguarded.")
+    }
+    rerankExact(docs, threshold, bandedPairs(banded, maxBucket))
   }
 
   /** Exact Jaccard rerank of candidate pairs against pinned per-doc
@@ -450,14 +503,17 @@ object Dedup {
     * on the graded corpora, so the oracle-equality contract with
     * [[ngramJaccardPairs]] is unaffected).
     */
-  private def rerankExact(nonBlank: DataFrame, id: Column, text: Column,
-                          shingleN: Int, threshold: Double,
-                          cands: DataFrame): DataFrame = {
-    val docs = spread(nonBlank, id)
+  private[functions] def pinnedShingleSets(nonBlank: DataFrame, id: Column,
+                                           text: Column,
+                                           shingleN: Int): DataFrame =
+    spread(nonBlank, id)
       .select(id.as("doc_id"),
         sort_array(transform(shingles(text, shingleN),
           s => xxhash64(s))).as("sh"))
       .localCheckpoint()
+
+  private def rerankExact(docs: DataFrame, threshold: Double,
+                          cands: DataFrame): DataFrame = {
     // the docs side is hinted as the shuffle-hash BUILD side: cands
     // comes out of a pair EXPANSION, whose size Catalyst estimates
     // linearly — at blocking-saturated scales (sf10 measured: ~40M
@@ -911,7 +967,8 @@ object Dedup {
         lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    rerankExact(nonBlank, id, text, shingleN, threshold, cands)
+    rerankExact(pinnedShingleSets(nonBlank, id, text, shingleN), threshold,
+      cands)
   }
 
   /** Pre-flight candidate-population report for the exact near-dup

@@ -690,6 +690,38 @@ class DedupSpec extends SparkSpec {
       maxCandidates = 10).count() >= 1)
   }
 
+  test("minhashNearDups pre-flight: candidate cap, rerank-bytes budget") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    // gate 1 (family contract): identical docs share every band
+    // bucket — bound C(40, 2) x bands, far past a cap of 10
+    val e1 = intercept[IllegalStateException] {
+      Dedup.minhashNearDups(df, $"id", $"text", maxCandidates = 10)
+    }
+    assert(e1.getMessage.contains("minhashNearDups pre-flight"))
+    assert(e1.getMessage.contains("maxCandidates = 10"))
+    // gate 2 (the disk gate): a budget of 1 byte trips on any
+    // candidate mass; the message prescribes wider bands (r >= 2)
+    val e2 = intercept[IllegalStateException] {
+      Dedup.minhashNearDups(df, $"id", $"text", rerankBudgetBytes = 1L)
+    }
+    assert(e2.getMessage.contains("rerank shuffle"))
+    assert(e2.getMessage.contains("bands = numHashes / 2"))
+    // explicit unguarded override still runs, and the guard does not
+    // move results: guarded == unguarded on a clean corpus
+    val clean = Seq((1L, "one two three four five six seven"),
+      (2L, "one two three four five six eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen"))
+      .toDF("id", "text")
+    def pairs(cap: Long) = Dedup.minhashNearDups(clean, $"id", $"text",
+        shingleN = 3, numHashes = 16, bands = 16, threshold = 0.5,
+        maxCandidates = cap)
+      .select("id_a", "id_b").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.defaultMaxCandidates) == pairs(0L))
+    assert(pairs(0L).contains((1L, 2L)))
+  }
+
   test("skew-guard drops surface as observed metrics, not silently") {
     import org.apache.spark.sql.util.QueryExecutionListener
     import org.apache.spark.sql.execution.QueryExecution
