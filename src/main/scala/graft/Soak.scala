@@ -176,6 +176,22 @@ object Soak {
 
   private val viewId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Row-group size for parquet writes of multi-KB rows, sized to the
+    * heap: each concurrent writer task buffers a full row group of
+    * UNMANAGED heap (outside Spark's spillable memory manager), so
+    * `slots x block` must fit beside the sorter. A quarter of the
+    * per-slot heap keeps the fleet under ~25% of the JVM (measured:
+    * the 7.5x-dial var_sort at default 8 GB / 32 slots OOM'd with the
+    * 128 MB default — 32 writers wanted ~4-8 GB unmanaged; 64 MB
+    * blocks fit). Executors provisioned at the production >= 1 GB/core
+    * keep the full 128 MB default; the floor stops absurdly small
+    * groups on tiny test heaps. */
+  private[graft] def wideRowBlockBytes(spark: SparkSession): Long = {
+    val perSlot = Runtime.getRuntime.maxMemory() /
+      math.max(1, spark.sparkContext.defaultParallelism)
+    math.min(128L << 20, math.max(16L << 20, perSlot / 4))
+  }
+
   private def runFamilies(spark: SparkSession, workDir: String,
                           fixRows: Long, varRows: Long, textRows: Long,
                           parts: Int, seed: Long,
@@ -218,7 +234,12 @@ object Soak {
         numPartitions = parts, portable = false)
         .repartitionByRange(parts, col("k"))
         .sortWithinPartitions(col("k"))
-      sortedPlan.write.mode(SaveMode.Overwrite).parquet(dst)
+      // multi-KB rows: cap the parquet row group so the writer fleet
+      // fits the heap (see wideRowBlockBytes — the 7.5x dial OOM'd
+      // the default heap with 32 writers x 128 MB unmanaged buffers)
+      sortedPlan.write
+        .option("parquet.block.size", wideRowBlockBytes(spark))
+        .mode(SaveMode.Overwrite).parquet(dst)
       // TeraValidate the PLAN (deterministic regeneration of the
       // written frame): a parquet read-back reorders partitions by
       // file size for bin-packing, so file-side validation would

@@ -79,4 +79,12 @@ class SoakSpec extends SparkSpec {
       s"expected 1 exchange for the 3-stage chain, got $exchanges:\n" +
         plan.take(1500))
   }
+  test("wideRowBlockBytes: heap-proportional, clamped to [16 MB, 128 MB]") {
+    val b = Soak.wideRowBlockBytes(spark)
+    assert(b >= (16L << 20) && b <= (128L << 20))
+    // on this JVM: quarter of per-slot heap unless a clamp binds
+    val perSlot = Runtime.getRuntime.maxMemory() /
+      math.max(1, spark.sparkContext.defaultParallelism)
+    assert(b == math.min(128L << 20, math.max(16L << 20, perSlot / 4)))
+  }
 }
