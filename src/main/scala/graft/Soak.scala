@@ -71,7 +71,7 @@ import org.apache.spark.sql.functions._
 object Soak {
 
   final case class FamilyResult(seconds: Double, rows: Long,
-                                usedHeapMb: Long)
+                                usedHeapMb: Long, outBytes: Long = -1L)
 
   /** Deterministic keep-`permille` filter on a column — the
     * reference's "keep X% of records" dial, reproducible across
@@ -169,10 +169,11 @@ object Soak {
     */
   def run(spark: SparkSession, workDir: String, fixRows: Long,
           varRows: Long, textRows: Long, parts: Int,
-          seed: Long = 42L): Seq[(String, FamilyResult)] =
+          seed: Long = 42L,
+          reclaim: Boolean = false): Seq[(String, FamilyResult)] =
     runFamilies(spark, workDir, fixRows, varRows, textRows, parts, seed,
       Set("three_stage", "var_sort", "ref_select", "indirect_read",
-        "api_sort", "combiner"))
+        "api_sort", "combiner"), reclaim)
 
   private val viewId = new java.util.concurrent.atomic.AtomicLong()
 
@@ -195,15 +196,39 @@ object Soak {
   private def runFamilies(spark: SparkSession, workDir: String,
                           fixRows: Long, varRows: Long, textRows: Long,
                           parts: Int, seed: Long,
-                          only: Set[String]): Seq[(String, FamilyResult)] = {
+                          only: Set[String],
+                          reclaim: Boolean = false): Seq[(String, FamilyResult)] = {
     import graft.sources.Generate
-    val out = Seq.newBuilder[(String, FamilyResult)]
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, FamilyResult]
     def family(name: String)(body: => Long): Unit = if (only(name)) {
       val t0 = System.nanoTime()
       val rows = body
-      out += name -> FamilyResult((System.nanoTime() - t0) / 1e9, rows,
+      out(name) = FamilyResult((System.nanoTime() - t0) / 1e9, rows,
         usedHeapMb())
     }
+    // Big-dial disk discipline (the reference's 2.5 TB gridmix runs
+    // under an HDFS quota and reclaims between jobs): once nothing
+    // downstream reads a family's artifacts, delete them — validated
+    // counts were already taken inside the family. The measured
+    // output volume is credited to the family record (out_mb) so the
+    // run's cumulative write volume stays visible after the delete.
+    def reclaimDirs(fam: String, paths: String*): Unit =
+      if (reclaim && only(fam)) {
+        def size(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        val bytes = paths.map { p =>
+          val f = new java.io.File(p)
+          val b = size(f); rm(f); b
+        }.sum
+        out.updateWith(fam)(_.map(r => r.copy(
+          outBytes = math.max(0L, r.outBytes) + bytes)))
+      }
     def readBack(path: String): DataFrame = spark.read.parquet(path)
 
     // ---- 1. three-stage pipeline (FIXCOMPSEQ: k=5 words, v=100) ----
@@ -223,6 +248,7 @@ object Soak {
       require(got > 0, "three_stage: empty final stage")
       got
     }
+    reclaimDirs("three_stage", s"$workDir/three_stage")
 
     // ---- 2. large sort of variable k/v (VARCOMPSEQ) ---------------
     family("var_sort") {
@@ -264,6 +290,13 @@ object Soak {
         .write.mode(SaveMode.Overwrite).parquet(dst)
       readBack(dst).count()
     }
+    // var_sort's artifact is only now consumable-free (ref_select
+    // reads it), so both reclaim here; when ref_select is not in this
+    // lane's set, var_sort reclaims its own output
+    if (only("ref_select")) {
+      reclaimDirs("ref_select", s"$workDir/ref_select")
+      reclaimDirs("var_sort", s"$workDir/var_sort")
+    } else reclaimDirs("var_sort", s"$workDir/var_sort")
 
     // ---- 4. indirect read (10 iterations, path-list inputs) -------
     family("indirect_read") {
@@ -293,6 +326,7 @@ object Soak {
       require(lastRows > 0, "indirect_read: empty final iteration")
       lastRows
     }
+    reclaimDirs("indirect_read", s"$workDir/indirect")
 
     // ---- 5. API text sort (DataFrame / SQL / external pipe) -------
     family("api_sort") {
@@ -338,6 +372,7 @@ object Soak {
         s"api_sort: sort validation failed df=$okDf pipe=$okPipe")
       nDf
     }
+    reclaimDirs("api_sort", s"$workDir/api_sort")
 
     // ---- 6. combiner (gridmix2's wordcount-with-combiner class) ---
     // the high map-output-ratio family: every value explodes into
@@ -370,8 +405,9 @@ object Soak {
         s"combiner: histogram mass $total != corpus token count $expect")
       readBack(dst).count()
     }
+    reclaimDirs("combiner", s"$workDir/combiner")
 
-    out.result()
+    out.toSeq
   }
 
   /** CONCURRENT soak — the reference's actual submission model
@@ -392,7 +428,8 @@ object Soak {
     */
   def runConcurrent(spark: SparkSession, workDir: String, fixRows: Long,
                     varRows: Long, textRows: Long, parts: Int,
-                    seed: Long = 42L): Seq[(String, FamilyResult)] = {
+                    seed: Long = 42L,
+                    reclaim: Boolean = false): Seq[(String, FamilyResult)] = {
     import java.util.concurrent.{Executors, TimeUnit}
     val pool = Executors.newFixedThreadPool(5)
     val results =
@@ -471,17 +508,22 @@ object Soak {
       shufflePartitions = cpus, appName = "graft-soak")
     val concurrent = sys.env.get("SPARK_GRAFT_SOAK_CONCURRENT")
       .exists(_.nonEmpty)
+    val reclaim = sys.env.get("SPARK_GRAFT_SOAK_RECLAIM")
+      .exists(_.nonEmpty)
     val t0 = System.nanoTime()
     val results =
       if (concurrent) runConcurrent(spark, workDir, fixRows, varRows,
-        textRows, parts = cpus)
-      else run(spark, workDir, fixRows, varRows, textRows, parts = cpus)
+        textRows, parts = cpus, reclaim = reclaim)
+      else run(spark, workDir, fixRows, varRows, textRows, parts = cpus,
+        reclaim = reclaim)
     val total = (System.nanoTime() - t0) / 1e9
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val fams = results.map { case (n, r) =>
       s""""$n":{"sec":${fmt(r.seconds)},"rows":${r.rows},""" +
-        s""""used_heap_mb":${r.usedHeapMb}}"""
+        s""""used_heap_mb":${r.usedHeapMb}""" +
+        (if (r.outBytes >= 0) s""","out_mb":${r.outBytes >> 20}}"""
+         else "}")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"soak_total","value":${fmt(total)},""" +
       s""""unit":"sec","mode":"${if (concurrent) "concurrent"

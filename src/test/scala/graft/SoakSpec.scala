@@ -87,4 +87,25 @@ class SoakSpec extends SparkSpec {
       math.max(1, spark.sparkContext.defaultParallelism)
     assert(b == math.min(128L << 20, math.max(16L << 20, perSlot / 4)))
   }
+  test("reclaim mode: rows/validation identical, artifacts deleted, " +
+      "out_mb credited") {
+    val dir = java.nio.file.Files.createTempDirectory("soak-rec").toString
+    val plain = Soak.run(spark, java.nio.file.Files
+      .createTempDirectory("soak-pl").toString, fixRows = 3000,
+      varRows = 1000, textRows = 2000, parts = 4)
+    val rec = Soak.run(spark, dir, fixRows = 3000, varRows = 1000,
+      textRows = 2000, parts = 4, reclaim = true)
+    val pm = plain.toMap; val rm = rec.toMap
+    pm.keys.foreach(k => assert(rm(k).rows == pm(k).rows,
+      s"$k rows moved under reclaim"))
+    // every family dir is gone and its volume was credited
+    Seq("three_stage", "var_sort", "ref_select", "indirect", "api_sort",
+      "combiner").foreach { d =>
+      assert(!new java.io.File(s"$dir/$d").exists(), s"$d not reclaimed")
+    }
+    rm.values.foreach(r => assert(r.outBytes >= 0))
+    assert(rm.values.map(_.outBytes).sum > 0)
+    // the unreclaimed run reports no volume (sentinel)
+    pm.values.foreach(r => assert(r.outBytes == -1L))
+  }
 }
