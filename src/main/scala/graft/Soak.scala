@@ -228,6 +228,18 @@ object Soak {
         }.sum
         out.updateWith(fam)(_.map(r => r.copy(
           outBytes = math.max(0L, r.outBytes) + bytes)))
+        // the other half of the quota discipline: a finished family's
+        // shuffle files sit in spark.local.dir until its dead
+        // ShuffleDependency objects are GC'd and ContextCleaner
+        // removes them asynchronously — measured ~15-25 GB of scratch
+        // accumulated across the 7.5x sequential families, which is
+        // what actually broke api_sort's external-sort children
+        // (GNU sort exit 2 = temp write failed) after the artifact
+        // reclaim alone. A GC tick per reclaimed family lets the
+        // cleaner fire while the next family ramps. NOT done outside
+        // reclaim mode: the unreclaimed soak deliberately measures
+        // accumulation behavior.
+        System.gc()
       }
     def readBack(path: String): DataFrame = spark.read.parquet(path)
 
@@ -446,23 +458,23 @@ object Soak {
       }
     submit("pipeline") {
       runFamilies(spark, s"$workDir/lane_pipe", fixRows, varRows,
-        textRows, parts, seed, Set("three_stage"))
+        textRows, parts, seed, Set("three_stage"), reclaim)
     }
     submit("sorts") {
       runFamilies(spark, s"$workDir/lane_sort", fixRows, varRows,
-        textRows, parts, seed, Set("var_sort", "ref_select"))
+        textRows, parts, seed, Set("var_sort", "ref_select"), reclaim)
     }
     submit("indirect") {
       runFamilies(spark, s"$workDir/lane_ind", fixRows, varRows,
-        textRows, parts, seed, Set("indirect_read"))
+        textRows, parts, seed, Set("indirect_read"), reclaim)
     }
     submit("api") {
       runFamilies(spark, s"$workDir/lane_api", fixRows, varRows,
-        textRows, parts, seed, Set("api_sort"))
+        textRows, parts, seed, Set("api_sort"), reclaim)
     }
     submit("combiner") {
       runFamilies(spark, s"$workDir/lane_comb", fixRows, varRows,
-        textRows, parts, seed, Set("combiner"))
+        textRows, parts, seed, Set("combiner"), reclaim)
     }
     pool.shutdown()
     // awaitTermination returning false means lanes are STILL RUNNING
