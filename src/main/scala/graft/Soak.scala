@@ -190,7 +190,11 @@ object Soak {
   private[graft] def wideRowBlockBytes(spark: SparkSession): Long = {
     val perSlot = Runtime.getRuntime.maxMemory() /
       math.max(1, spark.sparkContext.defaultParallelism)
-    math.min(128L << 20, math.max(16L << 20, perSlot / 4))
+    // an eighth, not a quarter: the writer ALSO holds compressor
+    // buffers proportional to the row group, so the fleet's true
+    // unmanaged footprint is ~2x block — measured: a quarter
+    // (64 MB at 8 GB/32 slots) still OOM'd the 9M-row dial
+    math.min(128L << 20, math.max(8L << 20, perSlot / 8))
   }
 
   private def runFamilies(spark: SparkSession, workDir: String,

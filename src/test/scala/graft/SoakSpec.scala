@@ -81,11 +81,11 @@ class SoakSpec extends SparkSpec {
   }
   test("wideRowBlockBytes: heap-proportional, clamped to [16 MB, 128 MB]") {
     val b = Soak.wideRowBlockBytes(spark)
-    assert(b >= (16L << 20) && b <= (128L << 20))
-    // on this JVM: quarter of per-slot heap unless a clamp binds
+    assert(b >= (8L << 20) && b <= (128L << 20))
+    // on this JVM: an eighth of per-slot heap unless a clamp binds
     val perSlot = Runtime.getRuntime.maxMemory() /
       math.max(1, spark.sparkContext.defaultParallelism)
-    assert(b == math.min(128L << 20, math.max(16L << 20, perSlot / 4)))
+    assert(b == math.min(128L << 20, math.max(8L << 20, perSlot / 8)))
   }
   test("reclaim mode: rows/validation identical, artifacts deleted, " +
       "out_mb credited") {
