@@ -37,17 +37,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * docs' (id, signature, shingle-hash set) — the shingle sets are
   * the exact-rerank payload, duplicated `bands` times across groups.
   * That is the honest cost of EXACT streaming near-dup; production
-  * deployments bound it three ways: `maxBucket` caps any one
+  * deployments bound it four ways: `maxBucket` caps any one
   * bucket's membership (degenerate buckets stop pairing at the cap —
   * the streaming form of the batch operator's dropped-bucket
   * guard — and their state stops growing; unlike batch, a pair whose
   * FIRST shared band overflowed is not recovered via a later shared
   * band, so the cap trades recall for state exactly where batch
-  * trades it for candidate volume), [[pairsWithinWatermark]]
-  * evicts idle buckets by event time so state is O(active window)
-  * like [[StreamDedup.withinWatermark]], and production banding
-  * (r ≥ 2) keeps buckets sparse exactly as it bounds batch
-  * candidates (SCALE.md's r=1 banding lesson).
+  * trades it for candidate volume), `maxPairsPerTrigger` caps each
+  * bucket's candidate EMISSION per micro-batch (see below),
+  * [[pairsWithinWatermark]] evicts idle buckets by event time so
+  * state is O(active window) like [[StreamDedup.withinWatermark]],
+  * and production banding (r ≥ 2) keeps buckets sparse exactly as it
+  * bounds batch candidates (SCALE.md's r=1 banding lesson).
+  *
+  * EMISSION budget — the streaming form of the batch operator's
+  * rerank-payload gate (Dedup.minhashNearDups gate 2): `maxBucket`
+  * bounds STATE, but on a blocking-saturated feed each trigger's
+  * bucket-local pair expansion could still examine and emit
+  * O(members²) candidates across many (band, bucket) groups — an
+  * unbounded per-trigger shuffle/sink mass (measured at sf10: the
+  * unbudgeted form filled a 77 GB disk). Batch measures BEFORE it
+  * runs; a stream cannot (the corpus arrives forever), so it
+  * degrades AS it runs: each (band, bucket) group examines at most
+  * `maxPairsPerTrigger` candidate pairs per micro-batch, then stops
+  * evaluating for that bucket-trigger and counts the remainder into
+  * two observable drop metrics (named accumulators, visible in the
+  * Spark UI and via [[emissionMetrics]]):
+  * `graft.<site>.dropped_candidates` (pairs skipped unexamined) and
+  * `graft.<site>.exhausted_bucket_triggers` (bucket-triggers that
+  * hit the budget). A dropped candidate is dropped FOREVER — append
+  * mode emits once or never, and the first-shared-band rule means no
+  * other band's group re-examines it — so a non-zero drop metric
+  * signals recall loss on a saturated feed, the same trade
+  * `maxBucket` already makes for state (re-band at r >= 2 is the
+  * fix, not a bigger budget). State updates are NOT budgeted: new
+  * docs still join their bucket (up to `maxBucket`) after the
+  * budget is spent, so a quiet bucket's later pairs still form.
+  * Metric semantics are at-least-once (accumulators double-count on
+  * task retry) — they are a saturation signal, not an exact ledger.
   */
 object StreamNearDup {
 
@@ -127,16 +154,41 @@ object StreamNearDup {
       .as[Banded]
   }
 
-  private def checkParams(numHashes: Int, bands: Int, maxBucket: Int): Unit =
+  /** Per-trigger drop metrics of one operator instance — named
+    * accumulators (`graft.<site>.dropped_candidates` /
+    * `graft.<site>.exhausted_bucket_triggers`), so the Spark UI shows
+    * them per micro-batch and tests/monitors read the totals.
+    */
+  final case class EmissionMetrics(
+      droppedCandidates: org.apache.spark.util.LongAccumulator,
+      exhaustedBucketTriggers: org.apache.spark.util.LongAccumulator)
+
+  private val metricsReg =
+    new java.util.concurrent.ConcurrentHashMap[String, EmissionMetrics]()
+
+  /** The drop metrics of the most recent operator built with `site`
+    * (each [[pairs]]/[[pairsWithinWatermark]] call re-registers). */
+  def emissionMetrics(site: String = "stream_neardup"): Option[EmissionMetrics] =
+    Option(metricsReg.get(site))
+
+  private def checkParams(numHashes: Int, bands: Int, maxBucket: Int,
+                          maxPairsPerTrigger: Int): Unit =
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0 &&
-      maxBucket >= 1,
-      s"bands ($bands) must divide numHashes ($numHashes) and " +
-        s"maxBucket ($maxBucket) must be >= 1")
+      maxBucket >= 1 && maxPairsPerTrigger >= 1,
+      s"bands ($bands) must divide numHashes ($numHashes), " +
+        s"maxBucket ($maxBucket) and maxPairsPerTrigger " +
+        s"($maxPairsPerTrigger) must be >= 1")
 
   private def pairsImpl(in: Dataset[Banded], numHashes: Int, bands: Int,
                         threshold: Double, maxBucket: Int,
-                        ttlMs: Option[Long]): Dataset[Pair] = {
+                        ttlMs: Option[Long], maxPairsPerTrigger: Int,
+                        site: String): Dataset[Pair] = {
     val rows = numHashes / bands
+    val sc = in.sparkSession.sparkContext
+    val metrics = EmissionMetrics(
+      sc.longAccumulator(s"graft.$site.dropped_candidates"),
+      sc.longAccumulator(s"graft.$site.exhausted_bucket_triggers"))
+    metricsReg.put(site, metrics)
     implicit val outEnc = Encoders.product[Pair]
     implicit val keyEnc = Encoders.product[(Int, Long)]
     implicit val stateEnc = Encoders.product[BucketState]
@@ -153,6 +205,8 @@ object StreamNearDup {
             val seen = scala.collection.mutable.Set(cur.map(_.docId): _*)
             val out = List.newBuilder[Pair]
             var maxEt = Long.MinValue
+            var budget = maxPairsPerTrigger
+            var droppedHere = 0L
             // docId order makes within-batch pairing arrival-order
             // independent; re-delivered ids (same doc replayed) are
             // already-seen and skipped like the batch DISTINCT
@@ -160,18 +214,28 @@ object StreamNearDup {
               if (d.et.getTime > maxEt) maxEt = d.et.getTime
               if (!seen.contains(d.docId) && seen.size < maxBucket) {
                 cur.foreach { e =>
-                  if (firstSharedBand(d.sig, e.sig, bands, rows) == key._1) {
-                    val inter = intersectCount(d.sh, e.sh)
-                    val j = round4(inter.toDouble /
-                      (d.sh.length + e.sh.length - inter))
-                    if (j >= threshold)
-                      out += Pair(math.min(d.docId, e.docId),
-                        math.max(d.docId, e.docId), j)
-                  }
+                  // emission budget: past it, stop EVALUATING for
+                  // this bucket-trigger (the Jaccard rerank is the
+                  // cost) and count the skip; state below still grows
+                  if (budget > 0) {
+                    budget -= 1
+                    if (firstSharedBand(d.sig, e.sig, bands, rows) == key._1) {
+                      val inter = intersectCount(d.sh, e.sh)
+                      val j = round4(inter.toDouble /
+                        (d.sh.length + e.sh.length - inter))
+                      if (j >= threshold)
+                        out += Pair(math.min(d.docId, e.docId),
+                          math.max(d.docId, e.docId), j)
+                    }
+                  } else droppedHere += 1
                 }
                 cur = BucketDoc(d.docId, d.sig, d.sh) :: cur
                 seen += d.docId
               }
+            }
+            if (droppedHere > 0) {
+              metrics.droppedCandidates.add(droppedHere)
+              metrics.exhaustedBucketTriggers.add(1L)
             }
             state.update(BucketState(cur.reverse))
             ttlMs.foreach(t => state.setTimeoutTimestamp(math.max(
@@ -187,12 +251,15 @@ object StreamNearDup {
     */
   def pairs(docs: DataFrame, id: Column, text: Column,
             shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-            threshold: Double = 0.7, maxBucket: Int = 4096): Dataset[Pair] = {
-    checkParams(numHashes, bands, maxBucket)
+            threshold: Double = 0.7, maxBucket: Int = 4096,
+            maxPairsPerTrigger: Int = 1 << 16,
+            site: String = "stream_neardup"): Dataset[Pair] = {
+    checkParams(numHashes, bands, maxBucket, maxPairsPerTrigger)
     pairsImpl(
       banded(docs, id, text, timestamp_millis(lit(0L)), shingleN,
         numHashes, bands),
-      numHashes, bands, threshold, maxBucket, ttlMs = None)
+      numHashes, bands, threshold, maxBucket, ttlMs = None,
+      maxPairsPerTrigger, site)
   }
 
   /** Watermark-bounded form: near-dup pairs among documents within
@@ -207,13 +274,16 @@ object StreamNearDup {
                            allowedLatenessMs: Long = 0L,
                            shingleN: Int = 3, numHashes: Int = 32,
                            bands: Int = 8, threshold: Double = 0.7,
-                           maxBucket: Int = 4096): Dataset[Pair] = {
-    checkParams(numHashes, bands, maxBucket)
+                           maxBucket: Int = 4096,
+                           maxPairsPerTrigger: Int = 1 << 16,
+                           site: String = "stream_neardup"): Dataset[Pair] = {
+    checkParams(numHashes, bands, maxBucket, maxPairsPerTrigger)
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     val withEt = docs.withColumn("__et", timestamp_millis(tsCol))
       .withWatermark("__et", s"$allowedLatenessMs milliseconds")
     pairsImpl(
       banded(withEt, id, text, col("__et"), shingleN, numHashes, bands),
-      numHashes, bands, threshold, maxBucket, ttlMs = Some(ttlMs))
+      numHashes, bands, threshold, maxBucket, ttlMs = Some(ttlMs),
+      maxPairsPerTrigger, site)
   }
 }

@@ -17,13 +17,16 @@ class StreamNearDupSpec extends SparkSpec {
 
   private def runStream(batches: Seq[Seq[(Long, String)]],
                         threshold: Double = 0.5,
-                        maxBucket: Int = 4096): Seq[(Long, Long, Double)] = {
+                        maxBucket: Int = 4096,
+                        maxPairsPerTrigger: Int = 1 << 16,
+                        site: String = "stream_neardup"): Seq[(Long, Long, Double)] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val pairs = StreamNearDup.pairs(input.toDF().toDF("doc_id", "text"),
       col("doc_id"), col("text"), shingleN = 3, numHashes = 16,
-      bands = 16, threshold = threshold, maxBucket = maxBucket)
+      bands = 16, threshold = threshold, maxBucket = maxBucket,
+      maxPairsPerTrigger = maxPairsPerTrigger, site = site)
     val name = s"snd_sink_${System.nanoTime()}"
     val q = pairs.writeStream.outputMode("append").format("memory")
       .queryName(name).start()
@@ -72,6 +75,38 @@ class StreamNearDupSpec extends SparkSpec {
       Seq(Seq((1L, "aa bb cc dd"), (4L, "aa bb cc dd"), (9L, "aa bb cc dd"))),
       maxBucket = 2)
     assert(got == Seq((1L, 4L, 1.0)), got.toString)
+  }
+
+  test("maxPairsPerTrigger budgets emission per bucket-trigger: " +
+       "excess candidates drop and the metrics count them") {
+    // four identical docs in ONE batch: each band's bucket examines
+    // 1+2+3 = 6 candidate pairs; budget 2 keeps the first two (docId
+    // order, newest state first), drops 4 per group. Only band 0
+    // emits (first-shared-band rule), so the drop is permanent —
+    // exactly the documented degrade.
+    val four = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"),
+      (3L, "aa bb cc dd"), (4L, "aa bb cc dd"))
+    val got = runStream(Seq(four), maxPairsPerTrigger = 2,
+      site = "snd_budget")
+    assert(got.toSet == Set((1L, 2L, 1.0), (2L, 3L, 1.0)), got.toString)
+    val m = StreamNearDup.emissionMetrics("snd_budget").get
+    // all 16 (band, bucket) groups of identical docs spend the same
+    // budget: 4 drops x 16 groups, one exhausted trigger each
+    assert(m.droppedCandidates.value == 64L, m.droppedCandidates.value)
+    assert(m.exhaustedBucketTriggers.value == 16L,
+      m.exhaustedBucketTriggers.value)
+    // state still grew past the budget: a NEW batch pairs doc 5
+    // against all four held docs (budget resets per trigger)
+    val twoBatches = runStream(Seq(four, Seq((5L, "aa bb cc dd"))),
+      maxPairsPerTrigger = 4, site = "snd_budget2")
+    assert(twoBatches.toSet.map((p: (Long, Long, Double)) => (p._1, p._2))
+      .contains((4L, 5L)), twoBatches.toString)
+    // an ample budget drops nothing and matches the batch operator
+    val ample = runStream(Seq(four), site = "snd_ample")
+    assert(ample.toSet == batchPairs(four), ample.toString)
+    val ma = StreamNearDup.emissionMetrics("snd_ample").get
+    assert(ma.droppedCandidates.value == 0L)
+    assert(ma.exhaustedBucketTriggers.value == 0L)
   }
 
   test("watermark form pairs within ttl and evicts idle buckets") {
