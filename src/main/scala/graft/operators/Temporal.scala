@@ -153,12 +153,26 @@ object Temporal {
     * (floorDiv) over the whole long range — a nanos timeline is
     * above 2^53, where double math would misclassify boundary
     * intervals against the guard.
+    *
+    * PRE-FLIGHT (the pair family's measure-before-run contract,
+    * extended here): before the join plan launches, one cheap
+    * aggregation per side computes the EXACT candidate population
+    * Σ_b points_b × interval-replicas_b over the bucket histograms —
+    * the same quantity `observeCandidates` reports after the fact —
+    * and refuses past `maxCandidates` with the sweep prescription
+    * (measured at sf10: the quadratic pair plan ran 847 s where
+    * [[activeIntervalCount]] answered the count form in 19.1 s).
+    * The gate makes construction EAGER (two small count jobs run
+    * before the DataFrame returns — the minhashNearDups gate shape);
+    * `maxCandidates <= 0` skips it and stays fully lazy.
     */
   def rangeJoin(points: DataFrame, pt: Column,
                 intervals: DataFrame, start: Column, end: Column,
                 bucket: Long, maxBuckets: Int = 4096,
                 site: String = "range_join",
-                observeCandidates: Boolean = false): DataFrame = {
+                observeCandidates: Boolean = false,
+                maxCandidates: Long =
+                  graft.functions.Dedup.defaultMaxCandidates): DataFrame = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
     require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
@@ -208,6 +222,33 @@ object Temporal {
       .withColumn(s"${p}_b",
         explode(sequence(bucketOf(start), bucketOf(end))))
       .drop(s"${p}_nb")
+    if (maxCandidates > 0) {
+      // pre-flight candidate bound: per-bucket histogram product, a
+      // pair-free aggregation on each side (column pruning keeps the
+      // scans narrow). Built from fresh minimal plans, not `ivals`,
+      // so the observe metrics above fire once, on the real run.
+      val ic = intervals
+        .filter(valid)
+        .filter(bucketOfDec(end) - bucketOfDec(start) + 1 <= maxBuckets)
+        .select(explode(sequence(bucketOf(start), bucketOf(end)))
+          .as(s"${p}_b"))
+        .groupBy(col(s"${p}_b")).agg(count(lit(1)).as(s"${p}_ic"))
+      val pc = points.select(bucketOf(pt).as(s"${p}_b"))
+        .groupBy(col(s"${p}_b")).agg(count(lit(1)).as(s"${p}_pc"))
+      val bound = pc.join(ic, Seq(s"${p}_b"))
+        .agg(coalesce(sum(col(s"${p}_pc") * col(s"${p}_ic")), lit(0L))
+          .cast("long")).head.getLong(0)
+      if (bound > maxCandidates) throw new IllegalStateException(
+        s"graft.$site pre-flight: bucket-blocked candidate bound $bound " +
+          s"exceeds maxCandidates = $maxCandidates. The timeline is dense " +
+          s"at bucket width $bucket (points × concurrent intervals per " +
+          "bucket grows ~quadratically as the timeline densifies). If the " +
+          "consumer is a coverage COUNT, use rangeJoinCount / " +
+          "activeIntervalCount — same answer, zero pair blowup; otherwise " +
+          "pick a bucket width nearer the typical interval length, raise " +
+          "maxCandidates explicitly for a deliberate run of this size, or " +
+          "pass maxCandidates <= 0 to run unguarded.")
+    }
     val joined = points.withColumn(s"${p}_b", bucketOf(pt))
       .join(ivals, Seq(s"${p}_b"))
     // candidate-pair population metric, observed BEFORE the exact

@@ -137,6 +137,31 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 20L), (2L, 30L), (3L, 20L)))
   }
 
+  test("rangeJoin pre-flight refuses a dense timeline, prescribes the " +
+       "sweep, and is overridable") {
+    val points = (1L to 200L).map(Tuple1(_)).toDF("t")
+    // every interval covers the whole timeline: one bucket at width
+    // 1000 -> candidate bound = 200 points x 50 intervals = 10000
+    val ivals = Seq.fill(50)((1L, 200L)).toDF("s", "e")
+    val ex = intercept[IllegalStateException] {
+      rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 1000L,
+        maxCandidates = 100L)
+    }
+    assert(ex.getMessage.contains("pre-flight") &&
+      ex.getMessage.contains("rangeJoinCount"), ex.getMessage)
+    // explicit unguarded run still works (the deliberate-override path)
+    assert(rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 1000L,
+      maxCandidates = -1L).count() == 10000L)
+    // under the budget the gate is silent and the result identical
+    assert(rangeJoin(points, $"t", ivals, $"s", $"e", bucket = 1000L,
+      maxCandidates = 20000L).count() == 10000L)
+    // the bound counts CANDIDATES (bucket co-residents), not output:
+    // dropped over-long intervals are excluded from it like the join
+    val longIval = Seq((Long.MinValue, Long.MaxValue)).toDF("s", "e")
+    assert(rangeJoin(points, $"t", longIval, $"s", $"e", bucket = 1000L,
+      maxBuckets = 10, maxCandidates = 100L).count() == 0L)
+  }
+
   test("rangeJoin drops intervals longer than maxBuckets and rejects column overlap") {
     val points = Seq((1L, 500L)).toDF("pid", "t")
     val ivals = Seq((10L, 0L, 1000000L), (20L, 450L, 550L)).toDF("iid", "s", "e")
