@@ -7,7 +7,9 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec,
   WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
   QueryStageExec}
-import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.catalyst.expressions.aggregate.Collect
+import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec,
+  ObjectHashAggregateExec, ScalaAggregator}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
   ReusedExchangeExec}
@@ -105,6 +107,21 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   *    `blowupFactor` times the query's output rows — the signal that
   *    a count-shaped consumer should route to the operator's scale
   *    twin (rangeJoinCount / prefixJaccardPairs).
+  *  - `object_agg_heap_state`: an ObjectHashAggregate whose
+  *    per-group object buffers are priced near the heap budget —
+  *    the q_uniq_capped-at-sf10 OOM signature. Typed `Aggregator`
+  *    buffers are unmanaged JVM objects Spark's memory manager
+  *    neither tracks nor spills, so a cap-bounded exact-distinct
+  *    set ([[graft.operators.AggregateLib.UniqValueCount]]) at a
+  *    large cap is silent heap debt: partial-map groups × declared
+  *    [[graft.BufferBound]] bytes. `collect_set`/`collect_list`
+  *    buffers are priced from input rows (every row lands in some
+  *    buffer). Fires when the estimate exceeds `maxAggStateBytes`
+  *    (default half the JVM heap); impact ramps to 1.0 at 4×.
+  *    Prescription: the bounded-state twin —
+  *    `uniqValueCountApprox` / the sketch panel (measured at sf10:
+  *    sketches 0.6-0.8 s where the 10⁶-cap exact form OOM'd a
+  *    shared 8 GB JVM).
   *
   * Severity bands over impact (the reference's SuccessThreshold
   * generalized): high >= 0.7, medium >= 0.3, low otherwise.
@@ -174,7 +191,9 @@ object Advisor {
                minFiles: Int = 8, blowupFactor: Double = 10.0,
                distinctRows: Long = 1L << 22,
                minRescanBytes: Long = 8L << 20,
-               maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+               maxBroadcastBytes: Long = 256L << 20,
+               maxAggStateBytes: Long = Runtime.getRuntime.maxMemory() / 2)
+      : DataFrame = {
     val spark = df.sparkSession
     val qe = df.queryExecution
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[TaskStat]()
@@ -207,7 +226,7 @@ object Advisor {
     val fs = findings(qe.executedPlan, buf.asScala.toSeq,
       qe.observedMetrics.toMap, spark, percent, normF, smallFileBytes,
       minFiles, blowupFactor, distinctRows, minRescanBytes,
-      maxBroadcastBytes)
+      maxBroadcastBytes, maxAggStateBytes)
     import spark.implicits._
     fs.toDF()
   }
@@ -223,7 +242,9 @@ object Advisor {
                              blowupFactor: Double,
                              distinctRows: Long = 1L << 22,
                              minRescanBytes: Long = 8L << 20,
-                             maxBroadcastBytes: Long = 256L << 20)
+                             maxBroadcastBytes: Long = 256L << 20,
+                             maxAggStateBytes: Long =
+                               Runtime.getRuntime.maxMemory() / 2)
       : Seq[Finding] = {
     val nodes = flatten(plan)
     val out = Seq.newBuilder[Finding]
@@ -461,6 +482,47 @@ object Advisor {
           "(Sketches.sketchPanel / panelRollup — exact below sketch " +
           "capacity, bounded state always) or approx_count_distinct")
     }
+
+    // object_agg_heap_state: ObjectHashAggregate buffers are
+    // unmanaged heap (no tracking, no spill); price each node's
+    // state — output groups (for the partial node: Σ per-partition
+    // groups, the true concurrent-map population across the fleet) ×
+    // each declared BufferBound, plus input rows × an element
+    // estimate for collect_set/collect_list (every input row lands
+    // in some buffer) — and flag the worst node past the budget.
+    // Aggregators that declare no bound (Spark's own DataSketches
+    // aggs, third-party) are skipped: can't price, shouldn't guess.
+    val objAggEst = nodes.collect { case a: ObjectHashAggregateExec =>
+      val groups = metric(a, "numOutputRows").getOrElse(0L)
+      val inRows = (flatten(a) diff Seq(a))
+        .flatMap(metric(_, "numOutputRows")).maxOption.getOrElse(0L)
+      val fns = a.aggregateExpressions.map(_.aggregateFunction)
+      val bounded = fns.collect {
+        case sa: ScalaAggregator[_, _, _] => sa.agg match {
+          case b: graft.BufferBound => b.bufferBytesBound
+          case _ => 0L
+        }
+      }.sum
+      val collects = fns.count { case _: Collect[_] => true; case _ => false }
+      (groups * bounded + inRows * 32L * collects,
+        groups, bounded, inRows, collects)
+    }
+    objAggEst.filter(_._1 > maxAggStateBytes).maxByOption(_._1)
+      .foreach { case (est, groups, bounded, inRows, collects) =>
+        val detail =
+          (if (bounded > 0) s"$groups groups x $bounded declared buffer " +
+            "bytes" else "") +
+          (if (collects > 0) s"${if (bounded > 0) " + " else ""}$collects " +
+            s"collect buffer(s) over $inRows input rows" else "")
+        out += finding("object_agg_heap_state",
+          math.min(1.0, est.toDouble / (4.0 * maxAggStateBytes)),
+          s"ObjectHashAggregate state estimate $est bytes ($detail; " +
+            s"threshold $maxAggStateBytes) — object buffers are " +
+            "unmanaged heap: untracked, unspillable",
+          "switch to the bounded-state twin (uniqValueCountApprox / " +
+            "Sketches.sketchPanel) or lower the cap; collect_set/" +
+            "collect_list at this volume should become an aggregation")
+      }
 
     // candidate_pair_blowup: graft observe sites vs output rows
     val outRows = flatten(plan).flatMap(metric(_, "numOutputRows"))

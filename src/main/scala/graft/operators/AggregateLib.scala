@@ -154,7 +154,11 @@ object AggregateLib {
     * `collect_set`).
     */
   final class UniqValueCount(cap: Int)
-      extends Aggregator[String, mutable.HashSet[String], Long] {
+      extends Aggregator[String, mutable.HashSet[String], Long]
+      with graft.BufferBound {
+    // HashSet entry ≈ 40 B of node/table overhead + a short string;
+    // the cap is the bound (reduce/merge stop growing the set there)
+    def bufferBytesBound: Long = cap.toLong * 64L
     def zero: mutable.HashSet[String] = mutable.HashSet.empty
     def reduce(b: mutable.HashSet[String], a: String): mutable.HashSet[String] = {
       if (b.size < cap && a != null) b += a

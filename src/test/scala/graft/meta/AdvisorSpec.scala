@@ -89,6 +89,34 @@ class AdvisorSpec extends SparkSpec {
     assert(!none.contains("exact_distinct_at_scale"), none)
   }
 
+  test("object_agg_heap_state prices declared buffer bounds and collect " +
+       "buffers against the heap budget") {
+    import graft.operators.AggregateLib
+    // 10^6-entry cap x 64 B declared bound x >= 7 groups >> 16 MB ->
+    // fires (the q_uniq_capped sf10 OOM shape at test scale)
+    val hungry = (1L to 2000L).map(i => (i % 7, i.toString)).toDF("g", "u")
+      .groupBy(col("g"))
+      .agg(AggregateLib.uniqValueCount(col("u"), 1000000).as("d"))
+    val got = rules(Advisor.diagnose(hungry, maxAggStateBytes = 16L << 20))
+    assert(got.get("object_agg_heap_state").contains("high"), got)
+    // a small cap prices in KB -> silent at the same budget
+    val capped = (1L to 2000L).map(i => (i % 7, i.toString)).toDF("g", "u")
+      .groupBy(col("g"))
+      .agg(AggregateLib.uniqValueCount(col("u"), 50).as("d"))
+    val none = rules(Advisor.diagnose(capped, maxAggStateBytes = 16L << 20))
+    assert(!none.contains("object_agg_heap_state"), none)
+    // collect_set is priced from input rows (no declared bound needed)
+    val coll = (1L to 2000L).map(i => (i % 7, i.toString)).toDF("g", "u")
+      .groupBy(col("g")).agg(collect_set(col("u")).as("d"))
+    val collGot = rules(Advisor.diagnose(coll, maxAggStateBytes = 16L << 10))
+    assert(collGot.contains("object_agg_heap_state"), collGot)
+    // the bounded-state twin (sketch) never plans an object agg here
+    val sketch = (1L to 2000L).map(i => (i % 7, i.toString)).toDF("g", "u")
+      .groupBy(col("g")).agg(approx_count_distinct(col("u")).as("d"))
+    val sk = rules(Advisor.diagnose(sketch, maxAggStateBytes = 16L << 10))
+    assert(!sk.contains("object_agg_heap_state"), sk)
+  }
+
   test("small_files_scan fires on a fragmented write, not a compact one") {
     val dir = java.nio.file.Files.createTempDirectory("adv").toString
     (1L to 1000L).toDF("id").repartition(16).write
