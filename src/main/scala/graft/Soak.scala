@@ -186,10 +186,21 @@ object Soak {
     * 128 MB default — 32 writers wanted ~4-8 GB unmanaged; 64 MB
     * blocks fit). Executors provisioned at the production >= 1 GB/core
     * keep the full 128 MB default; the floor stops absurdly small
-    * groups on tiny test heaps. */
+    * groups on tiny test heaps.
+    *
+    * Per-slot heap comes from the JVM that RUNS the writer tasks: in
+    * local mode that is this JVM's heap over its task slots; on a
+    * cluster it is spark.executor.memory / spark.executor.cores —
+    * NOT driver heap / cluster-wide parallelism, which would clamp
+    * row groups to the floor fleet-wide off a small driver. */
   private[graft] def wideRowBlockBytes(spark: SparkSession): Long = {
-    val perSlot = Runtime.getRuntime.maxMemory() /
-      math.max(1, spark.sparkContext.defaultParallelism)
+    val sc = spark.sparkContext
+    val perSlot =
+      if (sc.isLocal)
+        Runtime.getRuntime.maxMemory() / math.max(1, sc.defaultParallelism)
+      else
+        sc.getConf.getSizeAsBytes("spark.executor.memory", "1g") /
+          math.max(1, sc.getConf.getInt("spark.executor.cores", 1))
     // an eighth, not a quarter: the writer ALSO holds compressor
     // buffers proportional to the row group, so the fleet's true
     // unmanaged footprint is ~2x block — measured: a quarter

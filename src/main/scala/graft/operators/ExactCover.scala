@@ -283,7 +283,12 @@ object ExactCover {
                        depth: Int): DataFrame = {
     import spark.implicits._
     val prefixes = spec.build().split(depth).map(_.mkString(","))
-    require(prefixes.nonEmpty, s"no prefixes at depth=$depth")
+    // an empty prefix set means every branch died before reaching
+    // `depth` — the model is unsatisfiable (e.g. a sudoku with
+    // contradictory clues). Zero solutions is a valid outcome:
+    // return the empty (prefix, solution) frame, same schema.
+    if (prefixes.isEmpty)
+      return spark.emptyDataset[(String, String)].toDF("prefix", "solution")
     val slices = math.min(prefixes.size,
       spark.sparkContext.defaultParallelism * 4)
     spark.createDataset(prefixes)

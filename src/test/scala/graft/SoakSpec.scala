@@ -79,10 +79,14 @@ class SoakSpec extends SparkSpec {
       s"expected 1 exchange for the 3-stage chain, got $exchanges:\n" +
         plan.take(1500))
   }
-  test("wideRowBlockBytes: heap-proportional, clamped to [16 MB, 128 MB]") {
+  test("wideRowBlockBytes: heap-proportional, clamped to [8 MB, 128 MB]") {
     val b = Soak.wideRowBlockBytes(spark)
     assert(b >= (8L << 20) && b <= (128L << 20))
-    // on this JVM: an eighth of per-slot heap unless a clamp binds
+    // local mode: an eighth of per-slot heap of THIS JVM (the one
+    // running writer tasks) unless a clamp binds; non-local sizing
+    // (executor memory conf / executor cores) is formula-only here —
+    // a test JVM can't host a cluster executor
+    assert(spark.sparkContext.isLocal)
     val perSlot = Runtime.getRuntime.maxMemory() /
       math.max(1, spark.sparkContext.defaultParallelism)
     assert(b == math.min(128L << 20, math.max(8L << 20, perSlot / 8)))

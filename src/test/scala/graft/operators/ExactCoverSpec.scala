@@ -160,6 +160,20 @@ class ExactCoverSpec extends SparkSpec {
     assert(out.head == base.map(_.mkString(" ")).mkString("\n"))
   }
 
+  test("unsatisfiable model: distributedSolve returns an empty frame, " +
+       "not an error") {
+    // two identical clues in one row -> the row-value column for 5
+    // is double-claimed and a cell column starves: every branch dies
+    // before the split depth. Zero solutions is a valid outcome.
+    val clues = IndexedSeq.tabulate(9, 9)((r, c) =>
+      if (r == 0 && (c == 0 || c == 1)) 5 else 0)
+    val spec = SudokuSpec(clues, 3, 3)
+    assert(spec.build().solve(_ => ()) == 0L)
+    val df = ExactCover.distributedSolve(spark, spec, depth = 3)
+    assert(df.columns.toSeq == Seq("prefix", "solution"))
+    assert(df.count() == 0L)
+  }
+
   test("q_sudoku witness row is the constant oracle") {
     val row = Search.sudokuValidated(spark, Search.sudokuFixture9,
       boxW = 3, boxH = 3, depth = 2).collect().head

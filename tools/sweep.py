@@ -51,7 +51,12 @@ def run_bench(sf_dir, names, timeout=7200):
     for line in p.stdout.splitlines():
         m = re.search(r'(\{"metric".*\})', line)
         if m:
-            metric = json.loads(m.group(1))
+            # greedy match can grab trailing non-JSON on log-polluted
+            # lines; a parse failure must not kill the whole chunk
+            try:
+                metric = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                pass
     return metric, (metric or {}).get("queries", {}), fails, time.time() - t0
 
 
