@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 object Profile {
   def main(args: Array[String]): Unit = {
     // flags are not paths: `Profile --scale10` must hit the default
-    // sfDir, not read "--scale10/documents.parquet"
-    val sfDir = args.filterNot(_.startsWith("--")).headOption
-      .getOrElse("/root/testdata/sf0.1")
+    // sfDir, not read "--scale10/documents.parquet" — and neither are
+    // flag OPERANDS: `--pentomino 5`'s depth must not become sfDir
+    val sfDir = args
+      .filterNot(a => a.startsWith("--") || a.forall(_.isDigit))
+      .headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt, appName = "graft-profile")
