@@ -52,8 +52,23 @@ object Graft {
       .getOrElse(builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // state-pressure advisory on by default (one stderr line per
+    // offending query run, before the heap provider's deferred OOM
+    // lands — see streaming.StateAdvisor); SPARK_GRAFT_STATE_ADVISOR=0
+    // disables, or set a byte budget to override heap/4. Wired once
+    // per session: getOrCreate hands the same session back to every
+    // caller in the JVM, and stacked listeners would duplicate lines.
+    if (advisorWired.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      sys.env.getOrElse("SPARK_GRAFT_STATE_ADVISOR", "1") match {
+        case "0" | "" =>
+        case "1" => streaming.StateAdvisor.attach(spark): Unit
+        case bytes => streaming.StateAdvisor.attach(spark, bytes.toLong): Unit
+      }
     spark
   }
+
+  private val advisorWired = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Table names present in every /root/testdata/sf* directory. */
   val tableNames: Seq[String] = Seq(
