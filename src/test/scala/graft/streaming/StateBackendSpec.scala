@@ -25,11 +25,28 @@ class StateBackendSpec extends SparkSpec {
 
   test("withProvider scopes the conf and restores the previous value") {
     val prev = spark.conf.getOption(StateBackend.ProviderConf)
+    val prevLog = spark.conf.getOption(StateBackend.ChangelogConf)
     StateBackend.withProvider(spark, "rocksdb") {
       assert(spark.conf.get(StateBackend.ProviderConf) ==
         StateBackend.RocksDB)
+      // rocksdb implies changelog checkpointing (deltas, not
+      // per-batch SST snapshot uploads)
+      assert(spark.conf.get(StateBackend.ChangelogConf) == "true")
     }
     assert(spark.conf.getOption(StateBackend.ProviderConf) == prev)
+    assert(spark.conf.getOption(StateBackend.ChangelogConf) == prevLog)
+    // heap selection leaves the changelog conf alone
+    StateBackend.withProvider(spark, "heap") {
+      assert(spark.conf.getOption(StateBackend.ChangelogConf) == prevLog)
+    }
+    // an explicit caller setting wins over the implied default
+    StateBackend.withProvider(spark, "rocksdb") {
+      spark.conf.set(StateBackend.ChangelogConf, "false")
+      StateBackend.withProvider(spark, "rocksdb") {
+        assert(spark.conf.get(StateBackend.ChangelogConf) == "false")
+      }
+      spark.conf.unset(StateBackend.ChangelogConf)
+    }
   }
 
   test("graded q_stream_dedup returns identical rows on heap and " +
