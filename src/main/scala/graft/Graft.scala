@@ -49,12 +49,18 @@ object Graft {
     val spark = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
       .map { p =>
         val cls = streaming.StateBackend.providerClass(p)
+        // rocksdb: keep compaction logging out of the crash-prone
+        // JNI logger callback (see StateBackend.quietNativeLogger)
+        if (cls == streaming.StateBackend.RocksDB)
+          streaming.StateBackend.quietNativeLogger()
         val b = builder.config(streaming.StateBackend.ProviderConf, cls)
         // rocksdb implies changelog checkpointing (deltas, not
         // per-batch SST snapshots — see StateBackend.ChangelogConf)
-        // unless explicitly overridden via -D system property
+        // unless the deployment already decides it — via -D system
+        // property OR spark-defaults.conf (an explicit `... false`
+        // there must win, not be silently overridden)
         if (cls == streaming.StateBackend.RocksDB &&
-            sys.props.get(streaming.StateBackend.ChangelogConf).isEmpty)
+            !changelogConfiguredExternally)
           b.config(streaming.StateBackend.ChangelogConf, "true")
         else b
       }
@@ -71,13 +77,44 @@ object Graft {
       sys.env.getOrElse("SPARK_GRAFT_STATE_ADVISOR", "1") match {
         case "0" | "" =>
         case "1" => streaming.StateAdvisor.attach(spark): Unit
-        case bytes => streaming.StateAdvisor.attach(spark, bytes.toLong): Unit
+        case bytes => bytes.trim.toLongOption.filter(_ > 0) match {
+          case Some(b) => streaming.StateAdvisor.attach(spark, b): Unit
+          case None => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_STATE_ADVISOR='$bytes' is not a valid value: " +
+              "expected 0 (off), 1 (on, heap/4 budget), or a positive " +
+              "byte budget")
+        }
       }
     spark
   }
 
   private val advisorWired = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** True when the deployment already states a changelog-checkpointing
+    * choice the implied rocksdb default must yield to: a -D system
+    * property, or a spark-defaults.conf entry under SPARK_CONF_DIR /
+    * SPARK_HOME/conf (the file spark-submit feeds into the effective
+    * SparkConf; in embedded local mode nothing loads it into
+    * sys.props, so it is read here directly).
+    */
+  private[graft] def changelogConfiguredExternally: Boolean = {
+    val key = streaming.StateBackend.ChangelogConf
+    sys.props.contains(key) || {
+      sys.env.get("SPARK_CONF_DIR")
+        .orElse(sys.env.get("SPARK_HOME").map(_ + "/conf"))
+        .map(d => new java.io.File(d, "spark-defaults.conf"))
+        .filter(_.isFile)
+        .exists { f =>
+          // spark-defaults.conf is `key<ws>value` lines — the format
+          // java.util.Properties parses (whitespace separator legal)
+          val props = new java.util.Properties()
+          val in = new java.io.FileInputStream(f)
+          try props.load(in) finally in.close()
+          props.containsKey(key)
+        }
+    }
+  }
 
   /** Table names present in every /root/testdata/sf* directory. */
   val tableNames: Seq[String] = Seq(

@@ -7,10 +7,14 @@ object Profile {
   def main(args: Array[String]): Unit = {
     // flags are not paths: `Profile --scale10` must hit the default
     // sfDir, not read "--scale10/documents.parquet" — and neither are
-    // flag OPERANDS: `--pentomino 5`'s depth must not become sfDir
-    val sfDir = args
-      .filterNot(a => a.startsWith("--") || a.forall(_.isDigit))
-      .headOption.getOrElse("/root/testdata/sf0.1")
+    // flag OPERANDS: `--pentomino 5`'s depth must not become sfDir.
+    // Only the operand right after a value-taking flag is dropped, so
+    // a purely numeric sfDir (a relative dir named "10") still works.
+    val valueFlags = Set("--zipf", "--pentomino")
+    val sfDir = args.zipWithIndex.collect {
+      case (a, i) if !a.startsWith("--") &&
+        !(i > 0 && valueFlags.contains(args(i - 1))) => a
+    }.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt, appName = "graft-profile")

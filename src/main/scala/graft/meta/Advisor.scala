@@ -492,10 +492,24 @@ object Advisor {
     // in some buffer) — and flag the worst node past the budget.
     // Aggregators that declare no bound (Spark's own DataSketches
     // aggs, third-party) are skipped: can't price, shouldn't guess.
+    // input-row estimate: the NEAREST descendant that reports
+    // numOutputRows (descending through AQE/stage/exchange wrappers
+    // that don't) — i.e. the rows actually FLOWING INTO the
+    // aggregate. A subtree max would let a big scan below a reducing
+    // filter/join inflate the estimate into false positives.
+    def nearestRows(n: SparkPlan): Long = metric(n, "numOutputRows")
+      .getOrElse {
+        val kids = n match {
+          case aq: AdaptiveSparkPlanExec => Seq(aq.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => n.children
+        }
+        kids.map(nearestRows).sum
+      }
     val objAggEst = nodes.collect { case a: ObjectHashAggregateExec =>
       val groups = metric(a, "numOutputRows").getOrElse(0L)
-      val inRows = (flatten(a) diff Seq(a))
-        .flatMap(metric(_, "numOutputRows")).maxOption.getOrElse(0L)
+      val inRows = a.children.map(nearestRows).sum
       val fns = a.aggregateExpressions.map(_.aggregateFunction)
       val bounded = fns.collect {
         case sa: ScalaAggregator[_, _, _] => sa.agg match {

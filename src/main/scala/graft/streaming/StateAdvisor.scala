@@ -42,9 +42,10 @@ object StateAdvisor {
     def prescription: String =
       s"streaming state holds $stateBytes bytes on the heap (budget " +
         s"$budgetBytes): switch the query to the RocksDB state backend " +
-        "(SPARK_GRAFT_STATE_PROVIDER=rocksdb / StateBackend.withProvider) " +
-        "so residency is disk-bounded, or tighten the watermark TTL so " +
-        "less state is live"
+        "(SPARK_GRAFT_STATE_PROVIDER=rocksdb / StateBackend.withProvider " +
+        "— both also quiet RocksDB's crash-prone JNI log callback, see " +
+        "StateBackend.quietNativeLogger) so residency is disk-bounded, " +
+        "or tighten the watermark TTL so less state is live"
   }
 
   final class Listener(budgetBytes: Long, onFinding: Finding => Unit)

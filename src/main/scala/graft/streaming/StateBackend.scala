@@ -56,6 +56,32 @@ object StateBackend {
   val RocksDB =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Keep RocksDB's native info logging out of the JNI callback.
+    *
+    * Spark installs a Java-side `org.rocksdb.Logger` into every
+    * RocksDB instance it opens (RocksDB.scala `createLogger`), with
+    * the native threshold derived from the slf4j level of Spark's
+    * `RocksDB` class — under the engine's root WARN level that is
+    * WARN_LEVEL, so background-compaction warnings cross the
+    * C++→JNI→Java bridge (`rocksdb::LoggerJniCallback::Logv`). That
+    * callback can race DB close: three JVMs SIGSEGV'd in round 14
+    * with the identical problematic frame `LoggerJniCallback::
+    * Logv+0x76` on `BGWorkCompaction` threads — a compaction log
+    * call landing while the query's store (and its Java logger) was
+    * tearing down. Raising the log4j level of that one class to
+    * ERROR makes Spark derive ERROR_LEVEL for the native threshold,
+    * so compaction INFO/WARN chatter is filtered NATIVELY, before
+    * the JNI bridge — the racy path is simply never taken in a
+    * healthy run (a genuine ERROR would still cross, and should).
+    * Applied automatically whenever the rocksdb dial selects the
+    * provider; idempotent; costs nothing (the logs it silences are
+    * LSM internals, not engine diagnostics).
+    */
+  def quietNativeLogger(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Resolve a dial name to a provider class. Accepts a fully
     * qualified class name verbatim (a custom provider is legal
     * Spark), else fails loud — a typo'd backend silently falling
@@ -83,6 +109,7 @@ object StateBackend {
     spark.conf.set(ProviderConf, resolved)
     if (resolved == RocksDB && prevLog.isEmpty)
       spark.conf.set(ChangelogConf, "true")
+    if (resolved == RocksDB) quietNativeLogger()
     try body finally {
       prev match {
         case Some(v) => spark.conf.set(ProviderConf, v)

@@ -58,14 +58,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * unbounded per-trigger shuffle/sink mass (measured at sf10: the
   * unbudgeted form filled a 77 GB disk). Batch measures BEFORE it
   * runs; a stream cannot (the corpus arrives forever), so it
-  * degrades AS it runs: each (band, bucket) group examines at most
-  * `maxPairsPerTrigger` candidate pairs per micro-batch, then stops
-  * evaluating for that bucket-trigger and counts the remainder into
-  * two observable drop metrics (named accumulators, visible in the
-  * Spark UI and via [[emissionMetrics]]):
-  * `graft.<site>.dropped_candidates` (pairs skipped unexamined) and
-  * `graft.<site>.exhausted_bucket_triggers` (bucket-triggers that
-  * hit the budget). A dropped candidate is dropped FOREVER — append
+  * degrades AS it runs: each (band, bucket) group RERANKS at most
+  * `maxPairsPerTrigger` candidate pairs per micro-batch. The budget
+  * is charged only for candidates the group OWNS (first shared band
+  * == this band — the pairs it alone may emit); candidates owned by
+  * another band cost the cheap signature walk and are never charged,
+  * so the budget prices exactly the expensive Jaccard rerank and a
+  * flood of non-emittable co-bucketed docs cannot crowd out the
+  * group's own emittable pairs. Past the budget the group stops
+  * reranking for that bucket-trigger and counts each OWNED remainder
+  * into two observable drop metrics (named accumulators, visible in
+  * the Spark UI and via [[emissionMetrics]]):
+  * `graft.<site>.dropped_candidates` (owned pairs skipped
+  * unexamined) and `graft.<site>.exhausted_bucket_triggers`
+  * (bucket-triggers that hit the budget). At the default budget
+  * (2¹⁶) the output is exact unless a single band's bucket owes more
+  * than 65536 true reranks in ONE micro-batch — a saturation level
+  * where re-banding, not a bigger budget, is the fix (SCALE.md's
+  * r=1 banding lesson). A dropped candidate is dropped FOREVER — append
   * mode emits once or never, and the first-shared-band rule means no
   * other band's group re-examines it — so a non-zero drop metric
   * signals recall loss on a saturated feed, the same trade
@@ -214,20 +224,27 @@ object StreamNearDup {
               if (d.et.getTime > maxEt) maxEt = d.et.getTime
               if (!seen.contains(d.docId) && seen.size < maxBucket) {
                 cur.foreach { e =>
-                  // emission budget: past it, stop EVALUATING for
-                  // this bucket-trigger (the Jaccard rerank is the
-                  // cost) and count the skip; state below still grows
-                  if (budget > 0) {
-                    budget -= 1
-                    if (firstSharedBand(d.sig, e.sig, bands, rows) == key._1) {
+                  // the budget prices the EXPENSIVE step — the exact
+                  // Jaccard rerank over the shingle sets — so it is
+                  // charged only for candidates this group OWNS
+                  // (first shared band == this band). Candidates
+                  // owned by another band cost only the O(numHashes)
+                  // signature walk and are never charged nor counted:
+                  // they were never this group's to emit, so they
+                  // cannot crowd out emittable pairs. Past the
+                  // budget, owned candidates are skipped unexamined
+                  // and counted; state below still grows.
+                  if (firstSharedBand(d.sig, e.sig, bands, rows) == key._1) {
+                    if (budget > 0) {
+                      budget -= 1
                       val inter = intersectCount(d.sh, e.sh)
                       val j = round4(inter.toDouble /
                         (d.sh.length + e.sh.length - inter))
                       if (j >= threshold)
                         out += Pair(math.min(d.docId, e.docId),
                           math.max(d.docId, e.docId), j)
-                    }
-                  } else droppedHere += 1
+                    } else droppedHere += 1
+                  }
                 }
                 cur = BucketDoc(d.docId, d.sig, d.sh) :: cur
                 seen += d.docId

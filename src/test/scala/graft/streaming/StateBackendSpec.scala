@@ -49,6 +49,23 @@ class StateBackendSpec extends SparkSpec {
     }
   }
 
+  test("selecting rocksdb routes native logging away from the JNI " +
+       "callback (class logger pinned to ERROR)") {
+    // the round-14 SIGSEGVs all share the frame LoggerJniCallback::
+    // Logv on BGWorkCompaction threads: Spark derives the NATIVE log
+    // threshold from this class's slf4j level, so ERROR here means
+    // compaction WARN/INFO chatter is filtered in C++, before the
+    // crash-prone JNI bridge
+    StateBackend.withProvider(spark, "rocksdb") { () }
+    val lvl = org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB").getLevel
+    assert(lvl == org.apache.logging.log4j.Level.ERROR, lvl.toString)
+    val slf = org.slf4j.LoggerFactory.getLogger(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB")
+    assert(!slf.isWarnEnabled && !slf.isInfoEnabled,
+      "WARN/INFO must be disabled so createLogger derives ERROR_LEVEL")
+  }
+
   test("graded q_stream_dedup returns identical rows on heap and " +
       "RocksDB state stores") {
     def run(provider: String) = StateBackend.withProvider(spark, provider) {

@@ -78,22 +78,25 @@ class StreamNearDupSpec extends SparkSpec {
   }
 
   test("maxPairsPerTrigger budgets emission per bucket-trigger: " +
-       "excess candidates drop and the metrics count them") {
-    // four identical docs in ONE batch: each band's bucket examines
-    // 1+2+3 = 6 candidate pairs; budget 2 keeps the first two (docId
-    // order, newest state first), drops 4 per group. Only band 0
-    // emits (first-shared-band rule), so the drop is permanent —
-    // exactly the documented degrade.
+       "excess OWNED candidates drop and the metrics count them") {
+    // four identical docs in ONE batch: every band's bucket sees
+    // 1+2+3 = 6 candidate pairs, but only band 0 OWNS them (first-
+    // shared-band rule) and only owners charge the budget. Budget 2
+    // reranks the first two owned pairs (docId order, newest state
+    // first) and drops the remaining 4 — in band 0's group alone;
+    // the other 15 groups pay only the signature walk, charge
+    // nothing, and never exhaust. The drop is permanent — exactly
+    // the documented degrade.
     val four = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"),
       (3L, "aa bb cc dd"), (4L, "aa bb cc dd"))
     val got = runStream(Seq(four), maxPairsPerTrigger = 2,
       site = "snd_budget")
     assert(got.toSet == Set((1L, 2L, 1.0), (2L, 3L, 1.0)), got.toString)
     val m = StreamNearDup.emissionMetrics("snd_budget").get
-    // all 16 (band, bucket) groups of identical docs spend the same
-    // budget: 4 drops x 16 groups, one exhausted trigger each
-    assert(m.droppedCandidates.value == 64L, m.droppedCandidates.value)
-    assert(m.exhaustedBucketTriggers.value == 16L,
+    // owned-only charging: 4 drops in the one owning group — NOT
+    // 4 x 16 groups (non-owners no longer debit the budget)
+    assert(m.droppedCandidates.value == 4L, m.droppedCandidates.value)
+    assert(m.exhaustedBucketTriggers.value == 1L,
       m.exhaustedBucketTriggers.value)
     // state still grew past the budget: a NEW batch pairs doc 5
     // against all four held docs (budget resets per trigger)
