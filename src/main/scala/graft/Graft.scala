@@ -18,8 +18,9 @@ object Graft {
     */
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               shufflePartitions: Int = 32,
-              appName: String = "graft"): SparkSession = {
-    val builder = SparkSession.builder()
+              appName: String = "graft",
+              extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val builder0 = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -42,6 +43,11 @@ object Graft {
       // same ns-long contract in `table` below
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // caller confs last so a probe can pin context-creation-time
+    // settings the dials don't cover (scheduler mode, pool files)
+    val builder = extraConfs.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }
     // streaming state backend selectable per run: heap (Spark's
     // default) or rocksdb (the disk-backed scale path for
     // within-watermark key cardinalities past executor heap) — see

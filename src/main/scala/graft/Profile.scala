@@ -46,6 +46,58 @@ object Profile {
       return
     }
 
+    // --semdedup: phase ledger for the graded q_semdedup shape —
+    // where does the wall go at scale: the IVF index build (Lloyd
+    // rounds + final assignment), the within-cluster exact pair
+    // graph (the published recipe's deliberate nlist x (n/nlist)^2
+    // quadratic), or the transitive closure? Prints the exact
+    // candidate-pair bound (sum C(cluster,2)) alongside, candstats
+    // style, so the quadratic's price is a measured number.
+    if (args.contains("--semdedup")) {
+      import graft.functions.{Dedup, Ivf, Similarity}
+      val base = Graft.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("cv"))
+      val corpus = base.unionByName(base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"), col("cv")))
+      val nlist = math.max(8L, 2L * base.count() / 8192L).toInt
+      var indexed: org.apache.spark.sql.DataFrame = null
+      time(s"phase1 ivf_index nlist=$nlist") {
+        indexed = Ivf.index(corpus, col("vec_id"), col("cv"),
+          nlist, 2)._1.localCheckpoint()
+        indexed.count()
+      }
+      val bound = indexed.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2).cast("long"))
+        .head.getLong(0)
+      println(s"""[semdedup] {"candidate_pair_bound":$bound,"nlist":$nlist}""")
+      var pairs: org.apache.spark.sql.DataFrame = null
+      time("phase2 within_cluster_pairs") {
+        val a = indexed.select(col("cluster"), col("vec_id").as("id_a"),
+          col("v").as("va"))
+        val b = indexed.select(col("cluster"), col("vec_id").as("id_b"),
+          col("v").as("vb"))
+        pairs = a.join(b, Seq("cluster"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", round(Similarity.cosine(col("va"),
+            col("vb")), 4))
+          .filter(col("cos") >= 0.98)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        pairs.count()
+      }
+      time("phase3 closure_and_keep") {
+        val drops = Dedup.connectedComponents(pairs)
+          .filter(col("doc_id") =!= col("class_rep"))
+          .select(col("doc_id").as("vec_id"))
+        indexed.select(col("vec_id"))
+          .join(drops, Seq("vec_id"), "left_anti").count()
+      }
+      spark.stop()
+      return
+    }
+
     // --guard: incremental cost of the maxCandidates pre-flight
     // (pin + bound aggregation) vs the unguarded lazy path, per pair
     // operator, warm, alternating

@@ -468,6 +468,15 @@ object Soak {
     // lanes never collide on paths)
     def submit(lane: String)(body: => Seq[(String, FamilyResult)]): Unit =
       pool.execute { () =>
+        // lane → scheduler pool (effective only when the session was
+        // created with spark.scheduler.mode=FAIR; a no-op under the
+        // FIFO default): api_sort is the saturating bulk lane — the
+        // reference's "large job" — and every other family shares
+        // the weighted short pool, so none of them can be starved
+        // behind api_sort's long task queue (the contrib
+        // fair-scheduler guarantee, as Spark configuration)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          if (lane == "api") "bulk" else "short")
         try body.foreach(results.add)
         catch { case t: Throwable => failures.add(t) }
       }
@@ -507,14 +516,121 @@ object Soak {
     results.asScala.toSeq.sortBy(_._1)
   }
 
+  /** Two weighted scheduler pools — the Spark-configuration form of
+    * the reference's contrib schedulers (fairscheduler's per-pool
+    * weights/minShare; capacity-scheduler's guaranteed capacity):
+    * `short` (weight 4, minShare 2 cores — interactive/small
+    * families are guaranteed a slice the moment a core frees) and
+    * `bulk` (weight 1 — the saturating job soaks whatever is left).
+    */
+  private[graft] val fairPoolsXml: String =
+    """<?xml version="1.0"?>
+      |<allocations>
+      |  <pool name="short">
+      |    <schedulingMode>FIFO</schedulingMode>
+      |    <weight>4</weight>
+      |    <minShare>2</minShare>
+      |  </pool>
+      |  <pool name="bulk">
+      |    <schedulingMode>FIFO</schedulingMode>
+      |    <weight>1</weight>
+      |    <minShare>0</minShare>
+      |  </pool>
+      |</allocations>
+      |""".stripMargin
+
+  /** Write [[fairPoolsXml]] to a temp file and return the confs that
+    * turn a session into a FAIR-scheduled one (context-creation-time
+    * settings — pass to [[Graft.session]]'s `extraConfs`).
+    */
+  def fairSchedulerConfs(): Map[String, String] = {
+    val f = java.nio.file.Files.createTempFile("graft-fair-pools", ".xml")
+    java.nio.file.Files.writeString(f, fairPoolsXml)
+    f.toFile.deleteOnExit()
+    Map("spark.scheduler.mode" -> "FAIR",
+      "spark.scheduler.allocation.file" -> f.toString)
+  }
+
+  /** Scheduler-starvation probe: a bulk job saturates every core
+    * with `bulkTasks` spin tasks of `taskMs` each (submitted from a
+    * thread in the `bulk` pool), then — once the queue is full — a
+    * tiny job is submitted in the `short` pool and its LATENCY is
+    * measured. Under FIFO the short job's tasks sit behind the bulk
+    * job's entire remaining queue (the pathology the reference's
+    * contrib fair/capacity schedulers exist to fix:
+    * src/contrib/fairscheduler/.../FairScheduler.java:44); under
+    * FAIR + [[fairPoolsXml]] the short pool is offered cores as each
+    * bulk task finishes, so latency is O(taskMs), not O(queue).
+    * Returns (short-job latency s, bulk wall s). The session decides
+    * the mode — run once on a FIFO session and once on a FAIR one.
+    */
+  def schedulerProbe(spark: SparkSession, bulkTasks: Int = 256,
+                     taskMs: Long = 150L): (Double, Double) = {
+    val sc = spark.sparkContext
+    // warm both code paths so neither leg pays first-job setup
+    sc.parallelize(1 to 4, 4).map(identity).count(): Unit
+    def spin(n: Int): Int = {
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < taskMs * 1000000L) {}
+      n
+    }
+    val bulkWall = new java.util.concurrent.atomic.AtomicLong()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val bulk = new Thread(() => {
+      try {
+        sc.setLocalProperty("spark.scheduler.pool", "bulk")
+        val t0 = System.nanoTime()
+        sc.parallelize(1 to bulkTasks, bulkTasks).map(spin).count(): Unit
+        bulkWall.set(System.nanoTime() - t0)
+      } catch { case t: Throwable => failure.set(t) }
+    }, "graft-sched-bulk")
+    bulk.start()
+    // let the bulk stage occupy the cores and build its queue
+    Thread.sleep(1000)
+    sc.setLocalProperty("spark.scheduler.pool", "short")
+    val t0 = System.nanoTime()
+    val n = sc.parallelize(1 to 4, 4).count()
+    val shortLat = (System.nanoTime() - t0) / 1e9
+    require(n == 4, s"short probe job returned $n rows")
+    bulk.join()
+    Option(failure.get()).foreach(throw _)
+    (shortLat, bulkWall.get() / 1e9)
+  }
+
   /** Env dials: `SPARK_GRAFT_SOAK_FIX_ROWS` / `_VAR_ROWS` /
     * `_TEXT_ROWS` (family input sizes), `SPARK_GRAFT_SOAK_DIR`
     * (work dir), `SPARK_GRAFT_CPUS`, `SPARK_GRAFT_SOAK_CONCURRENT`
     * (non-empty = simultaneous-submission mode). Prints one JSON
     * line: total wall, per-family seconds/rows/heap.
     */
+  /** `--scheduler`: run [[schedulerProbe]] on a FIFO session, then on
+    * a FAIR session with [[fairPoolsXml]], and print both short-job
+    * latencies — the FIFO-starves-short / FAIR-bounds-short evidence
+    * pair. Task count scales with cores so the bulk queue outlives
+    * the probe's 1 s head start at any local[N].
+    */
+  private def schedulerMain(cpus: Int): Unit = {
+    val bulkTasks = cpus * 24
+    def leg(label: String, confs: Map[String, String]): (Double, Double) = {
+      val s = Graft.session(master = s"local[$cpus]",
+        shufflePartitions = cpus, appName = s"graft-sched-$label",
+        extraConfs = confs)
+      try schedulerProbe(s, bulkTasks = bulkTasks) finally s.stop()
+    }
+    val (fifoShort, fifoBulk) = leg("fifo", Map.empty)
+    val (fairShort, fairBulk) = leg("fair", fairSchedulerConfs())
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    println(s"""{"probe":"scheduler","cpus":$cpus,""" +
+      s""""bulk_tasks":$bulkTasks,""" +
+      s""""fifo_short_latency_s":${fmt(fifoShort)},""" +
+      s""""fair_short_latency_s":${fmt(fairShort)},""" +
+      s""""fifo_bulk_s":${fmt(fifoBulk)},"fair_bulk_s":${fmt(fairBulk)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    if (args.contains("--scheduler")) { schedulerMain(cpus); return }
     val fixRows = sys.env.getOrElse("SPARK_GRAFT_SOAK_FIX_ROWS",
       "2000000").toLong
     val varRows = sys.env.getOrElse("SPARK_GRAFT_SOAK_VAR_ROWS",
@@ -531,8 +647,13 @@ object Soak {
       }
       rm(dir)
     }
+    // SPARK_GRAFT_SOAK_FAIR: run the concurrent soak under the FAIR
+    // scheduler with the two weighted pools (api_sort -> bulk,
+    // everything else -> short) instead of the FIFO default
+    val fair = sys.env.get("SPARK_GRAFT_SOAK_FAIR").exists(_.nonEmpty)
     val spark = Graft.session(master = s"local[$cpus]",
-      shufflePartitions = cpus, appName = "graft-soak")
+      shufflePartitions = cpus, appName = "graft-soak",
+      extraConfs = if (fair) fairSchedulerConfs() else Map.empty)
     val concurrent = sys.env.get("SPARK_GRAFT_SOAK_CONCURRENT")
       .exists(_.nonEmpty)
     val reclaim = sys.env.get("SPARK_GRAFT_SOAK_RECLAIM")
@@ -554,7 +675,8 @@ object Soak {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"soak_total","value":${fmt(total)},""" +
       s""""unit":"sec","mode":"${if (concurrent) "concurrent"
-        else "sequential"}","families":$fams,"fix_rows":$fixRows,""" +
+        else "sequential"}","scheduler":"${if (fair) "fair"
+        else "fifo"}","families":$fams,"fix_rows":$fixRows,""" +
       s""""var_rows":$varRows,"text_rows":$textRows}""")
     spark.stop()
   }

@@ -32,14 +32,30 @@ object Ivf {
 
   /** Assign each vector to its nearest centroid (max cosine, ties →
     * higher cluster id — deterministic).
+    *
+    * Shuffle-free: the centroids are already a driver-side Seq
+    * between Lloyd rounds, so they fold into ONE constant array
+    * column and the per-vector argmax is a plain projection —
+    * `array_max` over (cos, cluster) structs, lexicographic struct
+    * order giving exactly the old `max(struct(cos, cluster))`
+    * tie-break. The previous form (crossJoin(broadcast) +
+    * groupBy(vec_id)) materialized k rows PER VECTOR through the
+    * join and re-shuffled the whole corpus (vector payload included)
+    * once per assignment pass just to reduce them back — measured at
+    * sf10 (1M × 64-d corpus, k=122, three passes inside semDedup's
+    * index build) that shuffle was most of q_semdedup's 130.8 s.
     */
-  private def assign(c: DataFrame, cents: DataFrame): DataFrame =
-    c.crossJoin(broadcast(cents))
-      .withColumn("cos", Similarity.cosine(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("v")).as("v"),
-        max(struct(col("cos"), col("cluster"))).getField("cluster").as("cluster"))
+  private def assign(c: DataFrame,
+                     centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centArr = array(centroids.map { case (cid, cv) =>
+      struct(lit(cid).as("cluster"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    c.withColumn("cluster",
+      array_max(transform(centArr, ct =>
+          struct(Similarity.cosine(col("v"), ct.getField("cv")).as("cos"),
+            ct.getField("cluster").as("cluster"))))
+        .getField("cluster"))
+  }
 
   /** Build the IVF index: returns the corpus tagged with `cluster`
     * plus the centroid table. `k` centroids, `iters` Lloyd rounds.
@@ -60,10 +76,9 @@ object Ivf {
     require(cents.size == k,
       s"index: corpus has only ${cents.size} vectors for k=$k clusters " +
         "— callers size nprobe against k; shrink k instead")
-    var centsDf = centroidDf(c, cents)
     (1 to iters).foreach { _ =>
       // element-wise mean per cluster: one exchange on (cluster, pos)
-      val updated = assign(c, centsDf)
+      val updated = assign(c, cents)
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -80,9 +95,8 @@ object Ivf {
         (r.getInt(0), r.getSeq[Double](1))).toMap
       cents = cents.map { case (cid, old) =>
         (cid, newCents.getOrElse(cid, old)) }
-      centsDf = centroidDf(c, cents)
     }
-    (assign(c, centsDf), centsDf)
+    (assign(c, cents), centroidDf(c, cents))
   }
 
   /** Persist the indexed corpus partitioned by `cluster` — the

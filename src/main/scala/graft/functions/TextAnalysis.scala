@@ -596,14 +596,24 @@ object TextAnalysis {
     * slice-zip (no self-join on position); counts are two hash aggs
     * (bigram, unigram) joined back by key; the grand total is a
     * one-row broadcast. Skewed stopword bigrams are just large count
-    * rows — no group ever buffers instances.
+    * rows — no group ever buffers instances. The output carries no
+    * term text — only counts — so every token is hashed to its
+    * 8-byte xxhash64 AT TOKENIZATION (the q_dup_spans /
+    * sourceOverlap digest idiom): the two corpus-sized count
+    * shuffles and the three count joins key on fixed-width longs
+    * instead of variable-length strings (measured at sf10: the
+    * text-keyed form shuffled the corpus's token text twice at
+    * 153 s). A vocabulary-level xxhash64 collision would merge two
+    * terms' counts — P ≈ V²/2⁶⁵, the same exposure the minhash
+    * family documents and pins at zero on the graded corpora.
     */
   def bigramLogProb(df: DataFrame, id: Column, text: Column,
                     lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0,
       s"lambda must be in (0, 1), got $lambda — 1 drops unseen-bigram " +
         "smoothing (ln 0), 0 degenerates to the unigram model")
-    val toked = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))
+    val toked = df.select(id.as("doc_id"),
+      transform(bpeishTokens(text), t => xxhash64(t)).as("tk"))
     // unigram counts + total from EVERY tokenizable doc (corpus
     // stats), instances only from docs long enough to have bigrams.
     // The term-count table is PINNED (localCheckpoint — vocabulary-

@@ -65,6 +65,48 @@ class SoakSpec extends SparkSpec {
       s"algebra ${chain.length} rows vs files ${files.length}")
   }
 
+  test("FAIR pools bound short-job latency while a bulk job " +
+      "saturates; FIFO parks it behind the queue (forked probe)") {
+    // spark.scheduler.mode is fixed at context creation, so the
+    // probe runs in its own JVM (FIFO session, then FAIR session
+    // with the two weighted pools) — the evidence behind COVERAGE's
+    // claim that the reference's contrib fair/capacity schedulers
+    // are subsumed by Spark scheduler configuration
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.contains("add-opens") || a.contains("ALL-UNNAMED"))
+      .toSeq
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx2g", "-cp",
+      sys.props("java.class.path"), "graft.Soak", "--scheduler")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_GRAFT_CPUS", "8")
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "scheduler probe did not finish in 300 s")
+    assert(p.exitValue() == 0, s"probe exited ${p.exitValue()}: $out")
+    val line = out.linesIterator
+      .find(_.contains("\"probe\":\"scheduler\""))
+      .getOrElse(fail(s"no probe line in: $out"))
+    def num(k: String): Double =
+      (s""""$k":([0-9.]+)""").r.findFirstMatchIn(line)
+        .getOrElse(fail(s"$k missing in $line")).group(1).toDouble
+    val fifo = num("fifo_short_latency_s")
+    val fair = num("fair_short_latency_s")
+    // FIFO: the 4-task short job waits behind the bulk job's whole
+    // remaining queue (seconds). FAIR: the short pool (weight 4,
+    // minShare 2) is offered cores at task granularity (sub-second).
+    // The ratio is the load-robust assertion; the absolute bound is
+    // a sanity ceiling.
+    assert(fair * 2 < fifo, s"fair=$fair fifo=$fifo — FAIR did not " +
+      "bound the short job's latency")
+    assert(fair < 3.0, s"fair short latency $fair s")
+  }
+
   test("threeStage chains through ONE exchange: stages 2 and 3 reuse " +
       "stage 1's hash partitioning on k") {
     val kv = sources.Generate.randomKv(spark, rows = 2000,
