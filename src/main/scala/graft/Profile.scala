@@ -46,6 +46,26 @@ object Profile {
       return
     }
 
+    // --bigram: phase ledger for the graded q_bigram_lm shape —
+    // where does the wall go on a saturated corpus: the tokenize +
+    // hash + unigram count pass, the doc-local bigram frequency
+    // reduction (the one corpus-sized shuffle left after the
+    // xxhash64 key change), or the count joins + per-doc micro sum?
+    if (args.contains("--bigram")) {
+      import graft.functions.TextAnalysis
+      val d = docs.select(col("doc_id"), col("text"))
+      time("phase0 tokenize_only") {
+        d.select(transform(TextAnalysis.bpeishTokens(col("text")),
+            t => xxhash64(t)).as("tk"))
+          .select(sum(size(col("tk"))).cast("long")).head.getLong(0)
+      }
+      time("full bigramLogProb") {
+        TextAnalysis.bigramLogProb(d, col("doc_id"), col("text")).count()
+      }
+      spark.stop()
+      return
+    }
+
     // --semdedup: phase ledger for the graded q_semdedup shape —
     // where does the wall go at scale: the IVF index build (Lloyd
     // rounds + final assignment), the within-cluster exact pair
@@ -80,8 +100,9 @@ object Profile {
           col("v").as("vb"))
         pairs = a.join(b, Seq("cluster"))
           .filter(col("id_a") < col("id_b"))
-          .withColumn("cos", round(Similarity.cosine(col("va"),
-            col("vb")), 4))
+          .withColumn("__cos", Similarity.cosine(col("va"), col("vb")))
+          .filter(col("__cos") >= 0.98 - 1e-4)
+          .withColumn("cos", round(col("__cos"), 4))
           .filter(col("cos") >= 0.98)
           .select(col("id_a"), col("id_b"))
           .localCheckpoint()

