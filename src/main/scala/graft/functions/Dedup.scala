@@ -1063,6 +1063,10 @@ object Dedup {
     // wants a nonempty set); span semantics want ZERO spans there —
     // gate on token count so short/null docs contribute no rows to
     // the gram index and fall out of the left join below as 0/0/0.0
+    // PINNED like sourceOverlap's gram table: (doc_id, gh, cnt) is
+    // three fixed-width columns, and it feeds two consumers (the df
+    // rollup and the join's tf side) that would each re-run the
+    // tokenize + shingle + explode corpus pass
     val grams = spread(df, id)
       .select(id.as("doc_id"),
         explode(when(TextAnalysis.tokenCount(text) >= n,
@@ -1070,6 +1074,7 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as("g"))
       .groupBy(col("doc_id"), xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // document frequency per gram: group count over the per-doc rows
     // (one row per doc per gram) IS the distinct-doc count
     val dfreq = grams.groupBy("gh")
@@ -1116,6 +1121,15 @@ object Dedup {
     */
   def sourceOverlap(df: DataFrame, source: Column, text: Column,
                     n: Int = 5): DataFrame = {
+    // PINNED: the pass that produces the distinct (source,
+    // gram-hash) table — tokenize + shingle + explode + hash +
+    // distinct over the whole corpus — feeds THREE consumers
+    // (per-source totals and both self-join aliases); unpinned, each
+    // re-ran it. Same-session sf10 A/B: 73.1 → 65.8 s — a real but
+    // modest cut, because on the saturated corpus the operator's
+    // dominant cost is the self-join's per-gram pair mass (~190
+    // source-pairs per shared gram), which is the documented
+    // |sources|²-bounded output, not the input pass
     val sg = df
       .select(source.as("src"),
         explode(when(TextAnalysis.tokenCount(text) >= n,
@@ -1123,6 +1137,7 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as("g"))
       .select(col("src"), xxhash64(col("g")).as("gh"))
       .distinct()
+      .localCheckpoint()
     val perSource = sg.groupBy(col("src")).agg(count(lit(1)).as("c"))
     // self-join: rename the hash on one side so the equi-key is
     // unambiguous (a("gh") === b("gh") on a common lineage resolves
