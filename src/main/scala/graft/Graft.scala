@@ -62,12 +62,15 @@ object Graft {
         val b = builder.config(streaming.StateBackend.ProviderConf, cls)
         // rocksdb implies changelog checkpointing (deltas, not
         // per-batch SST snapshots — see StateBackend.ChangelogConf)
-        // unless the deployment already decides it — via -D system
-        // property OR spark-defaults.conf (an explicit `... false`
-        // there must win, not be silently overridden)
-        if (cls == streaming.StateBackend.RocksDB &&
-            !changelogConfiguredExternally)
-          b.config(streaming.StateBackend.ChangelogConf, "true")
+        // unless the deployment or the caller already decides it;
+        // a spark-defaults.conf value is APPLIED (not just detected),
+        // because embedded local mode never loads that file itself
+        if (cls == streaming.StateBackend.RocksDB)
+          changelogDecision(extraConfs) match {
+            case Some(v) =>
+              b.config(streaming.StateBackend.ChangelogConf, v)
+            case None => b
+          }
         else b
       }
       .getOrElse(builder)
@@ -97,30 +100,41 @@ object Graft {
   private val advisorWired = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** True when the deployment already states a changelog-checkpointing
-    * choice the implied rocksdb default must yield to: a -D system
-    * property, or a spark-defaults.conf entry under SPARK_CONF_DIR /
-    * SPARK_HOME/conf (the file spark-submit feeds into the effective
-    * SparkConf; in embedded local mode nothing loads it into
-    * sys.props, so it is read here directly).
+  /** The changelog-checkpointing value the rocksdb branch applies to
+    * the builder, or None when an external decision already reaches
+    * Spark on its own: the caller's extraConfs (folded into the
+    * builder before this runs — a probe pinning "false" must win) or
+    * a -D system property (SparkConf loads every spark.* sys prop
+    * itself). A spark-defaults.conf entry under SPARK_CONF_DIR /
+    * SPARK_HOME/conf is different: spark-submit would feed it into
+    * the effective conf, but embedded local mode never loads that
+    * file, so its explicit value is read and returned here to be
+    * applied — respected, not merely detected. With no external
+    * decision anywhere, rocksdb implies "true".
     */
-  private[graft] def changelogConfiguredExternally: Boolean = {
+  private[graft] def changelogDecision(
+      extraConfs: Map[String, String],
+      confDir: Option[String] = sys.env.get("SPARK_CONF_DIR")
+        .orElse(sys.env.get("SPARK_HOME").map(_ + "/conf")))
+      : Option[String] = {
     val key = streaming.StateBackend.ChangelogConf
-    sys.props.contains(key) || {
-      sys.env.get("SPARK_CONF_DIR")
-        .orElse(sys.env.get("SPARK_HOME").map(_ + "/conf"))
-        .map(d => new java.io.File(d, "spark-defaults.conf"))
-        .filter(_.isFile)
-        .exists { f =>
-          // spark-defaults.conf is `key<ws>value` lines — the format
-          // java.util.Properties parses (whitespace separator legal)
-          val props = new java.util.Properties()
-          val in = new java.io.FileInputStream(f)
-          try props.load(in) finally in.close()
-          props.containsKey(key)
-        }
-    }
+    if (extraConfs.contains(key) || sys.props.contains(key)) None
+    else Some(changelogFromDefaultsFile(confDir, key).getOrElse("true"))
   }
+
+  private def changelogFromDefaultsFile(
+      confDir: Option[String], key: String): Option[String] =
+    confDir
+      .map(d => new java.io.File(d, "spark-defaults.conf"))
+      .filter(_.isFile)
+      .flatMap { f =>
+        // spark-defaults.conf is `key<ws>value` lines — the format
+        // java.util.Properties parses (whitespace separator legal)
+        val props = new java.util.Properties()
+        val in = new java.io.FileInputStream(f)
+        try props.load(in) finally in.close()
+        Option(props.getProperty(key)).map(_.trim).filter(_.nonEmpty)
+      }
 
   /** Table names present in every /root/testdata/sf* directory. */
   val tableNames: Seq[String] = Seq(

@@ -84,10 +84,17 @@ class SoakSpec extends SparkSpec {
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_CPUS", "8")
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    // stdout goes to a file, NOT a pipe read before waitFor: reading
+    // the pipe blocks until process exit, which would let a hung probe
+    // hang the whole suite past the 300 s timeout below
+    val outFile = java.nio.file.Files.createTempFile("sched-probe", ".out")
+    pb.redirectOutput(ProcessBuilder.Redirect.to(outFile.toFile))
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes())
-    assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
-      "scheduler probe did not finish in 300 s")
+    val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly().waitFor()
+    val out = new String(java.nio.file.Files.readAllBytes(outFile))
+    java.nio.file.Files.deleteIfExists(outFile)
+    assert(finished, "scheduler probe did not finish in 300 s")
     assert(p.exitValue() == 0, s"probe exited ${p.exitValue()}: $out")
     val line = out.linesIterator
       .find(_.contains("\"probe\":\"scheduler\""))

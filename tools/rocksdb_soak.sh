@@ -20,7 +20,9 @@ for i in $(seq 1 "$RUNS"); do
     SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_PASSES=1 \
     SPARK_GRAFT_BENCH_ONLY=$FAMILY \
     java -cp "$CP" $JOPTS graft.Bench 2>/dev/null | grep '"metric"'
-  rc=$?
+  # PIPESTATUS[0] = java's exit status; plain $? would be grep's, which
+  # masks a JVM that printed metric lines and then died non-zero
+  rc=${PIPESTATUS[0]}
   now=$(crashes)
   if [ "$rc" -ne 0 ] || [ "$now" -gt "$BASE" ]; then
     echo "FAIL run $i: rc=$rc hs_err_delta=$((now-BASE))"; exit 1
@@ -31,7 +33,7 @@ SPARK_GRAFT_STATE_PROVIDER=rocksdb SPARK_GRAFT_SS_KEYS=10000000 \
   SPARK_GRAFT_CPUS=32 \
   java -cp "$CP" $JOPTS graft.Profile --statestore --rocksdb 2>/dev/null \
   | grep statestore
-rc=$?
+rc=${PIPESTATUS[0]}
 now=$(crashes)
 if [ "$rc" -ne 0 ] || [ "$now" -gt "$BASE" ]; then
   echo "FAIL statestore: rc=$rc hs_err_delta=$((now-BASE))"; exit 1
