@@ -11,9 +11,12 @@ object Profile {
     // Only the operand right after a value-taking flag is dropped, so
     // a purely numeric sfDir (a relative dir named "10") still works.
     val valueFlags = Set("--zipf", "--pentomino")
+    // --streamphases takes an OPTIONAL q_-prefixed query list; a
+    // non-q_ operand after it (e.g. the sf dir) is not its operand
     val sfDir = args.zipWithIndex.collect {
       case (a, i) if !a.startsWith("--") &&
-        !(i > 0 && valueFlags.contains(args(i - 1))) => a
+        !(i > 0 && (valueFlags.contains(args(i - 1)) ||
+          (args(i - 1) == "--streamphases" && a.startsWith("q_")))) => a
     }.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session(master = s"local[$cpus]",
@@ -42,6 +45,101 @@ object Profile {
       println(s"""[streamneardup] {"dropped_candidates":""" +
         s"""${m.droppedCandidates.value},"exhausted_bucket_triggers":""" +
         s"""${m.exhaustedBucketTriggers.value}}""")
+      spark.stop()
+      return
+    }
+
+    // --streamphases [q1,q2,...]: phase ledger for the streaming
+    // replays (the Profile --bigram pattern applied to streaming) —
+    // where does a replay's wall go: source addBatch work, state-store
+    // update/commit, or checkpoint/WAL fsyncs? Durations come from the
+    // engine's own StreamingQueryProgress events (a listener sums them
+    // across micro-batches); for q_stream_neardup the in-operator
+    // accumulators additionally split addBatch's stateful work into
+    // the O(numHashes) signature walks vs the exact-Jaccard reranks
+    // (-Dgraft.stream.ledger=true is set here so the graded shape
+    // builds with ledger=true). Defaults to the three slowest sf10
+    // sweep entries.
+    if (args.contains("--streamphases")) {
+      val qs = args.dropWhile(_ != "--streamphases").drop(1).headOption
+        .filter(_.startsWith("q_")).map(_.split(",").toSeq)
+        .getOrElse(Seq("q_stream_neardup",
+          "q_stream_replication_recovery", "q_stream_sessions"))
+      sys.props("graft.stream.ledger") = "true"
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import scala.jdk.CollectionConverters._
+      val durations =
+        new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val stateMs =
+        new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val batches = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          batches.incrementAndGet()
+          e.progress.durationMs.asScala.foreach { case (k, v) =>
+            durations.merge(k, v.longValue(), (a, b) => a + b): Unit
+          }
+          e.progress.stateOperators.foreach { so =>
+            stateMs.merge("state_update_ms", so.allUpdatesTimeMs, _ + _)
+            stateMs.merge("state_removal_ms", so.allRemovalsTimeMs, _ + _)
+            stateMs.merge("state_commit_ms", so.commitTimeMs, _ + _)
+            stateMs.put("state_rows_final", so.numRowsTotal): Unit
+          }
+        }
+      }
+      spark.streams.addListener(listener)
+      for (q <- qs) {
+        durations.clear(); stateMs.clear(); batches.set(0L)
+        time(q)(SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.toRdd.count())
+        // progress events ride the async listener bus; drain briefly
+        Thread.sleep(2000)
+        val opSplit =
+          if (q == "q_stream_neardup")
+            graft.streaming.StreamNearDup.emissionMetrics().map { m =>
+              f""","sig_walk_s":${m.sigWalkNanos.value / 1e9}%.1f""" +
+                f""","rerank_s":${m.rerankNanos.value / 1e9}%.1f""" +
+                s""","dropped_candidates":${m.droppedCandidates.value}"""
+            }.getOrElse("")
+          else ""
+        val dur = durations.asScala.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s""""${k}_ms":$v""" }.mkString(",")
+        val st = stateMs.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        println(s"""[streamphases] {"query":"$q","batches":${batches.get}""" +
+          (if (dur.nonEmpty) s",$dur" else "") +
+          (if (st.nonEmpty) s",$st" else "") + opSplit + "}")
+      }
+      spark.stop()
+      return
+    }
+
+    // --tokens: does the whitespace tokens() HOF chain (split +
+    // filter) cost enough per corpus pass to justify a native twin of
+    // BpeishTokens? Compares the two full-corpus passes head-to-head
+    // plus the hottest whitespace consumer (qualityMetrics).
+    if (args.contains("--tokens")) {
+      import graft.functions.TextAnalysis
+      for (_ <- 1 to 2) {
+        time("whitespace tokens() pass") {
+          docs.select(sum(size(TextAnalysis.tokens(col("text"))))
+            .cast("long")).head.getLong(0)
+        }
+        time("bpeish native pass") {
+          docs.select(sum(size(TextAnalysis.bpeishTokens(col("text"))))
+            .cast("long")).head.getLong(0)
+        }
+        time("qualityMetrics pass") {
+          docs.select(col("doc_id"),
+            TextAnalysis.qualityMetrics(col("text")).as("q"))
+            .queryExecution.toRdd.count()
+        }
+      }
       spark.stop()
       return
     }

@@ -2244,9 +2244,14 @@ object SparkEntry {
     // stream pair-set equality is the operator's contract
     "q_stream_neardup" -> ((s, dir) => { withShufflePartitions(s, streamStatePartitions) {
         val batch = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // -Dgraft.stream.ledger=true (Profile --streamphases) turns on
+        // the in-operator phase accumulators (signature-walk vs rerank
+        // nanos) on the EXACT graded shape; off, the hot loop carries
+        // no timing calls
         val pairs = streaming.StreamNearDup.pairs(
           replayStream(s, batch), col("doc_id"), col("text"),
-          shingleN = 3, numHashes = 16, bands = 16, threshold = 0.5)
+          shingleN = 3, numHashes = 16, bands = 16, threshold = 0.5,
+          ledger = java.lang.Boolean.getBoolean("graft.stream.ledger"))
         val q = pairs.writeStream.outputMode("append").format("memory")
           .queryName("q_stream_neardup_sink").start()
         try q.processAllAvailable() finally q.stop()

@@ -611,13 +611,61 @@ object TextAnalysis {
     * text-keyed form shuffled the corpus's token text twice at
     * 153 s). A vocabulary-level xxhash64 collision would merge two
     * terms' counts — P ≈ V²/2⁶⁵, the same exposure the minhash
-    * family documents and pins at zero on the graded corpora.
+    * family documents — so both scorers run the collision SENTINEL
+    * at vocabulary-build time by default ([[hashedVocabCollisions]]
+    * must be zero, else they throw): the exposure is observable, not
+    * just documented. TF-IDF needs no sentinel — its output carries
+    * term TEXT, so its keys are never hashed.
     */
+  /** Number of xxhash64 buckets holding MORE than one distinct token
+    * of the corpus — the collision sentinel of the hashed-key LM
+    * scorers. Zero means every hashed count key maps back to exactly
+    * one term, so the scorers' counts are provably unmerged on THIS
+    * corpus (the minhash family pins the same invariant on its
+    * shingle hashes). One corpus tokenize pass plus a vocabulary-
+    * sized distinct aggregate (map-side partial distinct keeps the
+    * shuffle at per-partition-vocabulary mass, never corpus mass).
+    */
+  def hashedVocabCollisions(df: DataFrame, text: Column): Long =
+    hashedVocabCollisions(df, text, t => xxhash64(t))
+
+  // hash injectable so the spec can prove the DETECTION path with a
+  // deliberately weak hash — two strings with equal xxhash64 are not
+  // constructible on demand
+  private[graft] def hashedVocabCollisions(
+      df: DataFrame, text: Column, hash: Column => Column): Long =
+    df.select(explode(bpeishTokens(text)).as("__t"))
+      .groupBy(hash(col("__t")).as("__h"))
+      .agg(countDistinct(col("__t")).as("__n"))
+      .filter(col("__n") > 1)
+      .count()
+
+  /** Fails loud at vocabulary-build time when the 8-byte hashed keys
+    * would merge distinct terms' counts: P ≈ V²/2⁶⁵ is negligible at
+    * graded vocabularies but reaches ~3% for a billion-term corpus —
+    * without a sentinel nothing would DETECT the merge and every
+    * score would silently shift.
+    */
+  private[graft] def requireCollisionFreeVocab(
+      op: String, df: DataFrame, text: Column, sentinel: Boolean,
+      hash: Column => Column = t => xxhash64(t)): Unit =
+    if (sentinel) {
+      val c = hashedVocabCollisions(df, text, hash)
+      if (c > 0) throw new IllegalStateException(
+        s"$op: $c xxhash64 vocabulary collision(s) detected — distinct " +
+          "tokens sharing an 8-byte hashed count key would merge their " +
+          "counts and silently corrupt every score. Re-key the scorer " +
+          "on term text for this corpus, or pass sentinel = false for " +
+          "a deliberate run that accepts merged-count scores.")
+    }
+
   def bigramLogProb(df: DataFrame, id: Column, text: Column,
-                    lambda: Double = 0.7): DataFrame = {
+                    lambda: Double = 0.7,
+                    sentinel: Boolean = true): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0,
       s"lambda must be in (0, 1), got $lambda — 1 drops unseen-bigram " +
         "smoothing (ln 0), 0 degenerates to the unigram model")
+    requireCollisionFreeVocab("bigramLogProb", df, text, sentinel)
     // the tokenize (regex split + per-token hash) is the plan's
     // single most expensive projection (measured 20.5 s/pass on the
     // 500k-doc sf10 corpus) — PIN its output so it runs exactly once
@@ -679,7 +727,9 @@ object TextAnalysis {
           lit(1e4)).as("avg_logprob"))
   }
 
-  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def unigramLogProb(df: DataFrame, id: Column, text: Column,
+                     sentinel: Boolean = true): DataFrame = {
+    requireCollisionFreeVocab("unigramLogProb", df, text, sentinel)
     // same two levers as [[bigramLogProb]] (measured there at sf10):
     // tokens hash to xxhash64 at tokenization — the output carries
     // only counts, so every shuffle/join keys on 8-byte longs — and

@@ -171,7 +171,15 @@ object StreamNearDup {
     */
   final case class EmissionMetrics(
       droppedCandidates: org.apache.spark.util.LongAccumulator,
-      exhaustedBucketTriggers: org.apache.spark.util.LongAccumulator)
+      exhaustedBucketTriggers: org.apache.spark.util.LongAccumulator,
+      // phase-ledger nanos, populated only when the operator is built
+      // with ledger=true (Profile --streamphases): time inside the
+      // O(numHashes) first-shared-band signature walks vs time inside
+      // the exact-Jaccard reranks — the two in-operator phases the
+      // progress-derived ledger (addBatch / state commit / checkpoint)
+      // cannot separate
+      sigWalkNanos: org.apache.spark.util.LongAccumulator,
+      rerankNanos: org.apache.spark.util.LongAccumulator)
 
   private val metricsReg =
     new java.util.concurrent.ConcurrentHashMap[String, EmissionMetrics]()
@@ -192,12 +200,14 @@ object StreamNearDup {
   private def pairsImpl(in: Dataset[Banded], numHashes: Int, bands: Int,
                         threshold: Double, maxBucket: Int,
                         ttlMs: Option[Long], maxPairsPerTrigger: Int,
-                        site: String): Dataset[Pair] = {
+                        site: String, ledger: Boolean): Dataset[Pair] = {
     val rows = numHashes / bands
     val sc = in.sparkSession.sparkContext
     val metrics = EmissionMetrics(
       sc.longAccumulator(s"graft.$site.dropped_candidates"),
-      sc.longAccumulator(s"graft.$site.exhausted_bucket_triggers"))
+      sc.longAccumulator(s"graft.$site.exhausted_bucket_triggers"),
+      sc.longAccumulator(s"graft.$site.sig_walk_nanos"),
+      sc.longAccumulator(s"graft.$site.rerank_nanos"))
     metricsReg.put(site, metrics)
     implicit val outEnc = Encoders.product[Pair]
     implicit val keyEnc = Encoders.product[(Int, Long)]
@@ -217,6 +227,10 @@ object StreamNearDup {
             var maxEt = Long.MinValue
             var budget = maxPairsPerTrigger
             var droppedHere = 0L
+            // ledger=false keeps the hot loop free of nanoTime calls
+            // (two per candidate would cost ~1 s per 20M candidates)
+            var sigNs = 0L
+            var rerankNs = 0L
             // docId order makes within-batch pairing arrival-order
             // independent; re-delivered ids (same doc replayed) are
             // already-seen and skipped like the batch DISTINCT
@@ -234,12 +248,18 @@ object StreamNearDup {
                   // cannot crowd out emittable pairs. Past the
                   // budget, owned candidates are skipped unexamined
                   // and counted; state below still grows.
-                  if (firstSharedBand(d.sig, e.sig, bands, rows) == key._1) {
+                  val tw = if (ledger) System.nanoTime() else 0L
+                  val owned =
+                    firstSharedBand(d.sig, e.sig, bands, rows) == key._1
+                  if (ledger) sigNs += System.nanoTime() - tw
+                  if (owned) {
                     if (budget > 0) {
                       budget -= 1
+                      val tr = if (ledger) System.nanoTime() else 0L
                       val inter = intersectCount(d.sh, e.sh)
                       val j = round4(inter.toDouble /
                         (d.sh.length + e.sh.length - inter))
+                      if (ledger) rerankNs += System.nanoTime() - tr
                       if (j >= threshold)
                         out += Pair(math.min(d.docId, e.docId),
                           math.max(d.docId, e.docId), j)
@@ -253,6 +273,10 @@ object StreamNearDup {
             if (droppedHere > 0) {
               metrics.droppedCandidates.add(droppedHere)
               metrics.exhaustedBucketTriggers.add(1L)
+            }
+            if (ledger) {
+              if (sigNs > 0) metrics.sigWalkNanos.add(sigNs)
+              if (rerankNs > 0) metrics.rerankNanos.add(rerankNs)
             }
             state.update(BucketState(cur.reverse))
             ttlMs.foreach(t => state.setTimeoutTimestamp(math.max(
@@ -270,13 +294,14 @@ object StreamNearDup {
             shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
             threshold: Double = 0.7, maxBucket: Int = 4096,
             maxPairsPerTrigger: Int = 1 << 16,
-            site: String = "stream_neardup"): Dataset[Pair] = {
+            site: String = "stream_neardup",
+            ledger: Boolean = false): Dataset[Pair] = {
     checkParams(numHashes, bands, maxBucket, maxPairsPerTrigger)
     pairsImpl(
       banded(docs, id, text, timestamp_millis(lit(0L)), shingleN,
         numHashes, bands),
       numHashes, bands, threshold, maxBucket, ttlMs = None,
-      maxPairsPerTrigger, site)
+      maxPairsPerTrigger, site, ledger)
   }
 
   /** Watermark-bounded form: near-dup pairs among documents within
@@ -293,7 +318,8 @@ object StreamNearDup {
                            bands: Int = 8, threshold: Double = 0.7,
                            maxBucket: Int = 4096,
                            maxPairsPerTrigger: Int = 1 << 16,
-                           site: String = "stream_neardup"): Dataset[Pair] = {
+                           site: String = "stream_neardup",
+                           ledger: Boolean = false): Dataset[Pair] = {
     checkParams(numHashes, bands, maxBucket, maxPairsPerTrigger)
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     val withEt = docs.withColumn("__et", timestamp_millis(tsCol))
@@ -301,6 +327,6 @@ object StreamNearDup {
     pairsImpl(
       banded(withEt, id, text, col("__et"), shingleN, numHashes, bands),
       numHashes, bands, threshold, maxBucket, ttlMs = Some(ttlMs),
-      maxPairsPerTrigger, site)
+      maxPairsPerTrigger, site, ledger)
   }
 }

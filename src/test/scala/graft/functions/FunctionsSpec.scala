@@ -30,6 +30,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(100L) < 0 && !got(100L).isNegInfinity)
   }
 
+  test("collision sentinel: zero under xxhash64 on the fixture corpus " +
+      "(scorers run), detects and fails loud under a colliding hash") {
+    val docs = graft.Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    // the real key function is provably collision-free on this corpus
+    assert(TextAnalysis.hashedVocabCollisions(docs, $"text") == 0L)
+    // the detection path, proven with a deliberately weak hash (a
+    // genuine xxhash64 collision is not constructible on demand):
+    // token length collides e.g. "cat"/"sat"
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    assert(TextAnalysis.hashedVocabCollisions(df, $"text",
+      t => length(t).cast("long")) > 0L)
+    // the guard throws with the remediation named (via the same weak
+    // hash — the scorers wire it with xxhash64 by default)
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.requireCollisionFreeVocab("unigramLogProb", df,
+        $"text", sentinel = true, hash = t => length(t).cast("long"))
+    }
+    assert(e.getMessage.contains("collision") &&
+      e.getMessage.contains("sentinel = false"), e.getMessage)
+    // on by default: a zero-collision corpus runs; sentinel=false
+    // skips the extra pass and also runs
+    assert(TextAnalysis.unigramLogProb(df, $"doc_id", $"text").count() == 1)
+    assert(TextAnalysis.unigramLogProb(df, $"doc_id", $"text",
+      sentinel = false).count() == 1)
+  }
+
   test("stripHtml drops script/style/comments/tags and decodes entities") {
     val html = """<html><head><style>body{x:1}</style>
       |<script>if (a<b && c>d) alert("hi");</script></head>

@@ -19,14 +19,16 @@ class StreamNearDupSpec extends SparkSpec {
                         threshold: Double = 0.5,
                         maxBucket: Int = 4096,
                         maxPairsPerTrigger: Int = 1 << 16,
-                        site: String = "stream_neardup"): Seq[(Long, Long, Double)] = {
+                        site: String = "stream_neardup",
+                        ledger: Boolean = false): Seq[(Long, Long, Double)] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val pairs = StreamNearDup.pairs(input.toDF().toDF("doc_id", "text"),
       col("doc_id"), col("text"), shingleN = 3, numHashes = 16,
       bands = 16, threshold = threshold, maxBucket = maxBucket,
-      maxPairsPerTrigger = maxPairsPerTrigger, site = site)
+      maxPairsPerTrigger = maxPairsPerTrigger, site = site,
+      ledger = ledger)
     val name = s"snd_sink_${System.nanoTime()}"
     val q = pairs.writeStream.outputMode("append").format("memory")
       .queryName(name).start()
@@ -110,6 +112,24 @@ class StreamNearDupSpec extends SparkSpec {
     val ma = StreamNearDup.emissionMetrics("snd_ample").get
     assert(ma.droppedCandidates.value == 0L)
     assert(ma.exhaustedBucketTriggers.value == 0L)
+  }
+
+  test("ledger=true populates the phase accumulators (sig walk on " +
+      "every candidate, rerank only on owned ones); off they stay 0") {
+    val four = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"),
+      (3L, "aa bb cc dd"), (4L, "aa bb cc dd"))
+    runStream(Seq(four), site = "snd_ledger", ledger = true)
+    val m = StreamNearDup.emissionMetrics("snd_ledger").get
+    // 16 bands x 6 candidate walks, 6 owned reranks: both timed
+    assert(m.sigWalkNanos.value > 0L, m.sigWalkNanos.value)
+    assert(m.rerankNanos.value > 0L, m.rerankNanos.value)
+    runStream(Seq(four), site = "snd_noledger")
+    val off = StreamNearDup.emissionMetrics("snd_noledger").get
+    assert(off.sigWalkNanos.value == 0L && off.rerankNanos.value == 0L,
+      "hot loop must carry no timing when ledger is off")
+    // identical output either way
+    assert(runStream(Seq(four), site = "snd_l2", ledger = true).toSet ==
+      batchPairs(four))
   }
 
   test("watermark form pairs within ttl and evicts idle buckets") {
