@@ -139,6 +139,17 @@ object Profile {
             TextAnalysis.qualityMetrics(col("text")).as("q"))
             .queryExecution.toRdd.count()
         }
+        // qualityMetrics component attribution
+        time("punct regexp_replace pass") {
+          docs.select(sum(length(regexp_replace(col("text"),
+            "[^!-/:-@\\[-`{-~]", ""))).cast("long")).head.getLong(0)
+        }
+        time("stopword HOF-isin pass") {
+          docs.select(sum(size(filter(
+            TextAnalysis.bpeishTokens(col("text")),
+            t => t.isin(TextAnalysis.stopwords("en"): _*))))
+            .cast("long")).head.getLong(0)
+        }
       }
       spark.stop()
       return

@@ -16,7 +16,12 @@ object TextAnalysis {
     * non-alphanumerics; both stay inside codegen).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    // native one-pass twin of filter(split(text, "\\s+"), len > 0) —
+    // exact for every input (Java \s is six ASCII bytes; see
+    // graft.plans.WhitespaceTokens); the regex chain measured
+    // 6.7-7.4 s/corpus pass at sf10 and fronts shingles, quality,
+    // chunking and winnowing
+    graft.plans.WhitespaceTokens(text)
 
   def bpeishTokens(text: Column): Column =
     // native one-pass tokenizer (graft.plans.BpeishTokens): identical
@@ -53,7 +58,12 @@ object TextAnalysis {
     // is disabled there and the fold rewrite was a real 4.7× win.
     val nToks = size(toks)
     val nChars = length(text)
-    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    // native one-pass twin of length(regexp_replace(text,
+    // "[^!-/:-@\\[-`{-~]", "")) — exact for every input (ASCII-range
+    // byte count; see graft.plans.PunctCount); the regexp form built
+    // a replaced string per row and measured 14.9 s of the 22 s
+    // qualityMetrics corpus pass at sf10
+    val punct = graft.plans.PunctCount(text)
     val stopSet = stopwords("en")
     // stopwords match NORMALIZED tokens (lowercased, punctuation
     // stripped — same stream langId scores): raw whitespace tokens
