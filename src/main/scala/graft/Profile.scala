@@ -49,6 +49,43 @@ object Profile {
       return
     }
 
+    // --streamneardup8: the STREAMING form of the minhash guard's
+    // re-banding prescription at corpus scale — the graded replay
+    // harness (8 unordered parquet micro-batches, memory sink) but at
+    // the production r=2 operating point (bands = numHashes/2 = 8),
+    // where buckets key on PAIRS of min values and stay sparse on a
+    // boilerplate-saturated corpus. Prints the wall + drop ledger next
+    // to the r=1 graded point's, so the re-band's candidate cut and
+    // honest recall trade are measured for the stream, not just batch.
+    if (args.contains("--streamneardup8")) {
+      val batch = docs.select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-snd8").toString
+      batch.repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+      try {
+        val src = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        val pairs = graft.streaming.StreamNearDup.pairs(src,
+          col("doc_id"), col("text"), shingleN = 3, numHashes = 16,
+          bands = 8, threshold = 0.5, site = "snd8")
+        time("stream neardup r=2 replay") {
+          val q = pairs.writeStream.outputMode("append").format("memory")
+            .queryName("snd8_sink").start()
+          try q.processAllAvailable() finally q.stop()
+          spark.table("snd8_sink").count()
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val m = graft.streaming.StreamNearDup.emissionMetrics("snd8").get
+      println(s"""[streamneardup8] {"dropped_candidates":""" +
+        s"""${m.droppedCandidates.value},"exhausted_bucket_triggers":""" +
+        s"""${m.exhaustedBucketTriggers.value}}""")
+      spark.stop()
+      return
+    }
+
     // --streamphases [q1,q2,...]: phase ledger for the streaming
     // replays (the Profile --bigram pattern applied to streaming) —
     // where does a replay's wall go: source addBatch work, state-store
