@@ -72,7 +72,10 @@ object TextAnalysis {
     // "too few stopwords" quality threshold would misfire. The
     // denominator stays the whitespace token count (a document-length
     // metric, like chars_per_token).
-    val nStop = size(filter(bpeishTokens(text), t => t.isin(stopSet: _*)))
+    // native one-pass twin of size(filter(bpeishTokens(text),
+    // isin(stopSet))) — same token stream, hash-set membership (the
+    // HOF form measured 4-5 s/corpus pass at sf10)
+    val nStop = get(graft.plans.StopwordCounts(text, Seq(stopSet)), lit(0))
     struct(
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
@@ -99,21 +102,29 @@ object TextAnalysis {
     * re-run the fold per reference.
     */
   def langId(text: Column, langs: Seq[String] = Seq("en", "de", "es", "fr")): Column = {
-    val counts = aggregate(bpeishTokens(text),
-      struct(langs.map(l => lit(0L).as(l)): _*),
-      (acc, t) => struct(langs.map(l =>
-        (acc.getField(l) + when(t.isin(stopwords(l): _*), 1L)
-          .otherwise(0L)).as(l)): _*))
+    // native one-pass twin of the interpreted fold
+    // aggregate(bpeishTokens(text), zeros, acc + isin(...)) — same
+    // token stream (BpeishTokens.tokenize), same integers, hash-set
+    // membership instead of langs x |stopwords| comparisons per token
+    // (the fold measured 18.6 s/corpus pass at sf10; see
+    // graft.plans.StopwordCounts)
+    val hits = graft.plans.StopwordCounts(text, langs.map(stopwords))
     // argmax by (score, lang desc): array_max on structs compares
     // fields in order. Zero evidence (number-only / punctuation-only
     // docs: every score 0) is all-tied — null, not a confident argmax
     // of nothing. Null text is guarded OUTSIDE (CaseWhen evaluates
-    // lazily, so the fold never runs on null docs — and array_max
+    // lazily, so the count never runs on null docs — and array_max
     // would otherwise tie-break purely on the lang string, confidently
     // labeling null docs with the lexicographically-last language).
-    val pick = get(transform(array(counts), c => {
-      val best = array_max(array(langs.map(l =>
-        struct(c.getField(l).as("score"), lit(l).as("lang"))): _*))
+    // `hits` is BOUND ONCE as the transform lambda's variable: the
+    // per-language scores reference the bound array, so the tokenize
+    // runs once per row regardless of how CSE treats the repeated
+    // subtree (measured: the unbound 4x get(hits, i) form re-ran the
+    // count per language — 12.1 vs 5.6 s at sf10).
+    val pick = get(transform(array(hits), h => {
+      val best = array_max(array(langs.zipWithIndex.map {
+        case (l, i) => struct(get(h, lit(i)).as("score"), lit(l).as("lang"))
+      }: _*))
       when(best.getField("score") === 0, lit(null).cast("string"))
         .otherwise(best.getField("lang"))
     }), lit(0))
