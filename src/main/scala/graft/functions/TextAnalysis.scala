@@ -346,18 +346,35 @@ object TextAnalysis {
     * join keeps Catalyst from pruning it when unused.
     */
   private def tokenDupPerDoc(base: DataFrame): DataFrame = {
-    val tokCnt = base
-      .select(col("doc_id"), explode(tokens(col("__text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("l", length(col("tok")).cast("long"))
-    tokCnt.groupBy(col("doc_id")).agg(
-      sum(col("c")).as("n_tokens"),
-      round((sum(col("c")) - count(lit(1))).cast("double") /
-        sum(col("c")), 4).as("dup_token_frac"),
-      round(sum((col("c") - 1) * col("l")).cast("double") /
-        sum(col("c") * col("l")), 4).as("dup_token_char_frac"),
-      sum(col("c") * col("l")).as("__tok_chars"))
+    // every output is a pure per-row function of the token array, so
+    // this is ONE native scan (plans.TokenStats), not the legacy
+    // explode + groupBy(doc, token-text) + groupBy(doc) that shuffled
+    // the corpus twice (q_curation's dominant cost at sf10). The
+    // four field references are unconditional projections of one
+    // deterministic subtree — codegen CSE computes TokenStats once
+    // per row (the qualityMetrics idiom; HOF contexts would defeat
+    // it, see langId's bound-once note). Identities, exact:
+    // dup_token_frac = (Σc - #distinct)/Σc = (n_tokens - n_distinct)
+    // / n_tokens; dup_token_char_frac = Σ(c-1)·l / Σc·l =
+    // (tok_chars - distinct_chars)/tok_chars. The filter runs on the
+    // materialized attribute, after the projection, so it cannot
+    // re-evaluate the scan; zero-token docs drop exactly like rows
+    // that never left the legacy explode.
+    val ts = graft.plans.TokenStats(col("__text"))
+    base.select(col("doc_id"),
+        ts.getField("n_tokens").as("n_tokens"),
+        // greatest(,1) guards ANSI divide-by-zero on the zero-token
+        // rows this projection still sees (the filter below drops
+        // them); for every surviving row the denominators are >= 1,
+        // so the values are untouched
+        round((ts.getField("n_tokens") - ts.getField("n_distinct"))
+          .cast("double") / greatest(ts.getField("n_tokens"), lit(1L)), 4)
+          .as("dup_token_frac"),
+        round((ts.getField("tok_chars") - ts.getField("distinct_chars"))
+          .cast("double") / greatest(ts.getField("tok_chars"), lit(1L)), 4)
+          .as("dup_token_char_frac"),
+        ts.getField("tok_chars").as("__tok_chars"))
+      .filter(col("n_tokens") > 0)
   }
 
   /** Token-duplication stats only (no n-gram pass): the cheap
@@ -398,25 +415,32 @@ object TextAnalysis {
     */
   def repetitionReport(df: DataFrame, id: Column, text: Column,
                        n: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"n must be >= 1, got $n")
+    // one projection over the corpus: every column — the unigram
+    // stats AND the top n-gram — is a per-row function of the text
+    // (plans.TokenStats, plans.TopGram), so the legacy pipeline's
+    // two corpus-text shuffles (explode + groupBy(doc, gram) +
+    // window argmax, then the perDoc⋈top join) are gone entirely.
+    // The gram pick keeps the legacy tie-break (count desc, gram
+    // binary-desc) inside the expression; zero-token docs drop on
+    // the materialized attribute exactly like rows that never left
+    // the legacy explode.
     val base = df.filter(text.isNotNull)
       .select(id.as("doc_id"), text.as("__text"))
-    val perDoc = tokenDupPerDoc(base)
-    val grams = base
-      .select(col("doc_id"),
-        explode(graft.plans.WordShingles(col("__text"), n,
-          distinct = false)).as("ng"))
-      .groupBy(col("doc_id"), col("ng"))
-      .agg(count(lit(1)).as("nc"))
-    val byFreq = Window.partitionBy(col("doc_id"))
-      .orderBy(col("nc").desc, col("ng").desc)
-    val top = grams
-      .withColumn("__rn", row_number().over(byFreq))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("ng").as("top_ngram"),
-        col("nc").as("top_ngram_cnt"))
-    perDoc.join(top, Seq("doc_id"))
+    val ts = graft.plans.TokenStats(col("__text"))
+    val tg = graft.plans.TopGram(col("__text"), n)
+    base.select(col("doc_id"),
+        ts.getField("n_tokens").as("n_tokens"),
+        round((ts.getField("n_tokens") - ts.getField("n_distinct"))
+          .cast("double") / greatest(ts.getField("n_tokens"), lit(1L)), 4)
+          .as("dup_token_frac"),
+        round((ts.getField("tok_chars") - ts.getField("distinct_chars"))
+          .cast("double") / greatest(ts.getField("tok_chars"), lit(1L)), 4)
+          .as("dup_token_char_frac"),
+        ts.getField("tok_chars").as("__tok_chars"),
+        tg.getField("gram").as("top_ngram"),
+        tg.getField("cnt").as("top_ngram_cnt"))
+      .filter(col("n_tokens") > 0)
       .withColumn("top_ngram_frac",
         round(col("top_ngram_cnt") *
           length(translate(col("top_ngram"), " ", "")).cast("double") /

@@ -224,16 +224,25 @@ class PipelinePlanSpec extends SparkSpec {
       s"chunking must stay map-side:\n$plan")
   }
 
-  test("repetitionReport prunes the n-gram arg-max map-side") {
-    val df = (0 until 100).map(i => (i.toLong, s"a b c d$i e"))
-      .toDF("doc_id", "text")
+  test("repetitionReport plans with no exchange and no window: the " +
+      "whole report is a per-row projection") {
+    // round 16 replaced the explode + groupBy(doc, gram) + window
+    // argmax pipeline (whose plan this test used to pin via its
+    // WindowGroupLimit pruning) with native per-row expressions
+    // (TokenStats, TopGram) — the stronger property is that NOTHING
+    // shuffles. A file-backed source keeps constant folding from
+    // collapsing the plan to a LocalTableScan, so the assertion
+    // audits the real scan pipeline.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-repscale").toString
+    (0 until 100).map(i => (i.toLong, s"a b c d$i e"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
     val out = graft.functions.TextAnalysis.repetitionReport(
-      df, $"doc_id", $"text")
+      spark.read.parquet(dir), $"doc_id", $"text")
     val plan = out.queryExecution.executedPlan.toString
-    // partial WindowGroupLimit before the exchange + final after:
-    // only each map task's top candidate rows cross the wire
-    val hits = "WindowGroupLimit".r.findAllIn(plan).length
-    assert(hits >= 2, s"expected partial+final WindowGroupLimit:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"per-doc report must stay map-side:\n$plan")
+    assert(out.count() == 100)
   }
 
   test("quantizedTopK shuffles score triples, not vectors") {
