@@ -200,9 +200,13 @@ object Profile {
     if (args.contains("--bigram")) {
       import graft.functions.TextAnalysis
       val d = docs.select(col("doc_id"), col("text"))
-      time("phase0 tokenize_only") {
+      time("phase0 tokenize_only (legacy transform+xxhash64)") {
         d.select(transform(TextAnalysis.bpeishTokens(col("text")),
             t => xxhash64(t)).as("tk"))
+          .select(sum(size(col("tk"))).cast("long")).head.getLong(0)
+      }
+      time("phase0b tokenize_only (fused HashedBpeishTokens)") {
+        d.select(graft.plans.HashedBpeishTokens(col("text")).as("tk"))
           .select(sum(size(col("tk"))).cast("long")).head.getLong(0)
       }
       time("full bigramLogProb") {

@@ -258,16 +258,31 @@ object Dedup {
     * the min of `xxhash64(seed, shingle)` over the doc's shingles.
     * One row per doc, signature = fixed-width array<long>.
     *
-    * Shape: explode shingles once, then `numHashes` codegen'd `min`
-    * aggregates with map-side partial aggregation — NOT a nested
-    * higher-order expression (interpreted HOFs re-evaluate the
-    * shingle pipeline per seed; the agg form evaluates it once per
-    * row and combines before the shuffle).
+    * Shape: a pure per-row PROJECTION ([[graft.plans.MinhashSig]] over
+    * the native shingle array) — the signature is a function of one
+    * document's shingles, so the former explode + groupBy(doc)
+    * pipeline paid two exchanges per corpus (the skew-spreading
+    * repartition(id) carrying the document text, then the groupBy
+    * hash exchange) for values 8·numHashes bytes wide. Zero shuffle
+    * now; null-signature rows (null text, whose shingles are null and
+    * which the old explode dropped) are filtered to keep the output
+    * row-identical. Raw (duplicated) shingles: min() is
+    * duplicate-insensitive, so distincting first is pure waste.
     */
   def minhashSignature(df: DataFrame, id: Column, text: Column,
-                       shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
-    // raw (duplicated) shingles: min() is duplicate-insensitive, so
-    // the O(n^2) interpreted array_distinct is pure waste here
+                       shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.plans.MinhashSig(shinglesRaw(text, shingleN), numHashes)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The aggregate form of [[minhashSignature]] — the parity witness
+    * the spec checks the projection against. Do NOT use in bulk
+    * paths.
+    */
+  private[functions] def minhashSignatureAgg(df: DataFrame, id: Column,
+                                             text: Column, shingleN: Int,
+                                             numHashes: Int): DataFrame = {
     val inv = spread(df, id)
       .select(id.as("doc_id"), explode(shinglesRaw(text, shingleN)).as("s"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -508,8 +523,7 @@ object Dedup {
                                            shingleN: Int): DataFrame =
     spread(nonBlank, id)
       .select(id.as("doc_id"),
-        sort_array(transform(shingles(text, shingleN),
-          s => xxhash64(s))).as("sh"))
+        graft.plans.SortedXxhash64Array(shingles(text, shingleN)).as("sh"))
       .localCheckpoint()
 
   private def rerankExact(docs: DataFrame, threshold: Double,
@@ -871,8 +885,7 @@ object Dedup {
       .distinct()
     val docs = spread(nonBlank, id)
       .select(id.as("doc_id"),
-        sort_array(transform(shingles(text, shingleN),
-          s => xxhash64(s))).as("sh"))
+        graft.plans.SortedXxhash64Array(shingles(text, shingleN)).as("sh"))
       .localCheckpoint()
     // shuffle-hash-build the docs side for the same reason as
     // [[rerankExact]]: the pair-expanded cands side is what the
@@ -1177,19 +1190,35 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Bulk SimHash: one row per doc. Explode tokens, hash once, then
-    * 64 codegen'd bit-sums with map-side partial aggregation, then
-    * assemble the sign bits. Same result as [[simhash64]], built for
-    * corpus scale (the HOF form re-parses the text per bit).
+  /** Bulk SimHash: one row per doc. A pure per-row PROJECTION
+    * ([[graft.plans.SimhashSig]]): the signature is a function of one
+    * document's token array, so the former explode_outer +
+    * groupBy(doc) + 64 sum-aggregates paid two exchanges per corpus
+    * (the skew-spreading repartition(id) and the groupBy hash
+    * exchange) for an 8-byte value. Same result as [[simhash64]],
+    * built for corpus scale (the HOF form re-parses the text per
+    * bit).
     */
   def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
     simhashSignaturesFromTokens(df, id, TextAnalysis.bpeishTokens(text))
 
   /** Signature computation over a pre-tokenized column (lets callers
     * that already materialized tokens avoid re-tokenizing).
+    * coalesce(.., 0): a null token array (null text) keeps its row
+    * with sig=0, exactly like the old explode_outer's single
+    * null-token row whose 64 bit-sums were all zero.
     */
   def simhashSignaturesFromTokens(df: DataFrame, id: Column,
-                                  tokens: Column): DataFrame = {
+                                  tokens: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      coalesce(graft.plans.SimhashSig(tokens), lit(0L)).as("sig"))
+
+  /** The aggregate form of [[simhashSignaturesFromTokens]] — the
+    * parity witness the spec checks the projection against. Do NOT
+    * use in bulk paths.
+    */
+  private[functions] def simhashSignaturesAgg(df: DataFrame, id: Column,
+                                              tokens: Column): DataFrame = {
     // explode_outer: zero-token docs keep a row (null token) so they
     // still get a signature (sig=0, matching simhash64 on empty)
     val tok = spread(df, id)

@@ -711,13 +711,15 @@ object TextAnalysis {
       s"lambda must be in (0, 1), got $lambda — 1 drops unseen-bigram " +
         "smoothing (ln 0), 0 degenerates to the unigram model")
     requireCollisionFreeVocab("bigramLogProb", df, text, sentinel)
-    // the tokenize (regex split + per-token hash) is the plan's
-    // single most expensive projection (measured 20.5 s/pass on the
-    // 500k-doc sf10 corpus) — PIN its output so it runs exactly once
-    // (doc_id + hashed-token array: the corpus's tokens at 8 bytes
-    // each, the same block-storage trade as the minhash shingle pin)
+    // the tokenize (split + per-token hash) is the plan's single most
+    // expensive projection (measured 20.5 s/pass on the 500k-doc sf10
+    // corpus as a regex chain) — fused into ONE native expression
+    // (tokenize + xxhash64 per token, no interpreted transform HOF)
+    // and PINNED so it runs exactly once (doc_id + hashed-token
+    // array: the corpus's tokens at 8 bytes each, the same
+    // block-storage trade as the minhash shingle pin)
     val toked = df.select(id.as("doc_id"),
-      transform(bpeishTokens(text), t => xxhash64(t)).as("tk"))
+      graft.plans.HashedBpeishTokens(text).as("tk"))
       .localCheckpoint()
     // unigram counts + total from EVERY tokenizable doc (corpus
     // stats), instances only from docs long enough to have bigrams.
@@ -776,13 +778,14 @@ object TextAnalysis {
                      sentinel: Boolean = true): DataFrame = {
     requireCollisionFreeVocab("unigramLogProb", df, text, sentinel)
     // same two levers as [[bigramLogProb]] (measured there at sf10):
-    // tokens hash to xxhash64 at tokenization — the output carries
-    // only counts, so every shuffle/join keys on 8-byte longs — and
-    // the doc-term frequency table is pinned because it feeds two
-    // consumers (the corpus rollup and the scoring join); unpinned,
-    // each would re-run the regex tokenize over the whole corpus
+    // tokens hash to xxhash64 at tokenization (one fused native
+    // expression — the output carries only counts, so every
+    // shuffle/join keys on 8-byte longs) and the doc-term frequency
+    // table is pinned because it feeds two consumers (the corpus
+    // rollup and the scoring join); unpinned, each would re-run the
+    // tokenize over the whole corpus
     val tf = df.select(id.as("doc_id"),
-        transform(bpeishTokens(text), t => xxhash64(t)).as("tk"))
+        graft.plans.HashedBpeishTokens(text).as("tk"))
       .filter(size(col("tk")) > 0)
       .select(col("doc_id"), size(col("tk")).as("dl"),
         explode(col("tk")).as("term"))
