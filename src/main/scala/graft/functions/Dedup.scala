@@ -1415,24 +1415,33 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           smallGraphEdges: Long = 1L << 20): DataFrame = {
-    // pin the canonical pairs FIRST: the symmetric union below would
-    // otherwise embed (and the eager edge checkpoint execute) the
-    // whole upstream near-dup pipeline twice
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val integral = p.schema.forall(f => f.dataType match {
+    val proj = pairs.select(col("id_a"), col("id_b"))
+    val integral = proj.schema.forall(f => f.dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
       case _ => false
     })
-    if (integral && p.count() <= smallGraphEdges &&
-        p.filter(col("id_a").isNull || col("id_b").isNull).head(1).isEmpty) {
-      val spark = p.sparkSession
-      val idType = p.schema.head.dataType
-      val rows = p.collect().map(r =>
+    // ONE bounded action decides the path AND fetches the edges: take
+    // smallGraphEdges+1 rows — fewer back means the whole pair set is
+    // driver-resident (≤ ~16 MB at the default cap) and the closure
+    // runs as a local union-find with no pin, no count job and no
+    // null-probe job (the former pin+count+head+collect protocol paid
+    // four driver actions over a pair set the guard had already
+    // materialized; measured ~0.3-0.5 s of pure scheduling per call
+    // at local[32]). A row past the cap or a null id falls through to
+    // the distributed loop, which pins the projection first so its
+    // symmetric union cannot execute the upstream pipeline twice.
+    val cap = math.min(smallGraphEdges, (Int.MaxValue - 2).toLong).toInt
+    val probe = if (integral && cap > 0)
+      proj.limit(cap + 1).collect() else Array.empty[org.apache.spark.sql.Row]
+    if (integral && cap > 0 && probe.length <= cap &&
+        probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+      val spark = proj.sparkSession
+      val idType = proj.schema.head.dataType
+      val rows = probe.map(r =>
         (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
-      dropCheckpoint(p)
       // union-find with path compression; roots stay the running
       // minimum, so the final root IS the component min — the same
       // class_rep law the distributed fixpoint proves
@@ -1475,7 +1484,7 @@ object Dedup {
         spark.sparkContext.parallelize(out.toIndexedSeq,
           math.max(1, math.min(out.length / 5000, 32))), schema)
     }
-    connectedComponentsDistributed(p, maxIters)
+    connectedComponentsDistributed(proj.localCheckpoint(), maxIters)
   }
 
   /** The distributed min-label fixpoint loop of
