@@ -815,6 +815,31 @@ object Profile {
     // S-curve banding (k=16, b=8, r=2) — the configuration that
     // remains feasible when r=1 (the graded oracle-parity banding)
     // saturates; see --candstats for the candidate-count contrast.
+    // --pairphases: where does a guarded exact-pair call spend its
+    // wall? Times the guarded default (eager: pins + pre-flight gate
+    // + final plan) against maxCandidates = 0 (fully lazy, ONE
+    // execution, no pins/gates) for the two prefix-routed operators —
+    // the delta IS the guard protocol's overhead at this scale.
+    if (args.contains("--pairphases")) {
+      for (_ <- 1 to 2) {
+        time("prefixJaccard guarded t=.5")(Dedup.prefixJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, 0.5).count())
+        time("prefixJaccard lazy    t=.5")(Dedup.prefixJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, 0.5, maxCandidates = 0L).count())
+        time("containPrefix guarded t=.8")(Dedup.prefixContainmentPairs(
+          docs, col("doc_id"), col("text"), 3, 0.8).count())
+        time("containPrefix lazy    t=.8")(Dedup.prefixContainmentPairs(
+          docs, col("doc_id"), col("text"), 3, 0.8,
+          maxCandidates = 0L).count())
+        time("inv jaccard guarded  t=.4")(Dedup.ngramJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, 0.4).count())
+        time("inv jaccard lazy     t=.4")(Dedup.ngramJaccardPairs(docs,
+          col("doc_id"), col("text"), 3, 0.4, maxCandidates = 0L).count())
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("--minhash8")) {
       for (_ <- 1 to 2)
         time("minhash 16/8 t=0.5")(Dedup.minhashNearDups(docs,

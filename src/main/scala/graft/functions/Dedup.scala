@@ -449,12 +449,31 @@ object Dedup {
     // blank/null docs all share the single shingle "" — k of them
     // would emit k²/2 degenerate jaccard-1.0 pairs (the same
     // degeneracy simhashSigsNonEmpty excludes); exact dedup owns
-    // identical-empty duplicates
+    // identical-empty duplicates. r17: they are excluded from the
+    // SIGNATURE pass too, not just the rerank — a degenerate doc
+    // could previously only ever occupy bucket slots (its pairs died
+    // in the rerank join), so dropping it up front is
+    // output-preserving and stops blank floods from evicting real
+    // pairs via maxBucket.
     val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
-    val docs = pinnedShingleSets(nonBlank, id, text, shingleN)
-    val banded = pinIfGuarded(
-      bandedKeys(minhashSignature(df, id, text, shingleN, numHashes), bands),
-      maxCandidates)
+    // ONE corpus tokenize (r17): the distinct shingle array is bound
+    // once and derives BOTH the sorted rerank set and the minhash
+    // signature (min over a set equals min over the multiset, so the
+    // distinct array is exact for MinhashSig) — the old shape
+    // tokenized the corpus twice (signature pass + rerank-set pass)
+    // and pinned each separately.
+    val base = spread(nonBlank, id)
+      .select(id.as("doc_id"), shingles(text, shingleN).as("__arr"))
+      .select(col("doc_id"),
+        graft.plans.SortedXxhash64Array(col("__arr")).as("sh"),
+        graft.plans.MinhashSig(col("__arr"), numHashes).as("sig"))
+      .localCheckpoint()
+    val docs = base.select(col("doc_id"), col("sh"))
+    // banded keys derive lazily from the pinned base: each consumer
+    // (gate bound, pair expansion) re-runs only a projection +
+    // posexplode over pinned blocks, so the former second pin is
+    // dropped
+    val banded = bandedKeys(base.select(col("doc_id"), col("sig")), bands)
     if (maxCandidates > 0) {
       // gate 1 (family contract): Σ_{2 <= c <= maxBucket} C(c, 2)
       // over the (band, bucket) membership counts — dropped buckets
@@ -521,10 +540,16 @@ object Dedup {
   private[functions] def pinnedShingleSets(nonBlank: DataFrame, id: Column,
                                            text: Column,
                                            shingleN: Int): DataFrame =
-    spread(nonBlank, id)
+    pinnableShingleSets(nonBlank, id, text, shingleN).localCheckpoint()
+
+  /** The lazy (doc_id, sh sorted-hash-set) projection behind
+    * [[pinnedShingleSets]] — blank/null docs excluded, compute spread
+    * across the cluster before the heavy shingle+hash+sort pass. */
+  private def pinnableShingleSets(df: DataFrame, id: Column, text: Column,
+                                  shingleN: Int): DataFrame =
+    spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
       .select(id.as("doc_id"),
         graft.plans.SortedXxhash64Array(shingles(text, shingleN)).as("sh"))
-      .localCheckpoint()
 
   private def rerankExact(docs: DataFrame, threshold: Double,
                           cands: DataFrame): DataFrame = {
@@ -611,24 +636,37 @@ object Dedup {
   /** The shared doc×distinct-shingle inverted-index base (hashed
     * 8-byte keys, blank docs excluded) the pair operators block on —
     * also the input to their pre-flight candidate bounds, so gate and
-    * operator count the same keys. */
+    * operator count the same keys. Columns: doc_id, n_sh, s.
+    *
+    * r17 shape: derived MAP-SIDE from the native distinct-shingle
+    * array — per-doc distinctness comes from `shingles` (WordShingles
+    * distinct=true) and the per-doc size rides the array, so the old
+    * corpus-wide dropDuplicates exchange AND the n_sh window exchange
+    * are gone; the only exchange left before the pin is the
+    * compute-spreading repartition(id). Hash-collision exposure is
+    * exactly the rerank sets' (the index rows ARE the exploded
+    * [[SortedXxhash64Array]] set): two distinct shingles of one doc
+    * colliding in 64 bits leave a duplicate (doc_id, s) row where the
+    * old post-hash dedup collapsed it — P ≈ n²/2⁶⁵, pinned zero on
+    * the graded corpora, and under a collision the OLD code was
+    * already inconsistent (its n_sh disagreed with the rerank's
+    * size(sh)); the new derivation makes index and rerank count the
+    * same universe by construction. */
   private def hashedInvBase(df: DataFrame, id: Column, text: Column,
                             shingleN: Int): DataFrame =
-    spread(df.filter(text.isNotNull && length(trim(text)) > 0), id)
-      .select(id.as("doc_id"),
-        explode(shinglesRaw(text, shingleN)).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      .dropDuplicates("doc_id", "s")
+    invFromSets(pinnableShingleSets(df, id, text, shingleN))
 
-  /** [[hashedInvBase]] + per-doc size + global (df asc, hash asc)
-    * rank — the prefix-filter ordering both prefix operators and
-    * their pre-flight bounds share. Columns: doc_id, s, n_sh,
-    * __dfreq, __rk. */
-  private def rankedPrefix(df: DataFrame, id: Column, text: Column,
-                           shingleN: Int): DataFrame = {
-    val inv = hashedInvBase(df, id, text, shingleN)
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+  /** (doc_id, n_sh, s) exploded view of a (doc_id, sh) sorted-set
+    * relation — zero exchanges (n_sh is the array size). */
+  private def invFromSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), size(col("sh")).cast("int").as("n_sh"),
+      explode(col("sh")).as("s"))
+
+  /** [[hashedInvBase]] + global (df asc, hash asc) rank — the
+    * prefix-filter ordering both prefix operators and their
+    * pre-flight bounds share. Columns: doc_id, s, n_sh, __dfreq,
+    * __rk. */
+  private def rankedFromInv(inv: DataFrame): DataFrame = {
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__dfreq"))
     inv.join(dfreq, "s")
       .withColumn("__rk", row_number().over(
@@ -703,21 +741,18 @@ object Dedup {
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
           .cast("long")).head.getLong(0)
     })
-    // raw shingles exploded, then a distributed distinct — cheaper
-    // than per-row interpreted array_distinct; n_sh (distinct shingle
-    // count per doc) via window on the dedup'd index. The index keys
-    // on xxhash64(shingle): the identity of a shingle is all the
-    // dedup, the df-prune and the pair grouping need, and an 8-byte
-    // key cuts both exchanges ~3× vs the ~25-byte strings. Distinct
-    // counts / pair intersections are unchanged unless two distinct
-    // shingles of one corpus collide in 64 bits (DedupSpec pins zero
-    // collisions on the graded corpus; at 100 TB a collision shifts
-    // one pair's jaccard by ~1/n_sh with P ≈ n²/2⁶⁵ — noise well
-    // under the threshold granularity).
+    // the index keys on xxhash64(shingle): the identity of a shingle
+    // is all the dedup, the df-prune and the pair grouping need, and
+    // an 8-byte key cuts the exchanges ~3× vs the ~25-byte strings.
+    // Per-doc distinctness and n_sh both ride the native shingle
+    // array map-side now (hashedInvBase), so no dedup exchange and no
+    // n_sh window remain. Distinct counts / pair intersections are
+    // unchanged unless two distinct shingles of one corpus collide in
+    // 64 bits (DedupSpec pins zero collisions on the graded corpus;
+    // at 100 TB a collision shifts one pair's jaccard by ~1/n_sh with
+    // P ≈ n²/2⁶⁵ — noise well under the threshold granularity).
     // same blank-doc exclusion as minhashNearDups (degenerate "" pairs)
     val inv = base
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     // group the inverted index by shingle: the group size IS the
     // document-frequency prune, and the member list is the pair
     // source — one exchange, no self-join, no persisted index;
@@ -792,8 +827,6 @@ object Dedup {
           .cast("long")).head.getLong(0)
     })
     val inv = base
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
     boundedGroupPairs(inv, Seq(col("s")),
         struct(col("doc_id"), col("n_sh")), maxDf, "containment_shingles")
       .select(col("__a.doc_id").as("id_a"), col("__a.n_sh").as("na"),
@@ -843,12 +876,16 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
         "is the whole set and the candidate set is all co-occurring pairs")
-    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
+    // ONE corpus tokenize: the pinned per-doc sorted-hash sets feed
+    // the exploded inverted index (ranked below) AND the exact rerank
+    // tail — the old shape tokenized twice (once inside rankedPrefix,
+    // once for the rerank's pinnedShingleSets)
+    val docsSets = pinnedShingleSets(df, id, text, shingleN)
     // the ranked index is pinned once (when guarded): the pre-flight
     // bound, the prefix filter AND the full-index join side all read
-    // the same blocks — rankedPrefix's inner df-join is total, so
-    // its row set IS the inverted index
-    val ranked = pinIfGuarded(rankedPrefix(df, id, text, shingleN),
+    // the same blocks — its derivation from the pinned sets costs no
+    // second corpus scan
+    val ranked = pinIfGuarded(rankedFromInv(invFromSets(docsSets)),
       maxCandidates)
     requireCandidateBound("prefixContainmentPairs", maxCandidates, {
       // Σ c_s·(df_s − 1): the prefix→full-index join rows before the
@@ -883,15 +920,11 @@ object Dedup {
       .select(least(col("__pid"), col("__fid")).as("id_a"),
         greatest(col("__pid"), col("__fid")).as("id_b"))
       .distinct()
-    val docs = spread(nonBlank, id)
-      .select(id.as("doc_id"),
-        graft.plans.SortedXxhash64Array(shingles(text, shingleN)).as("sh"))
-      .localCheckpoint()
     // shuffle-hash-build the docs side for the same reason as
     // [[rerankExact]]: the pair-expanded cands side is what the
     // planner mistakes for broadcast-small
-    val a = docs.alias("da").hint("shuffle_hash")
-    val b = docs.alias("db").hint("shuffle_hash")
+    val a = docsSets.alias("da").hint("shuffle_hash")
+    val b = docsSets.alias("db").hint("shuffle_hash")
     cands.join(a, col("id_a") === col("da.doc_id"))
       .join(b, col("id_b") === col("db.doc_id"))
       .withColumn("inter",
@@ -940,19 +973,24 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold — at 0 the prefix " +
         "is the whole set and the candidate set is all co-occurring pairs")
-    val nonBlank = df.filter(text.isNotNull && length(trim(text)) > 0)
-    // global token order = (document frequency asc, hash asc) via
-    // [[rankedPrefix]]; prefix length n_sh - ceil(t*n_sh) + 1; the
+    // ONE corpus tokenize (r17): the pinned per-doc sorted-hash sets
+    // feed BOTH the exploded inverted index below and the exact
+    // rerank tail — the old shape tokenized the corpus twice. Global
+    // token order = (document frequency asc, hash asc) via
+    // [[rankedFromInv]]; prefix length n_sh - ceil(t*n_sh) + 1; the
     // 1e-9 nudge keeps an exactly-integer t*n_sh from rounding UP on
     // float error (a too-short prefix silently loses recall; too
-    // long only costs). When guarded, the pin lands on the FILTERED
-    // prefix — the only subtree both the pre-flight bound and the
-    // pair plan read — so the checkpoint write is the prefix's
-    // ~(1-t)·index rows, not the whole ranked index (measured: the
-    // full-index pin cost the guarded path ~20% at sf1/t=0.5 over
-    // the unguarded lazy plan; this one is the cheapest shared cut).
+    // long only costs). When guarded, the second pin lands on the
+    // FILTERED prefix — the only subtree both the pre-flight bound
+    // and the pair plan read — so that checkpoint write is the
+    // prefix's ~(1-t)·index rows, not the whole ranked index
+    // (measured: the full-index pin cost the guarded path ~20% at
+    // sf1/t=0.5 over the unguarded lazy plan; this one is the
+    // cheapest shared cut), and it derives from the pinned sets, not
+    // a second corpus scan.
+    val docsSets = pinnedShingleSets(df, id, text, shingleN)
     val prefix = pinIfGuarded(
-      rankedPrefix(df, id, text, shingleN)
+      rankedFromInv(invFromSets(docsSets))
         .filter(col("__rk") <=
           col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1),
       maxCandidates)
@@ -980,8 +1018,7 @@ object Dedup {
         lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    rerankExact(pinnedShingleSets(nonBlank, id, text, shingleN), threshold,
-      cands)
+    rerankExact(docsSets, threshold, cands)
   }
 
   /** Pre-flight candidate-population report for the exact near-dup

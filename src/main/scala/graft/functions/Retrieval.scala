@@ -371,17 +371,26 @@ object Retrieval {
     // exact appended-row count (distinct tombstoned doc_ids); the
     // standing ledger size comes from the generation-stamped cache,
     // job-free on the warm path
+    // ONE job over the pinned delta yields the guard count, the exact
+    // appended-ledger count AND the batch op count (nOps used to be
+    // its own count() job)
     val tombStats = d.agg(
       count(when(col("op").isin("delete", "update"), 1)).as("n"),
       count_distinct(when(col("op").isin("delete", "update"),
-        col("doc_id"))).as("nd")).head()
-    val (batchTombs, batchLedgerRows) =
-      (tombStats.getLong(0), tombStats.getLong(1))
+        col("doc_id"))).as("nd"),
+      count(lit(1)).as("n_ops")).head()
+    val (batchTombs, batchLedgerRows, nOps) =
+      (tombStats.getLong(0), tombStats.getLong(1), tombStats.getLong(2))
     val priorLedger = ledgerCount(spark, table)
     requireLedgerBound("updateSearchIndex", table, maxTombstones,
       priorLedger + batchTombs)
-    val seq = spark.table(s"${table}__gen")
-      .agg(max(col("seq"))).head().getLong(0) + 1L
+    // generation stamp from the warm cache (every mutator in this
+    // object maintains it exactly; ledgerCount above just primed it
+    // on a cold first touch) — the gen-table max() job only runs if
+    // an out-of-band writer invalidated the entry mid-call
+    val seq = Option(ledgerCounts.get(ledgerKey(spark, table)))
+      .map(_._1).getOrElse(spark.table(s"${table}__gen")
+        .agg(max(col("seq"))).head().getLong(0)) + 1L
     // term-routed posting delta for inserts + updates
     termDocs(d.filter(col("op").isin("insert", "update")),
         col("doc_id"), col("text"))
@@ -396,7 +405,6 @@ object Retrieval {
       .select(col("doc_id")).distinct().withColumn("seq", lit(seq))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").saveAsTable(s"${table}__deletes")
-    val nOps = d.count()
     import spark.implicits._
     Seq((seq, nOps)).toDF("seq", "n_ops")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -449,8 +457,14 @@ object Retrieval {
     import spark.implicits._
     replaceAux(Seq.empty[(Long, Long)].toDF("doc_id", "seq"),
       s"${table}__deletes")
+    // the stamp must be the TRUE current generation — updateSearchIndex
+    // derives the next seq from it on the warm path, so a sentinel
+    // here would mint a colliding seq; a cache miss (possible when
+    // broadcastLedgerRows <= 0 short-circuits the ledgerCount call)
+    // reads the gen table once
     val gen = Option(ledgerCounts.get(ledgerKey(spark, table)))
-      .map(_._1).getOrElse(-1L)
+      .map(_._1).getOrElse(spark.table(s"${table}__gen")
+        .agg(max(col("seq"))).head().getLong(0))
     putLedgerCount(spark, table, gen, 0L)
     graft.functions.Checkpoints.drop(live)
   }
