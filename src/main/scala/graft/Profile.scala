@@ -840,6 +840,105 @@ object Profile {
       return
     }
 
+    // --ivfpqphases: where does q_embed_ivfpq's wall go at a given sf?
+    // Times each eager step of the graded pipeline separately.
+    if (args.contains("--ivfpqphases")) {
+      import graft.functions.{Ivf, IvfPq, Pq, Similarity}
+      val e = Graft.table(spark, sfDir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val k = 5
+      val overfetch = math.max(8L, e.count() / (25L * k)).toInt
+      val u = e.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("vec_id"), col("embedding"))
+      var ivfOut: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = null
+      time("ivf.index (nlist=16, 1 iter)") {
+        ivfOut = Ivf.index(e.select(col("vec_id"),
+          col("embedding").as("uv")), col("vec_id"), col("uv"), 16, 1)
+        ivfOut._2.count()
+      }
+      // replicate IvfPq.index step-by-step (same frames, same params)
+      val uVec = {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+        val inv = when(sqrt(n2) > 0.0, lit(1.0) / sqrt(n2))
+          .otherwise(lit(0.0))
+        zip_with(v, array_repeat(inv, size(v)), (x, s) => x * s)
+      }
+      val uN = e.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), uVec.as("uv"))
+      var asg: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = null
+      time("step1 ivf.index(unit)") {
+        asg = Ivf.index(uN, col("vec_id"), col("uv"), 16, 1)
+        asg._2.count()
+      }
+      time("step1b uN noop") {
+        uN.write.format("noop").mode("overwrite").save(); 0L }
+      time("step1c assigned noop") {
+        asg._1.write.format("noop").mode("overwrite").save(); 0L }
+      time("step1d resid-no-pin noop") {
+        asg._1.join(broadcast(asg._2), Seq("cluster"))
+          .select(col("vec_id"), col("cluster"),
+            zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+          .write.format("noop").mode("overwrite").save(); 0L }
+      time("step1e join only, rv=v") {
+        val df = asg._1.join(broadcast(asg._2), Seq("cluster"))
+          .select(col("vec_id"), col("cluster"), col("v").as("rv"))
+        df.write.format("noop").mode("overwrite").save()
+        println("[step1e plan]\n" + df.queryExecution.executedPlan
+          .toString.take(6000)); 0L }
+      time("step1f zipwith v,v no join") {
+        asg._1.select(col("vec_id"), col("cluster"),
+            zip_with(col("v"), col("v"), (x, c) => x - c).as("rv"))
+          .write.format("noop").mode("overwrite").save(); 0L }
+      time("step1g barrier+join+zip") {
+        asg._1.repartition(col("vec_id"))
+          .join(broadcast(asg._2), Seq("cluster"))
+          .select(col("vec_id"), col("cluster"),
+            zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+          .write.format("noop").mode("overwrite").save(); 0L }
+      var resid: org.apache.spark.sql.DataFrame = null
+      time("step2 resid pin") {
+        resid = asg._1.join(broadcast(asg._2), Seq("cluster"))
+          .select(col("vec_id"), col("cluster"),
+            zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+          .localCheckpoint()
+        0L
+      }
+      var cb: org.apache.spark.sql.DataFrame = null
+      time("step3 pq.train resid") {
+        cb = Pq.train(resid, col("vec_id"), col("rv"), 16, 16,
+          iters = 2, normalize = false)
+        cb.count()
+      }
+      time("step4 encode+pin") {
+        Pq.encode(resid, col("vec_id"), col("rv"), cb, 16,
+          normalize = false).localCheckpoint().count()
+      }
+      var full: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = null
+      time("ivfpq.index full") {
+        full = IvfPq.index(e, col("vec_id"), col("embedding"),
+          nlist = 16, m = 16, ksub = 16)
+        full._1.count()
+      }
+      time("ivfpq.topK probe") {
+        IvfPq.topK(full._1, full._2, full._3, e, col("vec_id"),
+          col("embedding"), queries, col("vec_id"), col("embedding"),
+          k = k, m = 16, ksub = 16, nprobe = 8,
+          overfetch = overfetch).count()
+      }
+      time("bruteForceTopK") {
+        Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = k).count()
+      }
+      u.count(): Unit
+      spark.stop()
+      return
+    }
+
     if (args.contains("--minhash8")) {
       for (_ <- 1 to 2)
         time("minhash 16/8 t=0.5")(Dedup.minhashNearDups(docs,

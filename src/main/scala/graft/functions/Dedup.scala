@@ -264,10 +264,21 @@ object Dedup {
     * pipeline paid two exchanges per corpus (the skew-spreading
     * repartition(id) carrying the document text, then the groupBy
     * hash exchange) for values 8·numHashes bytes wide. Zero shuffle
-    * now; null-signature rows (null text, whose shingles are null and
-    * which the old explode dropped) are filtered to keep the output
-    * row-identical. Raw (duplicated) shingles: min() is
-    * duplicate-insensitive, so distincting first is pure waste.
+    * now. Null-text semantics (r16 ADVICE corrected): WordShingles'
+    * column form coalesces null text to [""], so a null-text doc
+    * keeps a row carrying the shared empty-doc signature — in BOTH
+    * the old explode form and this projection (SigProjectionsSpec
+    * asserts the null-text doc is present in each). The
+    * sig-isNotNull filter below is therefore DEFENSIVE ONLY on this
+    * path (MinhashSig yields null only for an empty input array,
+    * which shinglesRaw can never produce); it is kept for callers
+    * composing MinhashSig over raw expressions without the coalesce.
+    * Dropping the former spread(df, id) trades compute-spreading on
+    * skinny few-partition scans for one less corpus exchange — a
+    * small-file corpus relies on upstream repartition/AQE; the bench
+    * validates the default (r16 ADVICE note).
+    * Raw (duplicated) shingles: min() is duplicate-insensitive, so
+    * distincting first is pure waste.
     */
   def minhashSignature(df: DataFrame, id: Column, text: Column,
                        shingleN: Int = 3, numHashes: Int = 32): DataFrame =
@@ -1452,33 +1463,34 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           smallGraphEdges: Long = 1L << 20): DataFrame = {
-    val proj = pairs.select(col("id_a"), col("id_b"))
-    val integral = proj.schema.forall(f => f.dataType match {
+    // pin the canonical pairs FIRST: every later action (size probe,
+    // collect, or the distributed loop's symmetric union) reads the
+    // cached blocks instead of re-executing the upstream near-dup
+    // pipeline. A limit+collect "one-action" variant was tried in
+    // r17 and REVERTED: Spark's executeTake ramps the FINAL stage's
+    // partitions (1, 4, 16, ...) until the limit is satisfied, so a
+    // pair plan whose last stage is the expensive part (semDedup's
+    // within-cluster cosine expansion) re-ran ~1.7× — measured +98 s
+    // on q_semdedup at sf10 against the ~0.3 s of driver-action
+    // scheduling it saved at sf0.1.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val integral = p.schema.forall(f => f.dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
       case _ => false
     })
-    // ONE bounded action decides the path AND fetches the edges: take
-    // smallGraphEdges+1 rows — fewer back means the whole pair set is
-    // driver-resident (≤ ~16 MB at the default cap) and the closure
-    // runs as a local union-find with no pin, no count job and no
-    // null-probe job (the former pin+count+head+collect protocol paid
-    // four driver actions over a pair set the guard had already
-    // materialized; measured ~0.3-0.5 s of pure scheduling per call
-    // at local[32]). A row past the cap or a null id falls through to
-    // the distributed loop, which pins the projection first so its
-    // symmetric union cannot execute the upstream pipeline twice.
-    val cap = math.min(smallGraphEdges, (Int.MaxValue - 2).toLong).toInt
-    val probe = if (integral && cap > 0)
-      proj.limit(cap + 1).collect() else Array.empty[org.apache.spark.sql.Row]
-    if (integral && cap > 0 && probe.length <= cap &&
-        probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
-      val spark = proj.sparkSession
-      val idType = proj.schema.head.dataType
+    if (integral && smallGraphEdges > 0 && p.count() <= smallGraphEdges) {
+      // the null probe rides the collect (driver-side scan of ≤ ~16 MB
+      // of pinned rows) instead of its own head(1) job
+      val probe = p.collect()
+      if (probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+      val spark = p.sparkSession
+      val idType = p.schema.head.dataType
       val rows = probe.map(r =>
         (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+      dropCheckpoint(p)
       // union-find with path compression; roots stay the running
       // minimum, so the final root IS the component min — the same
       // class_rep law the distributed fixpoint proves
@@ -1520,8 +1532,9 @@ object Dedup {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(out.toIndexedSeq,
           math.max(1, math.min(out.length / 5000, 32))), schema)
+      }
     }
-    connectedComponentsDistributed(proj.localCheckpoint(), maxIters)
+    connectedComponentsDistributed(p, maxIters)
   }
 
   /** The distributed min-label fixpoint loop of

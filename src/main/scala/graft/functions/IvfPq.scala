@@ -51,19 +51,34 @@ object IvfPq {
     // Pq.train reads it once per Lloyd round and encode once more,
     // and each read would otherwise replay the assignment join and
     // the per-element subtraction over the whole corpus
-    val resid = assigned.join(broadcast(cents), Seq("cluster"))
+    // Residual as a PURE PROJECTION (the r15 assignment-as-projection
+    // idiom): the nlist-row centroid table folds into one literal
+    // array indexed by the (0-based) cluster id, so the subtraction
+    // needs NO join at all. The former broadcast-join form measured
+    // 85 s at sf10 against 8 s for the assignment alone (the join
+    // re-planned the HOF-heavy stream side out of its split
+    // projections); this form is join-free and keeps the assignment
+    // and subtraction in their own stages (cluster is non-cheap and
+    // referenced twice, so CollapseProject leaves the split alone).
+    val centLit = array(cents.orderBy(col("cluster")).collect().map(r =>
+      array(r.getSeq[Double](1).map(lit): _*)): _*)
+    val resid = assigned
       .select(col("vec_id"), col("cluster"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+        zip_with(col("v"), element_at(centLit, col("cluster") + 1),
+          (x, c) => x - c).as("rv"))
       .localCheckpoint()
     val codebook = Pq.train(resid, col("vec_id"), col("rv"), m, ksub,
       iters = pqIters, normalize = false)
-    val encoded = Pq.encode(resid, col("vec_id"), col("rv"), codebook, m,
-      normalize = false)
     // pin the SMALL artifact (m bytes + cluster per vector), then
     // free the corpus-sized residual generation — the returned index
-    // must not keep float-width blocks alive through its lineage
-    val out = resid.select(col("vec_id"), col("cluster"))
-      .join(encoded, Seq("vec_id")).localCheckpoint()
+    // must not keep float-width blocks alive through its lineage.
+    // The encode kernel runs IN PLACE over the pinned residuals
+    // (r17): the old Pq.encode call dropped `cluster` and a vec_id
+    // join (two exchanges) re-attached it.
+    val out = resid.select(col("vec_id"), col("cluster"),
+        Pq.encodeExpr(codebook, m, normalize = false)(col("rv"))
+          .as("codes"))
+      .localCheckpoint()
     Checkpoints.drop(resid)
     (out, cents, codebook)
   }

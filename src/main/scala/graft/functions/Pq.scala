@@ -165,16 +165,25 @@ object Pq {
     */
   def encode(corpus: DataFrame, id: Column, vec: Column,
              codebook: DataFrame, m: Int,
-             normalize: Boolean = true): DataFrame = {
+             normalize: Boolean = true): DataFrame =
+    corpus.filter(vec.isNotNull)
+      .select(id.as("vec_id"),
+        encodeExpr(codebook, m, normalize)(vec).as("codes"))
+
+  /** The encode kernel as a reusable column function — lets a caller
+    * that already carries other columns (e.g. [[IvfPq.index]]'s
+    * `cluster`) encode IN PLACE instead of paying a vec_id join to
+    * re-attach them to [[encode]]'s two-column output.
+    */
+  private[functions] def encodeExpr(codebook: DataFrame, m: Int,
+                                    normalize: Boolean): Column => Column = {
     val rows = codebook.orderBy(col("sub"), col("cluster")).collect()
     require(rows.nonEmpty && rows.length % m == 0,
       s"encode: codebook has ${rows.length} rows, not a multiple of m=$m")
     val ksub = rows.length / m
     val flat = rows.toSeq.flatMap(_.getSeq[Double](2))
-    corpus.filter(vec.isNotNull)
-      .select(id.as("vec_id"), prep(vec, normalize).as("v"))
-      .select(col("vec_id"),
-        graft.plans.PqEncode(col("v"), typedlit(flat), m, ksub).as("codes"))
+    vec => graft.plans.PqEncode(prep(vec, normalize), typedlit(flat),
+      m, ksub)
   }
 
   /** Per-query flattened ADC table: (query_id, table array<double>)

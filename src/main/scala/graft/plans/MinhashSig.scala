@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * An EMPTY array yields null (the legacy explode emitted no row, so
   * the doc vanished from the signature table) — callers filter nulls,
-  * restoring row-for-row equality. MinhashSigSpec pins both.
+  * restoring row-for-row equality. SigProjectionsSpec pins the
+  * aggregate-form parity (including the null-text row) and the
+  * empty-array → null contract directly.
   */
 case class MinhashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {

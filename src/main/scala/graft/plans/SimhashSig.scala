@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * 0L)`); zero tokens (or a null/empty array) yield sig = 0 — the
   * legacy explode_outer emitted a single null-token row whose 64 sums
   * were all 0, none > 0. Callers coalesce(.., 0L) a nullable input to
-  * keep the null-text row's sig at 0. SimhashSigSpec pins all of it.
+  * keep the null-text row's sig at 0. SigProjectionsSpec pins all of
+  * it (aggregate-form parity incl. the null-text row).
   */
 case class SimhashSig(child: Expression) extends UnaryExpression {
 

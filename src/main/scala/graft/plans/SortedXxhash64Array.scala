@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * SKIP null children, leaving the seed — they do not yield null), so
   * a null element maps to 42L exactly as the legacy chain does; the
   * shingle arrays this fronts are containsNull=false anyway.
-  * SortedXxhash64ArraySpec pins chain equality incl. fuzz.
+  * SigProjectionsSpec pins chain equality incl. fuzz.
   */
 case class SortedXxhash64Array(child: Expression) extends UnaryExpression {
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import graft.plans.{SimhashSig, SortedXxhash64Array}
+import graft.plans.{MinhashSig, SimhashSig, SortedXxhash64Array}
 import org.apache.spark.sql.functions._
 
 /** The three per-row signature/set projections must be VALUE-IDENTICAL
@@ -96,6 +96,19 @@ class SigProjectionsSpec extends SparkSpec {
       graft.functions.Dedup.simhash64(col("text")).as("slow"))
     val bad = both.collect().filter(r => r.getLong(0) != r.getLong(1))
     assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("MinhashSig of an EMPTY array is null (documented contract)") {
+    // shinglesRaw can never produce an empty array (null/empty text
+    // coalesces to [""]), so this contract is not reachable through
+    // the operator pipeline — pin it directly (r16 ADVICE).
+    val r = spark.range(1)
+      .select(
+        MinhashSig(array().cast("array<string>"), 4).as("sig"),
+        MinhashSig(array(lit("a")), 4).as("sig1"))
+      .head()
+    assert(r.isNullAt(0), "empty array must yield a NULL signature")
+    assert(!r.isNullAt(1) && r.getSeq[Long](1).size == 4)
   }
 
   test("random fuzz: 500 docs, minhash + simhash + sorted-set equality") {
